@@ -141,7 +141,10 @@ def test_var_encoding_primitives_exhaustive():
         _encode_svarint(out, v)
         got, pos = _decode_svarint(memoryview(bytes(out)), 0)
         assert got == v and pos == len(out)
-    dvals = [0.0, 1.0, 2.0, 100.0, 1e6, 0.5, math.pi, 1e-300, 1e300, -1.0, -math.e, 2**53 - 1.0]
+    # NB: values below ~2^-53 are lossy by design in varDouble (the reference
+    # transform bits(v+1)-bits(1) collapses them to 0; VarEncodingHelper.java:
+    # 218-223) — so no subnormal vectors here.
+    dvals = [0.0, 1.0, 2.0, 100.0, 1e6, 0.5, math.pi, 1e300, -1.0, -math.e, 2**53 - 1.0]
     for v in dvals:
         out = bytearray()
         _encode_var_double(out, v)
