@@ -1,0 +1,30 @@
+"""Spark layer: mergeable sketch aggregation over DataFrames.
+
+The aggregation protocol (SURVEY.md section 3.4) is a hand-built
+partial-aggregate pipeline, because grouped-map ``applyInPandas`` alone would
+shuffle raw rows (Catalyst's partial aggregation does not apply to
+grouped-map pandas UDFs):
+
+1. stage 1 — ``mapInPandas`` over the scan partitions builds one sketch per
+   (task, group key): only *sketch rows* (a few KB each) ever shuffle;
+2. stage 2 — ``groupBy(keys).applyInPandas`` merges sketch rows per key and
+   finalizes quantiles;
+3. a global aggregation uses a constant key, optionally with an intermediate
+   tree-merge stage so no single task ever folds more than ~fan-in rows.
+"""
+
+from .agg import (
+    build_partial_sketches,
+    merge_partials_to_sketch_rows,
+    quantile_column_name,
+    quantiles,
+)
+from .session import get_spark
+
+__all__ = [
+    "quantiles",
+    "build_partial_sketches",
+    "merge_partials_to_sketch_rows",
+    "quantile_column_name",
+    "get_spark",
+]

@@ -1,0 +1,152 @@
+"""Spark aggregation layer tests: sketch-UDAF vs exact percentiles within
+alpha; partition-count invariance; grouped and weighted paths; sketch-row
+merge stage.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from ddsparkle.config import SketchConfig, logarithmic_unbounded_dense
+from ddsparkle.spark.agg import (
+    build_partial_sketches,
+    merge_partials_to_sketch_rows,
+    quantile_column_name,
+    quantiles,
+)
+from ddsparkle.serde import SKETCH_ROW_FIELDS, merge_rows
+
+pytestmark = pytest.mark.spark
+
+ALPHA = 0.01
+EPS = 1e-10
+
+
+def rank_interval_error(sorted_vals, q, actual):
+    n = len(sorted_vals)
+    lo = sorted_vals[int(math.floor(q * (n - 1)))]
+    hi = sorted_vals[int(math.ceil(q * (n - 1)))]
+    if lo <= actual <= hi:
+        return 0.0
+    if actual < lo:
+        return (lo - actual) / abs(lo) if lo != 0 else math.inf
+    return (actual - hi) / abs(hi) if hi != 0 else math.inf
+
+
+def test_quantile_column_name():
+    assert quantile_column_name(0.5) == "q50"
+    assert quantile_column_name(0.95) == "q95"
+    assert quantile_column_name(0.999) == "q99_9"
+    assert quantile_column_name(0.0) == "q0"
+    assert quantile_column_name(1.0) == "q100"
+
+
+def test_global_quantiles_vs_exact(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = quantiles(df, "value", qs=(0.5, 0.95, 0.99)).collect()[0]
+    vals = np.sort(
+        np.array([r.value for r in df.select("value").collect() if r.value is not None])
+    )
+    for q, col in [(0.5, "q50"), (0.95, "q95"), (0.99, "q99")]:
+        assert rank_interval_error(vals, q, res[col]) <= ALPHA + EPS
+    assert res["count"] == len(vals)  # exact
+    assert res["min"] == vals.min() and res["max"] == vals.max()
+    assert res["sum"] == pytest.approx(math.fsum(vals), rel=1e-9)
+
+
+def test_grouped_quantiles_vs_exact(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    res = {
+        r["l_returnflag"]: r
+        for r in quantiles(df, "l_extendedprice", by="l_returnflag", qs=(0.5, 0.99)).collect()
+    }
+    pdf = df.select("l_returnflag", "l_extendedprice").toPandas()
+    for flag, group in pdf.groupby("l_returnflag"):
+        vals = np.sort(group["l_extendedprice"].to_numpy(np.float64))
+        row = res[flag]
+        assert row["count"] == len(vals)
+        for q, col in [(0.5, "q50"), (0.99, "q99")]:
+            assert rank_interval_error(vals, q, row[col]) <= ALPHA + EPS
+
+
+def test_partition_count_invariance(spark, sf_dir):
+    """The aggregate must be independent of physical partitioning (merge
+    associativity under Spark's split) modulo float tolerance."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    r1 = quantiles(df.repartition(1), "value").collect()[0]
+    r13 = quantiles(df.repartition(13), "value").collect()[0]
+    for col in ("q50", "q95", "q99", "count", "min", "max"):
+        assert r1[col] == pytest.approx(r13[col], rel=1e-12)
+    assert r1["sum"] == pytest.approx(r13["sum"], rel=1e-9)
+
+
+def test_weighted_quantiles(spark, sf_dir):
+    """Weighted accept path: quantiles of value weighted by an integer count
+    column equal quantiles of the value repeated count times."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    counts = df.groupBy("o_custkey").count()
+    res = quantiles(counts, "count", qs=(0.5, 0.95)).collect()[0]
+    from pyspark.sql import functions as F
+
+    w = (
+        counts.withColumnRenamed("count", "v")
+        .groupBy("v")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    # w has columns (v, w): distinct value + how many customers have it
+    res_w = quantiles(w, "v", weight_col="w", qs=(0.5, 0.95)).collect()[0]
+    assert res_w["q50"] == pytest.approx(res["q50"], rel=1e-12)
+    assert res_w["q95"] == pytest.approx(res["q95"], rel=1e-12)
+    assert res_w["count"] == res["count"]
+
+
+def test_partials_then_merge_equals_direct(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(7)
+    cfg = logarithmic_unbounded_dense(0.02)
+    partials = build_partial_sketches(df, "value", config=cfg)
+    assert partials.count() >= 1
+    merged_df = merge_partials_to_sketch_rows(partials)
+    rows = merged_df.collect()
+    assert len(rows) == 1
+    sk = merge_rows([r.asDict() for r in rows])
+    vals = np.sort(
+        np.array([r.value for r in df.select("value").collect() if r.value is not None])
+    )
+    for q in (0.5, 0.95, 0.99):
+        assert rank_interval_error(vals, q, sk.value_at_quantile(q)) <= 0.02 + EPS
+    assert sk.count == len(vals)
+
+
+def test_nulls_skipped(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id").cast("double")).alias("v")
+    )
+    res = quantiles(df, "v", qs=(0.5,)).collect()[0]
+    assert res["count"] == 90
+
+
+def test_empty_input(spark):
+    """Empty input produces an empty result (documented semantics: no groups,
+    like a grouped SQL aggregate — stage 1 emits no sketch rows)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).select(F.col("id").cast("double").alias("v")).filter("v < 0")
+    res = quantiles(df, "v", qs=(0.5,)).collect()
+    assert res == []
+
+
+def test_collapsing_config_bounded_rows(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cfg = SketchConfig(store_policy="collapsing_lowest", max_bins=64)
+    partials = build_partial_sketches(df, "value", config=cfg)
+    pdf = partials.toPandas()
+    assert ((pdf["pos_idx"].apply(len) + pdf["neg_idx"].apply(len)) <= 64 * 2).all()
+    res = quantiles(df, "value", config=cfg, qs=(0.99,)).collect()[0]
+    vals = np.sort(
+        np.array([r.value for r in df.select("value").collect() if r.value is not None])
+    )
+    # high quantiles unaffected by lowest-collapse
+    assert rank_interval_error(vals, 0.99, res["q99"]) <= ALPHA + EPS
