@@ -1,0 +1,148 @@
+"""Deterministic synthetic multi-turn transcript tables (FIXTURES.md section 1).
+
+Schema per BASELINE.json ``input_hint``:
+    conv_id: string, turn_idx: int32, role: string, text: string,
+    tool: string (nullable), ts: timestamp
+
+Generation is distributed: conversations are sharded over Spark tasks with
+``spark.range(n_convs).mapInPandas``, and every conversation's content is a
+pure function of ``(seed, conv_index)`` — so any partitioning, any cluster
+size, and any re-run produce byte-identical rows (the "per-turn text equality
+under stable turn ordering" invariant is testable against a local pandas
+re-generation).
+
+Skew profiles (FIXTURES.md section 1.2):
+- ``tiny``    : ~1k convs, turns/conv ~ geometric(mean 10)
+- ``skewed``  : one hot conv_id holding ~20% of all turns
+- ``bench``   : 0.1% of convs hold ~30% of turns
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["transcripts_df", "generate_conversations_pandas", "PROFILES"]
+
+_BASE_EPOCH_US = 1_700_000_000_000_000  # fixed base timestamp (microseconds)
+_ROLES = np.array(["user", "assistant", "system", "tool"])
+_TOOLS = np.array(["search", "code", "browser", "calculator"])
+
+PROFILES = {
+    # name: (mean_turns_per_conv, hot_share, hot_conv_fraction)
+    "tiny": (10.0, 0.0, 0.0),
+    "skewed": (10.0, 0.20, None),  # None -> single hot conversation
+    "bench": (10.0, 0.30, 0.001),
+}
+
+
+def _turn_counts(rng: np.random.Generator, n_convs: int, mean_turns: float) -> np.ndarray:
+    # geometric with the given mean, at least 1 turn
+    p = 1.0 / mean_turns
+    return rng.geometric(p, n_convs).astype(np.int64)
+
+
+def _conv_frame(seed: int, conv_index: int, n_turns: int) -> pd.DataFrame:
+    """All rows of one conversation — pure function of (seed, conv_index)."""
+    rng = np.random.default_rng((seed << 20) ^ conv_index)
+    conv_id = f"conv{conv_index:010d}"
+    turn_idx = np.arange(n_turns, dtype=np.int32)
+    # roles: user/assistant alternating; idx 0 occasionally system; ~8% tool
+    roles = np.where(turn_idx % 2 == 0, "user", "assistant").astype(object)
+    if n_turns > 0 and rng.random() < 0.2:
+        roles[0] = "system"
+    tool_mask = rng.random(n_turns) < 0.08
+    roles[tool_mask] = "tool"
+    tools = np.full(n_turns, None, dtype=object)
+    tools[tool_mask] = rng.choice(_TOOLS, tool_mask.sum())
+    # text lengths ~ lognormal(5.5, 1.2) clipped to [1, 1e5]; text is a
+    # repeated-token string of exactly that length
+    lengths = np.clip(rng.lognormal(5.5, 1.2, n_turns), 1, 100_000).astype(np.int64)
+    texts = [("tok " * ((ln + 3) // 4))[:ln] for ln in lengths]
+    # timestamps: base + conversation offset + cumulative gaps in [50ms, 600s]
+    gaps_s = np.clip(rng.pareto(1.5, n_turns) * 0.5 + 0.05, 0.05, 600.0)
+    start_us = _BASE_EPOCH_US + (conv_index % 86_400) * 1_000_000
+    ts_us = start_us + np.cumsum((gaps_s * 1e6).astype(np.int64))
+    return pd.DataFrame(
+        {
+            "conv_id": conv_id,
+            "turn_idx": turn_idx,
+            "role": pd.array(roles, dtype="string"),
+            "text": pd.array(texts, dtype="string"),
+            "tool": pd.array(tools, dtype="string"),
+            "ts": pd.to_datetime(ts_us, unit="us"),
+        }
+    )
+
+
+def _profile_turn_counts(seed: int, n_convs: int, profile: str, target_turns: int | None):
+    mean_turns, hot_share, hot_frac = PROFILES[profile]
+    rng = np.random.default_rng(seed)
+    counts = _turn_counts(rng, n_convs, mean_turns)
+    if hot_share > 0:
+        base_total = int(counts.sum())
+        extra = int(base_total * hot_share / (1 - hot_share))
+        if hot_frac is None:
+            counts[0] += extra  # one hot conversation
+        else:
+            n_hot = max(1, int(n_convs * hot_frac))
+            counts[:n_hot] += extra // n_hot
+    if target_turns is not None:
+        # deterministic proportional rescale to ~target_turns total
+        scale = target_turns / max(int(counts.sum()), 1)
+        counts = np.maximum(1, (counts * scale).astype(np.int64))
+    return counts
+
+
+def generate_conversations_pandas(
+    seed: int, conv_indexes: np.ndarray, turn_counts: np.ndarray
+) -> pd.DataFrame:
+    """Local (driver/test) generation of a set of conversations."""
+    frames = [
+        _conv_frame(seed, int(ci), int(tc)) for ci, tc in zip(conv_indexes, turn_counts)
+    ]
+    if not frames:
+        return _conv_frame(seed, 0, 0)
+    return pd.concat(frames, ignore_index=True)
+
+
+def transcripts_df(
+    spark,
+    n_convs: int = 1000,
+    profile: str = "tiny",
+    seed: int = 42,
+    target_turns: int | None = None,
+    partitions: int | None = None,
+):
+    """Distributed deterministic transcript DataFrame.
+
+    Turn counts for all conversations are computed on the driver (an int64
+    array, ~8 B/conv — fine up to 10^8 convs; beyond that, derive counts
+    inside tasks from the rng instead) and broadcast; each task generates its
+    conversations independently.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    counts = _profile_turn_counts(seed, n_convs, profile, target_turns)
+    bc = spark.sparkContext.broadcast(counts)
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), False),
+        ]
+    )
+
+    def gen(batches):
+        all_counts = bc.value
+        for pdf in batches:
+            for ci in pdf["id"].to_numpy():
+                yield _conv_frame(seed, int(ci), int(all_counts[ci]))
+
+    n_parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    base = spark.range(0, n_convs, numPartitions=n_parts)
+    return base.mapInPandas(gen, schema=schema)
