@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` entries run the ddsparkle distributed DDSketch pipeline
+(mapInPandas partial build -> applyInPandas merge -> quantile walk) on the
+driver's parquet tables; ``oracle_sql()`` entries replicate the *same
+deterministic DDSketch algorithm* in ANSI SQL (ddsparkle/oracle.py), so the
+driver's row-hash comparison verifies the distributed implementation
+end-to-end against a single-node SQL evaluation — including sign routing,
+store collapse, weighted accept, and the windowed-latency derivation.
+
+Both sides ROUND final quantile values to 4 digits to absorb <=1-ulp libm
+differences between NumPy and DuckDB exp/ln.
 """
 
 from __future__ import annotations
@@ -12,27 +17,175 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ddsparkle.config import SketchConfig
+from ddsparkle.oracle import ddsketch_quantile_sql
+from ddsparkle.spark.agg import quantiles
+
+ALPHA = 0.01
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _cfg(policy: str = "unbounded", max_bins: int = 0) -> SketchConfig:
+    # log mapping so the DuckDB oracle can replicate the index math in SQL;
+    # exact-stat clamping off so quantiles are the pure bucket walk
+    return SketchConfig(
+        mapping_kind="log",
+        relative_accuracy=ALPHA,
+        store_policy=policy,
+        max_bins=max_bins,
+        track_exact_stats=False,
+    )
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _round_result(df: DataFrame, key_cols: list[str], q_cols: list[str]) -> DataFrame:
+    cols = [F.col(k) for k in key_cols]
+    cols += [F.round(F.col(c), 4).alias(c) for c in q_cols]
+    cols += [F.col("count")]
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events")
+    res = quantiles(df, "value", qs=(0.5, 0.95, 0.99), config=_cfg())
+    return _round_result(res, [], ["q50", "q95", "q99"])
+
+
+def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events")
+    res = quantiles(df, "value", by="event_type", qs=(0.5, 0.99), config=_cfg())
+    return _round_result(res, ["event_type"], ["q50", "q99"])
+
+
+def q_events_mixed_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events").select((F.col("value") - 100.0).alias("v"))
+    res = quantiles(df, "v", qs=(0.25, 0.5, 0.9), config=_cfg())
+    return _round_result(res, [], ["q25", "q50", "q90"])
+
+
+def q_events_collapsing_lowest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events")
+    res = quantiles(df, "value", qs=(0.5, 0.99), config=_cfg("collapsing_lowest", 64))
+    return _round_result(res, [], ["q50", "q99"])
+
+
+def q_events_collapsing_highest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events")
+    res = quantiles(df, "value", qs=(0.01, 0.5), config=_cfg("collapsing_highest", 64))
+    return _round_result(res, [], ["q1", "q50"])
+
+
+def q_lineitem_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem")
+    res = quantiles(
+        df, "l_extendedprice", by="l_returnflag", qs=(0.5, 0.95, 0.99), config=_cfg()
+    )
+    return _round_result(res, ["l_returnflag"], ["q50", "q95", "q99"])
+
+
+def q_events_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    df = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    lat = (
+        df.select("user_id", "ts", "event_id")
+        .withColumn("prev", F.lag(micros).over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(((micros - F.col("prev")) / 1e6).alias("lat"))
+    )
+    res = quantiles(lat, "lat", qs=(0.5, 0.95, 0.99), config=_cfg())
+    return _round_result(res, [], ["q50", "q95", "q99"])
+
+
+def q_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "orders")
+    counts = df.groupBy("o_custkey").agg(F.count("*").cast("double").alias("n"))
+    res = quantiles(counts, "n", qs=(0.5, 0.95), config=_cfg())
+    return _round_result(res, [], ["q50", "q95"])
+
+
+def q_lineitem_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", F.col("l_linenumber").cast("double").alias("w")
+    )
+    res = quantiles(df, "l_extendedprice", weight_col="w", qs=(0.5, 0.95), config=_cfg())
+    return _round_result(res, [], ["q50", "q95"])
+
+
+def q_events_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events")
+    res = quantiles(df, "value", qs=(0.5,), config=SketchConfig(mapping_kind="log"))
+    return res.select(
+        F.col("count"),
+        F.round("min", 4).alias("min_v"),
+        F.round("max", 4).alias("max_v"),
+        F.round("avg", 3).alias("avg_v"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "ddsketch_events_value": q_events_value,
+        "ddsketch_events_by_type": q_events_by_type,
+        "ddsketch_events_mixed_sign": q_events_mixed_sign,
+        "ddsketch_events_collapsing_lowest": q_events_collapsing_lowest,
+        "ddsketch_events_collapsing_highest": q_events_collapsing_highest,
+        "ddsketch_lineitem_price_by_flag": q_lineitem_price_by_flag,
+        "ddsketch_events_latency": q_events_latency,
+        "ddsketch_orders_per_customer": q_orders_per_customer,
+        "ddsketch_lineitem_weighted": q_lineitem_weighted,
+        "ddsketch_events_exact_stats": q_events_exact_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    lat_src = (
+        "(SELECT (epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id)) / 1e6 AS lat FROM events)"
+    )
+    cust_src = "(SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM orders GROUP BY o_custkey)"
+    return {
+        "ddsketch_events_value": ddsketch_quantile_sql("events", "value", [0.5, 0.95, 0.99]),
+        "ddsketch_events_by_type": ddsketch_quantile_sql(
+            "events", "value", [0.5, 0.99], group_col="event_type"
+        ),
+        "ddsketch_events_mixed_sign": ddsketch_quantile_sql(
+            "events", "value - 100.0", [0.25, 0.5, 0.9]
+        ),
+        "ddsketch_events_collapsing_lowest": ddsketch_quantile_sql(
+            "events", "value", [0.5, 0.99], collapse_policy="collapsing_lowest", max_bins=64
+        ),
+        "ddsketch_events_collapsing_highest": ddsketch_quantile_sql(
+            "events", "value", [0.01, 0.5], collapse_policy="collapsing_highest", max_bins=64
+        ),
+        "ddsketch_lineitem_price_by_flag": ddsketch_quantile_sql(
+            "lineitem", "l_extendedprice", [0.5, 0.95, 0.99], group_col="l_returnflag"
+        ),
+        "ddsketch_events_latency": ddsketch_quantile_sql(lat_src, "lat", [0.5, 0.95, 0.99]),
+        "ddsketch_orders_per_customer": ddsketch_quantile_sql(cust_src, "n", [0.5, 0.95]),
+        "ddsketch_lineitem_weighted": ddsketch_quantile_sql(
+            "lineitem", "l_extendedprice", [0.5, 0.95], weight_expr="l_linenumber"
+        ),
+        "ddsketch_events_exact_stats": (
+            "SELECT CAST(COUNT(value) AS DOUBLE) AS count, ROUND(MIN(value), 4) AS min_v, "
+            "ROUND(MAX(value), 4) AS max_v, ROUND(AVG(value), 3) AS avg_v FROM events"
+        ),
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query on /root/testdata/sf0.001: grouped sketch quantiles of
+    lineitem extended price per return flag (exercises both pipeline stages).
     """
-    return {}
+    return q_lineitem_price_by_flag(spark, "/root/testdata/sf0.001")

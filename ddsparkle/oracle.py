@@ -1,0 +1,148 @@
+"""ANSI-SQL replication of the DDSketch algorithm, for DuckDB oracles.
+
+The DDSketch quantile is a *deterministic* function of the input multiset
+(LogarithmicMapping): bucket index ``floor(ln(v) * multiplier)``, counts per
+bucket, then the rank walk ``first bucket where cumulative > q*(n-1)`` with
+representative value ``exp(i / multiplier) * (1 + alpha)``
+(``DDSketch.java:353-388``, ``LogLikeIndexMapping.java:113-121``). This module
+emits SQL that computes exactly that, with the same float constants our NumPy
+kernel uses (full-precision ``repr`` literals, and the same
+multiply-for-index / divide-for-value operand order), so a DuckDB run on the
+same rows produces hash-identical results to the distributed Spark pipeline —
+a stronger correctness gate than tolerance checks.
+
+Final values are ROUNDed (default 4 digits) on BOTH sides to absorb the
+<=1-ulp libm differences between DuckDB's and NumPy's exp/ln.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from .mapping import LogarithmicMapping
+
+__all__ = ["log_mapping_constants", "ddsketch_quantile_sql", "quantile_col"]
+
+
+def quantile_col(q: float) -> str:
+    from .spark.agg import quantile_column_name
+
+    return quantile_column_name(q)
+
+
+def log_mapping_constants(alpha: float) -> dict:
+    m = LogarithmicMapping.from_relative_accuracy(alpha)
+    return {
+        "gamma": m.gamma,
+        "multiplier": m.multiplier,
+        "alpha": m.relative_accuracy,
+        "min_indexed": m.min_indexable_value,
+    }
+
+
+def _bucket_cte(
+    sign: str, g_cols: str, g_group: str, mult: str, minidx: str, count_agg: str
+) -> str:
+    """Bucket aggregation for one store: sign '+' (v > minidx) or '-'."""
+    vexpr = "v" if sign == "+" else "-v"
+    where = f"v > {minidx}" if sign == "+" else f"v < -{minidx}"
+    return (
+        f"SELECT {g_cols}CAST(FLOOR(LN({vexpr}) * {mult}) AS BIGINT) AS i,"
+        f" {count_agg} AS c FROM vals WHERE {where} GROUP BY {g_group}"
+    )
+
+
+def _collapse_wrap(inner: str, policy: str, max_bins: int, g_cols: str, g_part: str, g_group: str) -> str:
+    """Wrap a bucket CTE with the collapse clamp (reference test model:
+    clamp index against the store's global extreme)."""
+    if policy == "collapsing_lowest":
+        clamp = f"GREATEST(i, MAX(i) OVER ({g_part}) - {max_bins} + 1)"
+    else:
+        clamp = f"LEAST(i, MIN(i) OVER ({g_part}) + {max_bins} - 1)"
+    return (
+        f"SELECT {g_cols}i2 AS i, SUM(c) AS c FROM ("
+        f"SELECT {g_cols}{clamp} AS i2, c FROM ({inner})"
+        f") GROUP BY {g_group}"
+    )
+
+
+def ddsketch_quantile_sql(
+    source_sql: str,
+    value_expr: str,
+    qs: Sequence[float],
+    alpha: float = 0.01,
+    group_col: Optional[str] = None,
+    round_digits: int = 4,
+    collapse_policy: Optional[str] = None,
+    max_bins: int = 0,
+    extra_aggs: str = "",
+    weight_expr: Optional[str] = None,
+) -> str:
+    """SQL computing DDSketch(log mapping, alpha) quantiles of ``value_expr``
+    over ``source_sql`` (table name or parenthesized subquery).
+
+    Output columns: [group_col?] + [qXX...] + count (+ ``extra_aggs`` SQL
+    appended verbatim to the final select list, evaluated over the walk CTE).
+    ``collapse_policy`` in {None, 'collapsing_lowest', 'collapsing_highest'}
+    replicates the store-collapse clamp in SQL.
+    """
+    c = log_mapping_constants(alpha)
+    mult = repr(c["multiplier"])
+    a = repr(c["alpha"])
+    minidx = repr(c["min_indexed"])
+
+    g_sel = f"{group_col} AS g, " if group_col else ""
+    g_cols = "g, " if group_col else ""
+    g_part = "PARTITION BY g" if group_col else ""
+    g_group2 = "1, 2" if group_col else "1"  # (g, i) or (i)
+    g_group1 = "GROUP BY 1" if group_col else ""
+    w_sel = f", CAST({weight_expr} AS DOUBLE) AS w" if weight_expr else ""
+    # integer weights keep bucket counts exactly representable; callers should
+    # not pass fractional weights to a hash-compared oracle
+    count_agg = "CAST(SUM(w) AS DOUBLE)" if weight_expr else "CAST(COUNT(*) AS DOUBLE)"
+
+    pos_cte = _bucket_cte("+", g_cols, g_group2, mult, minidx, count_agg)
+    neg_cte = _bucket_cte("-", g_cols, g_group2, mult, minidx, count_agg)
+    if collapse_policy:
+        pos_cte = _collapse_wrap(pos_cte, collapse_policy, max_bins, g_cols, g_part, g_group2)
+        neg_cte = _collapse_wrap(neg_cte, collapse_policy, max_bins, g_cols, g_part, g_group2)
+
+    q_selects = []
+    for q in qs:
+        name = quantile_col(q)
+        q_selects.append(
+            f"ROUND(MIN(CASE WHEN cum > {q!r} * (n - 1) THEN val END), {round_digits}) AS {name}"
+        )
+    q_select_sql = ",\n  ".join(q_selects)
+    extra = f",\n  {extra_aggs}" if extra_aggs else ""
+    final_g = f"g AS {group_col},\n  " if group_col else ""
+
+    return f"""
+WITH vals AS (
+  SELECT {g_sel}CAST({value_expr} AS DOUBLE) AS v{w_sel}
+  FROM {source_sql}
+  WHERE ({value_expr}) IS NOT NULL
+),
+pos AS ({pos_cte}),
+neg AS ({neg_cte}),
+zero AS (
+  SELECT {g_cols}{count_agg} AS c FROM vals
+  WHERE v >= -{minidx} AND v <= {minidx} {g_group1}
+),
+walk AS (
+  SELECT {g_cols}0 AS part, -i AS ord, -EXP(i / {mult}) * (1.0 + {a}) AS val, c FROM neg
+  UNION ALL
+  SELECT {g_cols}1 AS part, 0 AS ord, 0.0 AS val, c FROM zero WHERE c > 0
+  UNION ALL
+  SELECT {g_cols}2 AS part, i AS ord, EXP(i / {mult}) * (1.0 + {a}) AS val, c FROM pos
+),
+cumw AS (
+  SELECT {g_cols}val, c,
+         SUM(c) OVER ({g_part} ORDER BY part, ord ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER ({g_part}) AS n
+  FROM walk
+)
+SELECT {final_g}{q_select_sql},
+  CAST(MAX(n) AS DOUBLE) AS count{extra}
+FROM cumw {g_group1}
+"""

@@ -65,14 +65,12 @@ def turn_latency_quantiles(
 
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     keys = [by] if by else []
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))  # NTZ-tolerant
     lat = (
         df.select(*keys, "conv_id", "turn_idx", "ts")
-        .withColumn("prev_ts", F.lag("ts").over(w))
-        .filter(F.col("prev_ts").isNotNull())
-        .select(
-            *keys,
-            ((F.unix_micros("ts") - F.unix_micros("prev_ts")) / 1e6).alias("latency_s"),
-        )
+        .withColumn("prev", F.lag(micros).over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(*keys, ((micros - F.col("prev")) / 1e6).alias("latency_s"))
     )
     return quantiles(lat, "latency_s", by=by, qs=qs, config=config)
 

@@ -1,0 +1,62 @@
+"""Driver-harness self-test: run every ``queries()`` entry on Spark at sf0.01
+and its ``oracle_sql()`` on DuckDB over the same parquet tables, and require
+*exact* equality of the (column-sorted, row-sorted, rounded) results — the
+same bar as the driver's CORRECTNESS hash comparison.
+"""
+
+import glob
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+pytestmark = pytest.mark.spark
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for path in glob.glob(f"{SF_DIR}/*.parquet"):
+        name = os.path.splitext(os.path.basename(path))[0]
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+    yield con
+    con.close()
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+    return pdf
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    got = normalize(q(spark, SF_DIR).toPandas())
+    want = normalize(duck.sql(sql).df())
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want)
+    for col in got.columns:
+        a, b = got[col], want[col]
+        if a.dtype.kind in "fc" or b.dtype.kind in "fc":
+            aa = a.astype(float).to_numpy()
+            bb = b.astype(float).to_numpy()
+            for x, y in zip(aa, bb):
+                ok = (x == y) or (math.isnan(x) and math.isnan(y))
+                assert ok, (name, col, x, y)
+        else:
+            assert a.astype(str).tolist() == b.astype(str).tolist(), (name, col)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert "q50" in df.columns
