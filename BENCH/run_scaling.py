@@ -1,0 +1,224 @@
+"""Two-parallelism-level scaling bench (BASELINE.md protocol).
+
+The north_rule's N -> 4N executor criterion is evidenced in this sandbox by
+running the identical job on identical deterministic input at local[8] (N)
+and local[32] (4N) on the 32-core machine:
+
+    python BENCH/run_scaling.py [--turns 10000000] [--data-dir DIR]
+
+Phases:
+1. generate the deterministic 'bench'-profile transcript table once (seed 42)
+   and write parquet (generation is not part of the timed jobs);
+2. for cores in {8, 32}: fresh SparkSession, run the three north-star queries
+   (text length, turn latency, turns/conversation), record wall time;
+3. merge-throughput micro-bench (serialized-bucket-array merges, no Spark);
+4. accuracy: sketch quantiles vs exact (DuckDB percentiles) must be within
+   alpha = 0.01;
+5. write BENCH/scaling_r1.json and BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+ALPHA = 0.01
+QS = (0.5, 0.95, 0.99)
+
+
+def generate(data_dir: str, n_turns: int) -> dict:
+    from ddsparkle.spark.session import get_spark
+    from ddsparkle.transcripts import transcripts_df
+
+    spark = get_spark("ddsparkle-gen", master="local[32]", extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    n_convs = max(1000, n_turns // 10)
+    t0 = time.perf_counter()
+    df = transcripts_df(
+        spark, n_convs=n_convs, profile="bench", seed=42, target_turns=n_turns, partitions=128
+    )
+    df.write.mode("overwrite").parquet(f"{data_dir}/transcripts.parquet")
+    gen_s = time.perf_counter() - t0
+    actual = spark.read.parquet(f"{data_dir}/transcripts.parquet").count()
+    spark.stop()
+    return {"n_convs": n_convs, "n_turns": actual, "gen_sec": round(gen_s, 2)}
+
+
+def run_queries(data_dir: str, cores: int) -> dict:
+    from ddsparkle.spark.session import get_spark
+    from ddsparkle.spark.queries import (
+        text_length_quantiles,
+        turn_latency_quantiles,
+        turns_per_conversation_quantiles,
+    )
+
+    spark = get_spark(
+        "ddsparkle-bench-scaling",
+        master=f"local[{cores}]",
+        shuffle_partitions=2 * cores,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # the synthetic text column compresses extremely well; size splits
+            # to the compressed files so scan parallelism reflects a realistic
+            # (full-split) workload rather than file-packing artifacts
+            "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(16 * 1024 * 1024),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(f"{data_dir}/transcripts.parquet")
+
+    results: dict = {"cores": cores, "queries": {}, "answers": {}}
+    for name, fn in [
+        ("text_length", lambda: text_length_quantiles(df, qs=QS)),
+        ("text_length_by_role", lambda: text_length_quantiles(df, by="role", qs=QS)),
+        ("turn_latency", lambda: turn_latency_quantiles(df, qs=QS)),
+        ("turns_per_conversation", lambda: turns_per_conversation_quantiles(df, qs=QS)),
+    ]:
+        fn().collect()  # warm run: python worker pool, parquet footers, JIT
+        t0 = time.perf_counter()
+        rows = fn().collect()
+        dt = time.perf_counter() - t0
+        results["queries"][name] = round(dt, 3)
+        results["answers"][name] = [
+            {k: (v if not isinstance(v, float) else round(v, 6)) for k, v in r.asDict().items()}
+            for r in sorted(rows, key=lambda r: str(r[0]))
+        ]
+    spark.stop()
+    return results
+
+
+def merge_throughput() -> dict:
+    """Merge rate of realistic sketch rows (serialized bucket arrays)."""
+    from ddsparkle.config import SketchConfig
+    from ddsparkle.serde import row_to_sketch, sketch_to_row
+
+    rng = np.random.default_rng(0)
+    cfg = SketchConfig(mapping_kind="log", store_policy="collapsing_lowest", max_bins=2048)
+    rows = []
+    for _ in range(64):
+        sk = cfg.new_sketch()
+        sk.accept(rng.lognormal(5.5, 1.2, 100_000))
+        rows.append(sketch_to_row(sk))
+    n_merges = 2000
+    t0 = time.perf_counter()
+    acc = row_to_sketch(rows[0])
+    for i in range(1, n_merges):
+        acc.merge(row_to_sketch(rows[i % 64]))
+    dt = time.perf_counter() - t0
+    return {
+        "merges": n_merges,
+        "sec": round(dt, 3),
+        "merges_per_sec": round(n_merges / dt, 1),
+        "bins_per_sketch": int(acc.positive_store.indexes.size),
+    }
+
+
+def accuracy_check(data_dir: str, answers: dict) -> dict:
+    """Exact oracles via DuckDB on the same parquet; report max relative
+    error of every reported quantile against the rank-interval."""
+    import duckdb
+
+    con = duckdb.connect()
+    path = f"{data_dir}/transcripts.parquet/*.parquet"
+    errs = {}
+
+    def rank_err(exact_lo, exact_hi, actual):
+        if exact_lo <= actual <= exact_hi:
+            return 0.0
+        if actual < exact_lo:
+            return (exact_lo - actual) / abs(exact_lo)
+        return (actual - exact_hi) / abs(exact_hi)
+
+    checks = {
+        "text_length": f"SELECT CAST(LENGTH(text) AS DOUBLE) AS v FROM '{path}'",
+        "turn_latency": (
+            f"SELECT (epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)) / 1e6 AS v FROM '{path}'"
+        ),
+        "turns_per_conversation": f"SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM '{path}' GROUP BY conv_id",
+    }
+    for name, sql in checks.items():
+        row = answers[name][0]
+        qcols = {0.5: "q50", 0.95: "q95", 0.99: "q99"}
+        exacts = con.sql(
+            "SELECT "
+            + ", ".join(
+                f"quantile_disc(v, {lo}) AS lo_{c}, quantile_disc(v, {hi}) AS hi_{c}"
+                for (lo, hi, c) in [
+                    (q, q, qcols[q]) for q in (0.5, 0.95, 0.99)
+                ]
+            )
+            + f" FROM ({sql}) WHERE v IS NOT NULL"
+        ).fetchone()
+        e = {}
+        for i, q in enumerate((0.5, 0.95, 0.99)):
+            c = qcols[q]
+            lo, hi = exacts[2 * i], exacts[2 * i + 1]
+            e[c] = rank_err(min(lo, hi), max(lo, hi), row[c])
+        errs[name] = round(max(e.values()), 8)
+    con.close()
+    return errs
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=10_000_000)
+    ap.add_argument("--data-dir", default="/tmp/ddsparkle_bench")
+    ap.add_argument("--skip-gen", action="store_true")
+    args = ap.parse_args()
+
+    out_dir = os.path.dirname(os.path.abspath(__file__))
+    os.makedirs(args.data_dir, exist_ok=True)
+
+    meta = {}
+    if not args.skip_gen or not os.path.exists(f"{args.data_dir}/transcripts.parquet"):
+        meta = generate(args.data_dir, args.turns)
+        print("generated:", meta, flush=True)
+
+    res8 = run_queries(args.data_dir, 8)
+    print("local[8]:", res8["queries"], flush=True)
+    res32 = run_queries(args.data_dir, 32)
+    print("local[32]:", res32["queries"], flush=True)
+
+    n_turns = meta.get("n_turns") or args.turns
+    efficiency = {}
+    for q in res8["queries"]:
+        t8, t32 = res8["queries"][q], res32["queries"][q]
+        efficiency[q] = round((t8 / t32) * (8 / 32), 3)
+    total8 = sum(res8["queries"].values())
+    total32 = sum(res32["queries"].values())
+    overall_eff = round((total8 / total32) * (8 / 32), 3)
+
+    merge = merge_throughput()
+    errors = accuracy_check(args.data_dir, res32["answers"])
+
+    report = {
+        "protocol": "local[8] (N) vs local[32] (4N) on identical deterministic input",
+        "input": {"n_turns": n_turns, **meta},
+        "alpha": ALPHA,
+        "local8_sec": res8["queries"],
+        "local32_sec": res32["queries"],
+        "turns_per_sec_local8": {q: round(n_turns / t, 0) for q, t in res8["queries"].items()},
+        "turns_per_sec_local32": {q: round(n_turns / t, 0) for q, t in res32["queries"].items()},
+        "scaling_efficiency": efficiency,
+        "overall_scaling_efficiency": overall_eff,
+        "merge_microbench": merge,
+        "max_relative_quantile_error": errors,
+        "answers_local32": res32["answers"],
+        "answers_match_across_parallelism": res8["answers"] == res32["answers"],
+    }
+    with open(f"{out_dir}/scaling_r1.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({k: v for k, v in report.items() if k != "answers_local32"}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

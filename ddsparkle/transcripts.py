@@ -42,10 +42,10 @@ def _turn_counts(rng: np.random.Generator, n_convs: int, mean_turns: float) -> n
     return rng.geometric(p, n_convs).astype(np.int64)
 
 
-def _conv_frame(seed: int, conv_index: int, n_turns: int) -> pd.DataFrame:
-    """All rows of one conversation — pure function of (seed, conv_index)."""
+def _conv_arrays(seed: int, conv_index: int, n_turns: int) -> dict:
+    """All rows of one conversation as arrays — pure function of
+    (seed, conv_index), so any batching/partitioning yields identical rows."""
     rng = np.random.default_rng((seed << 20) ^ conv_index)
-    conv_id = f"conv{conv_index:010d}"
     turn_idx = np.arange(n_turns, dtype=np.int32)
     # roles: user/assistant alternating; idx 0 occasionally system; ~8% tool
     roles = np.where(turn_idx % 2 == 0, "user", "assistant").astype(object)
@@ -58,21 +58,41 @@ def _conv_frame(seed: int, conv_index: int, n_turns: int) -> pd.DataFrame:
     # text lengths ~ lognormal(5.5, 1.2) clipped to [1, 1e5]; text is a
     # repeated-token string of exactly that length
     lengths = np.clip(rng.lognormal(5.5, 1.2, n_turns), 1, 100_000).astype(np.int64)
-    texts = [("tok " * ((ln + 3) // 4))[:ln] for ln in lengths]
     # timestamps: base + conversation offset + cumulative gaps in [50ms, 600s]
     gaps_s = np.clip(rng.pareto(1.5, n_turns) * 0.5 + 0.05, 0.05, 600.0)
     start_us = _BASE_EPOCH_US + (conv_index % 86_400) * 1_000_000
     ts_us = start_us + np.cumsum((gaps_s * 1e6).astype(np.int64))
+    return {
+        "conv_id": f"conv{conv_index:010d}",
+        "turn_idx": turn_idx,
+        "role": roles,
+        "tool": tools,
+        "lengths": lengths,
+        "ts_us": ts_us,
+    }
+
+
+def _assemble_frame(convs: list[dict]) -> pd.DataFrame:
+    """Concatenate per-conversation arrays into one DataFrame (one pandas
+    allocation per batch instead of per conversation)."""
+    n_each = [len(c["turn_idx"]) for c in convs]
+    conv_ids = np.repeat(np.array([c["conv_id"] for c in convs], object), n_each)
+    lengths = np.concatenate([c["lengths"] for c in convs]) if convs else np.empty(0, np.int64)
+    texts = [("tok " * ((ln + 3) // 4))[:ln] for ln in lengths.tolist()]
     return pd.DataFrame(
         {
-            "conv_id": conv_id,
-            "turn_idx": turn_idx,
-            "role": pd.array(roles, dtype="string"),
+            "conv_id": pd.array(conv_ids, dtype="string"),
+            "turn_idx": np.concatenate([c["turn_idx"] for c in convs]),
+            "role": pd.array(np.concatenate([c["role"] for c in convs]), dtype="string"),
             "text": pd.array(texts, dtype="string"),
-            "tool": pd.array(tools, dtype="string"),
-            "ts": pd.to_datetime(ts_us, unit="us"),
+            "tool": pd.array(np.concatenate([c["tool"] for c in convs]), dtype="string"),
+            "ts": pd.to_datetime(np.concatenate([c["ts_us"] for c in convs]), unit="us"),
         }
     )
+
+
+def _conv_frame(seed: int, conv_index: int, n_turns: int) -> pd.DataFrame:
+    return _assemble_frame([_conv_arrays(seed, conv_index, n_turns)])
 
 
 def _profile_turn_counts(seed: int, n_convs: int, profile: str, target_turns: int | None):
@@ -98,12 +118,12 @@ def generate_conversations_pandas(
     seed: int, conv_indexes: np.ndarray, turn_counts: np.ndarray
 ) -> pd.DataFrame:
     """Local (driver/test) generation of a set of conversations."""
-    frames = [
-        _conv_frame(seed, int(ci), int(tc)) for ci, tc in zip(conv_indexes, turn_counts)
+    convs = [
+        _conv_arrays(seed, int(ci), int(tc)) for ci, tc in zip(conv_indexes, turn_counts)
     ]
-    if not frames:
-        return _conv_frame(seed, 0, 0)
-    return pd.concat(frames, ignore_index=True)
+    if not convs:
+        return _assemble_frame([_conv_arrays(seed, 0, 0)])
+    return _assemble_frame(convs)
 
 
 def transcripts_df(
@@ -139,9 +159,19 @@ def transcripts_df(
 
     def gen(batches):
         all_counts = bc.value
+        # assemble ~64k-turn frames: one pandas/Arrow allocation per chunk,
+        # while each conversation's rows stay a pure function of its index
         for pdf in batches:
+            convs: list[dict] = []
+            acc = 0
             for ci in pdf["id"].to_numpy():
-                yield _conv_frame(seed, int(ci), int(all_counts[ci]))
+                convs.append(_conv_arrays(seed, int(ci), int(all_counts[ci])))
+                acc += len(convs[-1]["turn_idx"])
+                if acc >= 65536:
+                    yield _assemble_frame(convs)
+                    convs, acc = [], 0
+            if convs:
+                yield _assemble_frame(convs)
 
     n_parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
     base = spark.range(0, n_convs, numPartitions=n_parts)
