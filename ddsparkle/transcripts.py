@@ -19,6 +19,8 @@ Skew profiles (FIXTURES.md section 1.2):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -157,6 +159,15 @@ def transcripts_df(
         ]
     )
 
+    # Deterministic permutation id -> conv_index so that hot conversations
+    # (profile skew puts them at low indexes) spread evenly across generator
+    # partitions/files instead of packing one straggler file. The table's
+    # key-level skew is preserved; only file-level balance changes — matching
+    # real ingests, where a conversation's turns don't all land in one file.
+    a = 2654435761 % n_convs  # Knuth multiplicative constant
+    while math.gcd(a, n_convs) != 1:
+        a += 1
+
     def gen(batches):
         all_counts = bc.value
         # assemble ~64k-turn frames: one pandas/Arrow allocation per chunk,
@@ -164,8 +175,9 @@ def transcripts_df(
         for pdf in batches:
             convs: list[dict] = []
             acc = 0
-            for ci in pdf["id"].to_numpy():
-                convs.append(_conv_arrays(seed, int(ci), int(all_counts[ci])))
+            for i in pdf["id"].to_numpy():
+                ci = (int(i) * a + 12345) % n_convs
+                convs.append(_conv_arrays(seed, ci, int(all_counts[ci])))
                 acc += len(convs[-1]["turn_idx"])
                 if acc >= 65536:
                     yield _assemble_frame(convs)
