@@ -1,0 +1,69 @@
+"""Physical-plan assertions: the scale-critical properties of the pipeline
+must hold in the optimized plan, not just in intent —
+
+- stage 1 reads ONLY the projected columns (column pruning reaches the scan);
+- filters are pushed into the parquet scan;
+- stage 1 has NO exchange (raw rows never shuffle);
+- the full quantile query shuffles only once (sketch rows), plus the AQE
+  final coalesce.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from ddsparkle.spark.agg import build_partial_sketches, quantiles
+
+pytestmark = pytest.mark.spark
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_stage1_column_pruning_and_pushdown(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    proj = df.filter(F.col("l_returnflag") == "N").select(
+        "l_returnflag", F.col("l_extendedprice").alias("v")
+    )
+    partials = build_partial_sketches(proj, "v", ["l_returnflag"])
+    plan = plan_of(partials)
+    assert "ReadSchema: struct<l_extendedprice:double,l_returnflag:string>" in plan
+    assert "EqualTo(l_returnflag,N)" in plan  # pushed filter
+    assert "Exchange" not in plan  # stage 1 never shuffles raw rows
+
+
+def test_stage1_reads_no_extra_columns(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    partials = build_partial_sketches(df, "value")
+    plan = plan_of(partials)
+    # 6-column table, 1-column read
+    assert "ReadSchema: struct<value:double>" in plan
+
+
+def test_full_query_single_shuffle_of_sketch_rows(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = quantiles(df, "value", by="event_type", qs=(0.5,))
+    plan = plan_of(res)
+    # exactly one exchange in the tree: the sketch-row shuffle before merge
+    assert plan.count("+- Exchange") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
+    # and the exchange sits ABOVE MapInPandas (raw rows built before shuffle)
+    assert plan.index("MapInPandas") > plan.index("+- Exchange")
+
+
+def test_length_projection_stays_jvm_side(spark, sf_dir):
+    """length(text) must be computed by Catalyst (in the Project above the
+    scan), not inside Python — the Arrow channel carries only the int."""
+    from ddsparkle.spark.queries import text_length_quantiles
+    from ddsparkle.transcripts import transcripts_df
+
+    df = transcripts_df(spark, n_convs=10, profile="tiny", seed=1)
+    res = text_length_quantiles(df, qs=(0.5,))
+    plan = plan_of(res)
+    assert "length(text" in plan  # Catalyst expression present JVM-side
