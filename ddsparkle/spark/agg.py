@@ -63,6 +63,7 @@ def build_partial_sketches(
     key_cols: Sequence[str] = (),
     config: Optional[SketchConfig] = None,
     weight_col: Optional[str] = None,
+    max_groups_per_task: int = 200_000,
 ):
     """Stage 1: per-task, per-group sketch build via ``mapInPandas``.
 
@@ -70,6 +71,12 @@ def build_partial_sketches(
     reaches the scan). Nulls and NaNs in the value column are skipped, like
     SQL aggregates. Returns a DataFrame of ``key_cols`` + sketch struct
     fields, with at most (#tasks x #groups-per-task) rows and NO shuffle.
+
+    Bounded memory under high-cardinality keys: when a task's in-flight group
+    dictionary exceeds ``max_groups_per_task``, it is flushed as sketch rows
+    mid-stream (a spill of *mergeable partials*, not raw rows) — stage 2
+    merges duplicates, so results are unchanged and task memory stays
+    ~max_groups_per_task x sketch-size regardless of key cardinality.
     """
     config = config or SketchConfig()
     key_cols = list(key_cols)
@@ -78,9 +85,22 @@ def build_partial_sketches(
     schema = _partial_schema(projected, key_cols)
     cfg = config  # capture a picklable dataclass, not self
 
+    def _rows_frame(sketches: dict) -> pd.DataFrame:
+        rows = []
+        for key, sk in sketches.items():
+            row = dict(zip(key_cols, key))
+            row.update(sketch_to_row(sk))
+            for f in ("neg_idx", "neg_cnt", "pos_idx", "pos_cnt"):
+                row[f] = row[f].tolist()
+            rows.append(row)
+        return _sketch_rows_df(rows, key_cols)
+
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sketches: dict[tuple, object] = {}
         for pdf in batches:
+            if key_cols and len(sketches) > max_groups_per_task:
+                yield _rows_frame(sketches)
+                sketches = {}
             values = pdf[value_col].to_numpy(np.float64, na_value=np.nan)
             weights = (
                 pdf[weight_col].to_numpy(np.float64, na_value=np.nan) if weight_col else None
@@ -126,16 +146,7 @@ def build_partial_sketches(
                 if sk is None:
                     sk = sketches[()] = cfg.new_sketch()
                 sk.accept(v, None if weights is None else weights[valid])
-        rows = []
-        for key, sk in sketches.items():
-            row = dict(zip(key_cols, key))
-            row.update(sketch_to_row(sk))
-            row["neg_idx"] = row["neg_idx"].tolist()
-            row["neg_cnt"] = row["neg_cnt"].tolist()
-            row["pos_idx"] = row["pos_idx"].tolist()
-            row["pos_cnt"] = row["pos_cnt"].tolist()
-            rows.append(row)
-        yield _sketch_rows_df(rows, key_cols)
+        yield _rows_frame(sketches)
 
     return projected.mapInPandas(build, schema=schema)
 

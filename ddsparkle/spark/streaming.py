@@ -1,0 +1,99 @@
+"""Structured Streaming: continuously-updated sketch quantiles.
+
+DDSketch is a natural streaming-state object — mergeable, bounded memory
+under collapsing stores (SURVEY.md section 2.6) — so the stateful operator is
+a direct fit for ``applyInPandasWithState``: per group key, the state is one
+serialized sketch (the compact flag/varint binary from serde.py, a few KB
+bounded by ``max_bins``); each micro-batch's values fold into it vectorized,
+and an updated quantile row is emitted per trigger.
+
+The binary state format means checkpointed streaming state is also readable
+by any other component of this library (decode_sketch), and state size is
+bounded regardless of stream length when a collapsing store policy is used.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from ..config import SketchConfig
+from ..serde import decode_sketch, encode_sketch
+from .agg import quantile_column_name
+
+__all__ = ["streaming_quantiles"]
+
+
+def streaming_quantiles(
+    df,
+    value_col: str,
+    by: Sequence[str] | str | None = None,
+    qs: Sequence[float] = (0.5, 0.95, 0.99),
+    config: Optional[SketchConfig] = None,
+    timeout: str = "NoTimeout",
+):
+    """Stateful streaming quantiles of ``value_col`` per group ``by``.
+
+    Returns a streaming DataFrame [*by, *qXX, count] in update semantics:
+    one refreshed row per group per trigger. Use a collapsing store config
+    for bounded state under unbounded streams.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    config = config or SketchConfig()
+    keys = [by] if isinstance(by, str) else list(by or [])
+    qs = [float(q) for q in qs]
+    q_names = [quantile_column_name(q) for q in qs]
+
+    if not keys:
+        df = df.withColumn("__g", F.lit(0))
+        keys = ["__g"]
+        drop_key = True
+    else:
+        drop_key = False
+
+    src = df.select(*keys, F.col(value_col).cast("double").alias("__value"))
+    out_schema = T.StructType(
+        [src.schema[k] for k in keys]
+        + [T.StructField(n, T.DoubleType()) for n in q_names]
+        + [T.StructField("count", T.DoubleType())]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.BinaryType())])
+    cfg = config
+
+    def update_fn(key, pdfs, state):
+        sk = None
+        if state.exists:
+            (payload,) = state.get
+            sk = decode_sketch(
+                bytes(payload),
+                store_policy=cfg.store_policy,
+                max_bins=cfg.max_bins,
+                track_exact_stats=cfg.track_exact_stats,
+            )
+        for pdf in pdfs:
+            v = pdf["__value"].to_numpy(np.float64, na_value=np.nan)
+            v = v[~np.isnan(v)]
+            if v.size == 0:
+                continue
+            if sk is None:
+                sk = cfg.new_sketch()
+            sk.accept(v)
+        if sk is None or sk.count == 0:
+            return iter(())
+        state.update((bytearray(encode_sketch(sk)),))
+        row = dict(zip(keys, key))
+        for name, qv in zip(q_names, sk.values_at_quantiles(qs)):
+            row[name] = float(qv)
+        row["count"] = float(sk.count)
+        return iter([pd.DataFrame([row])])
+
+    timeout_conf = getattr(GroupStateTimeout, timeout, GroupStateTimeout.NoTimeout)
+    out = src.groupBy(*keys).applyInPandasWithState(
+        update_fn, out_schema, state_schema, "update", timeout_conf
+    )
+    return out.drop("__g") if drop_key else out

@@ -150,3 +150,26 @@ def test_collapsing_config_bounded_rows(spark, sf_dir):
     )
     # high quantiles unaffected by lowest-collapse
     assert rank_interval_error(vals, 0.99, res["q99"]) <= ALPHA + EPS
+
+
+def test_spill_flush_same_results(spark, sf_dir):
+    """A tiny max_groups_per_task forces mid-stream flushes of mergeable
+    partials; results must be identical to the unbounded path."""
+    from ddsparkle.spark.agg import _finalize_schema  # noqa: F401 (import check)
+    from ddsparkle.config import SketchConfig
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cfg = SketchConfig(mapping_kind="log")
+    a = build_partial_sketches(df, "o_totalprice", ["o_custkey"], cfg)
+    b = build_partial_sketches(df, "o_totalprice", ["o_custkey"], cfg, max_groups_per_task=5)
+    assert b.count() >= a.count()  # spills create extra mergeable rows
+    ra = {r["o_custkey"]: r for r in merge_rows_df(spark, a)}
+    rb = {r["o_custkey"]: r for r in merge_rows_df(spark, b)}
+    assert set(ra) == set(rb)
+    for k in ra:
+        assert ra[k]["stat_count"] == rb[k]["stat_count"]
+        assert ra[k]["pos_idx"] == rb[k]["pos_idx"]
+
+
+def merge_rows_df(spark, partials):
+    return merge_partials_to_sketch_rows(partials, ["o_custkey"]).collect()

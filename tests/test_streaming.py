@@ -1,0 +1,99 @@
+"""Structured Streaming tests: stateful sketch accumulation across
+micro-batches (file source -> memory sink), grouped and global, state
+carry-over correctness vs a batch rebuild.
+"""
+
+import math
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ddsparkle.config import SketchConfig
+from ddsparkle.spark.streaming import streaming_quantiles
+
+pytestmark = pytest.mark.spark
+
+
+def _write_batch(spark, path, values, batch_id, key="a"):
+    pdf = pd.DataFrame({"k": [key] * len(values), "v": values})
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def stream_env(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    rng = np.random.default_rng(3)
+    first = rng.lognormal(3, 1, 5000)
+    _write_batch(spark, src, first, 0)
+    yield spark, src, ckpt, rng, first
+
+
+def test_streaming_accumulates_state(stream_env):
+    spark, src, ckpt, rng, first = stream_env
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.DoubleType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    cfg = SketchConfig(mapping_kind="log", store_policy="collapsing_lowest", max_bins=1024)
+    out = streaming_quantiles(stream, "v", by="k", qs=(0.5, 0.99), config=cfg)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sq")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows1 = spark.sql("select * from sq").collect()
+        assert rows1, "no output after first batch"
+        assert rows1[-1]["count"] == len(first)
+
+        second = rng.lognormal(5, 1, 7000)
+        _write_batch(spark, src, second, 1)
+        q.processAllAvailable()
+        rows2 = spark.sql("select * from sq").collect()
+        latest = rows2[-1]
+        assert latest["count"] == len(first) + len(second)  # state carried over
+
+        # quantiles of the union within alpha of exact
+        union = np.sort(np.concatenate([first, second]))
+        for qq, col in [(0.5, "q50"), (0.99, "q99")]:
+            lo = union[int(math.floor(qq * (len(union) - 1)))]
+            hi = union[int(math.ceil(qq * (len(union) - 1)))]
+            v = latest[col]
+            err = 0.0 if lo <= v <= hi else min(abs(v - lo) / lo, abs(v - hi) / hi)
+            assert err <= 0.01 + 1e-9
+    finally:
+        q.stop()
+
+
+def test_streaming_multiple_keys(stream_env):
+    spark, src, ckpt, rng, first = stream_env
+    from pyspark.sql import types as T
+
+    _write_batch(spark, src, rng.lognormal(2, 0.5, 3000), 1, key="b")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.DoubleType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_quantiles(stream, "v", by="k", qs=(0.5,))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sq2")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt + "2")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from sq2").collect()
+        keys = {r["k"] for r in rows}
+        assert keys == {"a", "b"}
+    finally:
+        q.stop()
