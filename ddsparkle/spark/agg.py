@@ -197,6 +197,7 @@ def quantiles(
     weight_col: Optional[str] = None,
     q_names: Optional[Sequence[str]] = None,
     tree_fanin: int = 4096,
+    merge_salt: Optional[int] = None,
 ):
     """Sketch-based quantiles of ``value_col``, optionally grouped by ``by``.
 
@@ -209,7 +210,12 @@ def quantiles(
     Scale notes: raw rows never shuffle — stage 1 reduces each task to one
     sketch row per group. A global aggregation (by=None) whose stage-1 output
     exceeds ``tree_fanin`` rows gets an intermediate tree-merge stage so the
-    final task folds at most ~tree_fanin sketch rows.
+    final task folds at most ~tree_fanin sketch rows. For grouped
+    aggregations on very wide scans (#tasks so large that one group's partial
+    rows overwhelm a single merge task), ``merge_salt=S`` inserts a salted
+    pre-merge — groupBy(keys, salt) with S deterministic salt buckets — so
+    each final task folds at most S rows per group. Merge associativity makes
+    any salt assignment produce identical results (tested).
     """
     config = config or SketchConfig()
     key_cols = [by] if isinstance(by, str) else list(by or [])
@@ -229,6 +235,8 @@ def quantiles(
         src = partials.withColumn("__g", _lit0())
         group_keys = ["__g"]
     else:
+        if merge_salt and merge_salt > 1:
+            partials = _salted_pre_merge(partials, key_cols, merge_salt)
         src = partials
         group_keys = key_cols
 
@@ -257,6 +265,20 @@ def quantiles(
 
     out = src.groupBy(*group_keys).applyInPandas(finalize, schema=schema)
     return out.drop("__g") if not key_cols else out
+
+
+def _salted_pre_merge(partials, key_cols: Sequence[str], n_salt: int):
+    """Salted tree level for grouped merges: assign each partial row a
+    deterministic salt bucket and merge within (keys, salt) first. The salt
+    value assignment is irrelevant to correctness (merge is associative and
+    commutative); it only bounds the final per-group fan-in to n_salt."""
+    from pyspark.sql import functions as F
+
+    salted = partials.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)).cast("int")
+    )
+    merged = merge_partials_to_sketch_rows(salted, [*key_cols, "__salt"])
+    return merged.drop("__salt")
 
 
 def merge_partials_within_partitions(partials, key_cols: Sequence[str]):

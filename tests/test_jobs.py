@@ -105,3 +105,16 @@ def test_grouped_checkpoint(spark, split_source, workdir):
     for k in res:
         for c in ("q50", "q95", "q99", "count"):
             assert res[k][c] == pytest.approx(direct[k][c], rel=1e-12)
+
+
+def test_source_fingerprint_parquet(spark, split_source):
+    from ddsparkle.spark.io import iceberg_available, read_table, source_fingerprint
+
+    fp1 = source_fingerprint(spark, split_source)
+    fp2 = source_fingerprint(spark, split_source)
+    assert fp1 == fp2 and fp1.startswith("files:")
+    df = read_table(spark, split_source)
+    assert df.count() == 1000
+    assert isinstance(iceberg_available(spark), bool)
+    with pytest.raises(ValueError):
+        read_table(spark, split_source, snapshot_id=123)

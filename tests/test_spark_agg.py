@@ -173,3 +173,23 @@ def test_spill_flush_same_results(spark, sf_dir):
 
 def merge_rows_df(spark, partials):
     return merge_partials_to_sketch_rows(partials, ["o_custkey"]).collect()
+
+
+def test_salted_pre_merge_same_results(spark, sf_dir):
+    """merge_salt bounds per-group fan-in; any salt assignment yields
+    identical results (merge associativity/commutativity)."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(9)
+    plain = {
+        r["l_returnflag"]: r
+        for r in quantiles(df, "l_extendedprice", by="l_returnflag", qs=(0.5, 0.99)).collect()
+    }
+    salted = {
+        r["l_returnflag"]: r
+        for r in quantiles(
+            df, "l_extendedprice", by="l_returnflag", qs=(0.5, 0.99), merge_salt=4
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        for c in ("q50", "q99", "count", "min", "max"):
+            assert plain[k][c] == pytest.approx(salted[k][c], rel=1e-12)
