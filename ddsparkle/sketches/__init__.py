@@ -3,14 +3,15 @@ t-digest, KLL, Bloom"), built on the same aggregation chassis as DDSketch:
 every sketch is an (init, update_batch, merge, finalize, serde) plugin whose
 state ships through Spark as a binary payload row.
 
-Implemented this round: HyperLogLog, CountMinSketch, BloomFilter.
-KLL / t-digest are planned follow-ups on the identical chassis (DDSketch
-already covers the quantile use-case with *relative*-error guarantees, which
-is strictly stronger for the tail-latency workloads this library targets).
+Implemented: HyperLogLog, CountMinSketch, BloomFilter, KLLSketch (rank-error
+quantiles), TDigest (tail-accurate rank-error quantiles). DDSketch itself
+(the package root) covers relative-error quantiles.
 """
 
 from .bloom import BloomFilter
+from .kll import KLLSketch
+from .tdigest import TDigest
 from .countmin import CountMinSketch
 from .hll import HyperLogLog
 
-__all__ = ["HyperLogLog", "CountMinSketch", "BloomFilter"]
+__all__ = ["HyperLogLog", "CountMinSketch", "BloomFilter", "KLLSketch", "TDigest"]

@@ -222,3 +222,45 @@ def bloom_membership(
             yield pd.DataFrame({probe_col: vals, "member": out})
 
     return probe_df.select(probe_col).mapInPandas(probe, schema=probe_schema)
+
+
+def _quantile_family_agg(df, value_col: str, by, qs, make, from_bytes, q_prefix=""):
+    from pyspark.sql import types as T
+
+    from .agg import quantile_column_name
+
+    keys = [by] if isinstance(by, str) else list(by or [])
+    qs = [float(q) for q in qs]
+    q_names = [q_prefix + quantile_column_name(q) for q in qs]
+    partials = _build_payload_partials(
+        df, value_col, keys, make=make, update=lambda sk, v: sk.update(v.to_numpy("float64"))
+    )
+    out_fields = [T.StructField(n, T.DoubleType()) for n in q_names] + [
+        T.StructField("count", T.DoubleType())
+    ]
+
+    def finalize(sk):
+        if sk is None:
+            return {**{n: float("nan") for n in q_names}, "count": 0.0}
+        vals = sk.values_at_quantiles(qs)
+        return {**{n: float(v) for n, v in zip(q_names, vals)}, "count": float(sk.n)}
+
+    return _merge_finalize(partials, keys, out_fields, from_bytes, finalize)
+
+
+def kll_quantiles(df, value_col: str, by=None, qs=(0.5, 0.95, 0.99), k: int = 200):
+    """Rank-error quantiles via KLL on the same two-stage chassis."""
+    from ..sketches.kll import KLLSketch
+
+    return _quantile_family_agg(
+        df, value_col, by, qs, lambda: KLLSketch(k=k), KLLSketch.from_bytes
+    )
+
+
+def tdigest_quantiles(df, value_col: str, by=None, qs=(0.5, 0.95, 0.99), delta: float = 200.0):
+    """Tail-accurate rank-error quantiles via t-digest on the same chassis."""
+    from ..sketches.tdigest import TDigest
+
+    return _quantile_family_agg(
+        df, value_col, by, qs, lambda: TDigest(delta=delta), TDigest.from_bytes
+    )

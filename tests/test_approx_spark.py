@@ -64,3 +64,34 @@ def test_bloom_membership(spark, sf_dir):
     fp = len(members - truth)
     assert fp / max(len(rows), 1) < 0.02
     assert non_members.isdisjoint(truth)
+
+
+def test_kll_quantiles_spark(spark, sf_dir):
+    import numpy as np
+    from ddsparkle.spark.approx import kll_quantiles
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = kll_quantiles(df, "value", qs=(0.5, 0.95)).collect()[0]
+    vals = np.sort(df.select("value").toPandas()["value"].to_numpy())
+    n = len(vals)
+    assert res["count"] == n
+    for q, col in [(0.5, "q50"), (0.95, "q95")]:
+        true_rank = np.searchsorted(vals, res[col], side="right") / n
+        assert abs(true_rank - q) < 0.05
+
+
+def test_tdigest_quantiles_spark(spark, sf_dir):
+    import numpy as np
+    from ddsparkle.spark.approx import tdigest_quantiles
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    res = tdigest_quantiles(df, "l_extendedprice", by="l_returnflag", qs=(0.5, 0.99)).collect()
+    pdf = df.select("l_returnflag", "l_extendedprice").toPandas()
+    for r in res:
+        vals = np.sort(
+            pdf[pdf["l_returnflag"] == r["l_returnflag"]]["l_extendedprice"].to_numpy()
+        )
+        assert r["count"] == len(vals)
+        for q, col in [(0.5, "q50"), (0.99, "q99")]:
+            true_rank = np.searchsorted(vals, r[col], side="right") / len(vals)
+            assert abs(true_rank - q) < 0.05

@@ -171,3 +171,119 @@ class TestBloom:
         bf.update(np.arange(100))
         back = BloomFilter.from_bytes(bf.to_bytes(), 1 << 12, 3)
         assert np.array_equal(bf.bits, back.bits)
+
+
+class TestKLL:
+    def test_rank_error_bound(self):
+        from ddsparkle.sketches.kll import KLLSketch
+
+        rng = np.random.default_rng(2)
+        values = rng.lognormal(3, 1, 200_000)
+        sk = KLLSketch(k=200)
+        for chunk in np.array_split(values, 20):
+            sk.update(chunk)
+        srt = np.sort(values)
+        n = len(srt)
+        max_rank_err = 0.0
+        for q in np.arange(0.01, 1.0, 0.01):
+            est = sk.value_at_quantile(q)
+            true_rank = np.searchsorted(srt, est, side="right") / n
+            max_rank_err = max(max_rank_err, abs(true_rank - q))
+        assert max_rank_err < 0.03  # eps ~ O(1/k), generous bound
+        assert sk.size < 3000  # sublinear state
+
+    def test_merge_within_bound(self):
+        from ddsparkle.sketches.kll import KLLSketch
+
+        rng = np.random.default_rng(3)
+        values = rng.normal(100, 15, 100_000)
+        a, b = KLLSketch(k=200), KLLSketch(k=200)
+        a.update(values[:50_000]); b.update(values[50_000:])
+        a.merge(b)
+        assert a.n == 100_000
+        srt = np.sort(values)
+        for q in (0.1, 0.5, 0.9):
+            est = a.value_at_quantile(q)
+            true_rank = np.searchsorted(srt, est, side="right") / len(srt)
+            assert abs(true_rank - q) < 0.04
+
+    def test_serde_roundtrip(self):
+        from ddsparkle.sketches.kll import KLLSketch
+
+        sk = KLLSketch(k=64)
+        sk.update(np.arange(10_000, dtype=float))
+        back = KLLSketch.from_bytes(sk.to_bytes())
+        assert back.n == sk.n and back.k == sk.k
+        assert back.value_at_quantile(0.5) == sk.value_at_quantile(0.5)
+
+    def test_small_exact(self):
+        from ddsparkle.sketches.kll import KLLSketch
+
+        sk = KLLSketch(k=200)
+        sk.update(np.arange(100, dtype=float))
+        # below capacity nothing is compacted: quantiles are exact
+        assert sk.value_at_quantile(0.0) == 0.0
+        assert sk.value_at_quantile(1.0) == 99.0
+        assert sk.value_at_quantile(0.5) in (49.0, 50.0)
+
+    def test_mismatched_k_rejected(self):
+        from ddsparkle.sketches.kll import KLLSketch
+
+        with pytest.raises(ValueError):
+            KLLSketch(k=64).merge(KLLSketch(k=128))
+
+
+class TestTDigest:
+    def test_rank_error_mid_and_tails(self):
+        from ddsparkle.sketches.tdigest import TDigest
+
+        rng = np.random.default_rng(4)
+        values = rng.lognormal(3, 1, 200_000)
+        td = TDigest(delta=200)
+        for chunk in np.array_split(values, 20):
+            td.update(chunk)
+        srt = np.sort(values)
+        n = len(srt)
+        for q in (0.001, 0.01, 0.5, 0.99, 0.999):
+            est = td.value_at_quantile(q)
+            true_rank = np.searchsorted(srt, est, side="right") / n
+            tol = 0.02 if 0.1 < q < 0.9 else 0.005  # tail-accurate
+            assert abs(true_rank - q) < tol, (q, true_rank)
+        assert td.n_centroids < 500
+
+    def test_exact_min_max(self):
+        from ddsparkle.sketches.tdigest import TDigest
+
+        rng = np.random.default_rng(5)
+        values = rng.normal(0, 100, 50_000)
+        td = TDigest()
+        td.update(values)
+        assert td.value_at_quantile(0.0) == values.min()
+        assert td.value_at_quantile(1.0) == values.max()
+
+    def test_merge_within_bound(self):
+        from ddsparkle.sketches.tdigest import TDigest
+
+        rng = np.random.default_rng(6)
+        values = rng.uniform(0, 1000, 100_000)
+        a, b = TDigest(), TDigest()
+        a.update(values[:50_000]); b.update(values[50_000:])
+        a.merge(b)
+        assert a.n == 100_000
+        srt = np.sort(values)
+        for q in (0.05, 0.5, 0.95):
+            est = a.value_at_quantile(q)
+            true_rank = np.searchsorted(srt, est, side="right") / len(srt)
+            assert abs(true_rank - q) < 0.02
+
+    def test_weighted_and_serde(self):
+        from ddsparkle.sketches.tdigest import TDigest
+
+        td = TDigest()
+        td.update(np.array([1.0, 2.0, 3.0]), np.array([1.0, 0.0, 2.0]))
+        assert td.n == 3.0
+        back = TDigest.from_bytes(td.to_bytes())
+        assert back.n == td.n and back.min == td.min and back.max == td.max
+        assert np.array_equal(back.means, td.means)
+        with pytest.raises(ValueError):
+            TDigest(delta=100).merge(TDigest(delta=200))
