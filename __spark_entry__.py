@@ -134,6 +134,58 @@ def q_events_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting per source: total docs vs distinct texts."""
+    df = _t(spark, sf_dir, "documents")
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.countDistinct("text").cast("double").alias("n_unique_texts"),
+        )
+        .select("source", "n_docs", "n_unique_texts")
+    )
+
+
+def q_doc_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantiles of whitespace-token counts per document."""
+    df = _t(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).cast("double").alias("n_tokens")
+    )
+    res = quantiles(df, "n_tokens", qs=(0.5, 0.95), config=_cfg())
+    return _round_result(res, [], ["q50", "q95"])
+
+
+def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id 0 (the exact baseline an
+    LSH/IVF variant would be measured against). Dot products fold in double
+    JVM-side (zip_with + aggregate); similarity rounded to 4 digits."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probe_row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    probe = [float(x) for x in probe_row[0]]
+    probe_norm = sum(x * x for x in probe) ** 0.5
+    probe_arr = F.array(*[F.lit(x) for x in probe])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), probe_arr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    sim = dot / (norm * F.lit(probe_norm))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(sim, 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ddsketch_events_value": q_events_value,
@@ -146,6 +198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_orders_per_customer": q_orders_per_customer,
         "ddsketch_lineitem_weighted": q_lineitem_weighted,
         "ddsketch_events_exact_stats": q_events_exact_stats,
+        "doc_dedup_exact": q_doc_dedup_exact,
+        "doc_token_quantiles": q_doc_token_quantiles,
+        "ann_topk_cosine": q_ann_topk_cosine,
     }
 
 
@@ -180,6 +235,24 @@ def oracle_sql() -> dict[str, str]:
         "ddsketch_events_exact_stats": (
             "SELECT CAST(COUNT(value) AS DOUBLE) AS count, ROUND(MIN(value), 4) AS min_v, "
             "ROUND(MAX(value), 4) AS max_v, ROUND(AVG(value), 3) AS avg_v FROM events"
+        ),
+        "doc_dedup_exact": (
+            "SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_docs, "
+            "CAST(COUNT(DISTINCT text) AS DOUBLE) AS n_unique_texts "
+            "FROM documents GROUP BY source"
+        ),
+        "doc_token_quantiles": ddsketch_quantile_sql(
+            "documents", "len(string_split(text, ' '))", [0.5, 0.95]
+        ),
+        "ann_topk_cosine": (
+            "WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0), "
+            "sims AS (SELECT vec_id, "
+            "  list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT p FROM probe)) / "
+            "  (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * "
+            "   sqrt(list_dot_product((SELECT p FROM probe), (SELECT p FROM probe)))) AS sim "
+            "  FROM embeddings WHERE vec_id != 0) "
+            "SELECT vec_id, ROUND(sim, 4) AS cosine FROM sims "
+            "ORDER BY cosine DESC, vec_id LIMIT 10"
         ),
     }
 
