@@ -175,29 +175,40 @@ def machine_ceiling() -> dict:
     to ~8 procs and degrades beyond, which bounds ANY workload's achievable
     8->32 efficiency. The N->4N criterion is therefore evidenced on the
     2 vs 8 pair (both in the linear region), with 8 vs 32 reported against
-    the measured ceiling."""
-    import hashlib
-    import multiprocessing as mp
+    the measured ceiling.
 
-    def burn(n):
-        h = hashlib.sha256()
-        b = b"x" * 8192
-        for _ in range(n):
-            h.update(b)
-        return 1
+    Runs in a fresh subprocess: forking a multiprocessing pool inside a
+    process that has hosted a py4j/JVM gateway deadlocks on inherited locks.
+    """
+    import json as _json
+    import subprocess
+    import sys
 
+    code = r"""
+import hashlib, json, multiprocessing as mp, time
+
+def burn(n):
+    h = hashlib.sha256(); b = b"x" * 8192
+    for _ in range(n):
+        h.update(b)
+    return 1
+
+if __name__ == "__main__":
     out = {}
     for procs in (1, 2, 8, 32):
         with mp.Pool(procs) as p:
-            p.map(burn, [1000] * procs)  # warm
+            p.map(burn, [1000] * procs)
             t0 = time.perf_counter()
             p.map(burn, [60000] * procs)
             out[procs] = round(time.perf_counter() - t0, 3)
-    return {
+    print(json.dumps({
         "fixed_work_per_proc_sec": out,
         "per_core_eff_8_vs_2": round(out[2] / out[8], 3),
         "per_core_eff_32_vs_8": round(out[8] / out[32], 3),
-    }
+    }))
+"""
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=120)
+    return _json.loads(res.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
