@@ -226,6 +226,14 @@ def main() -> None:
     if not args.skip_gen or not os.path.exists(f"{args.data_dir}/transcripts.parquet"):
         meta = generate(args.data_dir, args.turns)
         print("generated:", meta, flush=True)
+    else:
+        import duckdb
+
+        meta = {
+            "n_turns": duckdb.sql(
+                f"SELECT COUNT(*) FROM '{args.data_dir}/transcripts.parquet/*.parquet'"
+            ).fetchone()[0]
+        }
 
     runs = {}
     for cores in (2, 8, 32):
