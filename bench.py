@@ -34,11 +34,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entry_mod.queries()
-    # warmup: JVM + python worker pool + parquet footer caches
-    queries["ddsketch_events_value"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
+        fn(spark, sf_dir).collect()  # warm run: worker pools, footers, JIT
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
