@@ -186,6 +186,25 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: representative (min doc_id) + copy count per distinct
+    text (the keep-one-of-each-duplicate-cluster operator)."""
+    from ddsparkle.spark.dataops import exact_dedup
+
+    df = _t(spark, sf_dir, "documents")
+    return exact_dedup(df).orderBy("doc_id")
+
+
+def q_doc_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (Catalyst-only, no UDF)."""
+    from ddsparkle.spark.dataops import text_quality
+
+    df = _t(spark, sf_dir, "documents")
+    return text_quality(df).select(
+        "doc_id", "n_chars", "n_tokens", "mean_token_len", F.round("space_ratio", 6).alias("space_ratio")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ddsketch_events_value": q_events_value,
@@ -199,6 +218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_lineitem_weighted": q_lineitem_weighted,
         "ddsketch_events_exact_stats": q_events_exact_stats,
         "doc_dedup_exact": q_doc_dedup_exact,
+        "doc_dedup_representatives": q_doc_dedup_representatives,
+        "doc_text_quality": q_doc_text_quality,
         "doc_token_quantiles": q_doc_token_quantiles,
         "ann_topk_cosine": q_ann_topk_cosine,
     }
@@ -240,6 +261,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_docs, "
             "CAST(COUNT(DISTINCT text) AS DOUBLE) AS n_unique_texts "
             "FROM documents GROUP BY source"
+        ),
+        "doc_dedup_representatives": (
+            "SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS DOUBLE) AS n_copies "
+            "FROM documents GROUP BY text ORDER BY doc_id"
+        ),
+        "doc_text_quality": (
+            "SELECT doc_id, CAST(LENGTH(text) AS DOUBLE) AS n_chars, "
+            "CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS n_tokens, "
+            "(LENGTH(text) - (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))) "
+            "  / LEN(string_split(text, ' ')) AS mean_token_len, "
+            "ROUND((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) * 1.0 / LENGTH(text), 6) AS space_ratio "
+            "FROM documents"
         ),
         "doc_token_quantiles": ddsketch_quantile_sql(
             "documents", "len(string_split(text, ' '))", [0.5, 0.95]

@@ -1,0 +1,147 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
+typed metadata, processed through Arrow-batched ``mapInPandas``.
+
+The Spark-side plumbing — schemas, batch shapes, partition behavior, feature
+row contracts — is real and tested. The media *codecs* are stubbed: this
+container has no image/audio libraries, so ``decode_image``/``decode_audio``
+raise ``NotImplementedError`` unless ``fake=True`` selects a deterministic
+fake decoder (payload bytes -> pseudo-pixels) that exercises the identical
+data path. Swapping in PIL/soundfile is a one-function change per modality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+__all__ = [
+    "media_schema",
+    "decode_image",
+    "decode_audio",
+    "image_features",
+    "audio_features",
+]
+
+
+def media_schema():
+    """Canonical multimodal table schema: id + opaque payload + typed
+    metadata (the shape a 100 TB media lake table should have — metadata
+    columns enable pruning without touching payloads)."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("modality", T.StringType(), False),  # image|audio|video
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("mime", T.StringType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("duration_ms", T.IntegerType(), True),
+        ]
+    )
+
+
+def decode_image(payload: bytes, width: int, height: int, fake: bool = False) -> np.ndarray:
+    """payload -> (height, width, 3) uint8 array.
+
+    STUB: real decoding needs an image library not present in this container.
+    ``fake=True`` derives deterministic pseudo-pixels from the payload bytes
+    so the downstream plumbing (batching, feature extraction, resize) is
+    fully exercisable in tests.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires PIL/cv2 (not available in this container); "
+            "pass fake=True for the deterministic test decoder"
+        )
+    raw = np.frombuffer(payload, np.uint8)
+    need = width * height * 3
+    reps = int(np.ceil(need / max(raw.size, 1)))
+    return np.tile(raw, reps)[:need].reshape(height, width, 3)
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
+    """payload -> float32 waveform in [-1, 1]. STUB (see decode_image)."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decoding requires soundfile/librosa (not available); "
+            "pass fake=True for the deterministic test decoder"
+        )
+    raw = np.frombuffer(payload, np.uint8).astype(np.float32)
+    return (raw - 127.5) / 127.5
+
+
+def image_features(df, fake: bool = True, resize_to: int = 8):
+    """Decode -> resize -> per-channel mean/std features, one Arrow batch at
+    a time. Returns [media_id, mean_r, mean_g, mean_b, std_lum, thumb
+    array<float>] — the thumb column is the resized grayscale raster
+    (the embedding-ready output shape)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+            T.StructField("std_lum", T.DoubleType()),
+            T.StructField("thumb", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "mean_r", "mean_g", "mean_b", "std_lum", "thumb")}
+            for _, r in pdf.iterrows():
+                if r["payload"] is None:
+                    continue
+                img = decode_image(bytes(r["payload"]), int(r["width"]), int(r["height"]), fake=fake)
+                lum = img.astype(np.float64).mean(axis=2)
+                # box-resize to resize_to x resize_to (pure numpy)
+                h, w = lum.shape
+                ys = (np.arange(resize_to) * h // resize_to).clip(0, h - 1)
+                xs = (np.arange(resize_to) * w // resize_to).clip(0, w - 1)
+                thumb = lum[np.ix_(ys, xs)].astype(np.float32).ravel()
+                rows["media_id"].append(r["media_id"])
+                rows["mean_r"].append(float(img[..., 0].mean()))
+                rows["mean_g"].append(float(img[..., 1].mean()))
+                rows["mean_b"].append(float(img[..., 2].mean()))
+                rows["std_lum"].append(float(lum.std()))
+                rows["thumb"].append(thumb.tolist())
+            yield pd.DataFrame(rows)
+
+    return df.filter("modality = 'image'").select(
+        "media_id", "payload", "width", "height"
+    ).mapInPandas(extract, schema=schema)
+
+
+def audio_features(df, fake: bool = True, n_frames: int = 16):
+    """Decode -> frame-sample -> per-frame RMS energy. Returns
+    [media_id, rms array<float>, peak double]."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("rms", T.ArrayType(T.FloatType())),
+            T.StructField("peak", T.DoubleType()),
+        ]
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            rows = {"media_id": [], "rms": [], "peak": []}
+            for _, r in pdf.iterrows():
+                if r["payload"] is None:
+                    continue
+                wave = decode_audio(bytes(r["payload"]), fake=fake)
+                frames = np.array_split(wave, n_frames)
+                rows["media_id"].append(r["media_id"])
+                rows["rms"].append([float(np.sqrt((f**2).mean())) if f.size else 0.0 for f in frames])
+                rows["peak"].append(float(np.abs(wave).max()) if wave.size else 0.0)
+            yield pd.DataFrame(rows)
+
+    return df.filter("modality = 'audio'").select("media_id", "payload").mapInPandas(
+        extract, schema=schema
+    )

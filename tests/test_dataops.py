@@ -1,0 +1,149 @@
+"""Training-data ops tests on planted fixtures: exact dedup, MinHash/LSH
+near-dup recall+precision, SimHash proximity, embedding LSH candidate recall,
+text quality features, language-id heuristic.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ddsparkle.spark.dataops import (
+    embedding_lsh_candidates,
+    exact_dedup,
+    language_id,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    near_duplicates,
+    simhash64,
+    text_quality,
+)
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Planted corpus: 30 random docs, 3 exact dup pairs, 3 near-dup pairs
+    (one word changed), deterministic."""
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    did = 0
+    originals = []
+    for _ in range(30):
+        words = rng.choice(vocab, 40).tolist()
+        originals.append(words)
+        rows.append((did, " ".join(words)))
+        did += 1
+    for i in range(3):  # exact duplicates of docs 0..2
+        rows.append((did, " ".join(originals[i])))
+        did += 1
+    near_pairs = []
+    for i in range(3, 6):  # near duplicates of docs 3..5 (one word changed)
+        words = list(originals[i])
+        words[20] = "CHANGED"
+        near_pairs.append((i, did))
+        rows.append((did, " ".join(words)))
+        did += 1
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf).cache()
+    df.count()
+    yield df, near_pairs
+    df.unpersist()
+
+
+def test_exact_dedup(spark, docs):
+    df, _ = docs
+    out = exact_dedup(df).toPandas()
+    assert len(out) == 33  # 36 docs, 3 exact dups folded
+    assert out["n_copies"].sum() == 36
+    assert (out[out["n_copies"] == 2]["doc_id"] < 3).all()  # representative = min id
+
+
+def test_minhash_near_duplicates(spark, docs):
+    df, near_pairs = docs
+    found = near_duplicates(df, num_perm=64, bands=16, jaccard_threshold=0.5).toPandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(found["id_a"], found["id_b"])}
+    # exact dups must be found with jaccard 1.0
+    for i in range(3):
+        assert (i, 30 + i) in got_pairs
+    exact = found[(found["id_a"] < 3)]
+    assert (exact["jaccard"] == 1.0).all()
+    # planted near-dups must be found with high-but-not-1 jaccard
+    for a, b in near_pairs:
+        assert (a, b) in got_pairs
+    near = found[found["id_b"] >= 33]
+    assert ((near["jaccard"] >= 0.5) & (near["jaccard"] < 1.0)).all()
+    # no spurious random-pair hits at this threshold
+    assert len(got_pairs) == 6
+
+
+def test_minhash_lsh_candidate_precision(spark, docs):
+    df, _ = docs
+    sigs = minhash_signatures(df, num_perm=64)
+    cands = minhash_lsh_candidates(sigs, bands=16).toPandas()
+    # candidates are a small superset of true pairs, not O(n^2)
+    assert 6 <= len(cands) <= 40
+
+
+def test_simhash_proximity(spark, docs):
+    df, near_pairs = docs
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    for i in range(3):  # exact dup -> identical simhash
+        assert sh[i] == sh[30 + i]
+    for a, b in near_pairs:  # near dup -> small hamming distance
+        d = bin((sh[a] ^ sh[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        assert d <= 12, (a, b, d)
+    rng = np.random.default_rng(1)
+    rand_d = [
+        bin((sh[i] ^ sh[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        for i, j in rng.integers(6, 30, (20, 2))
+        if i != j
+    ]
+    assert np.mean(rand_d) > 20  # unrelated docs far apart
+
+
+def test_embedding_lsh_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    import pyspark.sql.functions as F
+
+    # plant: duplicate vec 0 as id 100000 (identical embedding -> must collide)
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(100000).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    df = emb.unionByName(dup)
+    cands = embedding_lsh_candidates(df, n_planes=12, n_tables=4).toPandas()
+    pairs = {(int(a), int(b)) for a, b in zip(cands["id_a"], cands["id_b"])}
+    assert (0, 100000) in pairs  # identical vectors always collide
+    n = df.count()
+    assert len(pairs) < n * (n - 1) / 4  # far from all-pairs
+
+
+def test_text_quality_features(spark, docs):
+    df, _ = docs
+    out = text_quality(df).toPandas()
+    row = out[out["doc_id"] == 0].iloc[0]
+    text = df.filter("doc_id = 0").collect()[0]["text"]
+    assert row["n_chars"] == len(text)
+    assert row["n_tokens"] == len(text.split(" "))
+    assert 0 < row["space_ratio"] < 1
+    # fingerprint of identical docs identical
+    fp = {r["doc_id"]: r["fingerprint"] for _, r in out.iterrows()}
+    assert fp[0] == fp[30] and fp[1] == fp[31]
+
+
+def test_language_id(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the cat is in the house and it is warm",
+                "der hund ist nicht zu hause und die katze",
+                "le chat est pour la maison et une souris",
+                "zzz qqq xxx",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "und"
