@@ -118,3 +118,31 @@ def test_source_fingerprint_parquet(spark, split_source):
     assert isinstance(iceberg_available(spark), bool)
     with pytest.raises(ValueError):
         read_table(spark, split_source, snapshot_id=123)
+
+
+def test_jobs_cli_end_to_end(spark, split_source, workdir):
+    """The spark-submit entry point end-to-end via its argument surface."""
+    import json
+    from ddsparkle.spark.jobs import _parser, run_job
+
+    args = _parser().parse_args(
+        [
+            "--source", split_source,
+            "--value-expr", "value",
+            "--by", "event_type",
+            "--alpha", "0.01",
+            "--mapping", "log",
+            "--store", "collapsing_lowest",
+            "--max-bins", "1024",
+            "--quantiles", "0.5,0.99",
+            "--checkpoint", f"{workdir}/cli_ck",
+            "--output", f"{workdir}/cli_out",
+            "--metrics", f"{workdir}/metrics.json",
+        ]
+    )
+    metrics = run_job(args)
+    assert metrics["result_rows"] == 5  # five event types
+    saved = json.load(open(f"{workdir}/metrics.json"))
+    assert saved["rows_ingested"] == 1000.0
+    out = spark.read.parquet(f"{workdir}/cli_out")
+    assert {"event_type", "q50", "q99", "count"} <= set(out.columns)
