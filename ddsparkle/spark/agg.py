@@ -198,6 +198,7 @@ def quantiles(
     q_names: Optional[Sequence[str]] = None,
     tree_fanin: int = 4096,
     merge_salt: Optional[int] = None,
+    mode: str = "auto",
 ):
     """Sketch-based quantiles of ``value_col``, optionally grouped by ``by``.
 
@@ -216,6 +217,13 @@ def quantiles(
     pre-merge — groupBy(keys, salt) with S deterministic salt buckets — so
     each final task folds at most S rows per group. Merge associativity makes
     any salt assignment produce identical results (tested).
+
+    ``mode``: 'grouped' finalizes with ``applyInPandas`` (one clean pandas
+    group per key — right for low-cardinality keys); 'wide' repartitions
+    sketch rows by key and folds every group of a partition inside ONE
+    ``mapInPandas`` pass — right for high-cardinality keys (millions of
+    groups), where per-group grouped-map invocation overhead would dominate.
+    'auto' = 'grouped' (callers with 10^6+ groups should pass 'wide').
     """
     config = config or SketchConfig()
     key_cols = [by] if isinstance(by, str) else list(by or [])
@@ -243,9 +251,8 @@ def quantiles(
     schema = _finalize_schema(src, group_keys, q_names)
     qs_arr = list(qs)
 
-    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = merge_rows(pdf[SKETCH_ROW_FIELDS].iloc[i] for i in range(len(pdf)))
-        row = {c: pdf[c].iloc[0] for c in group_keys}
+    def _finalize_row(sk, key_values: dict) -> dict:
+        row = dict(key_values)
         if sk is None or sk.count == 0:
             for name in q_names:
                 row[name] = math.nan
@@ -261,7 +268,35 @@ def quantiles(
                 max=float(sk.max),
                 avg=float(sk.avg),
             )
-        return pd.DataFrame([row])
+        return row
+
+    if mode == "wide" and key_cols:
+        # all partials of a key land in one partition; fold every group of
+        # the partition in one python pass (no per-group invocation overhead)
+        parted = src.repartition(*[src[c] for c in group_keys])
+
+        def finalize_wide(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc: dict[tuple, object] = {}
+            for pdf in batches:
+                for i in range(len(pdf)):
+                    key = tuple(pdf[c].iloc[i] for c in group_keys)
+                    sk = row_to_sketch(pdf[SKETCH_ROW_FIELDS].iloc[i])
+                    if key in acc:
+                        acc[key].merge(sk)
+                    else:
+                        acc[key] = sk
+            rows = [_finalize_row(sk, dict(zip(group_keys, key))) for key, sk in acc.items()]
+            cols = group_keys + q_names + ["count", "sum", "min", "max", "avg"]
+            if not rows:
+                yield pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+            else:
+                yield pd.DataFrame(rows, columns=cols)
+
+        return parted.mapInPandas(finalize_wide, schema=schema)
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = merge_rows(pdf[SKETCH_ROW_FIELDS].iloc[i] for i in range(len(pdf)))
+        return pd.DataFrame([_finalize_row(sk, {c: pdf[c].iloc[0] for c in group_keys})])
 
     out = src.groupBy(*group_keys).applyInPandas(finalize, schema=schema)
     return out.drop("__g") if not key_cols else out

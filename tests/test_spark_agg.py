@@ -193,3 +193,21 @@ def test_salted_pre_merge_same_results(spark, sf_dir):
     for k in plain:
         for c in ("q50", "q99", "count", "min", "max"):
             assert plain[k][c] == pytest.approx(salted[k][c], rel=1e-12)
+
+
+def test_wide_mode_matches_grouped(spark, sf_dir):
+    """High-cardinality finalize path: mode='wide' (repartition + in-batch
+    fold) must produce the same rows as the applyInPandas path."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = {
+        r["o_custkey"]: r
+        for r in quantiles(df, "o_totalprice", by="o_custkey", qs=(0.5,)).collect()
+    }
+    b = {
+        r["o_custkey"]: r
+        for r in quantiles(df, "o_totalprice", by="o_custkey", qs=(0.5,), mode="wide").collect()
+    }
+    assert set(a) == set(b) and len(a) > 100
+    for k in a:
+        for c in ("q50", "count", "min", "max"):
+            assert a[k][c] == pytest.approx(b[k][c], rel=1e-12)
