@@ -186,6 +186,14 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_price_by_cust_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-cardinality grouped quantiles through the vectorized 'wide'
+    finalize (one sketch per customer), oracle-verified like the rest."""
+    df = _t(spark, sf_dir, "orders")
+    res = quantiles(df, "o_totalprice", by="o_custkey", qs=(0.5,), config=_cfg(), mode="wide")
+    return _round_result(res, ["o_custkey"], ["q50"])
+
+
 def q_doc_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: representative (min doc_id) + copy count per distinct
     text (the keep-one-of-each-duplicate-cluster operator)."""
@@ -215,6 +223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_lineitem_price_by_flag": q_lineitem_price_by_flag,
         "ddsketch_events_latency": q_events_latency,
         "ddsketch_orders_per_customer": q_orders_per_customer,
+        "ddsketch_orders_price_by_cust_wide": q_orders_price_by_cust_wide,
         "ddsketch_lineitem_weighted": q_lineitem_weighted,
         "ddsketch_events_exact_stats": q_events_exact_stats,
         "doc_dedup_exact": q_doc_dedup_exact,
@@ -250,6 +259,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ddsketch_events_latency": ddsketch_quantile_sql(lat_src, "lat", [0.5, 0.95, 0.99]),
         "ddsketch_orders_per_customer": ddsketch_quantile_sql(cust_src, "n", [0.5, 0.95]),
+        "ddsketch_orders_price_by_cust_wide": ddsketch_quantile_sql(
+            "orders", "o_totalprice", [0.5], group_col="o_custkey"
+        ),
         "ddsketch_lineitem_weighted": ddsketch_quantile_sql(
             "lineitem", "l_extendedprice", [0.5, 0.95], weight_expr="l_linenumber"
         ),

@@ -25,6 +25,7 @@ import pandas as pd
 
 from ..config import SketchConfig
 from ..serde import SKETCH_ROW_FIELDS, merge_rows, row_to_sketch, sketch_to_row, spark_sketch_schema
+from ..store import BucketStore, _group_sum
 
 __all__ = [
     "quantiles",
@@ -95,50 +96,22 @@ def build_partial_sketches(
             rows.append(row)
         return _sketch_rows_df(rows, key_cols)
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sketches: dict[tuple, object] = {}
-        for pdf in batches:
-            if key_cols and len(sketches) > max_groups_per_task:
-                yield _rows_frame(sketches)
-                sketches = {}
-            values = pdf[value_col].to_numpy(np.float64, na_value=np.nan)
-            weights = (
-                pdf[weight_col].to_numpy(np.float64, na_value=np.nan) if weight_col else None
-            )
-            valid = ~np.isnan(values)
-            if weights is not None:
-                valid &= ~np.isnan(weights)
-            if key_cols:
-                # vectorized per-batch grouping: factorize composite keys
-                if len(key_cols) == 1:
-                    codes, uniques = pd.factorize(pdf[key_cols[0]], use_na_sentinel=False)
-                    key_tuples = [(u,) for u in uniques]
-                else:
-                    codes, uniques = pd.factorize(
-                        pd.MultiIndex.from_frame(pdf[key_cols]), use_na_sentinel=False
-                    )
-                    key_tuples = list(uniques)
-                order = np.argsort(codes, kind="stable")
-                sorted_codes = codes[order]
-                boundaries = np.nonzero(np.diff(sorted_codes))[0] + 1
-                group_slices = np.split(order, boundaries)
-                for rows_idx in group_slices:
-                    if rows_idx.size == 0:
-                        continue
-                    key = key_tuples[codes[rows_idx[0]]]
-                    mask = valid[rows_idx]
-                    rows_idx = rows_idx[mask]
-                    if rows_idx.size == 0 and key not in sketches:
-                        continue
-                    sk = sketches.get(key)
-                    if sk is None:
-                        sk = sketches[key] = cfg.new_sketch()
-                    if rows_idx.size:
-                        sk.accept(
-                            values[rows_idx],
-                            None if weights is None else weights[rows_idx],
-                        )
-            else:
+    if key_cols:
+        build = _make_grouped_builder(
+            cfg, key_cols, value_col, weight_col, max_groups_per_task, _sketch_rows_df
+        )
+    else:
+
+        def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            sketches: dict[tuple, object] = {}
+            for pdf in batches:
+                values = pdf[value_col].to_numpy(np.float64, na_value=np.nan)
+                weights = (
+                    pdf[weight_col].to_numpy(np.float64, na_value=np.nan) if weight_col else None
+                )
+                valid = ~np.isnan(values)
+                if weights is not None:
+                    valid &= ~np.isnan(weights)
                 v = values[valid]
                 if v.size == 0:
                     continue
@@ -146,9 +119,199 @@ def build_partial_sketches(
                 if sk is None:
                     sk = sketches[()] = cfg.new_sketch()
                 sk.accept(v, None if weights is None else weights[valid])
-        yield _rows_frame(sketches)
+            yield _rows_frame(sketches)
 
     return projected.mapInPandas(build, schema=schema)
+
+
+_INT32_MIN = -(2**31)
+
+
+def _make_grouped_builder(cfg, key_cols, value_col, weight_col, max_groups_per_task, rows_df):
+    """Fully vectorized multi-group stage 1: one packed-key aggregation per
+    Arrow batch instead of per-group accept() calls — the difference between
+    O(groups) Python overhead and O(1) per batch when groups are small (e.g.
+    grouping by conv_id where each conversation has ~10 turns).
+
+    Bucket counts accumulate as a packed COO stream
+    ``(key_id << 34) | (store_part << 32) | uint32(bucket_index)`` aggregated
+    with the same bincount/reduceat kernel the stores use; exact stats
+    accumulate as parallel per-key arrays. Memory stays bounded: if the
+    aggregated tuple stream exceeds the cap, all current groups flush as
+    mergeable sketch rows.
+    """
+    mapping = cfg.mapping()
+    min_idx_value = max(mapping.min_indexable_value, 0.0)
+    max_idx_value = mapping.max_indexable_value
+    track_stats = cfg.track_exact_stats
+    tuple_cap = max(max_groups_per_task * 4, 1 << 21)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        key_to_id: dict = {}
+        key_list: list = []
+        acc_packed = np.empty(0, np.int64)
+        acc_counts = np.empty(0, np.float64)
+        # exact-stat accumulators indexed by key id
+        st_count: list[float] = []
+        st_sum: list[float] = []
+        st_min: list[float] = []
+        st_max: list[float] = []
+
+        def new_key(key) -> int:
+            kid = len(key_list)
+            key_to_id[key] = kid
+            key_list.append(key)
+            if track_stats:
+                st_count.append(0.0)
+                st_sum.append(0.0)
+                st_min.append(math.inf)
+                st_max.append(-math.inf)
+            return kid
+
+        def emit() -> pd.DataFrame:
+            nonlocal acc_packed, acc_counts, key_to_id, key_list
+            nonlocal st_count, st_sum, st_min, st_max
+            rows = []
+            if acc_packed.size:
+                kid_arr = (acc_packed >> 34).astype(np.int64)
+                part_arr = ((acc_packed >> 32) & 3).astype(np.int64)
+                idx_arr = (acc_packed & 0xFFFFFFFF).astype(np.int64) + _INT32_MIN
+                # acc_packed is sorted, so kids are contiguous runs
+                boundaries = np.nonzero(np.diff(kid_arr))[0] + 1
+                starts = np.concatenate([[0], boundaries])
+                ends = np.concatenate([boundaries, [kid_arr.size]])
+                for s, e in zip(starts, ends):
+                    kid = int(kid_arr[s])
+                    key = key_list[kid]
+                    parts = part_arr[s:e]
+                    idxs = idx_arr[s:e]
+                    cnts = acc_counts[s:e]
+                    neg_sel = parts == 0
+                    pos_sel = parts == 2
+                    neg = BucketStore(cfg.store_policy, cfg.max_bins)
+                    pos = BucketStore(cfg.store_policy, cfg.max_bins)
+                    if neg_sel.any():
+                        neg.add(idxs[neg_sel], cnts[neg_sel])
+                    if pos_sel.any():
+                        pos.add(idxs[pos_sel], cnts[pos_sel])
+                    zero_sel = parts == 1
+                    zero_count = float(cnts[zero_sel].sum()) if zero_sel.any() else 0.0
+                    row = dict(zip(key_cols, key))
+                    row.update(
+                        mapping_kind=mapping.kind,
+                        gamma=mapping.gamma,
+                        index_offset=mapping.index_offset,
+                        store_policy=cfg.store_policy,
+                        max_bins=int(cfg.max_bins),
+                        zero_count=zero_count,
+                        neg_idx=neg.indexes.tolist(),
+                        neg_cnt=neg.counts.tolist(),
+                        pos_idx=pos.indexes.tolist(),
+                        pos_cnt=pos.counts.tolist(),
+                        stat_count=st_count[kid] if track_stats else 0.0,
+                        stat_sum=st_sum[kid] if track_stats else 0.0,
+                        stat_sum_comp=0.0,
+                        stat_simple_sum=st_sum[kid] if track_stats else 0.0,
+                        stat_min=st_min[kid] if track_stats else math.inf,
+                        stat_max=st_max[kid] if track_stats else -math.inf,
+                        has_exact=track_stats,
+                    )
+                    rows.append(row)
+            key_to_id, key_list = {}, []
+            acc_packed = np.empty(0, np.int64)
+            acc_counts = np.empty(0, np.float64)
+            st_count, st_sum, st_min, st_max = [], [], [], []
+            if not rows:
+                return pd.DataFrame(
+                    {c: pd.Series([], dtype=object) for c in list(key_cols) + SKETCH_ROW_FIELDS}
+                )
+            return pd.DataFrame(rows, columns=list(key_cols) + SKETCH_ROW_FIELDS)
+
+        for pdf in batches:
+            values = pdf[value_col].to_numpy(np.float64, na_value=np.nan)
+            weights = (
+                pdf[weight_col].to_numpy(np.float64, na_value=np.nan)
+                if weight_col
+                else np.ones(values.shape)
+            )
+            if weight_col and np.any(weights < 0):
+                raise ValueError("The count cannot be negative.")
+            valid = ~(np.isnan(values) | np.isnan(weights)) & (weights > 0)
+            if not valid.any():
+                continue
+            # batch-local factorize -> task-global key ids
+            if len(key_cols) == 1:
+                codes, uniques = pd.factorize(pdf[key_cols[0]], use_na_sentinel=False)
+                uniq_keys = [(u,) for u in uniques]
+            else:
+                codes, uniques = pd.factorize(
+                    pd.MultiIndex.from_frame(pdf[key_cols]), use_na_sentinel=False
+                )
+                uniq_keys = list(uniques)
+            local_to_global = np.empty(len(uniq_keys), np.int64)
+            for j, key in enumerate(uniq_keys):
+                kid = key_to_id.get(key)
+                local_to_global[j] = new_key(key) if kid is None else kid
+            kid_rows = local_to_global[codes][valid]
+            v = values[valid]
+            w = weights[valid]
+            if np.any(np.abs(v) > max_idx_value):
+                raise ValueError(
+                    "The input value is outside the range that is tracked by the sketch."
+                )
+            pos = v > min_idx_value
+            neg = v < -min_idx_value
+            zero = ~(pos | neg)
+            packed_parts = []
+            count_parts = []
+            if pos.any():
+                bidx = mapping.index(v[pos]).astype(np.int64)
+                packed_parts.append(
+                    (kid_rows[pos] << 34) | (np.int64(2) << 32) | (bidx - _INT32_MIN)
+                )
+                count_parts.append(w[pos])
+            if neg.any():
+                bidx = mapping.index(-v[neg]).astype(np.int64)
+                packed_parts.append(
+                    (kid_rows[neg] << 34) | (np.int64(0) << 32) | (bidx - _INT32_MIN)
+                )
+                count_parts.append(w[neg])
+            if zero.any():
+                packed_parts.append(
+                    (kid_rows[zero] << 34) | (np.int64(1) << 32) | np.int64(-_INT32_MIN)
+                )
+                count_parts.append(w[zero])
+            batch_packed = np.concatenate(packed_parts)
+            batch_counts = np.concatenate(count_parts)
+            if acc_packed.size:
+                batch_packed = np.concatenate([acc_packed, batch_packed])
+                batch_counts = np.concatenate([acc_counts, batch_counts])
+            acc_packed, acc_counts = _group_sum(batch_packed, batch_counts)
+            if track_stats:
+                # per-key exact stats for this batch
+                bk, bcnt = _group_sum(kid_rows, w)
+                _, bsum = _group_sum(kid_rows, w * v)
+                order = np.argsort(kid_rows, kind="stable")
+                sk_sorted = kid_rows[order]
+                v_sorted = v[order]
+                b_start = np.nonzero(
+                    np.concatenate([[True], sk_sorted[1:] != sk_sorted[:-1]])
+                )[0]
+                bmin = np.minimum.reduceat(v_sorted, b_start)
+                bmax = np.maximum.reduceat(v_sorted, b_start)
+                for kid, c, s_, mn, mx in zip(bk, bcnt, bsum, bmin, bmax):
+                    kid = int(kid)
+                    st_count[kid] += float(c)
+                    st_sum[kid] += float(s_)
+                    if mn < st_min[kid]:
+                        st_min[kid] = float(mn)
+                    if mx > st_max[kid]:
+                        st_max[kid] = float(mx)
+            if acc_packed.size > tuple_cap or len(key_list) > max_groups_per_task:
+                yield emit()
+        yield emit()
+
+    return build
 
 
 def merge_partials_to_sketch_rows(partials, key_cols: Sequence[str] = ()):
@@ -271,26 +434,20 @@ def quantiles(
         return row
 
     if mode == "wide" and key_cols:
-        # all partials of a key land in one partition; fold every group of
-        # the partition in one python pass (no per-group invocation overhead)
+        # all partials of a key land in one partition; every group of the
+        # partition finalizes in ONE vectorized pass (segmented cumsum +
+        # global searchsorted), so per-group Python cost is ~zero
         parted = src.repartition(*[src[c] for c in group_keys])
+        out_cols = group_keys + q_names + ["count", "sum", "min", "max", "avg"]
 
         def finalize_wide(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            acc: dict[tuple, object] = {}
-            for pdf in batches:
-                for i in range(len(pdf)):
-                    key = tuple(pdf[c].iloc[i] for c in group_keys)
-                    sk = row_to_sketch(pdf[SKETCH_ROW_FIELDS].iloc[i])
-                    if key in acc:
-                        acc[key].merge(sk)
-                    else:
-                        acc[key] = sk
-            rows = [_finalize_row(sk, dict(zip(group_keys, key))) for key, sk in acc.items()]
-            cols = group_keys + q_names + ["count", "sum", "min", "max", "avg"]
-            if not rows:
-                yield pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
-            else:
-                yield pd.DataFrame(rows, columns=cols)
+            pdfs = [p for p in batches if len(p)]
+            if not pdfs:
+                yield pd.DataFrame({c: pd.Series([], dtype=object) for c in out_cols})
+                return
+            yield _vectorized_grouped_finalize(
+                pd.concat(pdfs, ignore_index=True), group_keys, qs, q_names, out_cols
+            )
 
         return parted.mapInPandas(finalize_wide, schema=schema)
 
@@ -342,3 +499,182 @@ def merge_partials_within_partitions(partials, key_cols: Sequence[str]):
         yield _sketch_rows_df(rows, key_cols)
 
     return partials.mapInPandas(fold, schema=schema)
+
+
+def _vectorized_grouped_finalize(pdf, key_cols, qs, q_names, out_cols):
+    """Merge + quantile-finalize EVERY group of a partition in one vectorized
+    pass over the flattened bucket arrays.
+
+    Walk order per group is (negative store by descending index, zero bucket,
+    positive store by ascending index) — encoded as a packed sort key
+    (key_id, part, ord) where ord = -index for the negative part. The rank
+    walk 'first bucket whose cumulative exceeds q*(n-1)' becomes one global
+    np.searchsorted over the partition-wide cumulative-count array with
+    per-group base offsets. Collapsing-store policies re-clamp per (group,
+    store) with segmented extremes. Matches DDSketch.java:353-388 semantics
+    exactly (verified against the scalar path in tests).
+    """
+    from ..mapping import mapping_from_kind
+
+    n_rows = len(pdf)
+    mapping = mapping_from_kind(
+        pdf["mapping_kind"].iloc[0], float(pdf["gamma"].iloc[0]), float(pdf["index_offset"].iloc[0])
+    )
+    policy = pdf["store_policy"].iloc[0]
+    max_bins = int(pdf["max_bins"].iloc[0])
+    track_stats = bool(pdf["has_exact"].iloc[0])
+    alpha = mapping.relative_accuracy
+
+    if len(key_cols) == 1:
+        codes, uniques = pd.factorize(pdf[key_cols[0]], use_na_sentinel=False)
+        key_frame = {key_cols[0]: np.asarray(uniques)}
+    else:
+        codes, uniques = pd.factorize(
+            pd.MultiIndex.from_frame(pdf[key_cols]), use_na_sentinel=False
+        )
+        key_frame = {
+            c: np.asarray([u[i] for u in uniques]) for i, c in enumerate(key_cols)
+        }
+    codes = codes.astype(np.int64)
+    n_keys = len(next(iter(key_frame.values())))
+
+    # flatten bucket arrays: (kid, part, idx, cnt) streams
+    def flat(col_idx, col_cnt, part):
+        lens = np.fromiter((len(x) for x in pdf[col_idx]), np.int64, n_rows)
+        if lens.sum() == 0:
+            return (np.empty(0, np.int64),) * 2 + (np.empty(0, np.float64),)
+        kid = np.repeat(codes, lens)
+        idx = np.concatenate([np.asarray(x, np.int64) for x in pdf[col_idx] if len(x)])
+        cnt = np.concatenate([np.asarray(x, np.float64) for x in pdf[col_cnt] if len(x)])
+        return kid, idx, cnt
+
+    kid_n, idx_n, cnt_n = flat("neg_idx", "neg_cnt", 0)
+    kid_p, idx_p, cnt_p = flat("pos_idx", "pos_cnt", 2)
+    zc = pdf["zero_count"].to_numpy(np.float64)
+    zc_sel = zc > 0
+
+    if policy in ("collapsing_lowest", "collapsing_highest"):
+        idx_n = _clamp_per_group(kid_n, idx_n, policy, max_bins)
+        idx_p = _clamp_per_group(kid_p, idx_p, policy, max_bins)
+
+    packed_parts, cnt_parts = [], []
+    if idx_n.size:
+        packed_parts.append((kid_n << 34) | (np.int64(0) << 32) | ((-idx_n) - _INT32_MIN))
+        cnt_parts.append(cnt_n)
+    if zc_sel.any():
+        packed_parts.append(
+            (codes[zc_sel] << 34) | (np.int64(1) << 32) | np.int64(-_INT32_MIN)
+        )
+        cnt_parts.append(zc[zc_sel])
+    if idx_p.size:
+        packed_parts.append((kid_p << 34) | (np.int64(2) << 32) | (idx_p - _INT32_MIN))
+        cnt_parts.append(cnt_p)
+
+    qs_arr = np.asarray(qs, np.float64)
+    out = dict(key_frame)
+    if not packed_parts:
+        for n in q_names:
+            out[n] = np.full(n_keys, math.nan)
+        out.update(
+            count=np.zeros(n_keys), sum=np.full(n_keys, math.nan),
+            min=np.full(n_keys, math.nan), max=np.full(n_keys, math.nan),
+            avg=np.full(n_keys, math.nan),
+        )
+        return pd.DataFrame(out, columns=out_cols)
+
+    packed, counts = _group_sum(np.concatenate(packed_parts), np.concatenate(cnt_parts))
+    kid_row = (packed >> 34).astype(np.int64)
+    part_row = ((packed >> 32) & 3).astype(np.int64)
+    ord_row = (packed & 0xFFFFFFFF).astype(np.int64) + _INT32_MIN
+
+    values = np.zeros(packed.size)
+    neg_rows = part_row == 0
+    pos_rows = part_row == 2
+    if neg_rows.any():
+        values[neg_rows] = -np.asarray(mapping.value(-ord_row[neg_rows]), np.float64)
+    if pos_rows.any():
+        values[pos_rows] = np.asarray(mapping.value(ord_row[pos_rows]), np.float64)
+
+    # segment layout per key (packed sorted => kid contiguous ascending, but
+    # keys with no buckets are absent — map segments back to kid)
+    seg_change = np.nonzero(np.diff(kid_row))[0] + 1
+    seg_starts = np.concatenate([[0], seg_change])
+    seg_kids = kid_row[seg_starts]
+    cum = np.cumsum(counts)
+    base = np.zeros(n_keys)
+    seg_base = np.where(seg_starts > 0, cum[seg_starts - 1], 0.0)
+    base[seg_kids] = seg_base
+    seg_ends_idx = np.concatenate([seg_change, [packed.size]]) - 1
+    totals = np.zeros(n_keys)
+    totals[seg_kids] = cum[seg_ends_idx] - seg_base
+    seg_start_of = np.zeros(n_keys, np.int64)
+    seg_start_of[seg_kids] = seg_starts
+    seg_end_of = np.zeros(n_keys, np.int64)
+    seg_end_of[seg_kids] = seg_ends_idx
+
+    # ranks: (n_keys, Q); global targets = base + q*(n-1)
+    ranks = qs_arr.reshape(1, -1) * (totals.reshape(-1, 1) - 1.0)
+    targets = base.reshape(-1, 1) + ranks
+    pos_idx = np.searchsorted(cum, targets.ravel(), side="right").reshape(n_keys, -1)
+    pos_idx = np.clip(
+        pos_idx, seg_start_of.reshape(-1, 1), seg_end_of.reshape(-1, 1)
+    )
+    qvals = values[pos_idx]  # (n_keys, Q)
+    empty = totals <= 0
+    if empty.any():
+        qvals[empty, :] = math.nan
+
+    if track_stats:
+        st_count = np.zeros(n_keys)
+        st_sum = np.zeros(n_keys)
+        st_min = np.full(n_keys, math.inf)
+        st_max = np.full(n_keys, -math.inf)
+        np.add.at(st_count, codes, pdf["stat_count"].to_numpy(np.float64))
+        np.add.at(st_sum, codes, pdf["stat_sum"].to_numpy(np.float64))
+        np.add.at(st_sum, codes, -pdf["stat_sum_comp"].to_numpy(np.float64))
+        np.minimum.at(st_min, codes, pdf["stat_min"].to_numpy(np.float64))
+        np.maximum.at(st_max, codes, pdf["stat_max"].to_numpy(np.float64))
+        qvals = np.clip(qvals, st_min.reshape(-1, 1), st_max.reshape(-1, 1))
+        count_out, sum_out, min_out, max_out = st_count, st_sum, st_min, st_max
+    else:
+        count_out = totals
+        # bucket-approx sum/min/max, vectorized per key
+        sum_out = np.zeros(n_keys)
+        np.add.at(sum_out, kid_row, values * counts)
+        min_out = np.full(n_keys, math.nan)
+        max_out = np.full(n_keys, math.nan)
+        min_out[seg_kids] = values[seg_starts]
+        max_out[seg_kids] = values[seg_ends_idx]
+
+    for j, name in enumerate(q_names):
+        out[name] = qvals[:, j]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out.update(
+            count=count_out,
+            sum=sum_out,
+            min=min_out,
+            max=max_out,
+            avg=sum_out / count_out,
+        )
+    return pd.DataFrame(out, columns=out_cols)
+
+
+def _clamp_per_group(kid, idx, policy, max_bins):
+    """Segmented collapse clamp: per (group, store) bound from the group's
+    extreme index."""
+    if idx.size == 0:
+        return idx
+    order = np.argsort(kid, kind="stable")
+    k_sorted = kid[order]
+    starts = np.nonzero(np.concatenate([[True], k_sorted[1:] != k_sorted[:-1]]))[0]
+    if policy == "collapsing_lowest":
+        seg_ext = np.maximum.reduceat(idx[order], starts)
+    else:
+        seg_ext = np.minimum.reduceat(idx[order], starts)
+    seg_keys = k_sorted[starts]
+    lookup = np.zeros(int(kid.max()) + 1, np.int64)
+    lookup[seg_keys] = seg_ext
+    ext = lookup[kid]
+    if policy == "collapsing_lowest":
+        return np.maximum(idx, ext - max_bins + 1)
+    return np.minimum(idx, ext + max_bins - 1)

@@ -211,3 +211,41 @@ def test_wide_mode_matches_grouped(spark, sf_dir):
     for k in a:
         for c in ("q50", "count", "min", "max"):
             assert a[k][c] == pytest.approx(b[k][c], rel=1e-12)
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        SketchConfig(mapping_kind="log"),
+        SketchConfig(mapping_kind="cubic", track_exact_stats=False),
+        SketchConfig(mapping_kind="log", store_policy="collapsing_lowest", max_bins=32),
+        SketchConfig(mapping_kind="log", store_policy="collapsing_highest", max_bins=32),
+    ],
+    ids=["exact-stats", "no-stats-cubic", "collapse-low", "collapse-high"],
+)
+def test_wide_finalize_parity_matrix(spark, cfg):
+    """The vectorized wide finalize must agree with the scalar applyInPandas
+    path across configs, mixed signs, and zeros."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(20000)
+        .select(
+            (F.col("id") % 97).cast("string").alias("k"),
+            F.when(F.col("id") % 11 == 0, 0.0)
+            .otherwise((F.col("id") % 1000) - 300.0)
+            .alias("v"),
+        )
+        .repartition(7)
+    )
+    a = {r["k"]: r for r in quantiles(df, "v", by="k", qs=(0.1, 0.5, 0.9), config=cfg).collect()}
+    b = {
+        r["k"]: r
+        for r in quantiles(df, "v", by="k", qs=(0.1, 0.5, 0.9), config=cfg, mode="wide").collect()
+    }
+    assert set(a) == set(b) and len(a) == 97
+    for k in a:
+        for c in ("q10", "q50", "q90", "count", "min", "max"):
+            av, bv = a[k][c], b[k][c]
+            assert av == pytest.approx(bv, rel=1e-12), (k, c, av, bv)
+        assert a[k]["sum"] == pytest.approx(b[k]["sum"], rel=1e-9)
