@@ -23,7 +23,7 @@ from ..config import SketchConfig
 from ..serde import decode_sketch, encode_sketch
 from .agg import quantile_column_name
 
-__all__ = ["streaming_quantiles"]
+__all__ = ["streaming_quantiles", "windowed_streaming_quantiles"]
 
 
 def streaming_quantiles(
@@ -97,3 +97,85 @@ def streaming_quantiles(
         update_fn, out_schema, state_schema, "update", timeout_conf
     )
     return out.drop("__g") if drop_key else out
+
+
+def windowed_streaming_quantiles(
+    df,
+    value_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    by: Sequence[str] | str | None = None,
+    qs: Sequence[float] = (0.5, 0.95, 0.99),
+    config: Optional[SketchConfig] = None,
+):
+    """Event-time tumbling-window quantiles with late-data handling.
+
+    Grouping key = (window, *by); the watermark lets Spark expire window
+    state once event time passes window_end + watermark (the standard
+    Structured Streaming contract). State per open window is one bounded
+    sketch. Emits [window_start, window_end, *by, *qXX, count] in update
+    mode, one refreshed row per open window per trigger.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    config = config or SketchConfig()
+    keys = [by] if isinstance(by, str) else list(by or [])
+    qs = [float(q) for q in qs]
+    q_names = [quantile_column_name(q) for q in qs]
+
+    src = (
+        df.withWatermark(ts_col, watermark)
+        .select(
+            F.window(ts_col, window).alias("__w"),
+            *keys,
+            F.col(value_col).cast("double").alias("__value"),
+        )
+        .select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            *keys,
+            "__value",
+        )
+    )
+    group_cols = ["window_start", "window_end", *keys]
+    out_schema = T.StructType(
+        [src.schema[c] for c in group_cols]
+        + [T.StructField(n, T.DoubleType()) for n in q_names]
+        + [T.StructField("count", T.DoubleType())]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.BinaryType())])
+    cfg = config
+
+    def update_fn(key, pdfs, state):
+        sk = None
+        if state.exists:
+            (payload,) = state.get
+            sk = decode_sketch(
+                bytes(payload),
+                store_policy=cfg.store_policy,
+                max_bins=cfg.max_bins,
+                track_exact_stats=cfg.track_exact_stats,
+            )
+        for pdf in pdfs:
+            v = pdf["__value"].to_numpy(np.float64, na_value=np.nan)
+            v = v[~np.isnan(v)]
+            if v.size == 0:
+                continue
+            if sk is None:
+                sk = cfg.new_sketch()
+            sk.accept(v)
+        if sk is None or sk.count == 0:
+            return iter(())
+        state.update((bytearray(encode_sketch(sk)),))
+        row = dict(zip(group_cols, key))
+        for name, qv in zip(q_names, sk.values_at_quantiles(qs)):
+            row[name] = float(qv)
+        row["count"] = float(sk.count)
+        return iter([pd.DataFrame([row])])
+
+    return src.groupBy(*group_cols).applyInPandasWithState(
+        update_fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -97,3 +97,53 @@ def test_streaming_multiple_keys(stream_env):
         assert keys == {"a", "b"}
     finally:
         q.stop()
+
+
+def test_windowed_streaming_quantiles(spark, tmp_path):
+    """Event-time tumbling windows: values land in their window's sketch and
+    windows report independent quantiles."""
+    from ddsparkle.spark.streaming import windowed_streaming_quantiles
+
+    src = str(tmp_path / "wsrc")
+    ckpt = str(tmp_path / "wck")
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = []
+    for i in range(2000):
+        rows.append(("a", base + pd.Timedelta(minutes=i % 50), 10.0 + (i % 7)))
+    for i in range(2000):
+        rows.append(("a", base + pd.Timedelta(hours=2, minutes=i % 50), 1000.0 + (i % 7)))
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = windowed_streaming_quantiles(
+        stream, "v", ts_col="ts", window="1 hour", watermark="5 minutes", by="k", qs=(0.5,)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wsq")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        res = {
+            (r["window_start"].hour): r
+            for r in spark.sql("select * from wsq").collect()
+        }
+        assert set(res) == {0, 2}
+        assert res[0]["count"] == 2000 and res[2]["count"] == 2000
+        assert 10 <= res[0]["q50"] <= 17
+        assert 1000 <= res[2]["q50"] <= 1007
+    finally:
+        q.stop()
