@@ -311,3 +311,88 @@ def language_id(df, text_col: str = "text", id_col: str = "doc_id"):
     for l in langs:
         pick = pick.when(F.col(l) == best, F.lit(l))
     return scored.select(id_col, pick.alias("lang_pred"))
+
+
+def ivf_index(df, emb_col: str = "embedding", id_col: str = "vec_id", n_clusters: int = 16, seed: int = 0, sample: int = 10_000, iters: int = 3):
+    """Build an IVF (inverted-file) ANN index: k-means centroids fitted on a
+    driver-side sample (deterministic: seeded k-means++ init + fixed Lloyd
+    iterations), then one mapInPandas pass assigns every vector to its
+    nearest centroid. Returns (assignments DataFrame [id, cluster], centroids
+    ndarray). At 100 TB the assignment pass is the only full scan; queries
+    touch ``n_probe`` clusters only."""
+    from pyspark.sql import types as T
+
+    sample_rows = df.select(emb_col).limit(sample).collect()
+    X = np.stack([np.asarray(r[0], np.float64) for r in sample_rows])
+    rng = np.random.default_rng(seed)
+    # k-means++ init
+    centroids = [X[rng.integers(len(X))]]
+    for _ in range(n_clusters - 1):
+        d2 = np.min(
+            ((X[:, None, :] - np.stack(centroids)[None, :, :]) ** 2).sum(-1), axis=1
+        )
+        centroids.append(X[rng.choice(len(X), p=d2 / d2.sum())])
+    C = np.stack(centroids)
+    for _ in range(iters):  # Lloyd
+        assign = np.argmin(((X[:, None, :] - C[None, :, :]) ** 2).sum(-1), axis=1)
+        for c in range(n_clusters):
+            pts = X[assign == c]
+            if len(pts):
+                C[c] = pts.mean(axis=0)
+
+    schema = T.StructType([df.schema[id_col], T.StructField("cluster", T.IntegerType())])
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign_fn(batches):
+        cents = bc.value
+        for pdf in batches:
+            V = np.stack([np.asarray(v, np.float64) for v in pdf[emb_col]])
+            # nearest centroid by L2 (||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2)
+            d = -2.0 * V @ cents.T + (cents**2).sum(axis=1)[None, :]
+            yield pd.DataFrame({id_col: pdf[id_col], "cluster": d.argmin(axis=1).astype(np.int32)})
+
+    return df.select(id_col, emb_col).mapInPandas(assign_fn, schema=schema), C
+
+
+def ann_ivf_topk(
+    df,
+    probe_vec,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 0,
+    assignments=None,
+    centroids=None,
+):
+    """IVF approximate top-k by cosine: search only the ``n_probe`` clusters
+    whose centroids are closest to the probe — the scan-pruning scale path
+    vs the brute-force baseline (filter pushes the cluster predicate into the
+    join/scan, so (n_clusters - n_probe)/n_clusters of vectors are skipped).
+    """
+    from pyspark.sql import functions as F
+
+    if assignments is None or centroids is None:
+        assignments, centroids = ivf_index(df, emb_col, id_col, n_clusters, seed)
+    p = np.asarray(probe_vec, np.float64)
+    d = ((centroids - p[None, :]) ** 2).sum(axis=1)
+    probe_clusters = [int(c) for c in np.argsort(d)[:n_probe]]
+    cand = df.join(assignments, id_col).filter(F.col("cluster").isin(probe_clusters))
+    p_norm = float(np.sqrt((p**2).sum()))
+    probe_arr = F.array(*[F.lit(float(x)) for x in p.tolist()])
+    dot = F.aggregate(
+        F.zip_with(F.col(emb_col), probe_arr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(F.col(emb_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    sim = dot / (norm * F.lit(p_norm))
+    return (
+        cand.select(id_col, F.round(sim, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -147,3 +147,39 @@ def test_language_id(spark):
     df = spark.createDataFrame(pdf)
     out = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
     assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "und"
+
+
+def test_ivf_ann_recall(spark, sf_dir):
+    """IVF top-k recall vs brute force: searching n_probe of n_clusters
+    clusters must recover most of the true neighbors while scanning fewer
+    candidates."""
+    import pyspark.sql.functions as F
+    from ddsparkle.spark.dataops import ann_ivf_topk, ivf_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = np.asarray(emb.filter("vec_id = 0").collect()[0]["embedding"], np.float64)
+    df = emb.filter("vec_id != 0")
+    assignments, centroids = ivf_index(df, n_clusters=8, seed=1)
+    assignments = assignments.cache()
+    n_cand = (
+        df.join(assignments, "vec_id").count()
+    )
+    got = ann_ivf_topk(
+        df, probe, k=10, n_clusters=8, n_probe=4, assignments=assignments, centroids=centroids
+    ).collect()
+    got_ids = [r["vec_id"] for r in got]
+    # brute force truth
+    p_norm = float(np.sqrt((probe**2).sum()))
+    rows = df.select("vec_id", "embedding").collect()
+    sims = []
+    for r in rows:
+        v = np.asarray(r["embedding"], np.float64)
+        sims.append((float(v @ probe / (np.linalg.norm(v) * p_norm)), r["vec_id"]))
+    true_ids = [vid for _, vid in sorted(sims, key=lambda t: (-t[0], t[1]))[:10]]
+    recall = len(set(got_ids) & set(true_ids)) / 10
+    assert recall >= 0.5, (recall, got_ids, true_ids)
+    # and the searched subset is a strict subset of all vectors
+    probe_clusters = {r["cluster"] for r in assignments.join(
+        spark.createDataFrame([(i,) for i in got_ids], ["vec_id"]), "vec_id").collect()}
+    assert len(probe_clusters) <= 4
+    assignments.unpersist()
