@@ -30,7 +30,7 @@ from typing import Optional
 
 import numpy as np
 
-from .mapping import CubicallyInterpolatedMapping, IndexMapping, LogarithmicMapping
+from .mapping import CubicallyInterpolatedMapping, IndexMapping
 from .store import BucketStore
 
 __all__ = ["DDSketch", "ExactSummaryStatistics", "sketch_of"]

@@ -18,7 +18,7 @@ calling these functions so pushdown/pruning apply to the scan.
 from __future__ import annotations
 
 import math
-from typing import Iterable, Iterator, Optional, Sequence
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 import pandas as pd

@@ -12,7 +12,7 @@ buckets; all hashing is the process-stable vectorized hashing from
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import pandas as pd
