@@ -388,3 +388,98 @@ def mapping_from_kind(kind: str, gamma: float, index_offset: float = 0.0) -> Ind
     except KeyError:
         raise ValueError(f"unknown mapping kind {kind!r}; one of {sorted(MAPPING_KINDS)}")
     return cls(gamma, index_offset)
+
+
+class BitwiseLinearlyInterpolatedMapping:
+    """Pure-bit-ops mapping (BitwiseLinearlyInterpolatedMapping.java:27-148):
+    ``index = (exponent << k) | top-k significand bits`` — only power-of-2
+    gamma; actual relative accuracy ``1 - 2/(1 + exp(2^-k))``. Its only
+    advantage over the polynomial mappings is scalar-CPU cost (moot under
+    NumPy), but it is implemented for full mapping-surface parity. Like the
+    reference, it serializes as the LOG_LINEAR layout and degrades to
+    LinearlyInterpolatedMapping on wire round-trip.
+    """
+
+    kind = "bitwise"
+
+    def __init__(self, gamma: float, index_offset: float = 0.0):
+        # recover k from gamma = 2^(2^-k); index_offset must be 0
+        multiplier = int(round(1.0 / math.log2(gamma)))
+        if (
+            multiplier < 1
+            or (multiplier & (multiplier - 1))
+            or not math.isclose(gamma, 2.0 ** (1.0 / multiplier), rel_tol=1e-12)
+        ):
+            raise ValueError("bitwise mapping requires gamma = 2^(1/2^k)")
+        if index_offset != 0.0:
+            raise ValueError("bitwise mapping has no index offset")
+        self._init_from_bits(multiplier.bit_length() - 1)
+
+    def _init_from_bits(self, num_significant_binary_digits: int) -> None:
+        if num_significant_binary_digits < 0:
+            raise ValueError("The number of significant binary digits cannot be negative.")
+        self.num_significant_binary_digits = num_significant_binary_digits
+        self._partial_significand_shift = 53 - num_significant_binary_digits - 1
+        self.multiplier = 1 << num_significant_binary_digits
+        self.relative_accuracy = 1.0 - 2.0 / (1.0 + math.exp(1.0 / self.multiplier))
+        self.gamma = math.pow(2.0, 1.0 / self.multiplier)
+        self.index_offset = 0.0
+
+    @classmethod
+    def from_significant_bits(cls, k: int) -> "BitwiseLinearlyInterpolatedMapping":
+        self = cls.__new__(cls)
+        self._init_from_bits(k)
+        return self
+
+    @classmethod
+    def from_relative_accuracy(cls, relative_accuracy: float) -> "BitwiseLinearlyInterpolatedMapping":
+        if not 0.0 < relative_accuracy < 1.0:
+            raise ValueError("The relative accuracy must be between 0 and 1.")
+        multiplier = 1.0 / math.log1p(2.0 * relative_accuracy / (1.0 - relative_accuracy))
+        k = max(math.ceil(math.log(multiplier) / math.log(2.0)), 0)
+        return cls.from_significant_bits(k)
+
+    def index(self, values) -> np.ndarray:
+        bits = np.asarray(values, np.float64).view(np.int64)
+        exponent = _exponent(bits)
+        partial = (bits & _SIGNIFICAND_MASK) >> np.int64(self._partial_significand_shift)
+        return (exponent << np.int64(self.num_significant_binary_digits)) | partial
+
+    def lower_bound(self, indexes) -> np.ndarray:
+        i = np.asarray(indexes, np.int64)
+        exponent = np.floor_divide(i, self.multiplier)
+        sp1 = 1.0 - exponent + i.astype(np.float64) / self.multiplier
+        return _build_double(exponent, sp1)
+
+    def upper_bound(self, indexes) -> np.ndarray:
+        return self.lower_bound(np.asarray(indexes) + 1)
+
+    def value(self, indexes) -> np.ndarray:
+        return self.lower_bound(indexes) * (1.0 + self.relative_accuracy)
+
+    @property
+    def min_indexable_value(self) -> float:
+        return max(
+            _pow_or_inf(2.0, _INT32_MIN / self.multiplier + 1),
+            _MIN_NORMAL * (1.0 + self.relative_accuracy) / (1.0 - self.relative_accuracy),
+        )
+
+    @property
+    def max_indexable_value(self) -> float:
+        return min(
+            _pow_or_inf(2.0, _INT32_MAX / self.multiplier),
+            _MAX_DOUBLE / (1.0 + self.relative_accuracy),
+        )
+
+    def __eq__(self, other) -> bool:
+        return (
+            type(self) is type(other)
+            and self.num_significant_binary_digits == other.num_significant_binary_digits
+        )
+
+    def __hash__(self) -> int:
+        return hash(("bitwise", self.num_significant_binary_digits))
+
+
+MAPPING_KINDS["bitwise"] = BitwiseLinearlyInterpolatedMapping
+__all__.append("BitwiseLinearlyInterpolatedMapping")

@@ -28,8 +28,8 @@ from .store import BucketStore
 
 __all__ = ["to_proto_bytes", "from_proto_bytes"]
 
-_INTERP_BY_KIND = {"log": 0, "lin": 1, "quad": 2, "cubic": 3, "quartic": 4}
-_KIND_BY_INTERP = {v: k for k, v in _INTERP_BY_KIND.items()}
+_INTERP_BY_KIND = {"log": 0, "lin": 1, "quad": 2, "cubic": 3, "quartic": 4, "bitwise": 1}
+_KIND_BY_INTERP = {v: k for k, v in _INTERP_BY_KIND.items() if k != "bitwise"}
 
 
 def _varint(out: bytearray, v: int) -> None:

@@ -193,8 +193,8 @@ _MODE_INDEX_DELTAS_AND_COUNTS = 1
 _MODE_INDEX_DELTAS = 2
 _MODE_CONTIGUOUS_COUNTS = 3
 
-_LAYOUT_BY_KIND = {"log": 0, "lin": 1, "quad": 2, "cubic": 3, "quartic": 4}
-_KIND_BY_LAYOUT = {v: k for k, v in _LAYOUT_BY_KIND.items()}
+_LAYOUT_BY_KIND = {"log": 0, "lin": 1, "quad": 2, "cubic": 3, "quartic": 4, "bitwise": 1}
+_KIND_BY_LAYOUT = {v: k for k, v in _LAYOUT_BY_KIND.items() if k != "bitwise"}
 
 _ONE_BITS = struct.unpack("<q", struct.pack("<d", 1.0))[0]
 _U64 = (1 << 64) - 1

@@ -100,6 +100,8 @@ def test_mapping_equality_and_kind_roundtrip():
     assert a == b
     assert a != c  # same params, different kind -> not mergeable
     for kind in MAPPING_KINDS:
+        if kind == "bitwise":
+            continue  # constrained gamma; covered by TestBitwiseMapping
         m = mapping_from_kind(kind, 1.05, 3.5)
         assert m.kind == kind
         assert m.gamma == 1.05 and m.index_offset == 3.5
@@ -133,3 +135,50 @@ def test_java_floor_negative_integer_quirk():
 
     x = np.array([-3.0, -2.5, -0.0, 0.0, 2.5, 3.0])
     assert _java_floor(x).tolist() == [-4, -3, 0, 0, 2, 3]
+
+
+class TestBitwiseMapping:
+    def test_accuracy_and_roundtrip(self):
+        from ddsparkle.mapping import BitwiseLinearlyInterpolatedMapping
+
+        for alpha in (1e-1, 1e-2, 1e-3):
+            m = BitwiseLinearlyInterpolatedMapping.from_relative_accuracy(alpha)
+            assert m.relative_accuracy <= alpha
+            v = np.geomspace(1e-9, 1e9, 20000)
+            rel = np.abs(m.value(m.index(v)) - v) / v
+            assert rel.max() <= m.relative_accuracy + 1e-10
+
+    def test_bucket_boundaries(self):
+        from ddsparkle.mapping import BitwiseLinearlyInterpolatedMapping
+
+        m = BitwiseLinearlyInterpolatedMapping.from_significant_bits(4)
+        idx = np.arange(-100, 101)
+        lb, ub = m.lower_bound(idx), m.upper_bound(idx)
+        assert np.array_equal(m.index(lb * (1 + 1e-12)), idx)
+        assert np.array_equal(ub, m.lower_bound(idx + 1))
+        # power-of-2 gamma identity
+        assert m.gamma == 2 ** (1 / m.multiplier)
+
+    def test_kind_constructor_gamma(self):
+        from ddsparkle.mapping import mapping_from_kind
+
+        m = mapping_from_kind("bitwise", 2 ** (1 / 16))
+        assert m.num_significant_binary_digits == 4
+        with pytest.raises(ValueError):
+            mapping_from_kind("bitwise", 1.5)
+
+    def test_wire_degrades_to_linear(self):
+        """Reference parity: bitwise serializes as LOG_LINEAR and decodes to
+        a LinearlyInterpolatedMapping with the same gamma
+        (BitwiseLinearlyInterpolatedMapping.java:110-115)."""
+        from ddsparkle import DDSketch
+        from ddsparkle.mapping import BitwiseLinearlyInterpolatedMapping
+        from ddsparkle.serde import decode_sketch, encode_sketch
+
+        m = BitwiseLinearlyInterpolatedMapping.from_relative_accuracy(0.02)
+        sk = DDSketch(mapping=m, track_exact_stats=False)
+        sk.accept(np.geomspace(1.0, 1000.0, 5000))
+        dec = decode_sketch(encode_sketch(sk))
+        assert dec.mapping.kind == "lin"
+        assert dec.mapping.gamma == m.gamma
+        assert np.array_equal(dec.positive_store.indexes, sk.positive_store.indexes)
