@@ -97,3 +97,35 @@ def convert_sketch(
         out.exact_stats = sketch.exact_stats.copy()
         out.track_exact_stats = True
     return out
+
+
+def convert_sketch_rows(sketch_rows_df, new_mapping: IndexMapping, key_cols=()):
+    """Spark-level convert: re-bin a DataFrame of sketch rows (e.g. a
+    checkpoint table built with one mapping) onto a different mapping —
+    an Arrow-batched pass, no raw data rescan. The common migration path
+    when an alpha or mapping choice changes after months of checkpoints."""
+    import pandas as pd
+
+    from .serde import SKETCH_ROW_FIELDS, row_to_sketch, sketch_to_row
+
+    key_cols = list(key_cols)
+    schema = sketch_rows_df.schema
+
+    def conv(batches):
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                sk = row_to_sketch(pdf[SKETCH_ROW_FIELDS].iloc[i])
+                out = convert_sketch(sk, new_mapping, sk.store_policy, sk.max_bins)
+                row = {c: pdf[c].iloc[i] for c in key_cols}
+                row.update(sketch_to_row(out))
+                for f in ("neg_idx", "neg_cnt", "pos_idx", "pos_cnt"):
+                    row[f] = row[f].tolist()
+                rows.append(row)
+            cols = key_cols + SKETCH_ROW_FIELDS
+            if not rows:
+                yield pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+            else:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return sketch_rows_df.mapInPandas(conv, schema=schema)

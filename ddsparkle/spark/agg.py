@@ -678,3 +678,28 @@ def _clamp_per_group(kid, idx, policy, max_bins):
     if policy == "collapsing_lowest":
         return np.maximum(idx, ext - max_bins + 1)
     return np.minimum(idx, ext + max_bins - 1)
+
+
+def quantiles_multi(
+    df,
+    value_cols: Sequence[str],
+    by: Sequence[str] | str | None = None,
+    qs: Sequence[float] = (0.5, 0.95, 0.99),
+    config: Optional[SketchConfig] = None,
+    **kwargs,
+):
+    """Quantiles of SEVERAL value columns in ONE scan: the columns are
+    stacked into (metric, value) long format JVM-side, and the metric name
+    joins the group key — so a 100 TB table is read once for any number of
+    measures. Returns [metric, *by, *qXX, count, sum, min, max, avg]."""
+    from pyspark.sql import functions as F
+
+    keys = [by] if isinstance(by, str) else list(by or [])
+    stack_expr = ", ".join(f"'{c}', cast(`{c}` as double)" for c in value_cols)
+    long_df = df.select(
+        *keys,
+        F.expr(f"stack({len(value_cols)}, {stack_expr}) as (metric, __value)"),
+    )
+    return quantiles(
+        long_df, "__value", by=["metric", *keys], qs=qs, config=config, **kwargs
+    )

@@ -396,3 +396,39 @@ def ann_ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def simhash_candidates(df, text_col: str = "text", id_col: str = "doc_id", bands: int = 4, shingle_n: int = 1):
+    """Candidate near-duplicate pairs from SimHash: split the 64-bit hash
+    into ``bands`` bit-bands; pairs agreeing on any band become candidates —
+    every pair within Hamming distance < bands shares at least one band
+    (pigeonhole), so the bucket join has guaranteed recall for distances
+    below the band count."""
+    from pyspark.sql import functions as F
+
+    sh = simhash64(df, text_col, id_col, shingle_n)
+    width = 64 // bands
+    exploded = sh.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )

@@ -78,3 +78,7 @@ def test_same_mapping_roundtrip_near_identity():
     dst = convert_sketch(src, m)
     assert np.array_equal(dst.positive_store.indexes, src.positive_store.indexes)
     assert np.allclose(dst.positive_store.counts, src.positive_store.counts, rtol=1e-12)
+
+
+# the Spark-level convert_sketch_rows test lives in test_spark_agg.py
+# (needs the session fixture)

@@ -183,3 +183,19 @@ def test_ivf_ann_recall(spark, sf_dir):
         spark.createDataFrame([(i,) for i in got_ids], ["vec_id"]), "vec_id").collect()}
     assert len(probe_clusters) <= 4
     assignments.unpersist()
+
+
+def test_simhash_candidates_recall(spark, docs):
+    from ddsparkle.spark.dataops import simhash_candidates
+
+    df, near_pairs = docs
+    cands = simhash_candidates(df, bands=8).toPandas()
+    pairs = {(int(a), int(b)) for a, b in zip(cands["id_a"], cands["id_b"])}
+    for i in range(3):  # exact dups: identical simhash -> all bands agree
+        assert (i, 30 + i) in pairs
+    # near dups are within hamming < 8 of the original (see simhash test) ->
+    # pigeonhole guarantees at least one shared band at bands=8
+    for a, b in near_pairs:
+        assert (a, b) in pairs
+    n = df.count()
+    assert len(pairs) < n * (n - 1) / 4  # bucketed, not all-pairs

@@ -273,3 +273,51 @@ def test_relative_error_beats_native_approx_percentile_on_tails(spark):
     # the rank-error sketch is catastrophically off at the extreme tail
     assert native_errs[-1] > 0.5
     assert max(our_errs) < native_errs[-1] / 50
+
+
+def test_quantiles_multi_single_scan(spark, sf_dir):
+    """Multi-measure aggregation: one scan, per-metric results equal to
+    separate single-column runs."""
+    from ddsparkle.spark.agg import quantiles_multi
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    multi = {
+        r["metric"]: r
+        for r in quantiles_multi(
+            df, ["l_extendedprice", "l_quantity"], qs=(0.5, 0.99)
+        ).collect()
+    }
+    assert set(multi) == {"l_extendedprice", "l_quantity"}
+    for col in ("l_extendedprice", "l_quantity"):
+        single = quantiles(df, col, qs=(0.5, 0.99)).collect()[0]
+        for c in ("q50", "q99", "count", "min", "max"):
+            assert multi[col][c] == pytest.approx(single[c], rel=1e-12)
+
+
+def test_convert_sketch_rows_spark(spark, sf_dir):
+    """Checkpoint-migration path: re-bin existing sketch rows onto a new
+    mapping without rescanning data; quantiles stay within the degraded
+    conversion bound."""
+    import math as m
+
+    from ddsparkle.convert import convert_sketch_rows, converted_relative_accuracy
+    from ddsparkle.mapping import CubicallyInterpolatedMapping
+    from ddsparkle.serde import merge_rows
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(5)
+    cfg = SketchConfig(mapping_kind="log", relative_accuracy=0.02, track_exact_stats=False)
+    partials = build_partial_sketches(df, "value", config=cfg)
+    new_mapping = CubicallyInterpolatedMapping.from_relative_accuracy(0.01)
+    converted = convert_sketch_rows(partials, new_mapping)
+    sk = merge_rows([r.asDict() for r in converted.collect()])
+    assert sk.mapping == new_mapping
+    vals = np.sort(df.select("value").toPandas()["value"].to_numpy(np.float64))
+    bound = converted_relative_accuracy(0.02, 0.01) + 1e-10
+    for q in (0.5, 0.95, 0.99):
+        n = len(vals)
+        lo = vals[int(m.floor(q * (n - 1)))]
+        hi = vals[int(m.ceil(q * (n - 1)))]
+        est = sk.value_at_quantile(q)
+        err = 0.0 if lo <= est <= hi else min(abs(est - lo) / lo, abs(est - hi) / hi)
+        assert err <= bound
+    assert sk.count == pytest.approx(len(vals), rel=1e-9)
