@@ -194,6 +194,16 @@ def q_orders_price_by_cust_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_result(res, ["o_custkey"], ["q50"])
 
 
+def q_heavy_hitters_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 frequent event types via the two-pass Misra-Gries pattern
+    (sketch candidates -> exact filtered count) — EXACT, so the plain SQL
+    GROUP BY/ORDER BY/LIMIT oracle must hash-match."""
+    from ddsparkle.spark.approx import heavy_hitters
+
+    df = _t(spark, sf_dir, "events")
+    return heavy_hitters(df, "event_type", k=3, mg_k=64)
+
+
 def q_doc_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: representative (min doc_id) + copy count per distinct
     text (the keep-one-of-each-duplicate-cluster operator)."""
@@ -226,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_orders_price_by_cust_wide": q_orders_price_by_cust_wide,
         "ddsketch_lineitem_weighted": q_lineitem_weighted,
         "ddsketch_events_exact_stats": q_events_exact_stats,
+        "heavy_hitters_event_type": q_heavy_hitters_event_type,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_dedup_representatives": q_doc_dedup_representatives,
         "doc_text_quality": q_doc_text_quality,
@@ -268,6 +279,10 @@ def oracle_sql() -> dict[str, str]:
         "ddsketch_events_exact_stats": (
             "SELECT CAST(COUNT(value) AS DOUBLE) AS count, ROUND(MIN(value), 4) AS min_v, "
             "ROUND(MAX(value), 4) AS max_v, ROUND(AVG(value), 3) AS avg_v FROM events"
+        ),
+        "heavy_hitters_event_type": (
+            "SELECT CAST(event_type AS VARCHAR) AS value, CAST(COUNT(*) AS DOUBLE) AS freq "
+            "FROM events GROUP BY event_type ORDER BY freq DESC, value LIMIT 3"
         ),
         "doc_dedup_exact": (
             "SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_docs, "

@@ -4,7 +4,8 @@ every sketch is an (init, update_batch, merge, finalize, serde) plugin whose
 state ships through Spark as a binary payload row.
 
 Implemented: HyperLogLog, CountMinSketch, BloomFilter, KLLSketch (rank-error
-quantiles), TDigest (tail-accurate rank-error quantiles). DDSketch itself
+quantiles), TDigest (tail-accurate rank-error quantiles), MisraGries
+(deterministic heavy hitters). DDSketch itself
 (the package root) covers relative-error quantiles.
 """
 
@@ -13,5 +14,6 @@ from .kll import KLLSketch
 from .tdigest import TDigest
 from .countmin import CountMinSketch
 from .hll import HyperLogLog
+from .misra_gries import MisraGries
 
-__all__ = ["HyperLogLog", "CountMinSketch", "BloomFilter", "KLLSketch", "TDigest"]
+__all__ = ["HyperLogLog", "CountMinSketch", "BloomFilter", "KLLSketch", "TDigest", "MisraGries"]

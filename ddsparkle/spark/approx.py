@@ -264,3 +264,50 @@ def tdigest_quantiles(df, value_col: str, by=None, qs=(0.5, 0.95, 0.99), delta: 
     return _quantile_family_agg(
         df, value_col, by, qs, lambda: TDigest(delta=delta), TDigest.from_bytes
     )
+
+
+def heavy_hitters(df, value_col: str, k: int = 10, mg_k: int = 256, exact_counts: bool = True):
+    """Top-k frequent values, the two-pass scale pattern:
+
+    pass 1 — Misra-Gries per task (mapInPandas), merged: every value with
+             frequency > n/mg_k is guaranteed among the candidates;
+    pass 2 — (exact_counts=True) exact counts for the candidate set only via
+             a broadcast-filtered native groupBy: the result is EXACT top-k
+             as long as k << mg_k, at the cost of one extra scan that reads
+             a single column and aggregates map-side.
+
+    Returns [value string, freq double] ordered by freq desc, value.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sketches.misra_gries import MisraGries
+
+    partials = _build_payload_partials(
+        df.select(value_col),
+        value_col,
+        [],
+        make=lambda: MisraGries(k=mg_k),
+        update=lambda sk, v: sk.update(v),
+    )
+    payloads = [bytes(r["payload"]) for r in partials.collect()]
+    merged = None
+    for p in payloads:
+        cur = MisraGries.from_bytes(p)
+        if merged is None:
+            merged = cur
+        else:
+            merged.merge(cur)
+    if merged is None:
+        return df.sparkSession.createDataFrame([], "value string, freq double")
+    cand = [key for key, _ in merged.candidates()[: max(4 * k, k + 8)]]
+    if not exact_counts:
+        rows = [(str(key), float(c)) for key, c in merged.candidates()[:k]]
+        return df.sparkSession.createDataFrame(rows, "value string, freq double")
+    exact = (
+        df.filter(F.col(value_col).isin([x.item() if hasattr(x, "item") else x for x in cand]))
+        .groupBy(F.col(value_col).cast("string").alias("value"))
+        .agg(F.count("*").cast("double").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("value"))
+        .limit(k)
+    )
+    return exact

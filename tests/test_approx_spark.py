@@ -95,3 +95,15 @@ def test_tdigest_quantiles_spark(spark, sf_dir):
         for q, col in [(0.5, "q50"), (0.99, "q99")]:
             true_rank = np.searchsorted(vals, r[col], side="right") / len(vals)
             assert abs(true_rank - q) < 0.05
+
+
+def test_heavy_hitters_exact_two_pass(spark, sf_dir):
+    from ddsparkle.spark.approx import heavy_hitters
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = heavy_hitters(df, "event_type", k=3, mg_k=64).collect()
+    truth = (
+        df.groupBy("event_type").count().orderBy("count", ascending=False).collect()
+    )
+    assert [r["value"] for r in got] == [r["event_type"] for r in truth[:3]]
+    assert [r["freq"] for r in got] == [float(r["count"]) for r in truth[:3]]

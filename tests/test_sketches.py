@@ -287,3 +287,48 @@ class TestTDigest:
         assert np.array_equal(back.means, td.means)
         with pytest.raises(ValueError):
             TDigest(delta=100).merge(TDigest(delta=200))
+
+
+class TestMisraGries:
+    def test_guarantee(self):
+        from ddsparkle.sketches.misra_gries import MisraGries
+
+        rng = np.random.default_rng(8)
+        heavy = np.repeat(np.arange(5), 5000)       # 5 items x 5000
+        light = rng.integers(1000, 50_000, 40_000)  # long tail
+        data = np.concatenate([heavy, light])
+        rng.shuffle(data)
+        mg = MisraGries(k=64)
+        for chunk in np.array_split(data, 13):
+            mg.update(chunk)
+        assert mg.n == len(data)
+        assert mg.error_bound <= len(data) / 65 + 1e-9
+        cand = dict(mg.candidates())
+        for item in range(5):  # freq 5000 > n/64 ~ 1016 -> guaranteed present
+            assert item in cand
+            assert 5000 - mg.error_bound - 1e-9 <= cand[item] <= 5000 + 1e-9
+
+    def test_merge_preserves_guarantee(self):
+        from ddsparkle.sketches.misra_gries import MisraGries
+
+        rng = np.random.default_rng(9)
+        data = np.concatenate([np.repeat(7, 8000), rng.integers(100, 10_000, 30_000)])
+        a, b = MisraGries(k=128), MisraGries(k=128)
+        a.update(data[: len(data) // 2])
+        b.update(data[len(data) // 2 :])
+        a.merge(b)
+        assert a.n == len(data)
+        cand = dict(a.candidates())
+        assert 7 in cand and cand[7] >= 8000 - a.error_bound - 1e-9
+
+    def test_serde_and_validation(self):
+        from ddsparkle.sketches.misra_gries import MisraGries
+
+        mg = MisraGries(k=8)
+        mg.update(np.array([1, 1, 2, 3]))
+        back = MisraGries.from_bytes(mg.to_bytes())
+        assert back.counters == mg.counters and back.n == mg.n
+        with pytest.raises(ValueError):
+            MisraGries(k=8).merge(MisraGries(k=16))
+        with pytest.raises(ValueError):
+            mg.update(np.array([1]), np.array([-1.0]))
