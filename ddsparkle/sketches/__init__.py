@@ -15,5 +15,6 @@ from .tdigest import TDigest
 from .countmin import CountMinSketch
 from .hll import HyperLogLog
 from .misra_gries import MisraGries
+from .reservoir import ReservoirSample
 
-__all__ = ["HyperLogLog", "CountMinSketch", "BloomFilter", "KLLSketch", "TDigest", "MisraGries"]
+__all__ = ["HyperLogLog", "CountMinSketch", "BloomFilter", "KLLSketch", "TDigest", "MisraGries", "ReservoirSample"]

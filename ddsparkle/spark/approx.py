@@ -311,3 +311,49 @@ def heavy_hitters(df, value_col: str, k: int = 10, mg_k: int = 256, exact_counts
         .limit(k)
     )
     return exact
+
+
+def reservoir_sample(df, value_col: str, m: int = 10_000, seed: int = 0):
+    """Uniform sample of ``value_col`` as a NumPy array (size <= m):
+    per-task reservoirs via mapInPandas, merged driver-side. The at-scale
+    substitute for collecting a column to validate sketch accuracy."""
+    from ..sketches.reservoir import ReservoirSample
+
+    partials = _build_payload_partials(
+        df.select(value_col),
+        value_col,
+        [],
+        make=lambda: ReservoirSample(m=m, seed=seed),
+        update=lambda sk, v: sk.update(v.to_numpy("float64")),
+    )
+    merged = None
+    for r in partials.collect():
+        cur = ReservoirSample.from_bytes(bytes(r["payload"]), seed=seed)
+        if merged is None:
+            merged = cur
+        else:
+            merged.merge(cur)
+    return merged
+
+
+def validate_quantiles(df, value_col: str, result_row, q_map, alpha: float, m: int = 50_000, seed: int = 0):
+    """Self-check a quantiles() result against a held-out uniform sample:
+    returns {q_name: estimated relative rank-interval error}. Sampling error
+    ~ 1/sqrt(m) adds to the bound, so use alpha + a few sigma of slack when
+    asserting. This is how the accuracy contract is monitored at data sizes
+    where exact sorting is impossible."""
+    rs = reservoir_sample(df, value_col, m=m, seed=seed)
+    sample = np.sort(rs.items)
+    errs = {}
+    n = sample.size
+    for q, col in q_map.items():
+        actual = result_row[col]
+        lo = sample[int(np.floor(q * (n - 1)))]
+        hi = sample[int(np.ceil(q * (n - 1)))]
+        if lo <= actual <= hi:
+            errs[col] = 0.0
+        elif actual < lo:
+            errs[col] = (lo - actual) / abs(lo) if lo else float("inf")
+        else:
+            errs[col] = (actual - hi) / abs(hi) if hi else float("inf")
+    return errs

@@ -107,3 +107,18 @@ def test_heavy_hitters_exact_two_pass(spark, sf_dir):
     )
     assert [r["value"] for r in got] == [r["event_type"] for r in truth[:3]]
     assert [r["freq"] for r in got] == [float(r["count"]) for r in truth[:3]]
+
+
+def test_validate_quantiles_self_check(spark, sf_dir):
+    """The at-scale accuracy monitor: sample-based validation of a
+    quantiles() result stays within alpha + sampling slack."""
+    from ddsparkle.spark.agg import quantiles
+    from ddsparkle.spark.approx import validate_quantiles
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    res = quantiles(df, "l_extendedprice", qs=(0.5, 0.95)).collect()[0]
+    errs = validate_quantiles(
+        df, "l_extendedprice", res, {0.5: "q50", 0.95: "q95"}, alpha=0.01, m=20_000
+    )
+    for col, e in errs.items():
+        assert e <= 0.01 + 0.05, (col, e)  # alpha + generous sampling slack

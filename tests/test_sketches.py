@@ -332,3 +332,37 @@ class TestMisraGries:
             MisraGries(k=8).merge(MisraGries(k=16))
         with pytest.raises(ValueError):
             mg.update(np.array([1]), np.array([-1.0]))
+
+
+class TestReservoir:
+    def test_uniformity_and_size(self):
+        from ddsparkle.sketches.reservoir import ReservoirSample
+
+        rs = ReservoirSample(m=2000, seed=1)
+        data = np.arange(100_000, dtype=float)
+        for chunk in np.array_split(data, 23):
+            rs.update(chunk)
+        assert rs.n_seen == 100_000 and rs.items.size == 2000
+        # uniform => sample mean close to population mean (se ~ 645)
+        assert abs(rs.items.mean() - data.mean()) < 4 * data.std() / np.sqrt(2000)
+
+    def test_merge_weights_sides(self):
+        from ddsparkle.sketches.reservoir import ReservoirSample
+
+        a = ReservoirSample(m=1000, seed=2)
+        b = ReservoirSample(m=1000, seed=3)
+        a.update(np.zeros(90_000))
+        b.update(np.ones(10_000))
+        a.merge(b)
+        assert a.n_seen == 100_000
+        frac_ones = a.items.mean()
+        assert 0.05 < frac_ones < 0.16  # ~0.10 expected, sampling noise
+
+    def test_serde(self):
+        from ddsparkle.sketches.reservoir import ReservoirSample
+
+        rs = ReservoirSample(m=100, seed=4)
+        rs.update(np.arange(500, dtype=float))
+        back = ReservoirSample.from_bytes(rs.to_bytes())
+        assert back.n_seen == rs.n_seen
+        assert np.array_equal(back.items, rs.items)
