@@ -111,11 +111,15 @@ def windowed_streaming_quantiles(
 ):
     """Event-time tumbling-window quantiles with late-data handling.
 
-    Grouping key = (window, *by); the watermark lets Spark expire window
-    state once event time passes window_end + watermark (the standard
-    Structured Streaming contract). State per open window is one bounded
-    sketch. Emits [window_start, window_end, *by, *qXX, count] in update
-    mode, one refreshed row per open window per trigger.
+    Grouping key = (window, *by). Unlike built-in aggregations, arbitrary
+    stateful operators must enforce the watermark themselves: Spark does NOT
+    drop late rows before ``applyInPandasWithState``. This operator checks
+    ``state.getCurrentWatermarkMs()`` per group — once the watermark passes
+    window_end, the window's state is removed and any later-arriving rows for
+    it are discarded (the standard late-data contract; tested). State per
+    open window is one bounded sketch. Emits [window_start, window_end, *by,
+    *qXX, count] in update mode, one refreshed row per open window per
+    trigger.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -126,23 +130,22 @@ def windowed_streaming_quantiles(
     qs = [float(q) for q in qs]
     q_names = [quantile_column_name(q) for q in qs]
 
-    src = (
-        df.withWatermark(ts_col, watermark)
-        .select(
-            F.window(ts_col, window).alias("__w"),
-            *keys,
-            F.col(value_col).cast("double").alias("__value"),
-        )
-        .select(
-            F.col("__w.start").alias("window_start"),
-            F.col("__w.end").alias("window_end"),
-            *keys,
-            "__value",
-        )
+    # group by the window STRUCT itself — the event-time watermark tag lives
+    # on it; projecting start/end out before the stateful operator would
+    # strip the tag and disable getCurrentWatermarkMs
+    src = df.withWatermark(ts_col, watermark).select(
+        F.window(ts_col, window).alias("__w"),
+        *keys,
+        F.col(value_col).cast("double").alias("__value"),
     )
-    group_cols = ["window_start", "window_end", *keys]
+    group_cols = ["__w", *keys]
+    out_cols = ["window_start", "window_end", *keys]
     out_schema = T.StructType(
-        [src.schema[c] for c in group_cols]
+        [
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("window_end", T.TimestampType()),
+        ]
+        + [src.schema[k] for k in keys]
         + [T.StructField(n, T.DoubleType()) for n in q_names]
         + [T.StructField("count", T.DoubleType())]
     )
@@ -150,6 +153,18 @@ def windowed_streaming_quantiles(
     cfg = config
 
     def update_fn(key, pdfs, state):
+        # watermark enforcement: key[0] is the (start, end) window struct; a
+        # window whose end is older than the current watermark is closed —
+        # drop late rows and free its state
+        w = key[0]  # dict {'start': Timestamp, 'end': Timestamp}
+        window_start, window_end = w["start"], w["end"]
+        wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms > 0 and window_end.timestamp() * 1000.0 <= wm_ms:
+            if state.exists:
+                state.remove()
+            for _ in pdfs:  # drain
+                pass
+            return iter(())
         sk = None
         if state.exists:
             (payload,) = state.get
@@ -170,7 +185,7 @@ def windowed_streaming_quantiles(
         if sk is None or sk.count == 0:
             return iter(())
         state.update((bytearray(encode_sketch(sk)),))
-        row = dict(zip(group_cols, key))
+        row = dict(zip(out_cols, (window_start, window_end, *key[1:])))
         for name, qv in zip(q_names, sk.values_at_quantiles(qs)):
             row[name] = float(qv)
         row["count"] = float(sk.count)

@@ -147,3 +147,52 @@ def test_windowed_streaming_quantiles(spark, tmp_path):
         assert 1000 <= res[2]["q50"] <= 1007
     finally:
         q.stop()
+
+
+def test_windowed_streaming_drops_late_data(spark, tmp_path):
+    """Watermark contract: rows arriving after (max event time - watermark)
+    has passed their window do not resurrect the expired window."""
+    from pyspark.sql import types as T
+
+    from ddsparkle.spark.streaming import windowed_streaming_quantiles
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ck")
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    # batch 1: hour-0 data, then hour-6 data (advances watermark far past hour 0)
+    b1 = pd.DataFrame(
+        {"k": ["a"] * 200, "ts": [base + pd.Timedelta(minutes=i % 30) for i in range(200)],
+         "v": [10.0] * 200}
+    )
+    b1b = pd.DataFrame(
+        {"k": ["a"] * 200, "ts": [base + pd.Timedelta(hours=6, minutes=i % 30) for i in range(200)],
+         "v": [50.0] * 200}
+    )
+    spark.createDataFrame(pd.concat([b1, b1b])).coalesce(1).write.mode("append").parquet(src)
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("ts", T.TimestampType()),
+         T.StructField("v", T.DoubleType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = windowed_streaming_quantiles(
+        stream, "v", ts_col="ts", window="1 hour", watermark="10 minutes", by="k", qs=(0.5,)
+    )
+    q = (out.writeStream.format("memory").queryName("late").outputMode("update")
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        first = {r["window_start"].hour: r["count"] for r in spark.sql("select * from late").collect()}
+        assert first.get(0) == 200.0 and first.get(6) == 200.0
+        # batch 2: LATE rows for hour 0 — watermark (6:00 - 10min) long past
+        late = pd.DataFrame(
+            {"k": ["a"] * 100, "ts": [base + pd.Timedelta(minutes=i % 30) for i in range(100)],
+             "v": [999.0] * 100}
+        )
+        spark.createDataFrame(late).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql("select * from late").collect()
+        hour0_counts = [r["count"] for r in rows if r["window_start"].hour == 0]
+        # the hour-0 window never reports more than its on-time 200 rows
+        assert max(hour0_counts) == 200.0
+    finally:
+        q.stop()
