@@ -98,7 +98,7 @@ def build_partial_sketches(
 
     if key_cols:
         build = _make_grouped_builder(
-            cfg, key_cols, value_col, weight_col, max_groups_per_task, _sketch_rows_df
+            cfg, key_cols, value_col, weight_col, max_groups_per_task
         )
     else:
 
@@ -127,7 +127,7 @@ def build_partial_sketches(
 _INT32_MIN = -(2**31)
 
 
-def _make_grouped_builder(cfg, key_cols, value_col, weight_col, max_groups_per_task, rows_df):
+def _make_grouped_builder(cfg, key_cols, value_col, weight_col, max_groups_per_task):
     """Fully vectorized multi-group stage 1: one packed-key aggregation per
     Arrow batch instead of per-group accept() calls — the difference between
     O(groups) Python overhead and O(1) per batch when groups are small (e.g.

@@ -321,3 +321,27 @@ def test_convert_sketch_rows_spark(spark, sf_dir):
         err = 0.0 if lo <= est <= hi else min(abs(est - lo) / lo, abs(est - hi) / hi)
         assert err <= bound
     assert sk.count == pytest.approx(len(vals), rel=1e-9)
+
+
+def test_composite_group_keys(spark, sf_dir):
+    """Multi-column by: the vectorized builder's MultiIndex factorize path
+    and both finalize modes."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = ["l_returnflag", "l_linestatus"]
+    res = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in quantiles(df, "l_extendedprice", by=keys, qs=(0.5,)).collect()
+    }
+    pdf = df.select(*keys, "l_extendedprice").toPandas()
+    truth = pdf.groupby(keys)["l_extendedprice"]
+    assert set(res) == set(truth.groups)
+    for key, grp in truth:
+        assert res[key]["count"] == len(grp)
+        assert res[key]["min"] == grp.min() and res[key]["max"] == grp.max()
+    wide = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in quantiles(df, "l_extendedprice", by=keys, qs=(0.5,), mode="wide").collect()
+    }
+    for k in res:
+        assert wide[k]["q50"] == pytest.approx(res[k]["q50"], rel=1e-12)
+        assert wide[k]["count"] == res[k]["count"]
