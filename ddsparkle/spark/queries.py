@@ -57,21 +57,47 @@ def turn_latency_quantiles(
     qs: Sequence[float] = DEFAULT_QS,
     config: Optional[SketchConfig] = None,
     by: Optional[str] = None,
+    method: str = "window",
 ):
     """Quantiles of turn latency in seconds: ts - lag(ts) over
-    (partition by conv_id order by turn_idx); first turns excluded."""
+    (partition by conv_id order by turn_idx); first turns excluded.
+
+    ``method``:
+    - 'window' — lag over (conv_id, turn_idx): one sort-based exchange. All
+      of a conversation's rows must sort within one task, which is fine for
+      bounded conversations but is THE skew exposure if one conv_id dominates.
+    - 'join' — self-join turn t with turn t-1 on the composite key
+      (conv_id, turn_idx): every join key is DISTINCT, so a hot conversation
+      spreads uniformly across shuffle partitions — no skewed task exists by
+      construction, and AQE never needs to intervene. The skew-proof
+      formulation for adversarial conv_id distributions (requires dense
+      turn_idx numbering, which the transcript contract guarantees).
+    """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
     keys = [by] if by else []
     micros = F.unix_micros(F.col("ts").cast("timestamp"))  # NTZ-tolerant
-    lat = (
-        df.select(*keys, "conv_id", "turn_idx", "ts")
-        .withColumn("prev", F.lag(micros).over(w))
-        .filter(F.col("prev").isNotNull())
-        .select(*keys, ((micros - F.col("prev")) / 1e6).alias("latency_s"))
-    )
+    if method == "join":
+        cur = df.select(
+            *keys, "conv_id", "turn_idx", micros.alias("__ts_us")
+        )
+        prev = df.select(
+            "conv_id",
+            (F.col("turn_idx") + 1).alias("turn_idx"),
+            micros.alias("__prev_us"),
+        )
+        lat = cur.join(prev, ["conv_id", "turn_idx"]).select(
+            *keys, ((F.col("__ts_us") - F.col("__prev_us")) / 1e6).alias("latency_s")
+        )
+    else:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        lat = (
+            df.select(*keys, "conv_id", "turn_idx", "ts")
+            .withColumn("prev", F.lag(micros).over(w))
+            .filter(F.col("prev").isNotNull())
+            .select(*keys, ((micros - F.col("prev")) / 1e6).alias("latency_s"))
+        )
     return quantiles(lat, "latency_s", by=by, qs=qs, config=config)
 
 

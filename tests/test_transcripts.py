@@ -137,3 +137,26 @@ def test_skewed_profile_correctness(spark):
         assert lat_res["count"] == total - df.select("conv_id").distinct().count()
     finally:
         df.unpersist()
+
+
+def test_latency_join_method_equals_window(spark, tiny_df):
+    """The skew-proof self-join latency formulation must produce identical
+    results to the window formulation (dense turn_idx contract)."""
+    a = turn_latency_quantiles(tiny_df, method="window").collect()[0]
+    b = turn_latency_quantiles(tiny_df, method="join").collect()[0]
+    for c in ("q50", "q95", "q99", "count", "min", "max"):
+        assert a[c] == pytest.approx(b[c], rel=1e-12), c
+
+
+def test_latency_join_method_on_skewed(spark):
+    """On the hot-conversation profile the join method matches too — and by
+    construction no shuffle key repeats, so no task can be skewed."""
+    df = transcripts_df(spark, n_convs=1000, profile="skewed", seed=7).cache()
+    try:
+        a = turn_latency_quantiles(df, method="window").collect()[0]
+        b = turn_latency_quantiles(df, method="join").collect()[0]
+        assert a["count"] == b["count"]
+        for c in ("q50", "q99"):
+            assert a[c] == pytest.approx(b[c], rel=1e-12)
+    finally:
+        df.unpersist()
