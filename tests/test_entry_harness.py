@@ -60,3 +60,34 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert "q50" in df.columns
+
+
+@pytest.mark.parametrize("alpha", [0.005, 0.02, 0.05])
+@pytest.mark.parametrize("collapse", [None, "collapsing_lowest", "collapsing_highest"])
+def test_oracle_builder_matches_kernel(duck, alpha, collapse):
+    """The SQL oracle generator must track the kernel exactly across alphas
+    and collapse policies (not just the harness's fixed configs)."""
+    import numpy as np
+
+    from ddsparkle import DDSketch, LogarithmicMapping
+    from ddsparkle.oracle import ddsketch_quantile_sql
+
+    vals = duck.sql("SELECT value FROM events").df()["value"].to_numpy("float64")
+    policy = collapse or "unbounded"
+    max_bins = 48 if collapse else 0
+    sk = DDSketch(
+        mapping=LogarithmicMapping.from_relative_accuracy(alpha),
+        store_policy=policy,
+        max_bins=max_bins,
+        track_exact_stats=False,
+    )
+    sk.accept(vals)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    kernel = [round(float(v), 4) for v in sk.values_at_quantiles(qs)]
+    sql = ddsketch_quantile_sql(
+        "events", "value", qs, alpha=alpha, collapse_policy=collapse, max_bins=max_bins
+    )
+    row = duck.sql(sql).fetchone()
+    oracle = list(row[: len(qs)])
+    assert kernel == oracle, (alpha, collapse, kernel, oracle)
+    assert row[len(qs)] == len(vals)  # count
