@@ -381,12 +381,16 @@ def quantiles(
     each final task folds at most S rows per group. Merge associativity makes
     any salt assignment produce identical results (tested).
 
-    ``mode``: 'grouped' finalizes with ``applyInPandas`` (one clean pandas
-    group per key — right for low-cardinality keys); 'wide' repartitions
-    sketch rows by key and folds every group of a partition inside ONE
-    ``mapInPandas`` pass — right for high-cardinality keys (millions of
-    groups), where per-group grouped-map invocation overhead would dominate.
-    'auto' = 'grouped' (callers with 10^6+ groups should pass 'wide').
+    ``mode``: choose by the ratio rows-per-group-per-task R:
+    - 'grouped' (the 'auto' default): partial sketches per task, then
+      ``applyInPandas`` per key. Right for low-cardinality keys (R large).
+    - 'wide': partial sketches per task, then ONE vectorized finalize pass
+      per partition of sketch rows. Right for 10^4-10^6 groups with R >> 1.
+    - 'shuffle': repartition the RAW (key, value) rows by key once, then a
+      fused vectorized build+finalize in a single ``mapInPandas`` pass — no
+      sketch-row shuffle at all. Right when R ~ 1 (ultra-high cardinality,
+      tiny groups), where partial sketch rows would be FATTER than the raw
+      rows they summarize.
     """
     config = config or SketchConfig()
     key_cols = [by] if isinstance(by, str) else list(by or [])
@@ -394,6 +398,11 @@ def quantiles(
     if q_names is None:
         q_names = [quantile_column_name(q) for q in qs]
     q_names = list(q_names)
+
+    if mode == "shuffle" and key_cols:
+        return _shuffle_fused_quantiles(
+            df, value_col, key_cols, qs, q_names, config, weight_col
+        )
 
     partials = build_partial_sketches(df, value_col, key_cols, config, weight_col)
 
@@ -703,3 +712,25 @@ def quantiles_multi(
     return quantiles(
         long_df, "__value", by=["metric", *keys], qs=qs, config=config, **kwargs
     )
+
+
+def _shuffle_fused_quantiles(df, value_col, key_cols, qs, q_names, config, weight_col):
+    """mode='shuffle': one raw-row repartition by key, then vectorized
+    build + finalize fused in a single mapInPandas pass per partition (all
+    of a key's rows are co-located, so no merge stage exists at all)."""
+    cols = list(key_cols) + [value_col] + ([weight_col] if weight_col else [])
+    projected = df.select(*cols).repartition(*key_cols)
+    out_cols = list(key_cols) + list(q_names) + ["count", "sum", "min", "max", "avg"]
+    schema = _finalize_schema(projected, key_cols, q_names)
+    builder = _make_grouped_builder(config, list(key_cols), value_col, weight_col, 10**9)
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = [f for f in builder(batches) if len(f)]
+        if not frames:
+            yield pd.DataFrame({c: pd.Series([], dtype=object) for c in out_cols})
+            return
+        yield _vectorized_grouped_finalize(
+            pd.concat(frames, ignore_index=True), list(key_cols), qs, q_names, out_cols
+        )
+
+    return projected.mapInPandas(fused, schema=schema)

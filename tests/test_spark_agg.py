@@ -345,3 +345,23 @@ def test_composite_group_keys(spark, sf_dir):
     for k in res:
         assert wide[k]["q50"] == pytest.approx(res[k]["q50"], rel=1e-12)
         assert wide[k]["count"] == res[k]["count"]
+
+
+def test_shuffle_mode_matches_grouped(spark, sf_dir):
+    """mode='shuffle' (raw repartition + fused build/finalize) must agree
+    with the partial-sketch paths."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = {
+        r["o_custkey"]: r
+        for r in quantiles(df, "o_totalprice", by="o_custkey", qs=(0.5, 0.99)).collect()
+    }
+    c = {
+        r["o_custkey"]: r
+        for r in quantiles(
+            df, "o_totalprice", by="o_custkey", qs=(0.5, 0.99), mode="shuffle"
+        ).collect()
+    }
+    assert set(a) == set(c)
+    for k in a:
+        for col in ("q50", "q99", "count", "min", "max"):
+            assert a[k][col] == pytest.approx(c[k][col], rel=1e-12)
