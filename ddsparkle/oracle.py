@@ -43,12 +43,22 @@ def log_mapping_constants(alpha: float) -> dict:
 def _bucket_cte(
     sign: str, g_cols: str, g_group: str, mult: str, minidx: str, count_agg: str
 ) -> str:
-    """Bucket aggregation for one store: sign '+' (v > minidx) or '-'."""
+    """Bucket aggregation for one store: sign '+' (v > minidx) or '-'.
+
+    The index uses the kernel's exact floor semantics (`_java_floor`,
+    LogLikeIndexMapping.java:113-116): truncation-toward-zero minus one for
+    negatives — i.e. floor(x) - 1 when x is an exact negative integer.
+    """
     vexpr = "v" if sign == "+" else "-v"
     where = f"v > {minidx}" if sign == "+" else f"v < -{minidx}"
+    java_floor = (
+        "CAST(FLOOR(x) AS BIGINT) - (CASE WHEN x < 0 AND x = FLOOR(x) THEN 1 ELSE 0 END)"
+    )
+    w_pass = ", w" if "SUM(w)" in count_agg else ""
     return (
-        f"SELECT {g_cols}CAST(FLOOR(LN({vexpr}) * {mult}) AS BIGINT) AS i,"
-        f" {count_agg} AS c FROM vals WHERE {where} GROUP BY {g_group}"
+        f"SELECT {g_cols}{java_floor} AS i, {count_agg} AS c FROM ("
+        f"SELECT {g_cols}LN({vexpr}) * {mult} AS x{w_pass} FROM vals WHERE {where}"
+        f") GROUP BY {g_group}"
     )
 
 

@@ -486,4 +486,20 @@ def decode_sketch(
         else:
             result.exact_stats = stats
             result.track_exact_stats = True
+    # Exactness audit: if any ingested segment (the stream, or a concatenated
+    # part of it, or `into` itself) carried bucket mass without exact-stats
+    # flags, the stats no longer describe the whole sketch. Mirrors
+    # DDSketch.merge dropping exactness when one side lacks stats — keeping
+    # stale stats would clamp quantiles into a wrong [min, max] (the
+    # reference *raises* in this case, DDSketchWithExactSummaryStatistics
+    # .java:121-125; we degrade gracefully to a stats-less sketch).
+    if result.exact_stats is not None:
+        bucket_total = (
+            result.zero_count
+            + result.negative_store.total_count
+            + result.positive_store.total_count
+        )
+        if abs(result.exact_stats.count - bucket_total) > 1e-6 * max(bucket_total, 1.0):
+            result.exact_stats = None
+            result.track_exact_stats = False
     return result

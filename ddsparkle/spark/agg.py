@@ -159,6 +159,12 @@ def _make_grouped_builder(cfg, key_cols, value_col, weight_col, max_groups_per_t
 
         def new_key(key) -> int:
             kid = len(key_list)
+            if kid >= 1 << 29:
+                # packed COO reserves 29 bits for the key id; flush thresholds
+                # keep us far below this, but fail loudly rather than wrap
+                raise RuntimeError(
+                    "too many in-flight groups in one task; lower max_groups_per_task"
+                )
             key_to_id[key] = kid
             key_list.append(key)
             if track_stats:
@@ -172,17 +178,22 @@ def _make_grouped_builder(cfg, key_cols, value_col, weight_col, max_groups_per_t
             nonlocal acc_packed, acc_counts, key_to_id, key_list
             nonlocal st_count, st_sum, st_min, st_max
             rows = []
+            # bucket runs per kid (acc_packed sorted -> kids contiguous)
+            runs: dict[int, tuple[int, int]] = {}
             if acc_packed.size:
                 kid_arr = (acc_packed >> 34).astype(np.int64)
                 part_arr = ((acc_packed >> 32) & 3).astype(np.int64)
                 idx_arr = (acc_packed & 0xFFFFFFFF).astype(np.int64) + _INT32_MIN
-                # acc_packed is sorted, so kids are contiguous runs
                 boundaries = np.nonzero(np.diff(kid_arr))[0] + 1
                 starts = np.concatenate([[0], boundaries])
                 ends = np.concatenate([boundaries, [kid_arr.size]])
                 for s, e in zip(starts, ends):
-                    kid = int(kid_arr[s])
-                    key = key_list[kid]
+                    runs[int(kid_arr[s])] = (int(s), int(e))
+            # one row per REGISTERED key — groups whose values were all
+            # null/NaN still appear (count 0), matching SQL group semantics
+            for kid, key in enumerate(key_list):
+                if kid in runs:
+                    s, e = runs[kid]
                     parts = part_arr[s:e]
                     idxs = idx_arr[s:e]
                     cnts = acc_counts[s:e]
@@ -196,27 +207,31 @@ def _make_grouped_builder(cfg, key_cols, value_col, weight_col, max_groups_per_t
                         pos.add(idxs[pos_sel], cnts[pos_sel])
                     zero_sel = parts == 1
                     zero_count = float(cnts[zero_sel].sum()) if zero_sel.any() else 0.0
-                    row = dict(zip(key_cols, key))
-                    row.update(
-                        mapping_kind=mapping.kind,
-                        gamma=mapping.gamma,
-                        index_offset=mapping.index_offset,
-                        store_policy=cfg.store_policy,
-                        max_bins=int(cfg.max_bins),
-                        zero_count=zero_count,
-                        neg_idx=neg.indexes.tolist(),
-                        neg_cnt=neg.counts.tolist(),
-                        pos_idx=pos.indexes.tolist(),
-                        pos_cnt=pos.counts.tolist(),
-                        stat_count=st_count[kid] if track_stats else 0.0,
-                        stat_sum=st_sum[kid] if track_stats else 0.0,
-                        stat_sum_comp=0.0,
-                        stat_simple_sum=st_sum[kid] if track_stats else 0.0,
-                        stat_min=st_min[kid] if track_stats else math.inf,
-                        stat_max=st_max[kid] if track_stats else -math.inf,
-                        has_exact=track_stats,
-                    )
-                    rows.append(row)
+                else:
+                    neg = BucketStore(cfg.store_policy, cfg.max_bins)
+                    pos = BucketStore(cfg.store_policy, cfg.max_bins)
+                    zero_count = 0.0
+                row = dict(zip(key_cols, key))
+                row.update(
+                    mapping_kind=mapping.kind,
+                    gamma=mapping.gamma,
+                    index_offset=mapping.index_offset,
+                    store_policy=cfg.store_policy,
+                    max_bins=int(cfg.max_bins),
+                    zero_count=zero_count,
+                    neg_idx=neg.indexes.tolist(),
+                    neg_cnt=neg.counts.tolist(),
+                    pos_idx=pos.indexes.tolist(),
+                    pos_cnt=pos.counts.tolist(),
+                    stat_count=st_count[kid] if track_stats else 0.0,
+                    stat_sum=st_sum[kid] if track_stats else 0.0,
+                    stat_sum_comp=0.0,
+                    stat_simple_sum=st_sum[kid] if track_stats else 0.0,
+                    stat_min=st_min[kid] if track_stats else math.inf,
+                    stat_max=st_max[kid] if track_stats else -math.inf,
+                    has_exact=track_stats,
+                )
+                rows.append(row)
             key_to_id, key_list = {}, []
             acc_packed = np.empty(0, np.int64)
             acc_counts = np.empty(0, np.float64)
@@ -237,9 +252,8 @@ def _make_grouped_builder(cfg, key_cols, value_col, weight_col, max_groups_per_t
             if weight_col and np.any(weights < 0):
                 raise ValueError("The count cannot be negative.")
             valid = ~(np.isnan(values) | np.isnan(weights)) & (weights > 0)
-            if not valid.any():
-                continue
-            # batch-local factorize -> task-global key ids
+            # batch-local factorize -> task-global key ids; keys register even
+            # when every row is null so all-null groups survive (SQL groups)
             if len(key_cols) == 1:
                 codes, uniques = pd.factorize(pdf[key_cols[0]], use_na_sentinel=False)
                 uniq_keys = [(u,) for u in uniques]
@@ -252,6 +266,8 @@ def _make_grouped_builder(cfg, key_cols, value_col, weight_col, max_groups_per_t
             for j, key in enumerate(uniq_keys):
                 kid = key_to_id.get(key)
                 local_to_global[j] = new_key(key) if kid is None else kid
+            if not valid.any():
+                continue
             kid_rows = local_to_global[codes][valid]
             v = values[valid]
             w = weights[valid]
@@ -420,32 +436,11 @@ def quantiles(
         src = partials
         group_keys = key_cols
 
-    schema = _finalize_schema(src, group_keys, q_names)
-    qs_arr = list(qs)
-
-    def _finalize_row(sk, key_values: dict) -> dict:
-        row = dict(key_values)
-        if sk is None or sk.count == 0:
-            for name in q_names:
-                row[name] = math.nan
-            row.update(count=0.0, sum=math.nan, min=math.nan, max=math.nan, avg=math.nan)
-        else:
-            qvals = sk.values_at_quantiles(qs_arr)
-            for name, qv in zip(q_names, qvals):
-                row[name] = float(qv)
-            row.update(
-                count=float(sk.count),
-                sum=float(sk.sum),
-                min=float(sk.min),
-                max=float(sk.max),
-                avg=float(sk.avg),
-            )
-        return row
-
     if mode == "wide" and key_cols:
         # all partials of a key land in one partition; every group of the
         # partition finalizes in ONE vectorized pass (segmented cumsum +
         # global searchsorted), so per-group Python cost is ~zero
+        schema = _finalize_schema(src, group_keys, q_names)
         parted = src.repartition(*[src[c] for c in group_keys])
         out_cols = group_keys + q_names + ["count", "sum", "min", "max", "avg"]
 
@@ -460,12 +455,46 @@ def quantiles(
 
         return parted.mapInPandas(finalize_wide, schema=schema)
 
+    out = finalize_sketch_rows(src, group_keys, qs, q_names)
+    return out.drop("__g") if not key_cols else out
+
+
+def finalize_row(sk, key_values: dict, qs: Sequence[float], q_names: Sequence[str]) -> dict:
+    """One result row from a merged sketch: the shared contract for every
+    finalize path (quantiles(), jobs.finalize_from_checkpoint)."""
+    row = dict(key_values)
+    if sk is None or sk.count == 0:
+        for name in q_names:
+            row[name] = math.nan
+        row.update(count=0.0, sum=math.nan, min=math.nan, max=math.nan, avg=math.nan)
+    else:
+        qvals = sk.values_at_quantiles(list(qs))
+        for name, qv in zip(q_names, qvals):
+            row[name] = float(qv)
+        row.update(
+            count=float(sk.count),
+            sum=float(sk.sum),
+            min=float(sk.min),
+            max=float(sk.max),
+            avg=float(sk.avg),
+        )
+    return row
+
+
+def finalize_sketch_rows(src, group_keys: Sequence[str], qs: Sequence[float], q_names: Sequence[str]):
+    """applyInPandas merge+finalize of sketch rows grouped by ``group_keys``."""
+    group_keys = list(group_keys)
+    schema = _finalize_schema(src, group_keys, q_names)
+    qs = [float(q) for q in qs]
+    q_names = list(q_names)
+
     def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = merge_rows(pdf[SKETCH_ROW_FIELDS].iloc[i] for i in range(len(pdf)))
-        return pd.DataFrame([_finalize_row(sk, {c: pdf[c].iloc[0] for c in group_keys})])
+        return pd.DataFrame(
+            [finalize_row(sk, {c: pdf[c].iloc[0] for c in group_keys}, qs, q_names)]
+        )
 
-    out = src.groupBy(*group_keys).applyInPandas(finalize, schema=schema)
-    return out.drop("__g") if not key_cols else out
+    return src.groupBy(*group_keys).applyInPandas(finalize, schema=schema)
 
 
 def _salted_pre_merge(partials, key_cols: Sequence[str], n_salt: int):
@@ -526,6 +555,15 @@ def _vectorized_grouped_finalize(pdf, key_cols, qs, q_names, out_cols):
     from ..mapping import mapping_from_kind
 
     n_rows = len(pdf)
+    # the vectorized path assumes one sketch config; heterogeneous partials
+    # (e.g. checkpoints from two alphas unioned) must fail loudly like the
+    # scalar merge path does, not silently mix bucket spaces
+    for c in ("mapping_kind", "gamma", "index_offset", "store_policy", "max_bins", "has_exact"):
+        if pdf[c].nunique(dropna=False) > 1:
+            raise ValueError(
+                f"sketch rows are not mergeable: heterogeneous {c!r} values "
+                f"{pdf[c].unique()[:4].tolist()}"
+            )
     mapping = mapping_from_kind(
         pdf["mapping_kind"].iloc[0], float(pdf["gamma"].iloc[0]), float(pdf["index_offset"].iloc[0])
     )
@@ -644,6 +682,12 @@ def _vectorized_grouped_finalize(pdf, key_cols, qs, q_names, out_cols):
         np.minimum.at(st_min, codes, pdf["stat_min"].to_numpy(np.float64))
         np.maximum.at(st_max, codes, pdf["stat_max"].to_numpy(np.float64))
         qvals = np.clip(qvals, st_min.reshape(-1, 1), st_max.reshape(-1, 1))
+        # empty groups (all-null values): count 0, NaN stats like SQL aggs
+        none = st_count <= 0
+        if none.any():
+            st_sum[none] = math.nan
+            st_min[none] = math.nan
+            st_max[none] = math.nan
         count_out, sum_out, min_out, max_out = st_count, st_sum, st_min, st_max
     else:
         count_out = totals
@@ -722,7 +766,10 @@ def _shuffle_fused_quantiles(df, value_col, key_cols, qs, q_names, config, weigh
     projected = df.select(*cols).repartition(*key_cols)
     out_cols = list(key_cols) + list(q_names) + ["count", "sum", "min", "max", "avg"]
     schema = _finalize_schema(projected, key_cols, q_names)
-    builder = _make_grouped_builder(config, list(key_cols), value_col, weight_col, 10**9)
+    # flush every ~2M groups: the fused finalize merges duplicate keys across
+    # flushed frames, so results are unchanged while task memory (and the
+    # packed-key id space, capped at 2^29 ids) stays bounded
+    builder = _make_grouped_builder(config, list(key_cols), value_col, weight_col, 2_000_000)
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         frames = [f for f in builder(batches) if len(f)]

@@ -270,11 +270,14 @@ def heavy_hitters(df, value_col: str, k: int = 10, mg_k: int = 256, exact_counts
     """Top-k frequent values, the two-pass scale pattern:
 
     pass 1 — Misra-Gries per task (mapInPandas), merged: every value with
-             frequency > n/mg_k is guaranteed among the candidates;
+             frequency > merged.error_bound (<= n/mg_k) is guaranteed among
+             the candidates; ALL mg_k counters feed pass 2 (truncating by
+             the underestimated MG counts could drop a true top-k item);
     pass 2 — (exact_counts=True) exact counts for the candidate set only via
-             a broadcast-filtered native groupBy: the result is EXACT top-k
-             as long as k << mg_k, at the cost of one extra scan that reads
-             a single column and aggregates map-side.
+             a filtered native groupBy: the result is EXACT top-k whenever
+             the true k-th frequency exceeds the MG error bound (choose
+             mg_k >> n / f_k), at the cost of one extra single-column,
+             map-side-aggregated scan.
 
     Returns [value string, freq double] ordered by freq desc, value.
     """
@@ -299,7 +302,7 @@ def heavy_hitters(df, value_col: str, k: int = 10, mg_k: int = 256, exact_counts
             merged.merge(cur)
     if merged is None:
         return df.sparkSession.createDataFrame([], "value string, freq double")
-    cand = [key for key, _ in merged.candidates()[: max(4 * k, k + 8)]]
+    cand = [key for key, _ in merged.candidates()]  # all counters: the guaranteed superset
     if not exact_counts:
         rows = [(str(key), float(c)) for key, c in merged.candidates()[:k]]
         return df.sparkSession.createDataFrame(rows, "value string, freq double")

@@ -48,16 +48,24 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(df, text_col: str = "text", id_col: str = "doc_id"):
-    """Keep one representative (min id) per exact text; a hash group-by —
-    Catalyst's partial aggregation keeps the shuffle at one row per distinct
-    text hash per task."""
+def exact_dedup(df, text_col: str = "text", id_col: str = "doc_id", by_hash: bool = False):
+    """Keep one representative (min id) per exact text.
+
+    Default groups by the text itself — truly exact (Catalyst's map-side
+    partial aggregation still reduces each task to one row per distinct
+    text before the shuffle). ``by_hash=True`` groups by xxhash64(text)
+    instead: shuffles 8-byte keys rather than documents, at the cost of a
+    ~n^2/2^65 chance of silently merging two distinct documents — at 10^12
+    docs that is tens of thousands of expected collisions, so the hash mode
+    is a pre-filter, not an exact answer.
+    """
     from pyspark.sql import functions as F
 
+    key = F.xxhash64(F.col(text_col)).alias("__th") if by_hash else F.col(text_col).alias("__t")
     return (
-        df.groupBy(F.xxhash64(F.col(text_col)).alias("__th"))
+        df.groupBy(key)
         .agg(F.min(id_col).alias(id_col), F.count("*").cast("double").alias("n_copies"))
-        .drop("__th")
+        .drop("__th", "__t")
     )
 
 

@@ -131,42 +131,18 @@ def finalize_from_checkpoint(
     by: Sequence[str] | str | None = None,
     qs: Sequence[float] = (0.5, 0.95, 0.99),
 ):
-    """Merge all checkpointed sketch rows per group -> quantiles DataFrame."""
-    import math as _math
-
-    import pandas as pd
+    """Merge all checkpointed sketch rows per group -> quantiles DataFrame
+    (same output contract as agg.quantiles via the shared finalize)."""
     from pyspark.sql import functions as F
 
-    from .agg import _finalize_schema  # same output contract as quantiles()
+    from .agg import finalize_sketch_rows
 
     keys = [by] if isinstance(by, str) else list(by or [])
     ck = spark.read.parquet(checkpoint)
     q_names = [quantile_column_name(q) for q in qs]
     src = ck if keys else ck.withColumn("__g", F.lit(0))
     group_keys = keys or ["__g"]
-    schema = _finalize_schema(src, group_keys, q_names)
-    qs_list = [float(q) for q in qs]
-
-    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = merge_rows(pdf[SKETCH_ROW_FIELDS].iloc[i] for i in range(len(pdf)))
-        row = {c: pdf[c].iloc[0] for c in group_keys}
-        if sk is None or sk.count == 0:
-            for name in q_names:
-                row[name] = _math.nan
-            row.update(count=0.0, sum=_math.nan, min=_math.nan, max=_math.nan, avg=_math.nan)
-        else:
-            for name, qv in zip(q_names, sk.values_at_quantiles(qs_list)):
-                row[name] = float(qv)
-            row.update(
-                count=float(sk.count),
-                sum=float(sk.sum),
-                min=float(sk.min),
-                max=float(sk.max),
-                avg=float(sk.avg),
-            )
-        return pd.DataFrame([row])
-
-    out = src.groupBy(*group_keys).applyInPandas(finalize, schema=schema)
+    out = finalize_sketch_rows(src, group_keys, qs, q_names)
     return out.drop("__g") if not keys else out
 
 

@@ -151,6 +151,16 @@ def windowed_streaming_quantiles(
     )
     state_schema = T.StructType([T.StructField("payload", T.BinaryType())])
     cfg = config
+    # key timestamps arrive as NAIVE datetimes in the Spark session timezone,
+    # while getCurrentWatermarkMs() is epoch-UTC — capture the session tz at
+    # plan time so the comparison is correct regardless of the workers' OS tz
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+
+    def _epoch_ms(ts) -> float:
+        t = pd.Timestamp(ts)
+        if t.tzinfo is None:
+            t = t.tz_localize(session_tz)
+        return t.timestamp() * 1000.0
 
     def update_fn(key, pdfs, state):
         # watermark enforcement: key[0] is the (start, end) window struct; a
@@ -159,7 +169,7 @@ def windowed_streaming_quantiles(
         w = key[0]  # dict {'start': Timestamp, 'end': Timestamp}
         window_start, window_end = w["start"], w["end"]
         wm_ms = state.getCurrentWatermarkMs()
-        if wm_ms > 0 and window_end.timestamp() * 1000.0 <= wm_ms:
+        if wm_ms > 0 and _epoch_ms(window_end) <= wm_ms:
             if state.exists:
                 state.remove()
             for _ in pdfs:  # drain

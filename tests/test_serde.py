@@ -156,3 +156,25 @@ def test_var_encoding_primitives_exhaustive():
         out = bytearray()
         _encode_var_double(out, v)
         assert len(out) <= 2
+
+
+def test_decode_drops_stale_exact_stats():
+    """Concatenating an exact-stats encoding with a stats-less one must not
+    keep the stale stats (they'd clamp quantiles into the wrong [min, max]);
+    like DDSketch.merge, exactness is dropped when any segment lacks it."""
+    a = sketch_of(np.array([1.0, 2.0, 3.0]))  # exact stats on
+    b = sketch_of(np.array([10.0, 20.0]), track_exact_stats=False)
+    dec = decode_sketch(encode_sketch(a) + encode_sketch(b), track_exact_stats=True)
+    assert dec.exact_stats is None  # exactness correctly lost
+    assert dec.count == pytest.approx(5.0)
+    assert dec.value_at_quantile(1.0) > 15  # not clamped to stale max=3
+    # into= variant: target has stats, stream does not
+    tgt = sketch_of(np.array([1.0, 2.0, 3.0]))
+    decode_sketch(encode_sketch(b), into=tgt)
+    assert tgt.exact_stats is None
+    assert tgt.count == pytest.approx(5.0)
+    # all-exact concatenation keeps exactness
+    c = sketch_of(np.array([10.0, 20.0]))
+    dec2 = decode_sketch(encode_sketch(a) + encode_sketch(c), track_exact_stats=True)
+    assert dec2.exact_stats is not None
+    assert dec2.min == 1.0 and dec2.max == 20.0

@@ -365,3 +365,39 @@ def test_shuffle_mode_matches_grouped(spark, sf_dir):
     for k in a:
         for col in ("q50", "q99", "count", "min", "max"):
             assert a[k][col] == pytest.approx(c[k][col], rel=1e-12)
+
+
+def test_all_null_groups_survive(spark):
+    """A group whose values are all NULL appears with count 0 and NaN stats,
+    like a SQL grouped aggregate — in every mode."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        (F.col("id") % 4).cast("string").alias("k"),
+        F.when(F.col("id") % 4 == 3, None).otherwise(F.col("id").cast("double")).alias("v"),
+    )
+    for mode in ("auto", "wide", "shuffle"):
+        rows = {r["k"]: r for r in quantiles(df, "v", by="k", qs=(0.5,), mode=mode).collect()}
+        assert set(rows) == {"0", "1", "2", "3"}, mode
+        assert rows["3"]["count"] == 0.0, mode
+
+        def _nullish(x):
+            return x is None or (isinstance(x, float) and math.isnan(x))
+
+        assert _nullish(rows["3"]["q50"]) and _nullish(rows["3"]["min"]), mode
+        assert rows["0"]["count"] == 25.0, mode
+
+
+def test_wide_finalize_rejects_heterogeneous_configs(spark, sf_dir):
+    """Unioned partials built with different alphas must fail loudly in the
+    vectorized finalize, matching the scalar merge path."""
+    from ddsparkle.spark.agg import finalize_sketch_rows
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = build_partial_sketches(df, "value", ["event_type"], SketchConfig(mapping_kind="log", relative_accuracy=0.01))
+    b = build_partial_sketches(df, "value", ["event_type"], SketchConfig(mapping_kind="log", relative_accuracy=0.02))
+    mixed = a.unionByName(b)
+    from ddsparkle.spark.agg import _vectorized_grouped_finalize
+    pdf = mixed.toPandas()
+    with pytest.raises(ValueError, match="not mergeable"):
+        _vectorized_grouped_finalize(pdf, ["event_type"], [0.5], ["q50"],
+                                     ["event_type", "q50", "count", "sum", "min", "max", "avg"])
