@@ -13,6 +13,12 @@ a stronger correctness gate than tolerance checks.
 
 Final values are ROUNDed (default 4 digits) on BOTH sides to absorb the
 <=1-ulp libm differences between DuckDB's and NumPy's exp/ln.
+
+Known template limitation: the vals CTE filters NULL values before grouping,
+so a group whose values are ALL NULL is absent from the oracle output, while
+the pipeline (SQL-group semantics) emits it with count 0. None of the harness
+tables contain such groups; avoid them in new oracle-paired queries or add an
+explicit anti-join for the empty groups.
 """
 
 from __future__ import annotations

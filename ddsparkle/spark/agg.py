@@ -410,12 +410,16 @@ def quantiles(
     """
     config = config or SketchConfig()
     key_cols = [by] if isinstance(by, str) else list(by or [])
+    if mode not in ("auto", "grouped", "wide", "shuffle"):
+        raise ValueError(f"unknown mode {mode!r}; one of auto|grouped|wide|shuffle")
+    if mode in ("wide", "shuffle") and not key_cols:
+        raise ValueError(f"mode={mode!r} requires a group key (by=...)")
     qs = [float(q) for q in qs]
     if q_names is None:
         q_names = [quantile_column_name(q) for q in qs]
     q_names = list(q_names)
 
-    if mode == "shuffle" and key_cols:
+    if mode == "shuffle":
         return _shuffle_fused_quantiles(
             df, value_col, key_cols, qs, q_names, config, weight_col
         )
@@ -698,6 +702,7 @@ def _vectorized_grouped_finalize(pdf, key_cols, qs, q_names, out_cols):
         max_out = np.full(n_keys, math.nan)
         min_out[seg_kids] = values[seg_starts]
         max_out[seg_kids] = values[seg_ends_idx]
+        sum_out[totals <= 0] = math.nan  # empty groups: NaN like finalize_row
 
     for j, name in enumerate(q_names):
         out[name] = qvals[:, j]
@@ -766,9 +771,12 @@ def _shuffle_fused_quantiles(df, value_col, key_cols, qs, q_names, config, weigh
     projected = df.select(*cols).repartition(*key_cols)
     out_cols = list(key_cols) + list(q_names) + ["count", "sum", "min", "max", "avg"]
     schema = _finalize_schema(projected, key_cols, q_names)
-    # flush every ~2M groups: the fused finalize merges duplicate keys across
-    # flushed frames, so results are unchanged while task memory (and the
-    # packed-key id space, capped at 2^29 ids) stays bounded
+    # flush every ~2M groups: keeps the packed-key id space far below its
+    # 2^29 cap and bounds the builder's in-flight dictionaries. NOTE: the
+    # flushed sketch-row frames are all retained until the final vectorized
+    # finalize, so task memory is O(distinct groups in the partition) — size
+    # the repartition so groups-per-partition stays in the tens of millions
+    # at most (sketch rows for tiny groups are ~100 B each)
     builder = _make_grouped_builder(config, list(key_cols), value_col, weight_col, 2_000_000)
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

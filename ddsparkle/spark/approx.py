@@ -302,10 +302,10 @@ def heavy_hitters(df, value_col: str, k: int = 10, mg_k: int = 256, exact_counts
             merged.merge(cur)
     if merged is None:
         return df.sparkSession.createDataFrame([], "value string, freq double")
-    cand = [key for key, _ in merged.candidates()]  # all counters: the guaranteed superset
     if not exact_counts:
         rows = [(str(key), float(c)) for key, c in merged.candidates()[:k]]
         return df.sparkSession.createDataFrame(rows, "value string, freq double")
+    cand = [key for key, _ in merged.candidates()]  # all counters: the guaranteed superset
     exact = (
         df.filter(F.col(value_col).isin([x.item() if hasattr(x, "item") else x for x in cand]))
         .groupBy(F.col(value_col).cast("string").alias("value"))

@@ -36,7 +36,6 @@ import time
 from typing import Optional, Sequence
 
 from ..config import SketchConfig
-from ..serde import SKETCH_ROW_FIELDS, merge_rows
 from .agg import build_partial_sketches, quantile_column_name
 
 __all__ = ["build_with_checkpoint", "finalize_from_checkpoint", "run_job"]

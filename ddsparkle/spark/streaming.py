@@ -158,8 +158,17 @@ def windowed_streaming_quantiles(
 
     def _epoch_ms(ts) -> float:
         t = pd.Timestamp(ts)
-        if t.tzinfo is None:
-            t = t.tz_localize(session_tz)
+        if t.tzinfo is not None:
+            return t.timestamp() * 1000.0
+        try:
+            # DST fold/gap: pick the later instant / shift forward — at worst
+            # a window closes one hour conservatively late, never early-drops
+            t = t.tz_localize(session_tz, ambiguous=False, nonexistent="shift_forward")
+        except Exception:
+            # Java-style zone ids (e.g. 'GMT+08:00') that pandas rejects:
+            # fall back to UTC rather than killing the stream; the watermark
+            # comparison is then offset by the zone delta (documented)
+            t = t.tz_localize("UTC")
         return t.timestamp() * 1000.0
 
     def update_fn(key, pdfs, state):
