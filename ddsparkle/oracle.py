@@ -73,8 +73,10 @@ def _collapse_wrap(inner: str, policy: str, max_bins: int, g_cols: str, g_part: 
     clamp index against the store's global extreme)."""
     if policy == "collapsing_lowest":
         clamp = f"GREATEST(i, MAX(i) OVER ({g_part}) - {max_bins} + 1)"
-    else:
+    elif policy == "collapsing_highest":
         clamp = f"LEAST(i, MIN(i) OVER ({g_part}) + {max_bins} - 1)"
+    else:
+        raise ValueError(f"unknown collapse policy {policy!r}")
     return (
         f"SELECT {g_cols}i2 AS i, SUM(c) AS c FROM ("
         f"SELECT {g_cols}{clamp} AS i2, c FROM ({inner})"
@@ -93,6 +95,7 @@ def ddsketch_quantile_sql(
     max_bins: int = 0,
     extra_aggs: str = "",
     weight_expr: Optional[str] = None,
+    clamp_to_exact: bool = False,
 ) -> str:
     """SQL computing DDSketch(log mapping, alpha) quantiles of ``value_expr``
     over ``source_sql`` (table name or parenthesized subquery).
@@ -101,6 +104,12 @@ def ddsketch_quantile_sql(
     appended verbatim to the final select list, evaluated over the walk CTE).
     ``collapse_policy`` in {None, 'collapsing_lowest', 'collapsing_highest'}
     replicates the store-collapse clamp in SQL.
+
+    ``clamp_to_exact=True`` clamps each quantile into the exact [MIN(v),
+    MAX(v)] — matching a kernel with ``track_exact_stats=True`` (the
+    SketchConfig default). With it False, pair only against sketches built
+    with ``track_exact_stats=False``; otherwise extreme quantiles diverge
+    by the clamp.
     """
     c = log_mapping_constants(alpha)
     mult = repr(c["multiplier"])
@@ -126,12 +135,23 @@ def ddsketch_quantile_sql(
     q_selects = []
     for q in qs:
         name = quantile_col(q)
-        q_selects.append(
-            f"ROUND(MIN(CASE WHEN cum > {q!r} * (n - 1) THEN val END), {round_digits}) AS {name}"
-        )
+        qv = f"MIN(CASE WHEN cum > {q!r} * (n - 1) THEN val END)"
+        if clamp_to_exact:
+            qv = f"LEAST(GREATEST({qv}, MIN(mn)), MAX(mx))"
+        q_selects.append(f"ROUND({qv}, {round_digits}) AS {name}")
     q_select_sql = ",\n  ".join(q_selects)
     extra = f",\n  {extra_aggs}" if extra_aggs else ""
     final_g = f"g AS {group_col},\n  " if group_col else ""
+    extrema_cte = (
+        f",\nextrema AS (\n  SELECT {g_cols}MIN(v) AS mn, MAX(v) AS mx FROM vals {g_group1}\n)"
+        if clamp_to_exact
+        else ""
+    )
+    final_from = (
+        ("cumw JOIN extrema USING (g)" if group_col else "cumw, extrema")
+        if clamp_to_exact
+        else "cumw"
+    )
 
     return f"""
 WITH vals AS (
@@ -157,8 +177,8 @@ cumw AS (
          SUM(c) OVER ({g_part} ORDER BY part, ord ROWS UNBOUNDED PRECEDING) AS cum,
          SUM(c) OVER ({g_part}) AS n
   FROM walk
-)
+){extrema_cte}
 SELECT {final_g}{q_select_sql},
   CAST(MAX(n) AS DOUBLE) AS count{extra}
-FROM cumw {g_group1}
+FROM {final_from} {g_group1}
 """

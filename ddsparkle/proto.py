@@ -150,13 +150,15 @@ def _decode_store(payload: bytes, policy: str, max_bins: int) -> BucketStore:
     sparse_cnt: list[float] = []
     for field, wire, value in _walk(memoryview(payload)):
         if field == 1 and wire == 2:  # map entry
-            k = c = None
+            # proto3 map entries may omit default-valued fields: a missing
+            # key means index 0, a missing value means count 0
+            k, c = 0, 0.0
             for f2, w2, v2 in _walk(memoryview(value)):
                 if f2 == 1:
                     k = _unzigzag(v2)
                 elif f2 == 2:
                     c = v2
-            if k is not None and c:
+            if c:
                 sparse_idx.append(k)
                 sparse_cnt.append(c)
         elif field == 2 and wire == 2:  # packed doubles

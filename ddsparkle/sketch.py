@@ -20,6 +20,12 @@ object:
 ``ExactSummaryStatistics`` mirrors ``WithExactSummaryStatistics.java:17-207``:
 exact count, Kahan-compensated exact sum (repaired via simple sum when
 non-finite), exact min/max, and quantiles clamped into ``[min, max]``.
+
+Documented deviation: the reference updates min/max unconditionally, so a
+value accepted with count=0 still moves the exact extremes
+(``WithExactSummaryStatistics.java:72-78``). Here zero-weight values are
+no-ops everywhere (stores, stats, and the Spark builders agree), which keeps
+``accept(v, 0)`` a true identity.
 """
 
 from __future__ import annotations
@@ -170,8 +176,10 @@ class DDSketch:
         self.zero_count += other.zero_count
         if self.exact_stats is not None and other.exact_stats is not None:
             self.exact_stats.merge(other.exact_stats)
-        elif other.exact_stats is None:
-            self.exact_stats = None  # exactness is lost if any input lacks it
+        elif other.exact_stats is None and not other.is_empty():
+            # exactness is lost only if the stats-less input carried data
+            self.exact_stats = None
+            self.track_exact_stats = False
 
     def copy(self) -> "DDSketch":
         out = DDSketch(
@@ -235,7 +243,10 @@ class DDSketch:
 
     @property
     def avg(self) -> float:
-        return self.sum / self.count
+        # Java 0.0/0.0 yields NaN (QuantileSketch.getAverage on empty);
+        # Python raises, so return NaN explicitly
+        c = self.count
+        return self.sum / c if c else math.nan
 
     @property
     def min(self) -> float:

@@ -185,5 +185,8 @@ class BucketStore:
     ) -> "BucketStore":
         dense = np.asarray(dense, np.float64)
         nz = np.nonzero(dense)[0]
-        store = cls(policy, max_bins, (nz + offset).astype(np.int64), dense[nz])
+        store = cls(policy, max_bins)
+        if nz.size:
+            # go through add() so collapsing policies clamp immediately
+            store.add((nz + offset).astype(np.int64), dense[nz])
         return store

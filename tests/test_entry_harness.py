@@ -91,3 +91,36 @@ def test_oracle_builder_matches_kernel(duck, alpha, collapse):
     oracle = list(row[: len(qs)])
     assert kernel == oracle, (alpha, collapse, kernel, oracle)
     assert row[len(qs)] == len(vals)  # count
+
+
+@pytest.mark.parametrize("grouped", [False, True])
+def test_oracle_clamp_matches_exact_stats_kernel(duck, grouped):
+    """clamp_to_exact=True pairs the oracle with the DEFAULT kernel config
+    (track_exact_stats on), including q=0/q=1 where the clamp binds."""
+    import numpy as np
+
+    from ddsparkle import DDSketch, LogarithmicMapping
+    from ddsparkle.oracle import ddsketch_quantile_sql
+
+    pdf = duck.sql("SELECT event_type, value FROM events").df()
+    qs = [0.0, 0.5, 1.0]
+    sql = ddsketch_quantile_sql(
+        "events", "value", qs,
+        group_col="event_type" if grouped else None, clamp_to_exact=True,
+    )
+    want = duck.sql(sql).df()
+    if grouped:
+        for _, row in want.iterrows():
+            vals = pdf[pdf["event_type"] == row["event_type"]]["value"].to_numpy("float64")
+            sk = DDSketch(mapping=LogarithmicMapping.from_relative_accuracy(0.01))
+            sk.accept(vals)
+            got = [round(float(v), 4) for v in sk.values_at_quantiles(qs)]
+            assert got == [row["q0"], row["q50"], row["q100"]], row["event_type"]
+    else:
+        vals = pdf["value"].to_numpy("float64")
+        sk = DDSketch(mapping=LogarithmicMapping.from_relative_accuracy(0.01))
+        sk.accept(vals)
+        got = [round(float(v), 4) for v in sk.values_at_quantiles(qs)]
+        row = want.iloc[0]
+        assert got == [row["q0"], row["q50"], row["q100"]]
+        assert row["q0"] == round(vals.min(), 4)  # the clamp binds at q=0

@@ -308,3 +308,20 @@ def test_exact_summary_statistics():
     qv = sk.values_at_quantiles([0.0, 0.5, 1.0])
     assert qv[0] >= values.min() and qv[-1] <= values.max()
     assert qv[0] == values.min() or qv[0] >= values.min()
+
+
+def test_avg_empty_is_nan_and_merge_with_empty_keeps_exactness():
+    sk = DDSketch(mapping=LogarithmicMapping.from_relative_accuracy(0.01))
+    assert math.isnan(sk.avg)
+    sk.accept([1.0, 2.0, 3.0])
+    empty_no_stats = DDSketch(
+        mapping=LogarithmicMapping.from_relative_accuracy(0.01), track_exact_stats=False
+    )
+    sk.merge(empty_no_stats)  # empty stats-less input must not destroy stats
+    assert sk.exact_stats is not None and sk.min == 1.0 and sk.max == 3.0
+    nonempty = DDSketch(
+        mapping=LogarithmicMapping.from_relative_accuracy(0.01), track_exact_stats=False
+    )
+    nonempty.accept([50.0])
+    sk.merge(nonempty)
+    assert sk.exact_stats is None and sk.track_exact_stats is False

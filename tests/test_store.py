@@ -183,3 +183,9 @@ def test_collapsing_merge_respects_combined_extreme():
     a.merge(b)
     # all of a's mass folds into bucket 91 (= 100 - 10 + 1)
     assert a.as_dict() == {91: 10.0, 100: 1.0}
+
+
+def test_from_dense_respects_collapse_policy():
+    s = BucketStore.from_dense("collapsing_lowest", 4, 0, np.ones(100))
+    assert s.max_index - s.min_index + 1 <= 4
+    assert s.min_index == 96 and s.total_count == pytest.approx(100.0)
