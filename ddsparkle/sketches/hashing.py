@@ -30,7 +30,15 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def hash64(values, seed: int = 0) -> np.ndarray:
-    """uint64 hash of a 1-D array-like; deterministic across processes."""
+    """uint64 hash of a 1-D array-like; deterministic across processes.
+
+    Numeric canonicalization: float64 values that are exactly integral hash
+    identically to the same integers. This matters because Arrow delivers an
+    int64 column as float64 whenever a batch contains a null — without
+    canonicalization the same id would hash two different ways across
+    batches (double-counted by HLL, false negatives from Bloom). -0.0 is
+    canonicalized to 0.0 (equal values must hash equally).
+    """
     if isinstance(values, pd.Series):
         s = values
     else:
@@ -38,7 +46,11 @@ def hash64(values, seed: int = 0) -> np.ndarray:
     if s.dtype.kind in "iu":
         base = s.to_numpy().astype(_U64)
     elif s.dtype.kind == "f":
-        base = s.to_numpy(np.float64).view(np.uint64)
+        arr = s.to_numpy(np.float64) + 0.0  # -0.0 -> 0.0
+        integral = (arr == np.floor(arr)) & (np.abs(arr) < 2**63)
+        as_int = np.zeros(arr.shape, np.int64)
+        as_int[integral] = arr[integral].astype(np.int64)
+        base = np.where(integral, as_int.view(np.uint64), arr.view(np.uint64))
     else:
         # fixed 16-byte key -> stable across processes
         base = pd.util.hash_pandas_object(s, index=False, hash_key="ddsparkle-hash!!").to_numpy()

@@ -77,11 +77,21 @@ class KLLSketch:
                     arr = np.sort(self.levels[h])
                     offset = self._compaction_count & 1
                     self._compaction_count += 1
-                    promoted = arr[offset::2]
+                    # weight conservation: an odd level keeps one unpaired
+                    # item at this level (standard KLL); pairs promote at
+                    # double weight, so total item mass is exactly preserved
+                    if arr.size % 2 == 1:
+                        if offset:
+                            leftover, body = arr[-1:], arr[:-1]
+                        else:
+                            leftover, body = arr[:1], arr[1:]
+                    else:
+                        leftover, body = np.empty(0, np.float64), arr
+                    promoted = body[offset::2]
                     if h + 1 == len(self.levels):
                         self.levels.append(np.empty(0, np.float64))
                     self.levels[h + 1] = np.concatenate([self.levels[h + 1], promoted])
-                    self.levels[h] = np.empty(0, np.float64)
+                    self.levels[h] = leftover
                     break
             else:
                 # every level within capacity but total above: grow hierarchy

@@ -55,6 +55,12 @@ class ReservoirSample:
             self.n_seen += v.size
 
     def merge(self, other: "ReservoirSample") -> None:
+        """Unbiased merge: the number of output slots drawn from self follows
+        Hypergeometric(total=nA+nB, good=nA, draws=k) — the exact law of how
+        many of a uniform k-subset of the union fall on self's side — then
+        items are drawn uniformly without replacement from each reservoir.
+        (A fixed per-slot Bernoulli(nA/total) biases joint inclusion
+        probabilities.)"""
         if self.m != other.m:
             raise ValueError("reservoirs differ in m; not mergeable")
         if other.n_seen == 0:
@@ -65,22 +71,17 @@ class ReservoirSample:
             return
         total = self.n_seen + other.n_seen
         k = min(self.m, int(min(self.n_seen, self.m) + min(other.n_seen, other.m)))
-        take_self = self._rng.random(k) < self.n_seen / total
-        a = self._rng.permutation(self.items)
-        b = self._rng.permutation(other.items)
-        out = np.empty(k, np.float64)
-        ai = bi = 0
-        for j in range(k):
-            if take_self[j] and ai < a.size:
-                out[j] = a[ai]
-                ai += 1
-            elif bi < b.size:
-                out[j] = b[bi]
-                bi += 1
-            else:
-                out[j] = a[ai]
-                ai += 1
-        self.items = out
+        k_self = int(
+            self._rng.hypergeometric(int(self.n_seen), int(other.n_seen), k)
+        )
+        # clip to what each reservoir actually holds (only binds when a
+        # reservoir is not yet full, where it matches the exact law anyway)
+        k_self = min(k_self, self.items.size)
+        k_other = min(k - k_self, other.items.size)
+        k_self = k - k_other if k_self + k_other < k else k_self
+        a = self._rng.permutation(self.items)[:k_self]
+        b = self._rng.permutation(other.items)[:k_other]
+        self.items = np.concatenate([a, b])
         self.n_seen = total
 
     def to_bytes(self) -> bytes:

@@ -200,10 +200,33 @@ def bloom_membership(
         make=lambda: BloomFilter(n_bits=n_bits, k=k, seed=seed),
         update=lambda sk, v: sk.update(v),
     )
-    payloads = [r["payload"] for r in partials.collect()]
-    merged = BloomFilter(n_bits=n_bits, k=k, seed=seed)
-    for p in payloads:
-        merged.merge(BloomFilter.from_bytes(bytes(p), n_bits, k, seed))
+    # merge in a reduce stage (one payload reaches the driver): collecting
+    # every per-task filter would put tasks x n_bits/8 bytes on the driver
+    import pandas as _pd
+    from pyspark.sql import functions as F
+
+    def _merge_fn(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        acc = BloomFilter(n_bits=n_bits, k=k, seed=seed)
+        for payload in pdf["payload"]:
+            acc.merge(BloomFilter.from_bytes(bytes(payload), n_bits, k, seed))
+        return _pd.DataFrame({"payload": [acc.to_bytes()]})
+
+    from pyspark.sql import types as T
+
+    one = (
+        partials.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(
+            lambda pdf: _merge_fn(pdf),
+            T.StructType([T.StructField("payload", T.BinaryType())]),
+        )
+        .collect()
+    )
+    merged = (
+        BloomFilter.from_bytes(bytes(one[0]["payload"]), n_bits, k, seed)
+        if one
+        else BloomFilter(n_bits=n_bits, k=k, seed=seed)
+    )
     spark = probe_df.sparkSession
     bc = spark.sparkContext.broadcast(merged.to_bytes())
 
@@ -346,6 +369,8 @@ def validate_quantiles(df, value_col: str, result_row, q_map, alpha: float, m: i
     asserting. This is how the accuracy contract is monitored at data sizes
     where exact sorting is impossible."""
     rs = reservoir_sample(df, value_col, m=m, seed=seed)
+    if rs is None or rs.items.size == 0:
+        raise ValueError("no non-null values to validate against")
     sample = np.sort(rs.items)
     errs = {}
     n = sample.size
@@ -356,7 +381,8 @@ def validate_quantiles(df, value_col: str, result_row, q_map, alpha: float, m: i
         if lo <= actual <= hi:
             errs[col] = 0.0
         elif actual < lo:
-            errs[col] = (lo - actual) / abs(lo) if lo else float("inf")
+            # absolute error when the exact quantile is 0 (relative undefined)
+            errs[col] = (lo - actual) / abs(lo) if lo else abs(actual)
         else:
-            errs[col] = (actual - hi) / abs(hi) if hi else float("inf")
+            errs[col] = (actual - hi) / abs(hi) if hi else abs(actual)
     return errs

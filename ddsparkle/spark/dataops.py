@@ -43,6 +43,23 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
     return hash64(pd.Series(shingles), seed=_WORD_SEED)
 
 
+def _bucket_pairs(exploded, id_col: str, band_col: str = "band", bucket_col: str = "bucket"):
+    """Distinct candidate pairs (id_a < id_b) sharing any (band, bucket)."""
+    from pyspark.sql import functions as F
+
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{band_col}") == F.col(f"b.{band_col}"))
+            & (F.col(f"a.{bucket_col}") == F.col(f"b.{bucket_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -101,13 +118,22 @@ def minhash_signatures(df, text_col: str = "text", id_col: str = "doc_id", num_p
     return df.select(id_col, text_col).mapInPandas(sign, schema=schema)
 
 
-def minhash_lsh_candidates(signatures, id_col: str = "doc_id", bands: int = 16):
+def minhash_lsh_candidates(signatures, id_col: str = "doc_id", bands: int = 16, num_perm: int | None = None):
     """Candidate near-duplicate pairs via banded LSH: split each signature
     into ``bands`` bands, hash each band, group by (band, hash) — a bucket
-    join, O(sum bucket^2) only within colliding buckets."""
+    join, O(sum bucket^2) only within colliding buckets. ``bands`` must
+    divide ``num_perm`` (silently ignoring trailing permutations would skew
+    the tuned S-curve)."""
     from pyspark.sql import functions as F
 
-    num_perm = len(signatures.select("signature").first()[0])
+    if num_perm is None:
+        first = signatures.select("signature").first()
+        if first is None:  # empty corpus -> no pairs
+            spark = signatures.sparkSession
+            return spark.createDataFrame([], f"id_a long, id_b long")
+        num_perm = len(first[0])
+    if num_perm % bands:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
     rows_per_band = num_perm // bands
     exploded = signatures.select(
         id_col,
@@ -122,20 +148,7 @@ def minhash_lsh_candidates(signatures, id_col: str = "doc_id", bands: int = 16):
             )
         ).alias("band", "bucket"),
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    return _bucket_pairs(exploded, id_col)
 
 
 def near_duplicates(
@@ -154,7 +167,7 @@ def near_duplicates(
     from pyspark.sql import types as T
 
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
-    cands = minhash_lsh_candidates(sigs, id_col, bands)
+    cands = minhash_lsh_candidates(sigs, id_col, bands, num_perm=num_perm)
     texts = df.select(F.col(id_col), F.col(text_col))
     paired = (
         cands.join(texts.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "text_a"), "id_a")
@@ -205,9 +218,10 @@ def simhash64(df, text_col: str = "text", id_col: str = "doc_id", shingle_n: int
                 # vote per bit: +1 if set, -1 otherwise
                 bits = ((h.reshape(-1, 1) & bit_cols) != 0).sum(axis=0)
                 votes = 2 * bits - len(h)
-                val = np.uint64(0)
                 val = (bit_cols[votes > 0]).sum(dtype=np.uint64)
-                out.append(np.int64(val))
+                # view, not cast: np.int64(uint64 with bit 63 set) raises on
+                # NumPy >= 2.0
+                out.append(int(np.uint64(val).astype(np.int64)))
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
     return df.select(id_col, text_col).mapInPandas(sig, schema=schema)
@@ -256,17 +270,7 @@ def embedding_lsh_candidates(
             yield pd.DataFrame(rows)
 
     bucketed = df.select(id_col, emb_col).mapInPandas(bucketize, schema=schema)
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return _bucket_pairs(bucketed, id_col, band_col="table")
 
 
 # ---------------------------------------------------------------------------
@@ -312,7 +316,7 @@ def language_id(df, text_col: str = "text", id_col: str = "doc_id"):
         F.size(F.array_intersect(tokens, F.array(*[F.lit(w) for w in words]))).alias(lang)
         for lang, words in _STOPWORDS.items()
     ]
-    scored = df.select(id_col, tokens.alias("__tokens"), *scores)
+    scored = df.select(id_col, *scores)
     langs = list(_STOPWORDS)
     best = F.greatest(*[F.col(l) for l in langs])
     pick = F.when(best <= 0, F.lit("und"))
@@ -330,7 +334,14 @@ def ivf_index(df, emb_col: str = "embedding", id_col: str = "vec_id", n_clusters
     touch ``n_probe`` clusters only."""
     from pyspark.sql import types as T
 
-    sample_rows = df.select(emb_col).limit(sample).collect()
+    from pyspark.sql import functions as F
+
+    # deterministic pseudo-random sample: order by a hash of the id, not
+    # scan order — limit() alone would take one file's rows and collapse the
+    # centroids onto a single region of a partitioned/sorted table
+    sample_rows = (
+        df.select(emb_col, id_col).orderBy(F.xxhash64(id_col)).limit(sample).collect()
+    )
     X = np.stack([np.asarray(r[0], np.float64) for r in sample_rows])
     rng = np.random.default_rng(seed)
     # k-means++ init
@@ -429,14 +440,4 @@ def simhash_candidates(df, text_col: str = "text", id_col: str = "doc_id", bands
             )
         ).alias("band", "bucket"),
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return _bucket_pairs(exploded, id_col)

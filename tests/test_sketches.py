@@ -366,3 +366,55 @@ class TestReservoir:
         back = ReservoirSample.from_bytes(rs.to_bytes())
         assert back.n_seen == rs.n_seen
         assert np.array_equal(back.items, rs.items)
+
+
+class TestReviewRegressions:
+    def test_hash_integral_floats_equal_ints(self):
+        """Arrow delivers int columns as float64 when a batch has nulls; the
+        same id must hash identically either way."""
+        import pandas as pd
+
+        ints = hash64(pd.Series([5, 7, 123456789], dtype="int64"))
+        floats = hash64(pd.Series([5.0, 7.0, 123456789.0]))
+        assert np.array_equal(ints, floats)
+        # -0.0 hashes like 0.0
+        assert hash64(np.array([-0.0]))[0] == hash64(np.array([0.0]))[0]
+
+    def test_kll_conserves_weight(self):
+        from ddsparkle.sketches.kll import KLLSketch
+
+        rng = np.random.default_rng(5)
+        sk = KLLSketch(k=8)
+        n = 0
+        for chunk in np.array_split(rng.uniform(0, 1, 7400), 37):
+            sk.update(chunk)
+            n += len(chunk)
+        total_weight = sum(a.size * (1 << h) for h, a in enumerate(sk.levels))
+        assert total_weight == n  # exact mass conservation
+
+    def test_simhash_top_bit_safe(self):
+        """A simhash with bit 63 set must not overflow int64 conversion."""
+        v = np.uint64(1) << np.uint64(63)
+        assert int(np.uint64(v).astype(np.int64)) == -(2**63)
+
+    def test_reservoir_merge_unbiased_marginals(self):
+        from ddsparkle.sketches.reservoir import ReservoirSample
+
+        # many merges: fraction from the 10%-side should track 10% closely
+        fracs = []
+        for seed in range(20):
+            a = ReservoirSample(m=500, seed=seed)
+            b = ReservoirSample(m=500, seed=seed + 100)
+            a.update(np.zeros(90_000))
+            b.update(np.ones(10_000))
+            a.merge(b)
+            fracs.append(a.items.mean())
+        assert abs(np.mean(fracs) - 0.10) < 0.02
+
+    def test_minhash_bands_must_divide(self, ):
+        import pytest as _pytest
+
+        from ddsparkle.spark.dataops import minhash_lsh_candidates
+
+        with _pytest.raises(ValueError, match="must divide"):
+            minhash_lsh_candidates(None, bands=16, num_perm=60)
