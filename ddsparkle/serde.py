@@ -413,6 +413,24 @@ def decode_sketch(
     sk = into
     stats = ExactSummaryStatistics() if track_exact_stats or (sk and sk.exact_stats) else None
     saw_stats = False
+    # Structural exactness audit state. The writer fixes per-segment flag
+    # order as [stats flags?][mapping][zero?][stores], so in a concatenated
+    # stream a stats flag in the body phase or a mapping flag in the body
+    # phase marks a new segment. Any mass flag (zero/store — the writer
+    # omits them when empty, so they always carry mass) inside a segment
+    # that opened without COUNT/SUM/MIN/MAX means the final stats would not
+    # describe all data.
+    phase_head = False  # True while reading a segment's leading stats flags
+    seg_has_stats = False
+    mass_without_stats = (
+        into is not None and into.exact_stats is None and not into.is_empty()
+    )
+
+    def _on_stats_flag() -> None:
+        nonlocal phase_head, seg_has_stats
+        if not phase_head:
+            phase_head = True  # a stats flag in the body begins a new segment
+        seg_has_stats = True
 
     decoded_mapping = into.mapping if into is not None else mapping
     zero_count = 0.0
@@ -435,32 +453,45 @@ def decode_sketch(
             if decoded_mapping is not None and m != decoded_mapping:
                 raise ValueError("mapping mismatch in encoded stream")
             decoded_mapping = m
+            if not phase_head:
+                seg_has_stats = False  # new segment began with no stats flags
+            phase_head = False
         elif ftype in (_TYPE_POSITIVE_STORE, _TYPE_NEGATIVE_STORE):
             target = tmp_pos_store if ftype == _TYPE_POSITIVE_STORE else tmp_neg_store
             pos = _decode_store_into(target, buf, pos, sub)
+            phase_head = False
+            if not seg_has_stats:
+                mass_without_stats = True
         elif marker == _FLAG_ZERO_COUNT:
             zc, pos = _decode_var_double(buf, pos)
             zero_count += zc
+            phase_head = False
+            if zc != 0 and not seg_has_stats:
+                mass_without_stats = True
         elif marker == _FLAG_COUNT:
             v, pos = _decode_var_double(buf, pos)
+            _on_stats_flag()
             if stats is not None:
                 stats.count += v
                 saw_stats = True
         elif marker == _FLAG_SUM:
             v = struct.unpack_from("<d", buf, pos)[0]
             pos += 8
+            _on_stats_flag()
             if stats is not None:
                 stats._add_sum(v)
                 saw_stats = True
         elif marker == _FLAG_MIN:
             v = struct.unpack_from("<d", buf, pos)[0]
             pos += 8
+            _on_stats_flag()
             if stats is not None:
                 stats.min = min(stats.min, v)
                 saw_stats = True
         elif marker == _FLAG_MAX:
             v = struct.unpack_from("<d", buf, pos)[0]
             pos += 8
+            _on_stats_flag()
             if stats is not None:
                 stats.max = max(stats.max, v)
                 saw_stats = True
@@ -486,20 +517,18 @@ def decode_sketch(
         else:
             result.exact_stats = stats
             result.track_exact_stats = True
-    # Exactness audit: if any ingested segment (the stream, or a concatenated
-    # part of it, or `into` itself) carried bucket mass without exact-stats
-    # flags, the stats no longer describe the whole sketch. Mirrors
-    # DDSketch.merge dropping exactness when one side lacks stats — keeping
-    # stale stats would clamp quantiles into a wrong [min, max] (the
-    # reference *raises* in this case, DDSketchWithExactSummaryStatistics
-    # .java:121-125; we degrade gracefully to a stats-less sketch).
-    if result.exact_stats is not None:
-        bucket_total = (
-            result.zero_count
-            + result.negative_store.total_count
-            + result.positive_store.total_count
-        )
-        if abs(result.exact_stats.count - bucket_total) > 1e-6 * max(bucket_total, 1.0):
-            result.exact_stats = None
-            result.track_exact_stats = False
+    # Exactness audit (structural, not numeric): if any ingested segment (a
+    # concatenated part of the stream, or `into` itself) carried bucket mass
+    # without exact-stats flags, the stats no longer describe the whole
+    # sketch. A numeric count-vs-bucket-total tolerance would let a small
+    # stats-less segment hide inside a huge sketch (e.g. 100 rows appended
+    # to a 1e9-count sketch) and leave quantiles clamped to a stale
+    # [min, max]; the per-segment flag tracking above catches any such
+    # segment exactly. Mirrors DDSketch.merge dropping exactness when one
+    # side lacks stats — the reference *raises* in this situation
+    # (DDSketchWithExactSummaryStatistics.java:121-125); we degrade
+    # gracefully to a stats-less sketch.
+    if result.exact_stats is not None and mass_without_stats:
+        result.exact_stats = None
+        result.track_exact_stats = False
     return result

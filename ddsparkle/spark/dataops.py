@@ -128,9 +128,16 @@ def minhash_lsh_candidates(signatures, id_col: str = "doc_id", bands: int = 16, 
 
     if num_perm is None:
         first = signatures.select("signature").first()
-        if first is None:  # empty corpus -> no pairs
-            spark = signatures.sparkSession
-            return spark.createDataFrame([], f"id_a long, id_b long")
+        if first is None:  # empty corpus -> no pairs, typed like the id column
+            from pyspark.sql import types as T
+
+            id_type = signatures.schema[id_col].dataType
+            return signatures.sparkSession.createDataFrame(
+                [],
+                T.StructType(
+                    [T.StructField("id_a", id_type), T.StructField("id_b", id_type)]
+                ),
+            )
         num_perm = len(first[0])
     if num_perm % bands:
         raise ValueError(f"bands={bands} must divide num_perm={num_perm}")

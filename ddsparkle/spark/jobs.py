@@ -101,10 +101,21 @@ def build_with_checkpoint(
             config=config,
             weight_col="__weight" if weight_expr else None,
         )
+        # lineage_rows: exact stat_count when tracked; otherwise the bucket
+        # mass (zero_count + both stores' count sums) — identical to the row
+        # count for unweighted builds, total ingested weight for weighted ones
+        bucket_mass = (
+            F.col("zero_count")
+            + F.aggregate("neg_cnt", F.lit(0.0), lambda a, x: a + x)
+            + F.aggregate("pos_cnt", F.lit(0.0), lambda a, x: a + x)
+        )
         lineage = partials.withColumn(
             "lineage_bins",
             F.size("pos_idx") + F.size("neg_idx"),
-        ).withColumn("lineage_rows", F.col("stat_count")).withColumn(
+        ).withColumn(
+            "lineage_rows",
+            F.when(F.col("has_exact"), F.col("stat_count")).otherwise(bucket_mass),
+        ).withColumn(
             "lineage_bytes",
             (F.size("pos_idx") + F.size("neg_idx")) * 16 + F.lit(64),
         )
@@ -118,7 +129,7 @@ def build_with_checkpoint(
         "files_processed": len(todo),
         "build_sec": round(build_sec, 3),
         "checkpoint_rows": ck.count(),
-        "rows_ingested": ck.agg(F.sum("stat_count")).collect()[0][0],
+        "rows_ingested": ck.agg(F.sum("lineage_rows")).collect()[0][0],
         "total_sketch_bytes": ck.agg(F.sum("lineage_bytes")).collect()[0][0],
     }
     return metrics

@@ -178,3 +178,41 @@ def test_decode_drops_stale_exact_stats():
     dec2 = decode_sketch(encode_sketch(a) + encode_sketch(c), track_exact_stats=True)
     assert dec2.exact_stats is not None
     assert dec2.min == 1.0 and dec2.max == 20.0
+
+
+def test_decode_stats_audit_is_structural_not_numeric():
+    """A stats-less segment whose mass is far below any numeric tolerance of
+    the total (100 rows appended to a 10^9-count sketch) must still drop
+    exactness — the audit tracks per-segment flag structure, not a
+    count-vs-bucket-total tolerance."""
+    big = sketch_of(np.array([50.0]))
+    big.accept(np.array([50.0]), np.array([1e9]))  # weighted: count 1e9 + 1
+    tiny = sketch_of(np.full(100, 1e6), track_exact_stats=False)
+    dec = decode_sketch(encode_sketch(big) + encode_sketch(tiny), track_exact_stats=True)
+    assert dec.exact_stats is None
+    # without the stale clamp [50, 50], the top quantile sees the 1e6 tail
+    assert dec.value_at_quantile(1.0) > 1e5
+    # order variant: stats-less first, stats segment second
+    dec2 = decode_sketch(encode_sketch(tiny) + encode_sketch(big), track_exact_stats=True)
+    assert dec2.exact_stats is None
+    # three segments: stats + stats-less + stats — still dropped
+    c = sketch_of(np.array([7.0, 8.0]))
+    dec3 = decode_sketch(
+        encode_sketch(big) + encode_sketch(tiny) + encode_sketch(c),
+        track_exact_stats=True,
+    )
+    assert dec3.exact_stats is None
+
+
+def test_decode_into_mass_without_stats_drops_exactness():
+    """track_exact_stats=True decoding a stats stream into a target that has
+    mass but no stats must not produce stats covering only the stream."""
+    tgt = sketch_of(np.array([100.0, 200.0]), track_exact_stats=False)
+    src = sketch_of(np.array([1.0, 2.0]))
+    out = decode_sketch(encode_sketch(src), into=tgt, track_exact_stats=True)
+    assert out.exact_stats is None
+    assert out.count == pytest.approx(4.0)
+    # an EMPTY stats-less target is fine — no mass is uncovered
+    empty = sketch_of(np.array([]), track_exact_stats=False)
+    out2 = decode_sketch(encode_sketch(src), into=empty, track_exact_stats=True)
+    assert out2.exact_stats is not None and out2.min == 1.0 and out2.max == 2.0
