@@ -66,6 +66,42 @@ def _build_payload_partials(df, value_col: str, key_cols: Sequence[str], make, u
     return projected.mapInPandas(build, schema=schema)
 
 
+def _reduce_payloads(partials, from_payload, fan_in: int = 64):
+    """Fold per-task payload rows into ONE sketch without an unbounded fan-in
+    anywhere: a salted executor-side reduce stage merges the #tasks payloads
+    within ``fan_in`` groups (each reducer folds ~#tasks/fan_in payloads),
+    then the driver folds only the <= fan_in survivors. Collecting raw
+    per-task payloads would put #tasks x payload-size bytes on the driver —
+    GBs at 10^5-10^6 tasks. Returns None when ``partials`` is empty."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for payload in pdf["payload"]:
+            cur = from_payload(bytes(payload))
+            if acc is None:
+                acc = cur
+            else:
+                acc.merge(cur)
+        return pd.DataFrame({"payload": [acc.to_bytes()]})
+
+    salted = partials.withColumn(
+        "__s", F.pmod(F.spark_partition_id(), F.lit(fan_in)).cast("int")
+    )
+    reduced = salted.groupBy("__s").applyInPandas(
+        _fold, T.StructType([T.StructField("payload", T.BinaryType())])
+    )
+    acc = None
+    for r in reduced.collect():
+        cur = from_payload(bytes(r["payload"]))
+        if acc is None:
+            acc = cur
+        else:
+            acc.merge(cur)
+    return acc
+
+
 def _merge_finalize(partials, key_cols: Sequence[str], out_fields, from_payload, finalize_row):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -200,33 +236,11 @@ def bloom_membership(
         make=lambda: BloomFilter(n_bits=n_bits, k=k, seed=seed),
         update=lambda sk, v: sk.update(v),
     )
-    # merge in a reduce stage (one payload reaches the driver): collecting
-    # every per-task filter would put tasks x n_bits/8 bytes on the driver
-    import pandas as _pd
-    from pyspark.sql import functions as F
-
-    def _merge_fn(pdf: _pd.DataFrame) -> _pd.DataFrame:
-        acc = BloomFilter(n_bits=n_bits, k=k, seed=seed)
-        for payload in pdf["payload"]:
-            acc.merge(BloomFilter.from_bytes(bytes(payload), n_bits, k, seed))
-        return _pd.DataFrame({"payload": [acc.to_bytes()]})
-
-    from pyspark.sql import types as T
-
-    one = (
-        partials.withColumn("__g", F.lit(0))
-        .groupBy("__g")
-        .applyInPandas(
-            lambda pdf: _merge_fn(pdf),
-            T.StructType([T.StructField("payload", T.BinaryType())]),
-        )
-        .collect()
-    )
-    merged = (
-        BloomFilter.from_bytes(bytes(one[0]["payload"]), n_bits, k, seed)
-        if one
-        else BloomFilter(n_bits=n_bits, k=k, seed=seed)
-    )
+    # salted reduce-stage merge: no process (executor or driver) folds an
+    # unbounded number of n_bits/8-byte filters
+    merged = _reduce_payloads(
+        partials, lambda b: BloomFilter.from_bytes(b, n_bits, k, seed)
+    ) or BloomFilter(n_bits=n_bits, k=k, seed=seed)
     spark = probe_df.sparkSession
     bc = spark.sparkContext.broadcast(merged.to_bytes())
 
@@ -315,14 +329,9 @@ def heavy_hitters(df, value_col: str, k: int = 10, mg_k: int = 256, exact_counts
         make=lambda: MisraGries(k=mg_k),
         update=lambda sk, v: sk.update(v),
     )
-    payloads = [bytes(r["payload"]) for r in partials.collect()]
-    merged = None
-    for p in payloads:
-        cur = MisraGries.from_bytes(p)
-        if merged is None:
-            merged = cur
-        else:
-            merged.merge(cur)
+    # salted reduce-stage merge (not a raw collect): MG merge is associative
+    # within its error bound, so any fold topology yields a valid summary
+    merged = _reduce_payloads(partials, MisraGries.from_bytes)
     if merged is None:
         return df.sparkSession.createDataFrame([], "value string, freq double")
     if not exact_counts:
@@ -352,14 +361,12 @@ def reservoir_sample(df, value_col: str, m: int = 10_000, seed: int = 0):
         make=lambda: ReservoirSample(m=m, seed=seed),
         update=lambda sk, v: sk.update(v.to_numpy("float64")),
     )
-    merged = None
-    for r in partials.collect():
-        cur = ReservoirSample.from_bytes(bytes(r["payload"]), seed=seed)
-        if merged is None:
-            merged = cur
-        else:
-            merged.merge(cur)
-    return merged
+    # salted reduce-stage merge (not a raw collect): the hypergeometric merge
+    # is uniform under any fold topology, so the tree changes which sample is
+    # drawn but not its distribution
+    return _reduce_payloads(
+        partials, lambda b: ReservoirSample.from_bytes(b, seed=seed)
+    )
 
 
 def validate_quantiles(df, value_col: str, result_row, q_map, alpha: float, m: int = 50_000, seed: int = 0):

@@ -185,6 +185,82 @@ def test_ivf_ann_recall(spark, sf_dir):
     assignments.unpersist()
 
 
+def test_batch_vectorized_hashing_matches_per_doc_reference(spark, docs):
+    """The Arrow-batch-vectorized MinHash/SimHash paths must produce EXACTLY
+    the signatures of the per-document reference formulation (one
+    _shingle_hashes call + mix per doc)."""
+    from ddsparkle.sketches.hashing import _splitmix64
+    from ddsparkle.spark.dataops import _shingle_hashes
+
+    df, _ = docs
+    pdf = df.toPandas().sort_values("doc_id").reset_index(drop=True)
+    num_perm, shingle_n = 64, 3
+    seeds = _splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64)) | np.uint64(1)
+
+    def ref_minhash(text):
+        base = _shingle_hashes(text or "", shingle_n)
+        mat = base.reshape(1, -1) * seeds.reshape(-1, 1)
+        return mat.min(axis=1).astype(np.int64).tolist()
+
+    got = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_signatures(df, num_perm=num_perm, shingle_n=shingle_n).collect()
+    }
+    for _, row in pdf.iterrows():
+        assert got[row["doc_id"]] == ref_minhash(row["text"]), row["doc_id"]
+
+    def ref_simhash(text):
+        h = _shingle_hashes(text or "", 1)
+        bit_cols = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        bits = ((h.reshape(-1, 1) & bit_cols) != 0).sum(axis=0)
+        votes = 2 * bits - len(h)
+        return int((bit_cols[votes > 0]).sum(dtype=np.uint64).view(np.int64))
+
+    got_sh = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    for _, row in pdf.iterrows():
+        assert got_sh[row["doc_id"]] == ref_simhash(row["text"]), row["doc_id"]
+
+
+def test_lsh_bucket_skew_guard(spark):
+    """Planted degenerate bucket: 600 identical boilerplate docs would make
+    the LSH self-join O(b^2) (~180k pairs through one reducer). The bucket-size
+    cap must keep the candidate count bounded while genuine near-dup pairs in
+    normal-size buckets survive; the dropped buckets are visible through
+    lsh_bucket_stats."""
+    from ddsparkle.spark.dataops import lsh_bucket_stats
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = [(i, "boilerplate empty stub " * 5) for i in range(600)]
+    base = rng.choice(vocab, 40).tolist()
+    near = list(base)
+    near[7] = "CHANGED"
+    rows += [(5000, " ".join(base)), (5001, " ".join(near))]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    sigs = minhash_signatures(df, num_perm=64).cache()
+    sigs.count()
+    cands = minhash_lsh_candidates(sigs, bands=16, max_bucket_size=50).toPandas()
+    pairs = {(int(a), int(b)) for a, b in zip(cands["id_a"], cands["id_b"])}
+    assert (5000, 5001) in pairs  # genuine near-dup pair survives the guard
+    assert len(pairs) < 100  # bounded: no O(600^2) candidate explosion
+    # the dropped mass is observable, not silent
+    from pyspark.sql import functions as F
+
+    exploded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.xxhash64(F.slice("signature", i * 4 + 1, 4)) for i in range(16)])
+        ).alias("band", "bucket"),
+    )
+    stats = lsh_bucket_stats(exploded, max_bucket_size=50).toPandas()
+    assert len(stats) >= 16 and stats["size"].max() == 600
+    # guard off -> the explosion is real (distinct pairs among 2000 identical)
+    unguarded = minhash_lsh_candidates(sigs, bands=16, max_bucket_size=None)
+    assert unguarded.count() >= 600 * 599 / 2
+    sigs.unpersist()
+
+
 def test_simhash_candidates_recall(spark, docs):
     from ddsparkle.spark.dataops import simhash_candidates
 
