@@ -223,6 +223,140 @@ def q_doc_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count accuracy gate: the oracle computes the
+    exact COUNT(DISTINCT) and asserts TRUE for the bound column; the Spark
+    side computes the HLL estimate and whether |est-exact| <= 3*rse*exact
+    (rse = 1.04/sqrt(2^p) ~ 0.81% at p=14) — hash-matching both the exact
+    part and the bound boolean. Deterministic: hashing is process-stable."""
+    from ddsparkle.spark.approx import hll_distinct
+
+    df = _t(spark, sf_dir, "events")
+    est = hll_distinct(df, "user_id", p=14, seed=0).select("distinct_est", "rse")
+    exact = df.agg(F.countDistinct("user_id").cast("double").alias("exact_distinct"))
+    return exact.crossJoin(est).select(
+        "exact_distinct",
+        (
+            F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+            <= 3.0 * F.col("rse") * F.col("exact_distinct")
+        ).alias("within_3rse"),
+    )
+
+
+def q_cms_event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequencies of every event type. With 5 distinct keys in a
+    depth-5 x width-8192 sketch a collision requires two keys to collide in
+    ALL rows (~(5/8192)^5), so the CMS estimates equal the exact counts and
+    the plain GROUP BY oracle must hash-match EXACTLY."""
+    from ddsparkle.spark.approx import cms_frequencies
+
+    df = _t(spark, sf_dir, "events")
+    probes = sorted(r[0] for r in df.select("event_type").distinct().collect())
+    return cms_frequencies(df, "event_type", probes, depth=5, width=8192, seed=0)
+
+
+def q_bloom_membership_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join gate: build over orders.o_custkey, probe every
+    customer key (all present -> member TRUE, no false negatives ever) plus
+    a shifted copy (absent -> false positives only; at 2^22 bits / k=7 vs
+    <= 15k keys the fp probability is ~1e-12, so EXACT membership is the
+    deterministic expected output, verified by the SQL EXISTS oracle)."""
+    from ddsparkle.spark.approx import bloom_membership
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    probe = cust.select(F.col("c_custkey").cast("long").alias("probe")).union(
+        cust.select((F.col("c_custkey") + 10_000_000).cast("long").alias("probe"))
+    )
+    return bloom_membership(orders, "o_custkey", probe, "probe", n_bits=1 << 22, k=7)
+
+
+def _rank_bound_result(df: DataFrame, row, eps: float, q_cols: list[tuple[float, str]]) -> DataFrame:
+    """Exact-rank bound check for a rank-error quantile sketch: one Catalyst
+    aggregation computes each estimate's true rank (fraction of values <=
+    est) and asserts |rank - q| <= eps."""
+    n = F.count("value")
+    aggs = [F.count("value").cast("double").alias("count")]
+    for q, col in q_cols:
+        rank = F.sum((F.col("value") <= float(row[col])).cast("double")) / n
+        aggs.append((F.abs(rank - F.lit(q)) <= F.lit(eps)).alias(f"{col}_rank_ok"))
+    return df.agg(*aggs)
+
+
+def q_kll_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL rank-error gate: estimates' exact ranks must be within eps=0.02 of
+    the target quantiles (k=200; observed max rank error 0.004 across 1-200
+    partition layouts — 5x margin for merge-order variation; the published
+    KLL bound at k=200 is the same order). Oracle: exact count + TRUE."""
+    from ddsparkle.spark.approx import kll_quantiles
+
+    df = _t(spark, sf_dir, "events")
+    row = kll_quantiles(df, "value", qs=(0.5, 0.95, 0.99), k=200).collect()[0]
+    return _rank_bound_result(df, row, 0.02, [(0.5, "q50"), (0.95, "q95"), (0.99, "q99")])
+
+
+def q_tdigest_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest rank-error gate, eps=0.01 (delta=200; observed max rank error
+    0.0009 across partition layouts — 10x margin; tails are tighter than
+    mid-distribution by the scale-function design)."""
+    from ddsparkle.spark.approx import tdigest_quantiles
+
+    df = _t(spark, sf_dir, "events")
+    row = tdigest_quantiles(df, "value", qs=(0.5, 0.95, 0.99), delta=200.0).collect()[0]
+    return _rank_bound_result(df, row, 0.01, [(0.5, "q50"), (0.95, "q95"), (0.99, "q99")])
+
+
+_STREAM_SEQ = [0]
+
+
+def q_streaming_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming parity gate: the stateful streaming sketch
+    (applyInPandasWithState, file-source micro-batches, availableNow) must
+    reach EXACTLY the batch result — same DuckDB oracle as the batch query.
+    The memory sink receives one refreshed row per trigger; counts are
+    monotone, so the final state is the max-count row."""
+    from ddsparkle.spark.streaming import streaming_quantiles
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file-stream source wants a directory: stream the sf dir filtered
+    # down to the events file(s)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    out = streaming_quantiles(stream, "value", qs=(0.5, 0.95, 0.99), config=_cfg())
+    _STREAM_SEQ[0] += 1
+    name = f"ddsparkle_stream_q_{_STREAM_SEQ[0]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.table(name).orderBy(F.col("count").desc()).limit(1)
+    return _round_result(final, [], ["q50", "q95", "q99"])
+
+
+def q_doc_dedup_fuzzy_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dup cluster resolution end-to-end: MinHash -> banded LSH
+    candidates -> exact 3-gram Jaccard verify (>= 0.7) -> connected
+    components -> per-doc (rep_id, keep). bands=num_perm=32 (1 row/band)
+    gives candidate recall 1-(1-J)^32 (miss ~1e-48 at the corpus's J>=0.97
+    planted pairs), so the pair set equals the oracle's all-pairs Jaccard
+    graph and the recursive-SQL connected components must hash-match."""
+    from ddsparkle.spark.dataops import near_dup_clusters
+
+    df = _t(spark, sf_dir, "documents")
+    return near_dup_clusters(
+        df, num_perm=32, bands=32, shingle_n=3, jaccard_threshold=0.7
+    ).select("doc_id", "rep_id", "keep")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ddsketch_events_value": q_events_value,
@@ -242,6 +376,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_quality": q_doc_text_quality,
         "doc_token_quantiles": q_doc_token_quantiles,
         "ann_topk_cosine": q_ann_topk_cosine,
+        "hll_distinct_users": q_hll_distinct_users,
+        "cms_event_type_freq": q_cms_event_type_freq,
+        "bloom_membership_custkeys": q_bloom_membership_custkeys,
+        "kll_quantiles_events": q_kll_quantiles_events,
+        "tdigest_quantiles_events": q_tdigest_quantiles_events,
+        "streaming_events_value": q_streaming_events_value,
+        "doc_dedup_fuzzy_representatives": q_doc_dedup_fuzzy_representatives,
     }
 
 
@@ -303,6 +444,55 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_token_quantiles": ddsketch_quantile_sql(
             "documents", "len(string_split(text, ' '))", [0.5, 0.95]
+        ),
+        "hll_distinct_users": (
+            "SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS exact_distinct, "
+            "TRUE AS within_3rse FROM events"
+        ),
+        "cms_event_type_freq": (
+            "SELECT CAST(event_type AS VARCHAR) AS probe, "
+            "CAST(COUNT(*) AS DOUBLE) AS est_freq FROM events GROUP BY event_type"
+        ),
+        "bloom_membership_custkeys": (
+            "WITH probes AS ("
+            "SELECT CAST(c_custkey AS BIGINT) AS probe FROM customer "
+            "UNION ALL SELECT CAST(c_custkey + 10000000 AS BIGINT) FROM customer) "
+            "SELECT p.probe, EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = p.probe) AS member "
+            "FROM probes p"
+        ),
+        "kll_quantiles_events": (
+            "SELECT CAST(COUNT(value) AS DOUBLE) AS count, TRUE AS q50_rank_ok, "
+            "TRUE AS q95_rank_ok, TRUE AS q99_rank_ok FROM events"
+        ),
+        "tdigest_quantiles_events": (
+            "SELECT CAST(COUNT(value) AS DOUBLE) AS count, TRUE AS q50_rank_ok, "
+            "TRUE AS q95_rank_ok, TRUE AS q99_rank_ok FROM events"
+        ),
+        # the streaming pipeline must land on the batch answer exactly
+        "streaming_events_value": ddsketch_quantile_sql(
+            "events", "value", [0.5, 0.95, 0.99]
+        ),
+        "doc_dedup_fuzzy_representatives": (
+            "WITH RECURSIVE sh AS ("
+            "  SELECT doc_id, CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]"
+            "    ELSE list_distinct(list_transform("
+            "      generate_series(1, len(string_split(text, ' ')) - 2),"
+            "      i -> concat_ws(' ', string_split(text, ' ')[i],"
+            "        string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))"
+            "  END AS s FROM documents"
+            "), pairs AS ("
+            "  SELECT a.doc_id AS ia, b.doc_id AS ib"
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+            "  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+            "        / len(list_distinct(list_concat(a.s, b.s))) >= 0.7"
+            "), edges AS ("
+            "  SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs"
+            "), walk(id, reach) AS ("
+            "  SELECT doc_id, doc_id FROM documents"
+            "  UNION"
+            "  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach"
+            ") SELECT id AS doc_id, MIN(reach) AS rep_id, id = MIN(reach) AS keep "
+            "FROM walk GROUP BY id"
         ),
         "ann_topk_cosine": (
             "WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0), "

@@ -2,7 +2,13 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 
     {"metric": "...", "value": total_sec, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": ...}
+     "queries": {name: sec, ...}, "extra_queries": {...}, "sf": ...}
+
+``value``/``queries`` cover the FIXED headline suite — the same 17 queries
+benchmarked since round 1, so round-over-round totals compare the same work.
+Queries added in later rounds (approx-family gates, streaming parity, fuzzy
+dedup) are timed the same way but reported under ``extra_queries`` /
+``extra_total`` so they widen coverage without muddying the trend line.
 
 The per-query timings cover the full pipeline: parquet scan -> Catalyst
 projection -> mapInPandas partial sketch build -> sketch-row shuffle ->
@@ -21,6 +27,34 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entry_mod
 from ddsparkle.spark.session import get_spark
 
+# the round-1 suite, frozen for comparability (BENCH_r01.json baseline)
+HEADLINE = [
+    "ddsketch_events_value",
+    "ddsketch_events_by_type",
+    "ddsketch_events_mixed_sign",
+    "ddsketch_events_collapsing_lowest",
+    "ddsketch_events_collapsing_highest",
+    "ddsketch_lineitem_price_by_flag",
+    "ddsketch_events_latency",
+    "ddsketch_orders_per_customer",
+    "ddsketch_orders_price_by_cust_wide",
+    "ddsketch_lineitem_weighted",
+    "ddsketch_events_exact_stats",
+    "heavy_hitters_event_type",
+    "doc_dedup_exact",
+    "doc_dedup_representatives",
+    "doc_text_quality",
+    "doc_token_quantiles",
+    "ann_topk_cosine",
+]
+
+
+def _time(fn, spark, sf_dir) -> float:
+    fn(spark, sf_dir).collect()  # warm run: worker pools, footers, JIT
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).collect()
+    return round(time.perf_counter() - t0, 4)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,22 +68,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entry_mod.queries()
+    timings = {name: _time(queries[name], spark, sf_dir) for name in HEADLINE}
+    extra = {
+        name: _time(fn, spark, sf_dir)
+        for name, fn in queries.items()
+        if name not in HEADLINE
+    }
 
-    timings: dict[str, float] = {}
-    for name, fn in queries.items():
-        fn(spark, sf_dir).collect()  # warm run: worker pools, footers, JIT
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
-
-    total = round(sum(timings.values()), 4)
     print(
         json.dumps(
             {
                 "metric": "ddsketch_query_suite_total_runtime",
-                "value": total,
+                "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "extra_total": round(sum(extra.values()), 4),
+                "extra_queries": extra,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

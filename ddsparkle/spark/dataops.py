@@ -27,6 +27,8 @@ __all__ = [
     "simhash64",
     "embedding_lsh_candidates",
     "lsh_bucket_stats",
+    "connected_components",
+    "near_dup_clusters",
     "text_quality",
     "language_id",
 ]
@@ -575,6 +577,95 @@ def ann_ivf_topk(
         cand.select(id_col, F.round(sim, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def connected_components(edges, nodes, id_col: str = "doc_id", max_iter: int = 50):
+    """Connected components by min-label propagation over an undirected edge
+    list [id_a, id_b]. Returns [id_col, component] for EVERY node (isolated
+    nodes are their own component); component = min node id reachable.
+
+    Scale notes: each round is one shuffle join (neighbor labels) + one
+    aggregation; rounds needed = graph diameter. Duplicate clusters are
+    near-cliques (diameter 1-3), so propagation converges in 2-4 rounds —
+    cheaper than large-star/small-star, which only wins on long-chain
+    graphs. Labels only decrease, so the per-round convergence check is one
+    SUM aggregate (equal sum <=> fixpoint), not a row-level diff join. Each
+    round materializes (persist + count) to keep task counts flat.
+    """
+    from pyspark.sql import functions as F
+
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    # materialize the edge list once: it feeds EVERY propagation round, and
+    # upstream it may be a whole LSH+verify pipeline (recomputing that per
+    # round would dominate the component search)
+    sym = sym.persist()
+    sym.count()
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+    labels = labels.persist()
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+            .groupBy("id")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:  # labels are monotone: equal sum == fixpoint
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    out = labels.withColumnRenamed("id", id_col)
+    return out
+
+
+def near_dup_clusters(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    max_bucket_size: Optional[int] = 1000,
+):
+    """Fuzzy-duplicate cluster RESOLUTION (pairs are not a dedup decision):
+    connected components over the verified ``near_duplicates`` graph, then
+    keep/drop per document. Returns [id_col, rep_id, keep] for every doc:
+    rep_id = min doc id of its near-dup cluster, keep = (doc == rep). The
+    fuzzy analogue of ``exact_dedup``'s representative selection."""
+    from pyspark.sql import functions as F
+
+    pairs = near_duplicates(
+        df,
+        text_col,
+        id_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket_size=max_bucket_size,
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, df.select(id_col), id_col)
+    return comp.select(
+        F.col(id_col),
+        F.col("component").alias("rep_id"),
+        (F.col(id_col) == F.col("component")).alias("keep"),
     )
 
 

@@ -185,6 +185,35 @@ def test_ivf_ann_recall(spark, sf_dir):
     assignments.unpersist()
 
 
+def test_connected_components_and_fuzzy_clusters(spark, docs):
+    """Min-label propagation CC: triangle + chain + isolated nodes resolve to
+    min-id components; near_dup_clusters turns the planted dup graph into
+    per-doc keep/drop decisions."""
+    from ddsparkle.spark.dataops import connected_components, near_dup_clusters
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 1, 10, 11, 12], "id_b": [2, 3, 3, 11, 12, 13]})
+    )
+    nodes = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 3, 10, 11, 12, 13, 99]}))
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(edges, nodes, "doc_id").collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 99: 99}
+
+    df, near_pairs = docs
+    out = near_dup_clusters(df, jaccard_threshold=0.5).toPandas()
+    assert len(out) == df.count()  # every doc gets a decision
+    by_id = out.set_index("doc_id")
+    for i in range(3):  # exact dups cluster to the lower id
+        assert by_id.loc[30 + i, "rep_id"] == i and not by_id.loc[30 + i, "keep"]
+        assert by_id.loc[i, "keep"]
+    for a, b in near_pairs:  # near dups too
+        assert by_id.loc[b, "rep_id"] == a and not by_id.loc[b, "keep"]
+    # 36 docs, 6 dropped (3 exact + 3 near dups)
+    assert int(out["keep"].sum()) == 30
+
+
 def test_batch_vectorized_hashing_matches_per_doc_reference(spark, docs):
     """The Arrow-batch-vectorized MinHash/SimHash paths must produce EXACTLY
     the signatures of the per-document reference formulation (one
