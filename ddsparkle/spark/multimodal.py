@@ -18,8 +18,10 @@ __all__ = [
     "media_schema",
     "decode_image",
     "decode_audio",
+    "decode_video_frames",
     "image_features",
     "audio_features",
+    "video_features",
 ]
 
 
@@ -70,6 +72,44 @@ def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
         )
     raw = np.frombuffer(payload, np.uint8).astype(np.float32)
     return (raw - 127.5) / 127.5
+
+
+def decode_video_frames(
+    payload: bytes,
+    width: int,
+    height: int,
+    duration_ms: int,
+    n_frames: int = 8,
+    fake: bool = False,
+) -> np.ndarray:
+    """payload -> (n_frames, height, width, 3) uint8 frame sample, evenly
+    spaced over the clip (the standard frame-sampling contract: decoders
+    seek to n evenly spaced PTS rather than decoding every frame).
+
+    STUB: real decoding needs pyav/ffmpeg (not available in this container).
+    ``fake=True`` derives deterministic pseudo-frames: frame f reads the
+    payload at a rotation proportional to its timestamp, so consecutive fake
+    frames differ smoothly — downstream motion features see a real gradient.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "video decoding requires pyav/ffmpeg (not available in this "
+            "container); pass fake=True for the deterministic test decoder"
+        )
+    raw = np.frombuffer(payload, np.uint8)
+    need = width * height * 3
+    reps = int(np.ceil(need / max(raw.size, 1)))
+    tiled = np.tile(raw, reps)[:need]
+    frames = np.empty((n_frames, height, width, 3), np.uint8)
+    # per-frame rotation step in [1, size-1] so consecutive frames always
+    # differ (a duration divisible by the payload size must not collapse
+    # every frame onto the same rotation)
+    step = (max(duration_ms or 0, 0) % max(raw.size - 1, 1)) + 1
+    for f in range(n_frames):
+        frames[f] = np.roll(tiled, -(f * step) % max(raw.size, 1)).reshape(
+            height, width, 3
+        )
+    return frames
 
 
 def image_features(df, fake: bool = True, resize_to: int = 8):
@@ -145,3 +185,55 @@ def audio_features(df, fake: bool = True, n_frames: int = 16):
     return df.filter("modality = 'audio'").select("media_id", "payload").mapInPandas(
         extract, schema=schema
     )
+
+
+def video_features(df, fake: bool = True, n_frames: int = 8, resize_to: int = 8):
+    """Decode -> evenly-spaced frame sample -> per-frame luminance means,
+    inter-frame motion score (mean |frame diff|), and a middle-frame
+    grayscale thumb. Returns [media_id, frame_lum array<float>, motion
+    double, thumb array<float>] — the video analogue of image_features,
+    matching media_schema's declared video modality (width/height/
+    duration_ms metadata drive the decode without touching other columns)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_lum", T.ArrayType(T.FloatType())),
+            T.StructField("motion", T.DoubleType()),
+            T.StructField("thumb", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            rows = {"media_id": [], "frame_lum": [], "motion": [], "thumb": []}
+            for _, r in pdf.iterrows():
+                if r["payload"] is None:
+                    continue
+                frames = decode_video_frames(
+                    bytes(r["payload"]),
+                    int(r["width"]),
+                    int(r["height"]),
+                    int(r["duration_ms"] or 0),
+                    n_frames=n_frames,
+                    fake=fake,
+                )
+                lum = frames.astype(np.float64).mean(axis=3)  # (n, h, w)
+                rows["media_id"].append(r["media_id"])
+                rows["frame_lum"].append(lum.mean(axis=(1, 2)).astype(np.float32).tolist())
+                rows["motion"].append(
+                    float(np.abs(np.diff(lum, axis=0)).mean()) if n_frames > 1 else 0.0
+                )
+                mid = lum[n_frames // 2]
+                h, w = mid.shape
+                ys = (np.arange(resize_to) * h // resize_to).clip(0, h - 1)
+                xs = (np.arange(resize_to) * w // resize_to).clip(0, w - 1)
+                rows["thumb"].append(
+                    mid[np.ix_(ys, xs)].astype(np.float32).ravel().tolist()
+                )
+            yield pd.DataFrame(rows)
+
+    return df.filter("modality = 'video'").select(
+        "media_id", "payload", "width", "height", "duration_ms"
+    ).mapInPandas(extract, schema=schema)

@@ -8,8 +8,10 @@ from ddsparkle.spark.multimodal import (
     audio_features,
     decode_audio,
     decode_image,
+    decode_video_frames,
     image_features,
     media_schema,
+    video_features,
 )
 
 pytestmark = pytest.mark.spark
@@ -20,6 +22,8 @@ def test_decoders_stubbed_without_fake():
         decode_image(b"\x00" * 10, 2, 2)
     with pytest.raises(NotImplementedError):
         decode_audio(b"\x00" * 10)
+    with pytest.raises(NotImplementedError):
+        decode_video_frames(b"\x00" * 10, 2, 2, 1000)
 
 
 def test_fake_decode_deterministic():
@@ -41,6 +45,9 @@ def media_df(spark):
     for i in range(20, 30):
         payload = bytes(rng.integers(0, 256, 500, dtype=np.uint8).tolist())
         rows.append((i, "audio", bytearray(payload), "audio/fake", None, None, 1000))
+    for i in range(30, 38):
+        payload = bytes(rng.integers(0, 256, 800, dtype=np.uint8).tolist())
+        rows.append((i, "video", bytearray(payload), "video/fake", 16, 12, 4000))
     return spark.createDataFrame(rows, schema=media_schema())
 
 
@@ -62,3 +69,28 @@ def test_audio_feature_pipeline(spark, media_df):
     assert len(out) == 10
     assert all(len(r) == 8 for r in out["rms"])
     assert (out["peak"] <= 1.0).all()
+
+
+def test_video_feature_pipeline(spark, media_df):
+    out = video_features(media_df, fake=True, n_frames=6, resize_to=4).toPandas()
+    assert len(out) == 8
+    assert set(out.columns) == {"media_id", "frame_lum", "motion", "thumb"}
+    assert all(len(fl) == 6 for fl in out["frame_lum"])
+    assert all(len(t) == 16 for t in out["thumb"])  # 4x4 middle-frame raster
+    # fake frames rotate with timestamp, so motion is non-degenerate
+    assert (out["motion"] > 0).all()
+    # deterministic across partitionings
+    again = video_features(media_df.repartition(3), fake=True, n_frames=6, resize_to=4).toPandas()
+    a = out.sort_values("media_id").reset_index(drop=True)
+    b = again.sort_values("media_id").reset_index(drop=True)
+    assert np.allclose(a["motion"], b["motion"])
+    assert all(np.allclose(x, y) for x, y in zip(a["frame_lum"], b["frame_lum"]))
+
+
+def test_fake_video_decode_shape_and_determinism():
+    f1 = decode_video_frames(b"payload-bytes", 4, 3, 2000, n_frames=5, fake=True)
+    f2 = decode_video_frames(b"payload-bytes", 4, 3, 2000, n_frames=5, fake=True)
+    assert f1.shape == (5, 3, 4, 3) and f1.dtype == np.uint8
+    assert np.array_equal(f1, f2)
+    # consecutive fake frames differ (motion gradient for downstream tests)
+    assert not np.array_equal(f1[0], f1[1])
