@@ -357,6 +357,57 @@ def q_doc_dedup_fuzzy_representatives(spark: SparkSession, sf_dir: str) -> DataF
     ).select("doc_id", "rep_id", "keep")
 
 
+def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language heuristic, pure Catalyst — the DuckDB twin
+    replicates the distinct-intersection scoring and the tie-break order."""
+    from ddsparkle.spark.dataops import language_id
+
+    df = _t(spark, sf_dir, "documents")
+    return language_id(df)
+
+
+def q_multi_measure_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several measures in ONE scan (quantiles_multi stacks columns JVM-side
+    and sketches the long form): per-metric q50/q95 over events.value and a
+    derived latency-ish measure. The oracle is two DDSketch SQL replicas
+    UNION ALLed with metric labels."""
+    from ddsparkle.spark.agg import quantiles_multi
+
+    df = _t(spark, sf_dir, "events").select(
+        "value", (F.col("value") * 2.0 + 1.0).alias("value2x")
+    )
+    res = quantiles_multi(df, ["value", "value2x"], qs=(0.5, 0.95), config=_cfg())
+    return _round_result(res, ["metric"], ["q50", "q95"])
+
+
+def q_jobs_checkpoint_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed-job parity: build per-file sketch partials into a fresh
+    checkpoint (file-granular lineage), then finalize from the checkpoint —
+    the result must equal the direct DDSketch oracle exactly. Runs the
+    resume protocol end-to-end inside the driver gate (a second build pass
+    processes 0 files and must not change the answer)."""
+    import shutil
+    import tempfile
+
+    from ddsparkle.spark.jobs import build_with_checkpoint, finalize_from_checkpoint
+
+    ckpt = tempfile.mkdtemp(prefix="ddsparkle_ck_") + "/ck"
+    try:
+        build_with_checkpoint(
+            spark, f"{sf_dir}/events.parquet", "value", ckpt, config=_cfg()
+        )
+        m2 = build_with_checkpoint(
+            spark, f"{sf_dir}/events.parquet", "value", ckpt, config=_cfg()
+        )
+        assert m2["files_processed"] == 0, "resume must be a no-op"
+        res = finalize_from_checkpoint(spark, ckpt, qs=(0.5, 0.95, 0.99))
+        out = _round_result(res, [], ["q50", "q95", "q99"])
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from ckpt files
+        return out
+    finally:
+        shutil.rmtree(ckpt.rsplit("/", 1)[0], ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ddsketch_events_value": q_events_value,
@@ -383,7 +434,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantiles_events": q_tdigest_quantiles_events,
         "streaming_events_value": q_streaming_events_value,
         "doc_dedup_fuzzy_representatives": q_doc_dedup_fuzzy_representatives,
+        "doc_language_id": q_doc_language_id,
+        "multi_measure_events": q_multi_measure_events,
+        "jobs_checkpoint_quantiles": q_jobs_checkpoint_quantiles,
     }
+
+
+def _language_id_sql() -> str:
+    """DuckDB twin of dataops.language_id, generated from the SAME stopword
+    lists and tie-break order so the two can never drift apart."""
+    from ddsparkle.spark.dataops import _STOPWORDS
+
+    langs = list(_STOPWORDS)
+    scores = ", ".join(
+        "len(list_intersect(list_distinct(string_split(lower(text), ' ')), ["
+        + ", ".join(f"'{w}'" for w in words)
+        + f"])) AS {lang}"
+        for lang, words in _STOPWORDS.items()
+    )
+    best = "GREATEST(" + ", ".join(langs) + ")"
+    picks = " ".join(f"WHEN {l} = {best} THEN '{l}'" for l in langs)
+    return (
+        f"WITH scored AS (SELECT doc_id, {scores} FROM documents) "
+        f"SELECT doc_id, CASE WHEN {best} <= 0 THEN 'und' {picks} END AS lang_pred "
+        "FROM scored"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -470,6 +545,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         # the streaming pipeline must land on the batch answer exactly
         "streaming_events_value": ddsketch_quantile_sql(
+            "events", "value", [0.5, 0.95, 0.99]
+        ),
+        "doc_language_id": _language_id_sql(),
+        "multi_measure_events": (
+            "SELECT 'value' AS metric, * FROM ("
+            + ddsketch_quantile_sql("events", "value", [0.5, 0.95])
+            + ") UNION ALL SELECT 'value2x' AS metric, * FROM ("
+            + ddsketch_quantile_sql("events", "value * 2.0 + 1.0", [0.5, 0.95])
+            + ")"
+        ),
+        # the checkpoint/resume job must land on the batch answer exactly
+        "jobs_checkpoint_quantiles": ddsketch_quantile_sql(
             "events", "value", [0.5, 0.95, 0.99]
         ),
         "doc_dedup_fuzzy_representatives": (

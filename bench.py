@@ -60,10 +60,21 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # Partition-count sizing follows data volume, not core count: at sf<=1
+    # the shuffles carry KBs of sketch rows, so 8 partitions is right-sized
+    # (64 idle reducers cost ~0.2s/query of pure scheduling) and AQE's
+    # re-planning overhead exceeds its benefit on sub-second queries. At
+    # 100 TB both flip: shuffle partitions scale with input and AQE handles
+    # coalescing/skew — which is why get_spark's DEFAULTS keep AQE on and
+    # 2x-cores partitions; the bench overrides are the small-data sizing.
     spark = get_spark(
         app_name="ddsparkle-bench",
         master=f"local[{cpus}]",
-        extra_conf={"spark.ui.enabled": "false"},
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.adaptive.enabled": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

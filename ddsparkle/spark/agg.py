@@ -398,15 +398,22 @@ def quantiles(
     any salt assignment produce identical results (tested).
 
     ``mode``: choose by the ratio rows-per-group-per-task R:
-    - 'grouped' (the 'auto' default): partial sketches per task, then
-      ``applyInPandas`` per key. Right for low-cardinality keys (R large).
-    - 'wide': partial sketches per task, then ONE vectorized finalize pass
-      per partition of sketch rows. Right for 10^4-10^6 groups with R >> 1.
+    - 'wide' (the 'auto' default for grouped aggs): partial sketches per
+      task, then ONE vectorized finalize pass per partition of sketch rows.
+      Same shuffle shape as 'grouped' (only sketch rows move) but the
+      finalize is a single segmented-cumsum pass instead of one pandas
+      apply per key — faster at EVERY cardinality (measured: 5 groups
+      0.69s -> 0.60s, 1500 groups 73s -> 1.8s at sf0.1).
+    - 'grouped': partial sketches per task, then ``applyInPandas`` per key.
+      Kept for per-key custom finalizes and as the parity reference.
     - 'shuffle': repartition the RAW (key, value) rows by key once, then a
       fused vectorized build+finalize in a single ``mapInPandas`` pass — no
       sketch-row shuffle at all. Right when R ~ 1 (ultra-high cardinality,
       tiny groups), where partial sketch rows would be FATTER than the raw
-      rows they summarize.
+      rows they summarize. (It also wins on small benchmarks at ANY
+      cardinality because it has one fewer Python stage — but shuffling raw
+      rows by a low-cardinality key is exactly the plan that dies at 100 TB,
+      so it is never auto-selected.)
     """
     config = config or SketchConfig()
     key_cols = [by] if isinstance(by, str) else list(by or [])
@@ -414,6 +421,8 @@ def quantiles(
         raise ValueError(f"unknown mode {mode!r}; one of auto|grouped|wide|shuffle")
     if mode in ("wide", "shuffle") and not key_cols:
         raise ValueError(f"mode={mode!r} requires a group key (by=...)")
+    if mode == "auto":
+        mode = "wide" if key_cols else "grouped"
     qs = [float(q) for q in qs]
     if q_names is None:
         q_names = [quantile_column_name(q) for q in qs]
@@ -432,8 +441,17 @@ def quantiles(
             # intermediate tree level: bound final fan-in
             partials = partials.repartition(max(1, math.isqrt(n_parts)))
             partials = merge_partials_within_partitions(partials, [])
-        src = partials.withColumn("__g", _lit0())
-        group_keys = ["__g"]
+        # bounded driver finalize: the tree level caps the surviving partial
+        # rows at ~max(tree_fanin, isqrt(#tasks)), the same fan-in the final
+        # merge task would fold — doing that fold on the driver removes a
+        # whole single-task shuffle + Python stage from every global query
+        schema = _finalize_schema(partials, [], q_names)
+        spark = df.sparkSession
+        rows = partials.collect()
+        if not rows:
+            return spark.createDataFrame([], schema)
+        sk = merge_rows(rows)
+        return spark.createDataFrame([finalize_row(sk, {}, qs, q_names)], schema)
     else:
         if merge_salt and merge_salt > 1:
             partials = _salted_pre_merge(partials, key_cols, merge_salt)
@@ -459,8 +477,7 @@ def quantiles(
 
         return parted.mapInPandas(finalize_wide, schema=schema)
 
-    out = finalize_sketch_rows(src, group_keys, qs, q_names)
-    return out.drop("__g") if not key_cols else out
+    return finalize_sketch_rows(src, group_keys, qs, q_names)
 
 
 def finalize_row(sk, key_values: dict, qs: Sequence[float], q_names: Sequence[str]) -> dict:

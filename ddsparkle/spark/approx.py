@@ -86,14 +86,22 @@ def _reduce_payloads(partials, from_payload, fan_in: int = 64):
                 acc.merge(cur)
         return pd.DataFrame({"payload": [acc.to_bytes()]})
 
-    salted = partials.withColumn(
-        "__s", F.pmod(F.spark_partition_id(), F.lit(fan_in)).cast("int")
-    )
-    reduced = salted.groupBy("__s").applyInPandas(
-        _fold, T.StructType([T.StructField("payload", T.BinaryType())])
-    )
+    if partials.rdd.getNumPartitions() <= fan_in:
+        # already within the driver's fan-in bound (keyless stage 1 emits
+        # one payload row per task): the reduce stage would only add a
+        # shuffle for the same <= fan_in rows
+        rows = partials.collect()
+    else:
+        salted = partials.withColumn(
+            "__s", F.pmod(F.spark_partition_id(), F.lit(fan_in)).cast("int")
+        )
+        rows = (
+            salted.groupBy("__s")
+            .applyInPandas(_fold, T.StructType([T.StructField("payload", T.BinaryType())]))
+            .collect()
+        )
     acc = None
-    for r in reduced.collect():
+    for r in rows:
         cur = from_payload(bytes(r["payload"]))
         if acc is None:
             acc = cur

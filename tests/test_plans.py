@@ -50,7 +50,22 @@ def test_full_query_single_shuffle_of_sketch_rows(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     res = quantiles(df, "value", by="event_type", qs=(0.5,))
     plan = plan_of(res)
-    # exactly one exchange in the tree: the sketch-row shuffle before merge
+    # exactly one exchange in the tree: the sketch-row shuffle before the
+    # (auto -> wide) vectorized finalize
+    assert plan.count("+- Exchange") == 1, plan
+    # build stage below the exchange, finalize stage above it: two
+    # MapInPandas operators (each printed in tree + detail section)
+    assert plan.count("MapInPandas") == 4, plan
+    # tree prints root-first: the finalize MapInPandas precedes the
+    # Exchange, the build MapInPandas follows it
+    assert plan.index("MapInPandas") < plan.index("+- Exchange")
+    assert plan.index("MapInPandas", plan.index("+- Exchange")) > plan.index("+- Exchange")
+
+
+def test_grouped_mode_plan_shape(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = quantiles(df, "value", by="event_type", qs=(0.5,), mode="grouped")
+    plan = plan_of(res)
     assert plan.count("+- Exchange") == 1, plan
     assert "FlatMapGroupsInPandas" in plan
     # and the exchange sits ABOVE MapInPandas (raw rows built before shuffle)
@@ -59,11 +74,17 @@ def test_full_query_single_shuffle_of_sketch_rows(spark, sf_dir):
 
 def test_length_projection_stays_jvm_side(spark, sf_dir):
     """length(text) must be computed by Catalyst (in the Project above the
-    scan), not inside Python — the Arrow channel carries only the int."""
-    from ddsparkle.spark.queries import text_length_quantiles
+    scan), not inside Python — the Arrow channel carries only the int.
+    Asserted on the stage-1 plan: a global quantiles() call finalizes its
+    bounded partials driver-side, so the *result* is a local relation and
+    the scan plan lives in stage 1."""
+    from pyspark.sql import functions as F
+
     from ddsparkle.transcripts import transcripts_df
 
     df = transcripts_df(spark, n_convs=10, profile="tiny", seed=1)
-    res = text_length_quantiles(df, qs=(0.5,))
-    plan = plan_of(res)
+    projected = df.select(F.length("text").cast("double").alias("text_len"))
+    partials = build_partial_sketches(projected, "text_len")
+    plan = plan_of(partials)
     assert "length(text" in plan  # Catalyst expression present JVM-side
+    assert "Exchange" not in plan
