@@ -357,6 +357,68 @@ def q_doc_dedup_fuzzy_representatives(spark: SparkSession, sf_dir: str) -> DataF
     ).select("doc_id", "rep_id", "keep")
 
 
+def q_streaming_windowed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window streaming parity: 1-hour windows with a
+    10-minute watermark through applyInPandasWithState must equal the batch
+    per-hour DDSketch oracle (epoch-aligned floor(epoch/3600)). The harness
+    table is one file -> one micro-batch, so no window closes early and the
+    full window set is compared; multi-batch late-data drop semantics are
+    pytest-covered (test_streaming)."""
+    from pyspark.sql import Window
+
+    from ddsparkle.spark.streaming import windowed_streaming_quantiles
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    # ts is TIMESTAMP_NTZ in the parquet; watermarks need TIMESTAMP. The
+    # session tz is UTC here, so the cast (and the oracle's naive-as-UTC
+    # epoch arithmetic) are alignment-identical.
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windowed_streaming_quantiles(
+        stream, "value", ts_col="ts", window="1 hour", watermark="10 minutes",
+        qs=(0.5, 0.95), config=_cfg(),
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"ddsparkle_stream_w_{_STREAM_SEQ[0]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    tbl = spark.table(name)
+    w = Window.partitionBy("window_start").orderBy(F.col("count").desc())
+    final = tbl.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1")
+    return final.select(
+        F.unix_seconds(F.col("window_start")).alias("win_start"),
+        F.round("q50", 4).alias("q50"),
+        F.round("q95", 4).alias("q95"),
+        F.col("count"),
+    )
+
+
+def q_events_by_type_collapsed_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interaction coverage: grouped x collapsing-lowest store x integer
+    weights in one query — the SQL oracle composes the per-group collapse
+    clamp with SUM(w) bucket counts."""
+    df = _t(spark, sf_dir, "events").select(
+        "event_type", "value", (F.pmod(F.col("user_id"), F.lit(3)) + 1).cast("double").alias("w")
+    )
+    res = quantiles(
+        df, "value", by="event_type", weight_col="w", qs=(0.5, 0.99),
+        config=_cfg("collapsing_lowest", 48),
+    )
+    return _round_result(res, ["event_type"], ["q50", "q99"])
+
+
 def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language heuristic, pure Catalyst — the DuckDB twin
     replicates the distinct-intersection scoring and the tie-break order."""
@@ -437,6 +499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_language_id": q_doc_language_id,
         "multi_measure_events": q_multi_measure_events,
         "jobs_checkpoint_quantiles": q_jobs_checkpoint_quantiles,
+        "streaming_windowed_hourly": q_streaming_windowed_hourly,
+        "ddsketch_by_type_collapsed_weighted": q_events_by_type_collapsed_weighted,
     }
 
 
@@ -548,6 +612,22 @@ def oracle_sql() -> dict[str, str]:
             "events", "value", [0.5, 0.95, 0.99]
         ),
         "doc_language_id": _language_id_sql(),
+        "streaming_windowed_hourly": ddsketch_quantile_sql(
+            "(SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start, "
+            "value FROM events)",
+            "value",
+            [0.5, 0.95],
+            group_col="win_start",
+        ),
+        "ddsketch_by_type_collapsed_weighted": ddsketch_quantile_sql(
+            "(SELECT event_type, value, CAST(user_id % 3 + 1 AS DOUBLE) AS w FROM events)",
+            "value",
+            [0.5, 0.99],
+            group_col="event_type",
+            collapse_policy="collapsing_lowest",
+            max_bins=48,
+            weight_expr="w",
+        ),
         "multi_measure_events": (
             "SELECT 'value' AS metric, * FROM ("
             + ddsketch_quantile_sql("events", "value", [0.5, 0.95])
