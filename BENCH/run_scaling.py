@@ -193,18 +193,36 @@ def burn(n):
         h.update(b)
     return 1
 
+def burn_bw(n):
+    # streaming read+write: measures the shared memory bus, the ceiling for
+    # shuffle/sort-bound stages (np.copyto defeats the cache at 32 MB)
+    import numpy as np
+    a = np.empty(32 * 1024 * 1024 // 8)
+    b = np.arange(a.size, dtype=np.float64)
+    for _ in range(n):
+        np.copyto(a, b); b += 1.0
+    return 1
+
 if __name__ == "__main__":
     out = {}
+    bw = {}
     for procs in (1, 2, 8, 32):
         with mp.Pool(procs) as p:
             p.map(burn, [1000] * procs)
             t0 = time.perf_counter()
             p.map(burn, [60000] * procs)
             out[procs] = round(time.perf_counter() - t0, 3)
+            p.map(burn_bw, [3] * procs)
+            t0 = time.perf_counter()
+            p.map(burn_bw, [40] * procs)
+            bw[procs] = round(time.perf_counter() - t0, 3)
     print(json.dumps({
         "fixed_work_per_proc_sec": out,
         "per_core_eff_8_vs_2": round(out[2] / out[8], 3),
         "per_core_eff_32_vs_8": round(out[8] / out[32], 3),
+        "bandwidth_fixed_work_per_proc_sec": bw,
+        "bandwidth_eff_8_vs_2": round(bw[2] / bw[8], 3),
+        "bandwidth_eff_32_vs_8": round(bw[8] / bw[32], 3),
     }))
 """
     res = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=120)

@@ -592,6 +592,10 @@ def connected_components(edges, nodes, id_col: str = "doc_id", max_iter: int = 5
     graphs. Labels only decrease, so the per-round convergence check is one
     SUM aggregate (equal sum <=> fixpoint), not a row-level diff join. Each
     round materializes (persist + count) to keep task counts flat.
+
+    ``nodes[id_col]`` must be unique (duplicate node rows would emit
+    duplicate component rows). The returned DataFrame is backed by the final
+    round's persisted labels; callers done with it may unpersist it.
     """
     from pyspark.sql import functions as F
 
