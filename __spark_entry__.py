@@ -352,8 +352,13 @@ def q_doc_dedup_fuzzy_representatives(spark: SparkSession, sf_dir: str) -> DataF
     from ddsparkle.spark.dataops import near_dup_clusters
 
     df = _t(spark, sf_dir, "documents")
+    # max_bucket_size=None: the oracle computes the UNCAPPED all-pairs
+    # Jaccard graph, so the skew guard (on by default for the operator)
+    # must be disabled here or a >cap degenerate bucket would diverge the
+    # pair sets
     return near_dup_clusters(
-        df, num_perm=32, bands=32, shingle_n=3, jaccard_threshold=0.7
+        df, num_perm=32, bands=32, shingle_n=3, jaccard_threshold=0.7,
+        max_bucket_size=None,
     ).select("doc_id", "rep_id", "keep")
 
 
@@ -377,8 +382,11 @@ def q_streaming_windowed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     # ts is TIMESTAMP_NTZ in the parquet; watermarks need TIMESTAMP. The
-    # session tz is UTC here, so the cast (and the oracle's naive-as-UTC
-    # epoch arithmetic) are alignment-identical.
+    # NTZ cast and the window alignment are session-tz dependent, and the
+    # oracle computes naive timestamps as UTC — pin the tz for the duration
+    # of the streaming execution regardless of the caller's session config
+    # (unix_seconds on the result is instant-based, so the later collect is
+    # tz-independent).
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     out = windowed_streaming_quantiles(
         stream, "value", ts_col="ts", window="1 hour", watermark="10 minutes",
@@ -386,14 +394,19 @@ def q_streaming_windowed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_SEQ[0] += 1
     name = f"ddsparkle_stream_w_{_STREAM_SEQ[0]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
     tbl = spark.table(name)
     w = Window.partitionBy("window_start").orderBy(F.col("count").desc())
     final = tbl.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1")
@@ -461,7 +474,8 @@ def q_jobs_checkpoint_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         m2 = build_with_checkpoint(
             spark, f"{sf_dir}/events.parquet", "value", ckpt, config=_cfg()
         )
-        assert m2["files_processed"] == 0, "resume must be a no-op"
+        if m2["files_processed"] != 0:  # not assert: survives python -O
+            raise RuntimeError(f"resume must be a no-op, reprocessed {m2}")
         res = finalize_from_checkpoint(spark, ckpt, qs=(0.5, 0.95, 0.99))
         out = _round_result(res, [], ["q50", "q95", "q99"])
         out = spark.createDataFrame(out.collect(), out.schema)  # detach from ckpt files

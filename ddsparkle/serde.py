@@ -413,24 +413,23 @@ def decode_sketch(
     sk = into
     stats = ExactSummaryStatistics() if track_exact_stats or (sk and sk.exact_stats) else None
     saw_stats = False
-    # Structural exactness audit state. The writer fixes per-segment flag
-    # order as [stats flags?][mapping][zero?][stores], so in a concatenated
-    # stream a stats flag in the body phase or a mapping flag in the body
-    # phase marks a new segment. Any mass flag (zero/store — the writer
-    # omits them when empty, so they always carry mass) inside a segment
-    # that opened without COUNT/SUM/MIN/MAX means the final stats would not
-    # describe all data.
-    phase_head = False  # True while reading a segment's leading stats flags
-    seg_has_stats = False
-    mass_without_stats = (
+    # Structural exactness audit state, order-independent: a conformant
+    # encode contains exactly one INDEX_MAPPING flag (so mapping flags
+    # delimit segments), at most one COUNT flag (emitted iff the segment
+    # tracked stats over a nonzero count), and its mass flags (zero/store —
+    # omitted when empty, so they always carry mass) after its mapping.
+    # Stats flags may sit anywhere (the reference decoder is flag-order
+    # independent, DDSketch.java:465-496), so instead of attributing stats
+    # to segments positionally we COUNT: if fewer COUNT flags arrived than
+    # segments that carried mass, some mass is not described by the stats.
+    # omit_index_mapping concatenations collapse into one segment and are
+    # undetectable (documented; our own reduce paths use full encodes).
+    n_count_flags = 0
+    n_mappings = 0
+    massy_regions: set[int] = set()
+    into_mass_without_stats = (
         into is not None and into.exact_stats is None and not into.is_empty()
     )
-
-    def _on_stats_flag() -> None:
-        nonlocal phase_head, seg_has_stats
-        if not phase_head:
-            phase_head = True  # a stats flag in the body begins a new segment
-        seg_has_stats = True
 
     decoded_mapping = into.mapping if into is not None else mapping
     zero_count = 0.0
@@ -453,45 +452,37 @@ def decode_sketch(
             if decoded_mapping is not None and m != decoded_mapping:
                 raise ValueError("mapping mismatch in encoded stream")
             decoded_mapping = m
-            if not phase_head:
-                seg_has_stats = False  # new segment began with no stats flags
-            phase_head = False
+            n_mappings += 1
         elif ftype in (_TYPE_POSITIVE_STORE, _TYPE_NEGATIVE_STORE):
             target = tmp_pos_store if ftype == _TYPE_POSITIVE_STORE else tmp_neg_store
             pos = _decode_store_into(target, buf, pos, sub)
-            phase_head = False
-            if not seg_has_stats:
-                mass_without_stats = True
+            massy_regions.add(max(n_mappings, 1))
         elif marker == _FLAG_ZERO_COUNT:
             zc, pos = _decode_var_double(buf, pos)
             zero_count += zc
-            phase_head = False
-            if zc != 0 and not seg_has_stats:
-                mass_without_stats = True
+            if zc != 0:
+                massy_regions.add(max(n_mappings, 1))
         elif marker == _FLAG_COUNT:
             v, pos = _decode_var_double(buf, pos)
-            _on_stats_flag()
+            n_count_flags += 1
             if stats is not None:
                 stats.count += v
                 saw_stats = True
         elif marker == _FLAG_SUM:
             v = struct.unpack_from("<d", buf, pos)[0]
             pos += 8
-            _on_stats_flag()
             if stats is not None:
                 stats._add_sum(v)
                 saw_stats = True
         elif marker == _FLAG_MIN:
             v = struct.unpack_from("<d", buf, pos)[0]
             pos += 8
-            _on_stats_flag()
             if stats is not None:
                 stats.min = min(stats.min, v)
                 saw_stats = True
         elif marker == _FLAG_MAX:
             v = struct.unpack_from("<d", buf, pos)[0]
             pos += 8
-            _on_stats_flag()
             if stats is not None:
                 stats.max = max(stats.max, v)
                 saw_stats = True
@@ -523,12 +514,15 @@ def decode_sketch(
     # sketch. A numeric count-vs-bucket-total tolerance would let a small
     # stats-less segment hide inside a huge sketch (e.g. 100 rows appended
     # to a 1e9-count sketch) and leave quantiles clamped to a stale
-    # [min, max]; the per-segment flag tracking above catches any such
-    # segment exactly. Mirrors DDSketch.merge dropping exactness when one
-    # side lacks stats — the reference *raises* in this situation
+    # [min, max]; the COUNT-flags-vs-massy-segments counting above catches
+    # any such segment exactly, regardless of flag order within a segment.
+    # Mirrors DDSketch.merge dropping exactness when one side lacks stats —
+    # the reference *raises* in this situation
     # (DDSketchWithExactSummaryStatistics.java:121-125); we degrade
     # gracefully to a stats-less sketch.
-    if result.exact_stats is not None and mass_without_stats:
+    if result.exact_stats is not None and (
+        into_mass_without_stats or n_count_flags < len(massy_regions)
+    ):
         result.exact_stats = None
         result.track_exact_stats = False
     return result

@@ -378,6 +378,7 @@ def quantiles(
     tree_fanin: int = 4096,
     merge_salt: Optional[int] = None,
     mode: str = "auto",
+    lazy: bool = False,
 ):
     """Sketch-based quantiles of ``value_col``, optionally grouped by ``by``.
 
@@ -390,7 +391,10 @@ def quantiles(
     Scale notes: raw rows never shuffle — stage 1 reduces each task to one
     sketch row per group. A global aggregation (by=None) whose stage-1 output
     exceeds ``tree_fanin`` rows gets an intermediate tree-merge stage so the
-    final task folds at most ~tree_fanin sketch rows. For grouped
+    final task folds at most ~tree_fanin sketch rows; the final fold then
+    runs on the driver and the call RETURNS AN ALREADY-EXECUTED local
+    result (``lazy=True`` restores a deferred plan — see the global branch
+    below). For grouped
     aggregations on very wide scans (#tasks so large that one group's partial
     rows overwhelm a single merge task), ``merge_salt=S`` inserts a salted
     pre-merge — groupBy(keys, salt) with S deterministic salt buckets — so
@@ -441,10 +445,17 @@ def quantiles(
             # intermediate tree level: bound final fan-in
             partials = partials.repartition(max(1, math.isqrt(n_parts)))
             partials = merge_partials_within_partitions(partials, [])
-        # bounded driver finalize: the tree level caps the surviving partial
-        # rows at ~max(tree_fanin, isqrt(#tasks)), the same fan-in the final
-        # merge task would fold — doing that fold on the driver removes a
-        # whole single-task shuffle + Python stage from every global query
+        if lazy:
+            src = partials.withColumn("__g", _lit0())
+            return finalize_sketch_rows(src, ["__g"], qs, q_names).drop("__g")
+        # bounded driver finalize (the default): the tree level caps the
+        # surviving partial rows at ~max(tree_fanin, isqrt(#tasks)), the
+        # same fan-in the final merge task would fold — doing that fold on
+        # the driver removes a whole single-task shuffle + Python stage
+        # from every global query. NOTE this executes the pipeline NOW and
+        # returns a sealed local-relation snapshot: re-collecting it will
+        # not observe source-data changes. Pass lazy=True for a deferred
+        # plan with classic DataFrame semantics.
         schema = _finalize_schema(partials, [], q_names)
         spark = df.sparkSession
         rows = partials.collect()

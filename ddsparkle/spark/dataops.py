@@ -145,14 +145,11 @@ def _bucket_pairs(
     from pyspark.sql import functions as F
 
     if max_bucket_size is not None:
-        oversized = (
-            exploded.groupBy(band_col, bucket_col)
-            .agg(F.count("*").alias("__bsz"))
-            .filter(F.col("__bsz") > max_bucket_size)
-            .select(band_col, bucket_col)
-        )
+        oversized = _oversized_buckets(exploded, band_col, bucket_col, max_bucket_size)
         exploded = exploded.join(
-            F.broadcast(oversized), [band_col, bucket_col], "left_anti"
+            F.broadcast(oversized.select(band_col, bucket_col)),
+            [band_col, bucket_col],
+            "left_anti",
         )
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
@@ -167,17 +164,27 @@ def _bucket_pairs(
     )
 
 
-def lsh_bucket_stats(exploded, band_col: str = "band", bucket_col: str = "bucket", max_bucket_size: int = 1000):
-    """Monitoring companion to the ``_bucket_pairs`` skew guard: DataFrame of
-    oversized buckets [band, bucket, size] a given cap would drop — log/store
-    this next to pipeline output so dropped mass is visible, not silent."""
+def _oversized_buckets(exploded, band_col: str, bucket_col: str, max_bucket_size: int):
+    """[band, bucket, size] of buckets above the cap — the ONE definition of
+    'oversized' shared by the ``_bucket_pairs`` guard and the monitoring
+    view, so what monitoring reports is exactly what the guard drops."""
     from pyspark.sql import functions as F
 
     return (
         exploded.groupBy(band_col, bucket_col)
         .agg(F.count("*").alias("size"))
         .filter(F.col("size") > max_bucket_size)
-        .orderBy(F.col("size").desc())
+    )
+
+
+def lsh_bucket_stats(exploded, band_col: str = "band", bucket_col: str = "bucket", max_bucket_size: int = 1000):
+    """Monitoring companion to the ``_bucket_pairs`` skew guard: DataFrame of
+    oversized buckets [band, bucket, size] a given cap would drop — log/store
+    this next to pipeline output so dropped mass is visible, not silent."""
+    from pyspark.sql import functions as F
+
+    return _oversized_buckets(exploded, band_col, bucket_col, max_bucket_size).orderBy(
+        F.col("size").desc()
     )
 
 
@@ -594,8 +601,10 @@ def connected_components(edges, nodes, id_col: str = "doc_id", max_iter: int = 5
     round materializes (persist + count) to keep task counts flat.
 
     ``nodes[id_col]`` must be unique (duplicate node rows would emit
-    duplicate component rows). The returned DataFrame is backed by the final
-    round's persisted labels; callers done with it may unpersist it.
+    duplicate component rows). Raises RuntimeError if the fixpoint is not
+    reached within ``max_iter`` rounds (intermediate labels would silently
+    split components). The result is localCheckpoint-materialized so the
+    loop's per-round caches are released before returning.
     """
     from pyspark.sql import functions as F
 
@@ -610,6 +619,7 @@ def connected_components(edges, nodes, id_col: str = "doc_id", max_iter: int = 5
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
     labels = labels.persist()
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.src == labels.id)
@@ -631,10 +641,25 @@ def connected_components(edges, nodes, id_col: str = "doc_id", max_iter: int = 5
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:  # labels are monotone: equal sum == fixpoint
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # returning intermediate labels would silently split components on
+        # long-chain graphs (propagation advances one hop per round)
+        labels.unpersist()
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds; the graph diameter exceeds it — raise max_iter (or use "
+            "a star-contraction variant for long-chain graphs)"
+        )
+    # detach the result from the loop's cache: localCheckpoint materializes
+    # the final labels, after which the per-round persisted frames can be
+    # released instead of living until session end
+    out = labels.withColumnRenamed("id", id_col).localCheckpoint(eager=True)
+    labels.unpersist()
     sym.unpersist()
-    out = labels.withColumnRenamed("id", id_col)
     return out
 
 

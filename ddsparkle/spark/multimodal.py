@@ -58,8 +58,10 @@ def decode_image(payload: bytes, width: int, height: int, fake: bool = False) ->
             "pass fake=True for the deterministic test decoder"
         )
     raw = np.frombuffer(payload, np.uint8)
+    if raw.size == 0:  # zero-byte payloads decode to black, not a crash
+        raw = np.zeros(1, np.uint8)
     need = width * height * 3
-    reps = int(np.ceil(need / max(raw.size, 1)))
+    reps = int(np.ceil(need / raw.size))
     return np.tile(raw, reps)[:need].reshape(height, width, 3)
 
 
@@ -97,8 +99,10 @@ def decode_video_frames(
             "container); pass fake=True for the deterministic test decoder"
         )
     raw = np.frombuffer(payload, np.uint8)
+    if raw.size == 0:  # zero-byte payloads decode to black frames, not a crash
+        raw = np.zeros(1, np.uint8)
     need = width * height * 3
-    reps = int(np.ceil(need / max(raw.size, 1)))
+    reps = int(np.ceil(need / raw.size))
     tiled = np.tile(raw, reps)[:need]
     frames = np.empty((n_frames, height, width, 3), np.uint8)
     # per-frame rotation step in [1, size-1] so consecutive frames always
@@ -106,7 +110,7 @@ def decode_video_frames(
     # every frame onto the same rotation)
     step = (max(duration_ms or 0, 0) % max(raw.size - 1, 1)) + 1
     for f in range(n_frames):
-        frames[f] = np.roll(tiled, -(f * step) % max(raw.size, 1)).reshape(
+        frames[f] = np.roll(tiled, -(f * step) % raw.size).reshape(
             height, width, 3
         )
     return frames

@@ -204,6 +204,33 @@ def test_decode_stats_audit_is_structural_not_numeric():
     assert dec3.exact_stats is None
 
 
+def test_decode_stats_flags_after_stores_keep_exactness():
+    """The reference decoder accepts flags in ANY order (DDSketch.java:
+    465-496); the exactness audit must not drop stats merely because a
+    writer emitted COUNT/MIN/MAX after the store blocks."""
+    import struct as _struct
+
+    from ddsparkle.serde import _FLAG_COUNT, _FLAG_MAX, _FLAG_MIN, _encode_var_double
+
+    sk = sketch_of(np.array([1.0, 2.0, 3.0]), track_exact_stats=False)
+    base = encode_sketch(sk)  # [mapping][stores] only
+    tail = bytearray([_FLAG_COUNT])
+    _encode_var_double(tail, 3.0)
+    tail.append(_FLAG_MIN)
+    tail += _struct.pack("<d", 1.0)
+    tail.append(_FLAG_MAX)
+    tail += _struct.pack("<d", 3.0)
+    dec = decode_sketch(base + bytes(tail), track_exact_stats=True)
+    assert dec.exact_stats is not None
+    assert dec.min == 1.0 and dec.max == 3.0 and dec.count == 3.0
+    # but one trailing stats group cannot cover TWO mass-bearing segments
+    other = sketch_of(np.array([10.0]), track_exact_stats=False)
+    dec2 = decode_sketch(
+        base + encode_sketch(other) + bytes(tail), track_exact_stats=True
+    )
+    assert dec2.exact_stats is None
+
+
 def test_decode_into_mass_without_stats_drops_exactness():
     """track_exact_stats=True decoding a stats stream into a target that has
     mass but no stats must not produce stats covering only the stream."""

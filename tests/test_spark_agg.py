@@ -55,6 +55,19 @@ def test_global_quantiles_vs_exact(spark, sf_dir):
     assert res["sum"] == pytest.approx(math.fsum(vals), rel=1e-9)
 
 
+def test_global_lazy_matches_eager(spark, sf_dir):
+    """lazy=True returns a deferred plan (shuffle-based finalize) with the
+    SAME result as the default eager driver finalize."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eager = quantiles(df, "value", qs=(0.5, 0.95)).collect()[0]
+    lazy_df = quantiles(df, "value", qs=(0.5, 0.95), lazy=True)
+    # deferred: the plan still contains the pipeline, not a sealed snapshot
+    plan = lazy_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" not in plan and "MapInPandas" in plan
+    lazy = lazy_df.collect()[0]
+    assert lazy.asDict() == eager.asDict()
+
+
 def test_grouped_quantiles_vs_exact(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     res = {
