@@ -432,6 +432,106 @@ def q_events_by_type_collapsed_weighted(spark: SparkSession, sf_dir: str) -> Dat
     return _round_result(res, ["event_type"], ["q50", "q99"])
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN gate: searching n_probe=4 of 8 clusters must reach recall
+    >= 0.5 vs the exact brute-force top-10 (deterministic: seeded k-means++
+    on a hash-ordered sample) while scanning a strict subset of vectors.
+    Spark computes the recall boolean; the oracle contributes the exact
+    corpus size."""
+    from ddsparkle.spark.dataops import ann_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe_row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    probe = [float(x) for x in probe_row[0]]
+    df = emb.filter(F.col("vec_id") != 0)
+    approx_ids = {
+        r["vec_id"]
+        for r in ann_ivf_topk(df, probe, k=10, n_clusters=8, n_probe=4, seed=1).collect()
+    }
+    # exact brute-force top-10 (JVM-side fold, same as ann_topk_cosine)
+    probe_arr = F.array(*[F.lit(x) for x in probe])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), probe_arr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    exact_ids = {
+        r["vec_id"]
+        for r in df.select("vec_id", (dot / norm).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("vec_id"))
+        .limit(10)
+        .collect()
+    }
+    recall = len(approx_ids & exact_ids) / 10.0
+    n = df.count()
+    return spark.createDataFrame(
+        [(float(n), recall >= 0.5)], "n_vectors double, recall_ok boolean"
+    )
+
+
+def q_convert_mapping_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convert() gate (IndexMappingConverter.distributingUniformly,
+    IndexMappingConverter.java:84-143): build at alpha=0.02, convert to the
+    alpha=0.01 log mapping, and check each converted quantile against the
+    EXACT percentile (Spark's exact `percentile` aggregate) within the
+    composed bound (1+2*a_in)*(1+a_out)-1 ~ 5.1% (+ slack). Count is
+    conserved exactly through the rebin."""
+    from ddsparkle.config import SketchConfig
+    from ddsparkle.convert import convert_sketch
+    from ddsparkle.mapping import LogarithmicMapping
+    from ddsparkle.serde import merge_rows
+    from ddsparkle.spark.agg import build_partial_sketches
+
+    df = _t(spark, sf_dir, "events")
+    cfg_in = SketchConfig(
+        mapping_kind="log", relative_accuracy=0.02, store_policy="unbounded",
+        max_bins=0, track_exact_stats=False,
+    )
+    rows = build_partial_sketches(df, "value", config=cfg_in).collect()
+    sk = merge_rows(rows)
+    conv = convert_sketch(sk, LogarithmicMapping.from_relative_accuracy(0.01))
+    qs = (0.5, 0.95, 0.99)
+    qvals = [float(v) for v in conv.values_at_quantiles(list(qs))]
+    exact = df.agg(
+        *[F.expr(f"percentile(value, {q})").alias(f"e{i}") for i, q in enumerate(qs)]
+    ).collect()[0]
+    bound = (1 + 2 * 0.02) * (1 + 0.01) - 1 + 0.01  # composed bound + slack
+    oks = [abs(v - exact[f"e{i}"]) / abs(exact[f"e{i}"]) <= bound for i, v in enumerate(qvals)]
+    # the uniform redistribution conserves count up to float dust; round to
+    # the integer the oracle's COUNT(*) produces
+    return spark.createDataFrame(
+        [(float(round(conv.count)), *oks)],
+        "count double, q50_ok boolean, q95_ok boolean, q99_ok boolean",
+    )
+
+
+def q_events_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted pre-merge path (merge_salt=4): the salt bounds any single
+    merge task's per-group fan-in; associativity makes the result identical
+    — same oracle as the unsalted grouped query at these quantiles."""
+    df = _t(spark, sf_dir, "events")
+    res = quantiles(
+        df, "value", by="event_type", qs=(0.25, 0.75), config=_cfg(), merge_salt=4
+    )
+    return _round_result(res, ["event_type"], ["q25", "q75"])
+
+
+def q_orders_by_cust_shuffle_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode='shuffle' (raw-row repartition + fused vectorized
+    build+finalize, zero sketch-row shuffle — the R~1 ultra-high-cardinality
+    physical strategy) must produce the identical DDSketch answer."""
+    df = _t(spark, sf_dir, "orders")
+    res = quantiles(
+        df, "o_totalprice", by="o_custkey", qs=(0.25, 0.75), config=_cfg(), mode="shuffle"
+    )
+    return _round_result(res, ["o_custkey"], ["q25", "q75"])
+
+
 def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language heuristic, pure Catalyst — the DuckDB twin
     replicates the distinct-intersection scoring and the tie-break order."""
@@ -515,6 +615,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jobs_checkpoint_quantiles": q_jobs_checkpoint_quantiles,
         "streaming_windowed_hourly": q_streaming_windowed_hourly,
         "ddsketch_by_type_collapsed_weighted": q_events_by_type_collapsed_weighted,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        "convert_mapping_accuracy": q_convert_mapping_accuracy,
+        "ddsketch_events_by_type_salted": q_events_by_type_salted,
+        "ddsketch_orders_by_cust_shuffle_mode": q_orders_by_cust_shuffle_mode,
     }
 
 
@@ -652,6 +756,20 @@ def oracle_sql() -> dict[str, str]:
         # the checkpoint/resume job must land on the batch answer exactly
         "jobs_checkpoint_quantiles": ddsketch_quantile_sql(
             "events", "value", [0.5, 0.95, 0.99]
+        ),
+        "ann_ivf_recall": (
+            "SELECT CAST(COUNT(*) AS DOUBLE) AS n_vectors, TRUE AS recall_ok "
+            "FROM embeddings WHERE vec_id != 0"
+        ),
+        "convert_mapping_accuracy": (
+            "SELECT CAST(COUNT(value) AS DOUBLE) AS count, TRUE AS q50_ok, "
+            "TRUE AS q95_ok, TRUE AS q99_ok FROM events"
+        ),
+        "ddsketch_events_by_type_salted": ddsketch_quantile_sql(
+            "events", "value", [0.25, 0.75], group_col="event_type"
+        ),
+        "ddsketch_orders_by_cust_shuffle_mode": ddsketch_quantile_sql(
+            "orders", "o_totalprice", [0.25, 0.75], group_col="o_custkey"
         ),
         "doc_dedup_fuzzy_representatives": (
             "WITH RECURSIVE sh AS ("
