@@ -525,4 +525,19 @@ def decode_sketch(
     ):
         result.exact_stats = None
         result.track_exact_stats = False
+    # Complementary numeric audit: omit_index_mapping concatenations add no
+    # mapping flag, so a stats-less appended segment is structurally
+    # invisible (one region, one COUNT flag) — but its mass shows up as a
+    # count/bucket-total divergence. The two checks together cover both the
+    # hidden-small-segment case (structural) and the hidden-omit-mapping
+    # case (numeric, above its tolerance).
+    if result.exact_stats is not None:
+        bucket_total = (
+            result.zero_count
+            + result.negative_store.total_count
+            + result.positive_store.total_count
+        )
+        if abs(result.exact_stats.count - bucket_total) > 1e-6 * max(bucket_total, 1.0):
+            result.exact_stats = None
+            result.track_exact_stats = False
     return result

@@ -145,11 +145,19 @@ def _bucket_pairs(
     from pyspark.sql import functions as F
 
     if max_bucket_size is not None:
-        oversized = _oversized_buckets(exploded, band_col, bucket_col, max_bucket_size)
-        exploded = exploded.join(
-            F.broadcast(oversized.select(band_col, bucket_col)),
-            [band_col, bucket_col],
-            "left_anti",
+        # bucket sizes via a window count over (band, bucket): this shares
+        # the self-join's own shuffle key, so the upstream pipeline (e.g.
+        # the MinHash signing pass) is NOT evaluated an extra time the way a
+        # separate aggregate + anti-join would force. The degenerate bucket
+        # lands whole in one partition for the count — thousands of rows,
+        # trivial; the bomb this guard defuses is the join's b^2 OUTPUT.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(band_col, bucket_col)
+        exploded = (
+            exploded.withColumn("__bsz", F.count("*").over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
         )
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
@@ -617,8 +625,7 @@ def connected_components(edges, nodes, id_col: str = "doc_id", max_iter: int = 5
     sym = sym.persist()
     sym.count()
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
-    labels = labels.persist()
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    cached = labels = labels.persist()
     converged = False
     for _ in range(max_iter):
         nbr = (
@@ -627,27 +634,34 @@ def connected_components(edges, nodes, id_col: str = "doc_id", max_iter: int = 5
             .groupBy("id")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        # convergence = zero labels changed this round — computed on the
+        # same frame that produces the new labels, and valid for ANY id
+        # type/order (a SUM(label) probe would cast/overflow string or huge
+        # numeric ids)
+        joined = (
             labels.join(nbr, "id", "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
+                F.coalesce(
+                    F.col("nbr_min") < F.col("component"), F.lit(False)
+                ).alias("__changed"),
             )
             .persist()
         )
-        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:  # labels are monotone: equal sum == fixpoint
+        n_changed = joined.agg(F.sum(F.col("__changed").cast("long"))).collect()[0][0]
+        cached.unpersist()
+        cached = joined
+        labels = joined.select("id", "component")
+        if not n_changed:
             converged = True
             break
-        prev_sum = new_sum
     if not converged:
         # returning intermediate labels would silently split components on
         # long-chain graphs (propagation advances one hop per round)
-        labels.unpersist()
+        cached.unpersist()
         sym.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in max_iter={max_iter} "
@@ -658,7 +672,7 @@ def connected_components(edges, nodes, id_col: str = "doc_id", max_iter: int = 5
     # the final labels, after which the per-round persisted frames can be
     # released instead of living until session end
     out = labels.withColumnRenamed("id", id_col).localCheckpoint(eager=True)
-    labels.unpersist()
+    cached.unpersist()
     sym.unpersist()
     return out
 

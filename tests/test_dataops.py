@@ -201,6 +201,18 @@ def test_connected_components_and_fuzzy_clusters(spark, docs):
     }
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 99: 99}
 
+    # string ids: the convergence check must be id-type agnostic (a
+    # SUM(label) probe would cast-crash or silently no-op on strings)
+    s_edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": ["a", "b", "c"], "id_b": ["b", "c", "d"]})
+    )
+    s_nodes = spark.createDataFrame(pd.DataFrame({"doc_id": ["a", "b", "c", "d", "z"]}))
+    s_comp = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(s_edges, s_nodes, "doc_id").collect()
+    }
+    assert s_comp == {"a": "a", "b": "a", "c": "a", "d": "a", "z": "z"}
+
     df, near_pairs = docs
     out = near_dup_clusters(df, jaccard_threshold=0.5).toPandas()
     assert len(out) == df.count()  # every doc gets a decision

@@ -231,6 +231,18 @@ def test_decode_stats_flags_after_stores_keep_exactness():
     assert dec2.exact_stats is None
 
 
+def test_decode_omit_mapping_statless_segment_drops_exactness():
+    """omit_index_mapping segments add no mapping flag, so the structural
+    audit cannot see them — the complementary numeric count-vs-bucket-total
+    audit must catch the uncovered mass."""
+    a = sketch_of(np.array([1.0, 2.0, 3.0]))  # stats on
+    b = sketch_of(np.array([100.0, 200.0]), track_exact_stats=False)
+    blob = encode_sketch(a) + encode_sketch(b, omit_index_mapping=True)
+    dec = decode_sketch(blob, track_exact_stats=True)
+    assert dec.exact_stats is None  # stale [1,3] clamp would hide the 200 tail
+    assert dec.count == pytest.approx(5.0)
+
+
 def test_decode_into_mass_without_stats_drops_exactness():
     """track_exact_stats=True decoding a stats stream into a target that has
     mass but no stats must not produce stats covering only the stream."""
