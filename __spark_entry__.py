@@ -532,6 +532,42 @@ def q_orders_by_cust_shuffle_mode(spark: SparkSession, sf_dir: str) -> DataFrame
     return _round_result(res, ["o_custkey"], ["q25", "q75"])
 
 
+def q_kmv_orderkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operations gate (corpus overlap): distinct l_orderkey sets of
+    the 'R' and 'N' return-flag slices, their intersection/union estimated
+    from two KB-scale sketches, checked against exact Catalyst counts within
+    4x the KMV rse (intersection within 10%). The oracle recomputes the
+    exact parts in SQL and asserts the bound booleans."""
+    from ddsparkle.spark.approx import set_overlap
+
+    li = _t(spark, sf_dir, "lineitem")
+    a_df = li.filter(F.col("l_returnflag") == "R")
+    b_df = li.filter(F.col("l_returnflag") == "N")
+    ov = set_overlap(a_df, "l_orderkey", b_df, "l_orderkey", k=8192)
+    ea = float(a_df.select("l_orderkey").distinct().count())
+    eb = float(b_df.select("l_orderkey").distinct().count())
+    ei = float(
+        a_df.select("l_orderkey")
+        .distinct()
+        .join(b_df.select("l_orderkey").distinct(), "l_orderkey")
+        .count()
+    )
+    tol = 4 * ov["rse"]
+    row = (
+        ea,
+        eb,
+        ei,
+        bool(abs(ov["distinct_a"] - ea) <= tol * ea),
+        bool(abs(ov["distinct_b"] - eb) <= tol * eb),
+        bool(abs(ov["intersection"] - ei) <= 0.1 * ei + 1.0),
+    )
+    return spark.createDataFrame(
+        [row],
+        "exact_a double, exact_b double, exact_inter double, "
+        "a_ok boolean, b_ok boolean, inter_ok boolean",
+    )
+
+
 def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language heuristic, pure Catalyst — the DuckDB twin
     replicates the distinct-intersection scoring and the tie-break order."""
@@ -615,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jobs_checkpoint_quantiles": q_jobs_checkpoint_quantiles,
         "streaming_windowed_hourly": q_streaming_windowed_hourly,
         "ddsketch_by_type_collapsed_weighted": q_events_by_type_collapsed_weighted,
+        "kmv_orderkey_overlap": q_kmv_orderkey_overlap,
         "ann_ivf_recall": q_ann_ivf_recall,
         "convert_mapping_accuracy": q_convert_mapping_accuracy,
         "ddsketch_events_by_type_salted": q_events_by_type_salted,
@@ -756,6 +793,13 @@ def oracle_sql() -> dict[str, str]:
         # the checkpoint/resume job must land on the batch answer exactly
         "jobs_checkpoint_quantiles": ddsketch_quantile_sql(
             "events", "value", [0.5, 0.95, 0.99]
+        ),
+        "kmv_orderkey_overlap": (
+            "SELECT CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem WHERE l_returnflag = 'R') AS DOUBLE) AS exact_a, "
+            "CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem WHERE l_returnflag = 'N') AS DOUBLE) AS exact_b, "
+            "CAST((SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R') r "
+            " JOIN (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'N') n USING (l_orderkey)) AS DOUBLE) AS exact_inter, "
+            "TRUE AS a_ok, TRUE AS b_ok, TRUE AS inter_ok"
         ),
         "ann_ivf_recall": (
             "SELECT CAST(COUNT(*) AS DOUBLE) AS n_vectors, TRUE AS recall_ok "

@@ -15,6 +15,7 @@ from .tdigest import TDigest
 from .countmin import CountMinSketch
 from .hll import HyperLogLog
 from .misra_gries import MisraGries
+from .kmv import KMVSketch
 from .reservoir import ReservoirSample
 
-__all__ = ["HyperLogLog", "CountMinSketch", "BloomFilter", "KLLSketch", "TDigest", "MisraGries", "ReservoirSample"]
+__all__ = ["HyperLogLog", "CountMinSketch", "BloomFilter", "KLLSketch", "TDigest", "MisraGries", "ReservoirSample", "KMVSketch"]

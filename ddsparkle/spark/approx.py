@@ -12,7 +12,7 @@ import pandas as pd
 
 from ..sketches import BloomFilter, CountMinSketch, HyperLogLog
 
-__all__ = ["hll_distinct", "cms_frequencies", "bloom_membership"]
+__all__ = ["hll_distinct", "cms_frequencies", "bloom_membership", "kmv_distinct_sketch", "set_overlap"]
 
 
 def _payload_schema(df, key_cols: Sequence[str]):
@@ -309,6 +309,45 @@ def tdigest_quantiles(df, value_col: str, by=None, qs=(0.5, 0.95, 0.99), delta: 
     return _quantile_family_agg(
         df, value_col, by, qs, lambda: TDigest(delta=delta), TDigest.from_bytes
     )
+
+
+def kmv_distinct_sketch(df, value_col: str, k: int = 4096, seed: int = 0):
+    """Build one merged KMV sketch of ``value_col``'s distinct values: the
+    usual chassis (mapInPandas partials -> salted reduce). Returns the
+    KMVSketch — feed pairs of them to jaccard/intersection estimators."""
+    from ..sketches.kmv import KMVSketch
+
+    partials = _build_payload_partials(
+        df.select(value_col),
+        value_col,
+        [],
+        make=lambda: KMVSketch(k=k, seed=seed),
+        update=lambda sk, v: sk.update(v),
+    )
+    return _reduce_payloads(
+        partials, lambda b: KMVSketch.from_bytes(b, seed=seed)
+    ) or KMVSketch(k=k, seed=seed)
+
+
+def set_overlap(df_a, col_a, df_b, col_b, k: int = 4096, seed: int = 0) -> dict:
+    """Distinct-set overlap of two columns via KMV sketches — the corpus-
+    overlap estimator (how many training documents/users/keys do two tables
+    share?) that needs only two scans and KB-scale state, vs an exact
+    distinct join. Returns dict with distinct_a/b, union, intersection,
+    jaccard estimates (exact whenever both distinct universes fit in k)."""
+    a = kmv_distinct_sketch(df_a, col_a, k=k, seed=seed)
+    b = kmv_distinct_sketch(df_b, col_b, k=k, seed=seed)
+    union = a.union_(b)
+    j = a.jaccard(b)
+    u_est = union.distinct_estimate()
+    return {
+        "distinct_a": a.distinct_estimate(),
+        "distinct_b": b.distinct_estimate(),
+        "union": u_est,
+        "intersection": j * u_est,
+        "jaccard": j,
+        "rse": a.relative_standard_error,
+    }
 
 
 def heavy_hitters(df, value_col: str, k: int = 10, mg_k: int = 256, exact_counts: bool = True):

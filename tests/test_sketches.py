@@ -418,3 +418,82 @@ class TestReviewRegressions:
 
         with _pytest.raises(ValueError, match="must divide"):
             minhash_lsh_candidates(None, bands=16, num_perm=60)
+
+
+class TestKMV:
+    def test_exact_below_capacity(self):
+        from ddsparkle.sketches.kmv import KMVSketch
+
+        sk = KMVSketch(k=1024)
+        vals = np.arange(500)
+        sk.update(vals)
+        sk.update(vals)  # duplicates must not inflate
+        assert sk.distinct_estimate() == 500.0
+        assert not sk.saturated
+
+    def test_estimate_within_rse_when_saturated(self):
+        from ddsparkle.sketches.kmv import KMVSketch
+
+        sk = KMVSketch(k=1024)
+        n = 200_000
+        sk.update(np.arange(n))
+        err = abs(sk.distinct_estimate() - n) / n
+        assert err < 4 * sk.relative_standard_error, err
+
+    def test_merge_equals_single_build_and_is_commutative(self):
+        from ddsparkle.sketches.kmv import KMVSketch
+
+        a = KMVSketch(k=256)
+        b = KMVSketch(k=256)
+        a.update(np.arange(0, 30_000))
+        b.update(np.arange(20_000, 60_000))
+        ab = KMVSketch.from_bytes(a.to_bytes())
+        ab.merge(b)
+        ba = KMVSketch.from_bytes(b.to_bytes())
+        ba.merge(a)
+        assert np.array_equal(ab.hashes, ba.hashes)
+        direct = KMVSketch(k=256)
+        direct.update(np.arange(0, 60_000))
+        assert np.array_equal(ab.hashes, direct.hashes)
+
+    def test_jaccard_and_intersection(self):
+        from ddsparkle.sketches.kmv import KMVSketch
+
+        a = KMVSketch(k=2048)
+        b = KMVSketch(k=2048)
+        # |A|=60k, |B|=60k, overlap 20k -> J = 20k/100k = 0.2
+        a.update(np.arange(0, 60_000))
+        b.update(np.arange(40_000, 100_000))
+        j = a.jaccard(b)
+        assert abs(j - 0.2) < 0.05, j
+        inter = a.intersection_estimate(b)
+        assert abs(inter - 20_000) / 20_000 < 0.2, inter
+
+    def test_exact_set_ops_below_capacity(self):
+        from ddsparkle.sketches.kmv import KMVSketch
+
+        a = KMVSketch(k=4096)
+        b = KMVSketch(k=4096)
+        a.update(np.arange(0, 1500))
+        b.update(np.arange(1000, 2500))
+        assert a.jaccard(b) == 500 / 2500
+        assert a.intersection_estimate(b) == 500.0
+        assert a.union_(b).distinct_estimate() == 2500.0
+
+    def test_serde_roundtrip(self):
+        from ddsparkle.sketches.kmv import KMVSketch
+
+        sk = KMVSketch(k=64)
+        sk.update(np.arange(10_000))
+        back = KMVSketch.from_bytes(sk.to_bytes())
+        assert back.saturated and np.array_equal(back.hashes, sk.hashes)
+        assert back.distinct_estimate() == sk.distinct_estimate()
+
+    def test_string_values(self):
+        from ddsparkle.sketches.kmv import KMVSketch
+
+        import pandas as pd
+
+        sk = KMVSketch(k=512)
+        sk.update(pd.Series([f"doc-{i}" for i in range(300)]))
+        assert sk.distinct_estimate() == 300.0
