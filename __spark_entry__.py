@@ -243,6 +243,30 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL: per-event-type distinct users, each group's estimate
+    bounded against its exact COUNT(DISTINCT) — exercises the keyed partial
+    build + per-key payload merge path of the approx chassis."""
+    from ddsparkle.spark.approx import hll_distinct
+
+    df = _t(spark, sf_dir, "events")
+    est = hll_distinct(df, "user_id", by="event_type", p=14, seed=0)
+    exact = df.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("double").alias("exact_distinct")
+    )
+    # left join + coalesce: a group whose user_ids are ALL NULL builds no
+    # HLL payload and would vanish from an inner join while the SQL oracle
+    # keeps it with exact_distinct = 0
+    return exact.join(est, "event_type", "left").select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.coalesce("distinct_est", F.lit(0.0)) - F.col("exact_distinct"))
+            <= 3.0 * F.coalesce("rse", F.lit(0.0)) * F.col("exact_distinct")
+        ).alias("within_3rse"),
+    )
+
+
 def q_cms_event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequencies of every event type. With 5 distinct keys in a
     depth-5 x width-8192 sketch a collision requires two keys to collide in
@@ -640,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_quantiles": q_doc_token_quantiles,
         "ann_topk_cosine": q_ann_topk_cosine,
         "hll_distinct_users": q_hll_distinct_users,
+        "hll_distinct_users_by_type": q_hll_distinct_users_by_type,
         "cms_event_type_freq": q_cms_event_type_freq,
         "bloom_membership_custkeys": q_bloom_membership_custkeys,
         "kll_quantiles_events": q_kll_quantiles_events,
@@ -742,6 +767,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_users": (
             "SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS exact_distinct, "
             "TRUE AS within_3rse FROM events"
+        ),
+        "hll_distinct_users_by_type": (
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS exact_distinct, "
+            "TRUE AS within_3rse FROM events GROUP BY event_type"
         ),
         "cms_event_type_freq": (
             "SELECT CAST(event_type AS VARCHAR) AS probe, "

@@ -53,6 +53,13 @@ class KMVSketch:
         if len(values) == 0:
             return
         h = hash64(values, self.seed)
+        if self.saturated:
+            # threshold optimization: once at capacity only hashes at or
+            # below the current k-th minimum can enter — skips the
+            # concatenate+unique for the common all-too-large batch
+            h = h[h <= self.hashes[-1]]
+            if h.size == 0:
+                return
         self._trim(np.concatenate([self.hashes, h]))
 
     def merge(self, other: "KMVSketch") -> None:
@@ -78,27 +85,41 @@ class KMVSketch:
         out.merge(other)
         return out
 
-    def jaccard(self, other: "KMVSketch") -> float:
-        """J(A, B) from membership of the union's k-min sample in both."""
+    def overlap_stats(self, other: "KMVSketch") -> dict:
+        """One union construction -> {union, jaccard, intersection}.
+
+        J(A, B) is membership counting over the union's k-min sample: every
+        sample hash is <= both inputs' k-th minima (the union's k smallest
+        of A∪B are bounded by either side's k-th smallest alone), so 'in A'
+        is decidable exactly from A's retained set."""
         u = self.union_(other)
         if u.hashes.size == 0:
-            return 1.0
+            return {"union": 0.0, "jaccard": 1.0, "intersection": 0.0}
         in_a = np.isin(u.hashes, self.hashes, assume_unique=True)
         in_b = np.isin(u.hashes, other.hashes, assume_unique=True)
-        return float(np.count_nonzero(in_a & in_b) / u.hashes.size)
+        j = float(np.count_nonzero(in_a & in_b) / u.hashes.size)
+        u_est = u.distinct_estimate()
+        return {"union": u_est, "jaccard": j, "intersection": j * u_est}
+
+    def jaccard(self, other: "KMVSketch") -> float:
+        return self.overlap_stats(other)["jaccard"]
 
     def intersection_estimate(self, other: "KMVSketch") -> float:
-        return self.jaccard(other) * self.union_(other).distinct_estimate()
+        return self.overlap_stats(other)["intersection"]
 
     # -- serde ----------------------------------------------------------------
     def to_bytes(self) -> bytes:
-        head = struct.pack("<iqB", self.k, self.hashes.size, int(self.saturated))
+        # seed travels in the payload like k: hashes from different seeds
+        # must never silently merge or be extended under the wrong seed
+        head = struct.pack("<iqBq", self.k, self.hashes.size, int(self.saturated), self.seed)
         return head + self.hashes.astype("<u8").tobytes()
 
     @classmethod
-    def from_bytes(cls, data: bytes, seed: int = 0) -> "KMVSketch":
-        k, sz, sat = struct.unpack_from("<iqB", data, 0)
-        h = np.frombuffer(data, "<u8", sz, struct.calcsize("<iqB")).copy()
-        out = cls(k=k, seed=seed, hashes=h)
+    def from_bytes(cls, data: bytes, seed: int | None = None) -> "KMVSketch":
+        k, sz, sat, pseed = struct.unpack_from("<iqBq", data, 0)
+        if seed is not None and seed != pseed:
+            raise ValueError(f"payload was built with seed {pseed}, not {seed}")
+        h = np.frombuffer(data, "<u8", sz, struct.calcsize("<iqBq")).copy()
+        out = cls(k=k, seed=pseed, hashes=h)
         out.saturated = bool(sat)
         return out

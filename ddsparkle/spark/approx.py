@@ -334,18 +334,18 @@ def set_overlap(df_a, col_a, df_b, col_b, k: int = 4096, seed: int = 0) -> dict:
     overlap estimator (how many training documents/users/keys do two tables
     share?) that needs only two scans and KB-scale state, vs an exact
     distinct join. Returns dict with distinct_a/b, union, intersection,
-    jaccard estimates (exact whenever both distinct universes fit in k)."""
+    jaccard estimates — exact whenever the UNION's distinct universe fits
+    in k (each side fitting individually is not enough: the union sketch is
+    the one that saturates first)."""
     a = kmv_distinct_sketch(df_a, col_a, k=k, seed=seed)
     b = kmv_distinct_sketch(df_b, col_b, k=k, seed=seed)
-    union = a.union_(b)
-    j = a.jaccard(b)
-    u_est = union.distinct_estimate()
+    ov = a.overlap_stats(b)
     return {
         "distinct_a": a.distinct_estimate(),
         "distinct_b": b.distinct_estimate(),
-        "union": u_est,
-        "intersection": j * u_est,
-        "jaccard": j,
+        "union": ov["union"],
+        "intersection": ov["intersection"],
+        "jaccard": ov["jaccard"],
         "rse": a.relative_standard_error,
     }
 
