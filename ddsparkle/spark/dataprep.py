@@ -1,0 +1,137 @@
+"""End-to-end training-data curation pipeline: the composition of the
+dataops operators a 100 TB document lake actually runs before training —
+
+    scan -> exact dedup -> fuzzy dedup (MinHash/LSH/Jaccard -> connected
+    components, keep cluster representatives) -> quality + language filters
+    -> curated parquet + a stats JSON.
+
+Every stage is the scale-shaped variant: exact dedup is a map-side-combined
+groupBy, candidate generation is a skew-guarded bucket join (never
+all-pairs), cluster resolution is min-label propagation, filters are pure
+Catalyst (pushdown-friendly). Run via spark-submit (scripts/submit_dataprep
+.py) or call ``curate()`` directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional
+
+__all__ = ["curate", "run_dataprep"]
+
+
+def curate(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_mean_token_len: float = 20.0,
+    languages: Optional[list[str]] = None,
+    jaccard_threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: Optional[int] = 1000,
+):
+    """Returns (curated DataFrame, stats dict). The curated frame keeps one
+    representative per exact/fuzzy duplicate cluster and only documents that
+    pass the quality + language gates; ``stats`` accounts for every drop."""
+    from pyspark.sql import functions as F
+
+    from .dataops import exact_dedup, language_id, near_dup_clusters, text_quality
+
+    n_input = df.count()
+
+    # 1. exact dedup (cheapest first: shrinks everything downstream)
+    reps = exact_dedup(df, text_col, id_col)  # [id_col, n_copies]
+    exact_kept = df.join(reps.select(id_col), id_col)
+    n_exact = exact_kept.count()
+
+    # 2. fuzzy dedup on the exact-deduped survivors
+    clusters = near_dup_clusters(
+        exact_kept,
+        text_col,
+        id_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket_size=max_bucket_size,
+    )
+    fuzzy_kept = exact_kept.join(
+        clusters.filter(F.col("keep")).select(id_col), id_col
+    )
+    n_fuzzy = fuzzy_kept.count()
+
+    # 3. quality + language gates (pure Catalyst; at scale these run in the
+    # same stage as the final write)
+    q = text_quality(fuzzy_kept, text_col, id_col).select(
+        id_col, "n_tokens", "mean_token_len"
+    )
+    lang = language_id(fuzzy_kept, text_col, id_col)
+    gated = (
+        fuzzy_kept.join(q, id_col)
+        .join(lang, id_col)
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("mean_token_len") <= max_mean_token_len)
+        )
+    )
+    if languages:
+        gated = gated.filter(F.col("lang_pred").isin(list(languages)))
+    curated = gated.drop("n_tokens", "mean_token_len")
+    n_final = curated.count()
+
+    stats = {
+        "input_docs": n_input,
+        "after_exact_dedup": n_exact,
+        "after_fuzzy_dedup": n_fuzzy,
+        "after_quality_language": n_final,
+        "dropped_exact_dups": n_input - n_exact,
+        "dropped_fuzzy_dups": n_exact - n_fuzzy,
+        "dropped_quality_language": n_fuzzy - n_final,
+    }
+    return curated, stats
+
+
+def run_dataprep(args) -> dict:
+    from .session import get_spark
+
+    spark = get_spark("ddsparkle-dataprep")
+    spark.sparkContext.setLogLevel("WARN")
+    df = spark.read.parquet(args.source)
+    curated, stats = curate(
+        df,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        min_tokens=args.min_tokens,
+        languages=args.languages.split(",") if args.languages else None,
+        jaccard_threshold=args.jaccard_threshold,
+    )
+    curated.write.mode("overwrite").parquet(args.output)
+    stats["output_rows"] = spark.read.parquet(args.output).count()
+    if args.stats:
+        os.makedirs(os.path.dirname(args.stats) or ".", exist_ok=True)
+        with open(args.stats, "w") as f:
+            json.dump(stats, f, indent=2)
+    print(json.dumps(stats))
+    return stats
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="training-data curation pipeline")
+    p.add_argument("--source", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--stats", default=None)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--min-tokens", type=int, default=5)
+    p.add_argument("--languages", default=None, help="comma list, e.g. en,de")
+    p.add_argument("--jaccard-threshold", type=float, default=0.7)
+    return p
+
+
+if __name__ == "__main__":
+    run_dataprep(_parser().parse_args())

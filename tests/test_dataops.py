@@ -302,6 +302,25 @@ def test_lsh_bucket_skew_guard(spark):
     sigs.unpersist()
 
 
+def test_curate_pipeline_accounting(spark, docs):
+    """End-to-end curation: exact dups drop first, fuzzy dups next, gates
+    last; stats must account for every document."""
+    from ddsparkle.spark.dataprep import curate
+
+    df, _ = docs  # 36 docs: 3 exact dups, 3 near dups (one word changed)
+    curated, stats = curate(df, jaccard_threshold=0.5, min_tokens=5)
+    assert stats["input_docs"] == 36
+    assert stats["dropped_exact_dups"] == 3
+    assert stats["dropped_fuzzy_dups"] == 3
+    assert stats["after_quality_language"] == curated.count() == 30
+    # representatives kept are the min ids of their clusters
+    kept_ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert set(range(30)) == kept_ids
+    # language gate drops everything in this synthetic vocab (all 'und')
+    _, stats2 = curate(df, jaccard_threshold=0.5, languages=["en"])
+    assert stats2["after_quality_language"] == 0
+
+
 def test_simhash_candidates_recall(spark, docs):
     from ddsparkle.spark.dataops import simhash_candidates
 
