@@ -49,11 +49,17 @@ HEADLINE = [
 ]
 
 
-def _time(fn, spark, sf_dir) -> float:
-    fn(spark, sf_dir).collect()  # warm run: worker pools, footers, JIT
-    t0 = time.perf_counter()
-    fn(spark, sf_dir).collect()
-    return round(time.perf_counter() - t0, 4)
+def _time(fn, spark, sf_dir, errors: dict, name: str) -> float | None:
+    """Warm + timed run; a failing query is recorded, not fatal — one broken
+    query must not zero out the whole round's benchmark record."""
+    try:
+        fn(spark, sf_dir).collect()  # warm run: worker pools, footers, JIT
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        return round(time.perf_counter() - t0, 4)
+    except Exception as exc:  # noqa: BLE001 - record and continue
+        errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        return None
 
 
 def main() -> None:
@@ -79,26 +85,31 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entry_mod.queries()
-    timings = {name: _time(queries[name], spark, sf_dir) for name in HEADLINE}
+    errors: dict = {}
+    timings = {
+        name: t
+        for name in HEADLINE
+        if (t := _time(queries[name], spark, sf_dir, errors, name)) is not None
+    }
     extra = {
-        name: _time(fn, spark, sf_dir)
+        name: t
         for name, fn in queries.items()
         if name not in HEADLINE
+        and (t := _time(fn, spark, sf_dir, errors, name)) is not None
     }
 
-    print(
-        json.dumps(
-            {
-                "metric": "ddsketch_query_suite_total_runtime",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "extra_total": round(sum(extra.values()), 4),
-                "extra_queries": extra,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    report = {
+        "metric": "ddsketch_query_suite_total_runtime",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "extra_total": round(sum(extra.values()), 4),
+        "extra_queries": extra,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        report["errors"] = errors
+    print(json.dumps(report))
     spark.stop()
 
 
