@@ -304,15 +304,23 @@ def _make_grouped_builder(cfg, key_cols, value_col, weight_col, max_groups_per_t
                 batch_counts = np.concatenate([acc_counts, batch_counts])
             acc_packed, acc_counts = _group_sum(batch_packed, batch_counts)
             if track_stats:
-                # per-key exact stats for this batch
-                bk, bcnt = _group_sum(kid_rows, w)
-                _, bsum = _group_sum(kid_rows, w * v)
+                # per-key exact stats for this batch: ONE sort and four
+                # reduceat passes over the same segmentation, so all arrays
+                # align by construction. (_group_sum is NOT usable here: it
+                # drops zero-SUM groups — bucket semantics — so a group
+                # whose batch-local sum(w*v) is 0 (zero values, or positive/
+                # negative cancellation) would truncate/misalign the zip and
+                # silently corrupt exact stats of later groups.)
                 order = np.argsort(kid_rows, kind="stable")
                 sk_sorted = kid_rows[order]
                 v_sorted = v[order]
+                w_sorted = w[order]
                 b_start = np.nonzero(
                     np.concatenate([[True], sk_sorted[1:] != sk_sorted[:-1]])
                 )[0]
+                bk = sk_sorted[b_start]
+                bcnt = np.add.reduceat(w_sorted, b_start)
+                bsum = np.add.reduceat(w_sorted * v_sorted, b_start)
                 bmin = np.minimum.reduceat(v_sorted, b_start)
                 bmax = np.maximum.reduceat(v_sorted, b_start)
                 for kid, c, s_, mn, mx in zip(bk, bcnt, bsum, bmin, bmax):
@@ -417,13 +425,20 @@ def quantiles(
       rows they summarize. (It also wins on small benchmarks at ANY
       cardinality because it has one fewer Python stage — but shuffling raw
       rows by a low-cardinality key is exactly the plan that dies at 100 TB,
-      so it is never auto-selected.)
+      so it is never auto-selected.) Task memory is O(groups per partition).
+    - 'sorted': like 'shuffle' plus sortWithinPartitions(keys) and a
+      STREAMING finalize — completed keys emit per Arrow batch, only the
+      trailing key carries over, task memory O(one batch). The variant for
+      group counts so extreme that even one retained sketch row per group
+      per task is too much; pays Spark's (spill-safe) sort for it.
     """
     config = config or SketchConfig()
     key_cols = [by] if isinstance(by, str) else list(by or [])
-    if mode not in ("auto", "grouped", "wide", "shuffle"):
-        raise ValueError(f"unknown mode {mode!r}; one of auto|grouped|wide|shuffle")
-    if mode in ("wide", "shuffle") and not key_cols:
+    if mode not in ("auto", "grouped", "wide", "shuffle", "sorted"):
+        raise ValueError(
+            f"unknown mode {mode!r}; one of auto|grouped|wide|shuffle|sorted"
+        )
+    if mode in ("wide", "shuffle", "sorted") and not key_cols:
         raise ValueError(f"mode={mode!r} requires a group key (by=...)")
     if mode == "auto":
         mode = "wide" if key_cols else "grouped"
@@ -434,6 +449,10 @@ def quantiles(
 
     if mode == "shuffle":
         return _shuffle_fused_quantiles(
+            df, value_col, key_cols, qs, q_names, config, weight_col
+        )
+    if mode == "sorted":
+        return _sorted_fused_quantiles(
             df, value_col, key_cols, qs, q_names, config, weight_col
         )
 
@@ -789,6 +808,61 @@ def quantiles_multi(
     return quantiles(
         long_df, "__value", by=["metric", *keys], qs=qs, config=config, **kwargs
     )
+
+
+def _sorted_fused_quantiles(df, value_col, key_cols, qs, q_names, config, weight_col):
+    """mode='sorted': repartition by key + sortWithinPartitions, then a
+    STREAMING fused build+finalize — each Arrow batch's completed keys
+    finalize immediately and only the partition's trailing key carries over
+    to the next batch, so task memory is O(one batch + one group) no matter
+    how many distinct groups the partition holds. This removes mode=
+    'shuffle''s O(groups-per-partition) retained-frame footprint at the
+    cost of Spark's (disk-backed, spill-safe) sort. Right for 10^8-10^9
+    groups per partition where even one sketch row per group is too much."""
+    import pandas as _pd
+
+    cols = list(key_cols) + [value_col] + ([weight_col] if weight_col else [])
+    projected = (
+        df.select(*cols).repartition(*key_cols).sortWithinPartitions(*key_cols)
+    )
+    out_cols = list(key_cols) + list(q_names) + ["count", "sum", "min", "max", "avg"]
+    schema = _finalize_schema(projected, key_cols, q_names)
+    builder = _make_grouped_builder(config, list(key_cols), value_col, weight_col, 2_000_000)
+    sketch_cols = list(key_cols) + SKETCH_ROW_FIELDS
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: Optional[pd.DataFrame] = None  # trailing key's partial row(s)
+        saw_any = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            saw_any = True
+            # one frame of sketch rows for THIS batch (keys sorted, so the
+            # frame's row order is sorted first-seen order)
+            frames = [f for f in builder(iter([pdf])) if len(f)]
+            if not frames:
+                continue
+            frame = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            if carry is not None:
+                frame = _pd.concat([carry, frame], ignore_index=True)
+            # rows sharing the trailing key may still continue into the next
+            # batch; everything before the last key is complete
+            last_key = tuple(frame.iloc[-1][k] for k in key_cols)
+            is_last = _pd.Series(True, index=frame.index)
+            for k, v in zip(key_cols, last_key):
+                is_last &= frame[k].eq(v) | (frame[k].isna() & _pd.isna(v))
+            done = frame[~is_last]
+            carry = frame[is_last].reset_index(drop=True)
+            if len(done):
+                yield _vectorized_grouped_finalize(
+                    done.reset_index(drop=True), list(key_cols), qs, q_names, out_cols
+                )
+        if carry is not None and len(carry):
+            yield _vectorized_grouped_finalize(carry, list(key_cols), qs, q_names, out_cols)
+        elif not saw_any:
+            yield pd.DataFrame({c: pd.Series([], dtype=object) for c in out_cols})
+
+    return projected.mapInPandas(fused, schema=schema)
 
 
 def _shuffle_fused_quantiles(df, value_col, key_cols, qs, q_names, config, weight_col):

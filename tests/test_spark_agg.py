@@ -380,6 +380,88 @@ def test_shuffle_mode_matches_grouped(spark, sf_dir):
             assert a[k][col] == pytest.approx(c[k][col], rel=1e-12)
 
 
+def test_sorted_mode_matches_grouped(spark, sf_dir):
+    """mode='sorted' (repartition + sortWithinPartitions + STREAMING fused
+    finalize: completed keys emit per batch, only the trailing key carries)
+    must agree with the partial-sketch paths — including across Arrow batch
+    boundaries (small maxRecordsPerBatch would be ideal; the orders table
+    at sf0.01 spans multiple batches at the default size already)."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = {
+        r["o_custkey"]: r
+        for r in quantiles(df, "o_totalprice", by="o_custkey", qs=(0.5, 0.99)).collect()
+    }
+    s = {
+        r["o_custkey"]: r
+        for r in quantiles(
+            df, "o_totalprice", by="o_custkey", qs=(0.5, 0.99), mode="sorted"
+        ).collect()
+    }
+    assert set(a) == set(s)
+    for k in a:
+        for col in ("q50", "q99", "count", "min", "max"):
+            assert a[k][col] == pytest.approx(s[k][col], rel=1e-12)
+
+
+def test_sorted_mode_carry_across_batches(spark):
+    """Force tiny Arrow batches so keys straddle batch boundaries: the
+    carried trailing partial must merge exactly (no key lost or split)."""
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        df = spark.range(1000).select(
+            (F.col("id") % 13).alias("k"), (F.col("id") % 97).cast("double").alias("v")
+        )
+        a = {r["k"]: r for r in quantiles(df, "v", by="k", qs=(0.5,)).collect()}
+        s = {
+            r["k"]: r
+            for r in quantiles(df, "v", by="k", qs=(0.5,), mode="sorted").collect()
+        }
+        assert set(a) == set(s) and len(s) == 13
+        for k in a:
+            assert a[k]["count"] == s[k]["count"] == pytest.approx(1000 / 13, abs=1)
+            assert a[k]["q50"] == pytest.approx(s[k]["q50"], rel=1e-12)
+            assert a[k]["sum"] == pytest.approx(s[k]["sum"], rel=1e-12)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_grouped_exact_stats_with_zero_and_cancelling_values(spark):
+    """Regression: a group whose batch-local sum(w*v) is 0 (zero values, or
+    +x/-x cancellation) must not truncate or misattribute the exact stats of
+    OTHER groups (_group_sum drops zero-sum entries by bucket semantics and
+    must not be used for stats alignment). Tiny Arrow batches maximize the
+    number of affected batches."""
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        # v: id%97 == 0 rows are exactly 0.0; also plant a +5/-5 cancelling
+        # pair inside one group
+        df = spark.range(1000).select(
+            (F.col("id") % 13).alias("k"), (F.col("id") % 97).cast("double").alias("v")
+        )
+        extra = spark.createDataFrame([(0, 5.0), (0, -5.0)], "k long, v double")
+        df = df.unionByName(extra)
+        got = {r["k"]: r for r in quantiles(df, "v", by="k", qs=(0.5,)).collect()}
+        import pandas as pd
+
+        truth = df.groupBy("k").agg(
+            F.count("v").alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        ).collect()
+        for t in truth:
+            r = got[t["k"]]
+            assert r["count"] == t["n"], (t["k"], r["count"], t["n"])
+            assert r["sum"] == pytest.approx(t["s"], abs=1e-9)
+            assert r["min"] == t["mn"] and r["max"] == t["mx"]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
 def test_all_null_groups_survive(spark):
     """A group whose values are all NULL appears with count 0 and NaN stats,
     like a SQL grouped aggregate — in every mode."""
@@ -389,7 +471,7 @@ def test_all_null_groups_survive(spark):
         (F.col("id") % 4).cast("string").alias("k"),
         F.when(F.col("id") % 4 == 3, None).otherwise(F.col("id").cast("double")).alias("v"),
     )
-    for mode in ("auto", "wide", "shuffle"):
+    for mode in ("auto", "wide", "shuffle", "sorted"):
         rows = {r["k"]: r for r in quantiles(df, "v", by="k", qs=(0.5,), mode=mode).collect()}
         assert set(rows) == {"0", "1", "2", "3"}, mode
         assert rows["3"]["count"] == 0.0, mode
