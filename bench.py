@@ -109,6 +109,9 @@ def main() -> None:
     }
     if errors:
         report["errors"] = errors
+        if any(name in HEADLINE for name in errors):
+            # a partial headline total must never read as a speedup
+            report["value_incomplete"] = True
     print(json.dumps(report))
     spark.stop()
 

@@ -819,8 +819,6 @@ def _sorted_fused_quantiles(df, value_col, key_cols, qs, q_names, config, weight
     'shuffle''s O(groups-per-partition) retained-frame footprint at the
     cost of Spark's (disk-backed, spill-safe) sort. Right for 10^8-10^9
     groups per partition where even one sketch row per group is too much."""
-    import pandas as _pd
-
     cols = list(key_cols) + [value_col] + ([weight_col] if weight_col else [])
     projected = (
         df.select(*cols).repartition(*key_cols).sortWithinPartitions(*key_cols)
@@ -828,10 +826,21 @@ def _sorted_fused_quantiles(df, value_col, key_cols, qs, q_names, config, weight
     out_cols = list(key_cols) + list(q_names) + ["count", "sum", "min", "max", "avg"]
     schema = _finalize_schema(projected, key_cols, q_names)
     builder = _make_grouped_builder(config, list(key_cols), value_col, weight_col, 2_000_000)
-    sketch_cols = list(key_cols) + SKETCH_ROW_FIELDS
+
+    def _compact(rows: pd.DataFrame) -> pd.DataFrame:
+        """Merge a trailing key's partial rows down to ONE row, so a hot key
+        spanning B Arrow batches carries O(1) state, not O(B) rows."""
+        if len(rows) <= 1:
+            return rows
+        sk = merge_rows(rows[SKETCH_ROW_FIELDS].iloc[i] for i in range(len(rows)))
+        row = {k: rows.iloc[0][k] for k in key_cols}
+        row.update(sketch_to_row(sk))
+        for f in ("neg_idx", "neg_cnt", "pos_idx", "pos_cnt"):
+            row[f] = row[f].tolist()
+        return pd.DataFrame([row], columns=list(key_cols) + SKETCH_ROW_FIELDS)
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: Optional[pd.DataFrame] = None  # trailing key's partial row(s)
+        carry: Optional[pd.DataFrame] = None  # trailing key's ONE partial row
         saw_any = False
         for pdf in batches:
             if not len(pdf):
@@ -844,15 +853,15 @@ def _sorted_fused_quantiles(df, value_col, key_cols, qs, q_names, config, weight
                 continue
             frame = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
             if carry is not None:
-                frame = _pd.concat([carry, frame], ignore_index=True)
+                frame = pd.concat([carry, frame], ignore_index=True)
             # rows sharing the trailing key may still continue into the next
             # batch; everything before the last key is complete
             last_key = tuple(frame.iloc[-1][k] for k in key_cols)
-            is_last = _pd.Series(True, index=frame.index)
+            is_last = pd.Series(True, index=frame.index)
             for k, v in zip(key_cols, last_key):
-                is_last &= frame[k].eq(v) | (frame[k].isna() & _pd.isna(v))
+                is_last &= frame[k].eq(v) | (frame[k].isna() & pd.isna(v))
             done = frame[~is_last]
-            carry = frame[is_last].reset_index(drop=True)
+            carry = _compact(frame[is_last].reset_index(drop=True))
             if len(done):
                 yield _vectorized_grouped_finalize(
                     done.reset_index(drop=True), list(key_cols), qs, q_names, out_cols

@@ -30,7 +30,9 @@ __all__ = [
     "connected_components",
     "near_dup_clusters",
     "text_quality",
+    "quality_exprs",
     "language_id",
+    "language_pred_expr",
 ]
 
 _WORD_SEED = 0x7E57DA7A
@@ -135,9 +137,9 @@ def _bucket_pairs(
     Skew guard (the classic LSH skew bomb): one degenerate bucket — e.g.
     thousands of empty/boilerplate documents sharing a band hash — makes the
     self-join O(b^2) with one reducer eating it. Buckets larger than
-    ``max_bucket_size`` are dropped from candidate generation via a broadcast
-    anti-join (the oversized-bucket list is tiny: at most #rows /
-    max_bucket_size entries). Drop policy: members of a degenerate bucket are
+    ``max_bucket_size`` are dropped from candidate generation via a window
+    count sharing the join's own shuffle key (no extra evaluation of the
+    upstream pipeline). Drop policy: members of a degenerate bucket are
     exact-duplicate-level similar, which ``exact_dedup`` catches without a
     pairwise join; near-dup pairs that shared ONLY an oversized bucket can be
     missed, so size the cap to the corpus (None disables). Use
@@ -463,44 +465,55 @@ _STOPWORDS = {
 }
 
 
-def text_quality(df, text_col: str = "text", id_col: str = "doc_id"):
-    """Per-document quality features, all Catalyst expressions (JVM-side):
-    char count, token count, mean token length, space ratio, uppercase-start
-    flag, and a 64-bit content fingerprint."""
+def quality_exprs(text_col: str = "text") -> dict:
+    """The per-document quality features as raw Catalyst Columns — usable
+    either through ``text_quality`` (id + features frame) or inlined with
+    withColumn into an existing pipeline (zero joins: they are row-local)."""
     from pyspark.sql import functions as F
 
     n_chars = F.length(text_col)
     n_spaces = n_chars - F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
     n_tokens = F.size(F.split(text_col, " "))
-    return df.select(
-        id_col,
-        n_chars.cast("double").alias("n_chars"),
-        n_tokens.cast("double").alias("n_tokens"),
-        ((n_chars - n_spaces) / n_tokens).alias("mean_token_len"),
-        (n_spaces / n_chars).alias("space_ratio"),
-        F.xxhash64(text_col).alias("fingerprint"),
-    )
+    return {
+        "n_chars": n_chars.cast("double"),
+        "n_tokens": n_tokens.cast("double"),
+        "mean_token_len": (n_chars - n_spaces) / n_tokens,
+        "space_ratio": n_spaces / n_chars,
+        "fingerprint": F.xxhash64(text_col),
+    }
+
+
+def text_quality(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document quality features, all Catalyst expressions (JVM-side):
+    char count, token count, mean token length, space ratio, and a 64-bit
+    content fingerprint."""
+    exprs = quality_exprs(text_col)
+    return df.select(id_col, *[c.alias(n) for n, c in exprs.items()])
+
+
+def language_pred_expr(text_col: str = "text"):
+    """The stopword-ratio language heuristic as ONE Catalyst Column (the
+    language whose stopword list covers the largest token fraction, 'und'
+    when nothing matches) — row-local, so pipelines inline it with
+    withColumn instead of joining a language_id frame."""
+    from pyspark.sql import functions as F
+
+    tokens = F.split(F.lower(F.col(text_col)), " ")
+    scores = {
+        lang: F.size(F.array_intersect(tokens, F.array(*[F.lit(w) for w in words])))
+        for lang, words in _STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pick = F.when(best <= 0, F.lit("und"))
+    for lang in _STOPWORDS:
+        pick = pick.when(scores[lang] == best, F.lit(lang))
+    return pick
 
 
 def language_id(df, text_col: str = "text", id_col: str = "doc_id"):
     """Stopword-ratio language heuristic (the classic n-gram/stopword
-    baseline): per document, the language whose stopword list covers the
-    largest token fraction; 'und' (undetermined) when nothing matches.
-    Pure Catalyst: one pass, no UDF."""
-    from pyspark.sql import functions as F
-
-    tokens = F.split(F.lower(F.col(text_col)), " ")
-    scores = [
-        F.size(F.array_intersect(tokens, F.array(*[F.lit(w) for w in words]))).alias(lang)
-        for lang, words in _STOPWORDS.items()
-    ]
-    scored = df.select(id_col, *scores)
-    langs = list(_STOPWORDS)
-    best = F.greatest(*[F.col(l) for l in langs])
-    pick = F.when(best <= 0, F.lit("und"))
-    for l in langs:
-        pick = pick.when(F.col(l) == best, F.lit(l))
-    return scored.select(id_col, pick.alias("lang_pred"))
+    baseline). Pure Catalyst: one pass, no UDF."""
+    return df.select(id_col, language_pred_expr(text_col).alias("lang_pred"))
 
 
 def ivf_index(df, emb_col: str = "embedding", id_col: str = "vec_id", n_clusters: int = 16, seed: int = 0, sample: int = 10_000, iters: int = 3):

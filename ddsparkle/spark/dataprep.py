@@ -35,18 +35,27 @@ def curate(
     shingle_n: int = 3,
     max_bucket_size: Optional[int] = 1000,
 ):
-    """Returns (curated DataFrame, stats dict). The curated frame keeps one
-    representative per exact/fuzzy duplicate cluster and only documents that
-    pass the quality + language gates; ``stats`` accounts for every drop."""
+    """Returns (curated DataFrame, stats dict). The curated frame keeps the
+    INPUT schema exactly — one representative per exact/fuzzy duplicate
+    cluster, only documents passing the quality + language gates; ``stats``
+    accounts for every drop. The intermediate dedup survivors are persisted
+    so the per-stage counts and the caller's final write do not recompute
+    the dedup lineage; the returned frame is backed by the persisted
+    fuzzy-dedup stage (unpersist it when done with the result)."""
     from pyspark.sql import functions as F
 
-    from .dataops import exact_dedup, language_id, near_dup_clusters, text_quality
+    from .dataops import (
+        exact_dedup,
+        language_pred_expr,
+        near_dup_clusters,
+        quality_exprs,
+    )
 
     n_input = df.count()
 
     # 1. exact dedup (cheapest first: shrinks everything downstream)
     reps = exact_dedup(df, text_col, id_col)  # [id_col, n_copies]
-    exact_kept = df.join(reps.select(id_col), id_col)
+    exact_kept = df.join(reps.select(id_col), id_col).persist()
     n_exact = exact_kept.count()
 
     # 2. fuzzy dedup on the exact-deduped survivors
@@ -62,26 +71,20 @@ def curate(
     )
     fuzzy_kept = exact_kept.join(
         clusters.filter(F.col("keep")).select(id_col), id_col
-    )
+    ).persist()
     n_fuzzy = fuzzy_kept.count()
+    exact_kept.unpersist()  # fuzzy_kept's cache shields downstream lineage
 
-    # 3. quality + language gates (pure Catalyst; at scale these run in the
-    # same stage as the final write)
-    q = text_quality(fuzzy_kept, text_col, id_col).select(
-        id_col, "n_tokens", "mean_token_len"
-    )
-    lang = language_id(fuzzy_kept, text_col, id_col)
-    gated = (
-        fuzzy_kept.join(q, id_col)
-        .join(lang, id_col)
-        .filter(
-            (F.col("n_tokens") >= min_tokens)
-            & (F.col("mean_token_len") <= max_mean_token_len)
-        )
+    # 3. quality + language gates: row-local Catalyst expressions inlined
+    # with filter (no joins, no extra evaluation of the dedup pipeline); at
+    # scale they run in the same stage as the final write
+    qe = quality_exprs(text_col)
+    gated = fuzzy_kept.filter(
+        (qe["n_tokens"] >= min_tokens) & (qe["mean_token_len"] <= max_mean_token_len)
     )
     if languages:
-        gated = gated.filter(F.col("lang_pred").isin(list(languages)))
-    curated = gated.drop("n_tokens", "mean_token_len")
+        gated = gated.filter(language_pred_expr(text_col).isin(list(languages)))
+    curated = gated.select(*df.columns)  # exactly the input schema
     n_final = curated.count()
 
     stats = {
