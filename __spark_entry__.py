@@ -556,6 +556,17 @@ def q_orders_by_cust_shuffle_mode(spark: SparkSession, sf_dir: str) -> DataFrame
     return _round_result(res, ["o_custkey"], ["q25", "q75"])
 
 
+def q_orders_by_cust_sorted_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode='sorted' (sortWithinPartitions + streaming per-batch finalize,
+    O(one-batch) task memory) must also produce the identical DDSketch
+    answer — including trailing-key carry across Arrow batch boundaries."""
+    df = _t(spark, sf_dir, "orders")
+    res = quantiles(
+        df, "o_totalprice", by="o_custkey", qs=(0.1, 0.9), config=_cfg(), mode="sorted"
+    )
+    return _round_result(res, ["o_custkey"], ["q10", "q90"])
+
+
 def q_kmv_orderkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set-operations gate (corpus overlap): distinct l_orderkey sets of
     the 'R' and 'N' return-flag slices, their intersection/union estimated
@@ -681,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_mapping_accuracy": q_convert_mapping_accuracy,
         "ddsketch_events_by_type_salted": q_events_by_type_salted,
         "ddsketch_orders_by_cust_shuffle_mode": q_orders_by_cust_shuffle_mode,
+        "ddsketch_orders_by_cust_sorted_mode": q_orders_by_cust_sorted_mode,
     }
 
 
@@ -843,6 +855,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ddsketch_orders_by_cust_shuffle_mode": ddsketch_quantile_sql(
             "orders", "o_totalprice", [0.25, 0.75], group_col="o_custkey"
+        ),
+        "ddsketch_orders_by_cust_sorted_mode": ddsketch_quantile_sql(
+            "orders", "o_totalprice", [0.1, 0.9], group_col="o_custkey"
         ),
         "doc_dedup_fuzzy_representatives": (
             "WITH RECURSIVE sh AS ("
