@@ -410,7 +410,17 @@ def quantiles(
     any salt assignment produce identical results (tested).
 
     ``mode``: choose by the ratio rows-per-group-per-task R:
-    - 'wide' (the 'auto' default for grouped aggs): partial sketches per
+    - 'sql' (the 'auto' default for log-mapping configs): the whole
+      aggregation as a pure-Catalyst plan — hash aggregate on (keys, sign,
+      bucket index) with map-side combine, per-group window cumsum walk.
+      Zero Python stages; the shuffle carries bucket rows (≤ #groups ×
+      ~900 buckets at α=0.01) no matter the input size. Requires
+      mapping_kind='log' (closed-form index math); other mappings and
+      custom finalizes use the kernel paths below. ``merge_salt``,
+      ``tree_fanin`` and ``lazy`` are no-ops for this mode (there is no
+      Python merge stage to bound, and the plan is always lazy).
+    - 'wide' (the 'auto' default for grouped aggs on non-log mappings):
+      partial sketches per
       task, then ONE vectorized finalize pass per partition of sketch rows.
       Same shuffle shape as 'grouped' (only sketch rows move) but the
       finalize is a single segmented-cumsum pass instead of one pandas
@@ -434,18 +444,34 @@ def quantiles(
     """
     config = config or SketchConfig()
     key_cols = [by] if isinstance(by, str) else list(by or [])
-    if mode not in ("auto", "grouped", "wide", "shuffle", "sorted"):
+    if mode not in ("auto", "grouped", "wide", "shuffle", "sorted", "sql"):
         raise ValueError(
-            f"unknown mode {mode!r}; one of auto|grouped|wide|shuffle|sorted"
+            f"unknown mode {mode!r}; one of auto|grouped|wide|shuffle|sorted|sql"
         )
     if mode in ("wide", "shuffle", "sorted") and not key_cols:
         raise ValueError(f"mode={mode!r} requires a group key (by=...)")
     if mode == "auto":
-        mode = "wide" if key_cols else "grouped"
+        # the log mapping's index math is closed-form in SQL, so the whole
+        # aggregation can stay inside whole-stage codegen with map-side
+        # partial aggregation — strictly better than any Python-stage plan
+        # (validated hash-identical vs the kernel paths across the driver
+        # suite; see _catalyst_quantiles). Interpolated mappings need frexp
+        # bit access, so they keep the Arrow-vectorized kernel path.
+        if config.mapping().kind == "log" and config.store_policy in (
+            "unbounded", "sparse", "collapsing_lowest", "collapsing_highest"
+        ):
+            mode = "sql"
+        else:
+            mode = "wide" if key_cols else "grouped"
     qs = [float(q) for q in qs]
     if q_names is None:
         q_names = [quantile_column_name(q) for q in qs]
     q_names = list(q_names)
+
+    if mode == "sql":
+        return _catalyst_quantiles(
+            df, value_col, key_cols, qs, q_names, config, weight_col
+        )
 
     if mode == "shuffle":
         return _shuffle_fused_quantiles(
@@ -900,3 +926,194 @@ def _shuffle_fused_quantiles(df, value_col, key_cols, qs, q_names, config, weigh
         )
 
     return projected.mapInPandas(fused, schema=schema)
+
+
+def _catalyst_quantiles(df, value_col, key_cols, qs, q_names, config, weight_col):
+    """mode='sql': the DDSketch aggregation as a PURE-Catalyst plan — zero
+    Python stages. Only for ``mapping_kind='log'``, whose index math is
+    closed-form in SQL: ``index = java_floor(ln(v)*multiplier + offset)``
+    (``LogLikeIndexMapping.java:113-116``), ``value(i) =
+    exp((i-offset)/multiplier)*(1+alpha)`` (``LogLikeIndexMapping.java:119-121``),
+    rank walk ``first bucket with cum > q*(n-1)`` (``DDSketch.java:353-388``).
+    The plan is generated as ONE SQL string and submitted through one
+    parameterized ``spark.sql`` call: building the same tree out of Column
+    objects costs hundreds of py4j round trips (~0.5 s per query of pure
+    driver chatter); parsing one string is a single round trip.
+
+    Physical shape (the 100-TB plan): scan -> hash aggregate on
+    (keys, sign-part, bucket index) with MAP-SIDE partial aggregation (the
+    shuffle carries at most #groups x #buckets rows, ~hundreds per group at
+    alpha=0.01, regardless of input rows) -> per-group window cumsum over the
+    bucket rows -> one final hash aggregate. Everything stays inside
+    whole-stage codegen; no Arrow boundary, no Python workers.
+
+    Semantics notes vs the kernel paths:
+    - counts/quantiles/min/max replicate the kernel bit-for-bit on non-NaN
+      data (same float constants, same operand order as ddsparkle/oracle.py,
+      which hash-matches the kernel across the driver suite); empty and
+      all-NULL groups survive with count 0 like the kernel paths (their
+      quantiles/stats are SQL NULL rather than float NaN);
+    - stats-less ``sum``/``avg`` sum bucket contributions in unspecified
+      order (Spark SUM) vs the kernel's index-ordered np.dot — equal within
+      float reassociation dust; exact-stats sum uses Spark SUM vs the
+      kernel's Kahan — same caveat. Both are exact on integer-valued data.
+    - NaN values: Spark comparison semantics route NaN to the positive
+      store (NaN > x is TRUE in Spark SQL); the kernel routes them to the
+      zero bucket. Filter NaNs upstream if they can occur.
+    - collapse replicates the global clamp model
+      (``CollapsingLowestDenseStoreTest.java:23-37``), like the kernel and
+      the oracle.
+    """
+    mapping = config.mapping()
+    if mapping.kind != "log":
+        raise ValueError(
+            f"mode='sql' requires mapping_kind='log' (got {config.mapping_kind!r}); "
+            "the interpolated mappings need frexp bit access that Catalyst lacks"
+        )
+    if config.store_policy not in ("unbounded", "sparse", "collapsing_lowest", "collapsing_highest"):
+        raise ValueError(f"mode='sql' does not support store_policy={config.store_policy!r}")
+    reserved = {"__v", "__w", "__x", "__part", "__i", "__c", "__ord", "__val", "__cum", "__n"}
+    if reserved & set(key_cols):
+        raise ValueError(f"group keys collide with mode='sql' internals: {reserved & set(key_cols)}")
+
+    def _d(x: float) -> str:
+        # Spark SQL parses a bare decimal literal as DECIMAL, and DECIMAL
+        # arithmetic silently truncates scale (BIGINT/DECIMAL keeps 6 digits)
+        # — every float constant must be an explicit DOUBLE (string cast is
+        # correctly rounded and constant-folded once)
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    mult = _d(mapping.multiplier)
+    a = _d(mapping.relative_accuracy)
+    off = mapping.index_offset
+    mi = _d(mapping.min_indexable_value)
+    mb = config.max_bins
+
+    g = "".join(f"`{k}`, " for k in key_cols)          # trailing-comma select list
+    g_group = ", ".join(f"`{k}`" for k in key_cols)     # group-by list
+    gby = f"GROUP BY {g_group}" if key_cols else ""
+    g_part = f"PARTITION BY {g_group}" if key_cols else ""
+
+    w_src = f"CAST(`{weight_col}` AS DOUBLE)" if weight_col else "CAST(1.0 AS DOUBLE)"
+    # NULL values contribute 0 to every bucket count (the kernel drops them
+    # before accept) but keep their group alive — all-NULL groups emit a
+    # count-0 result row like the kernel paths
+    c_agg = "SUM(CASE WHEN __v IS NULL THEN CAST(0.0 AS DOUBLE) ELSE __w END)"
+
+    # _java_floor (LogLikeIndexMapping.java:113-116): floor, except exact
+    # negative integers land one lower (truncation-toward-zero minus one)
+    jfloor = "CAST(FLOOR(__x) AS BIGINT) - (CASE WHEN __x < 0 AND __x = FLOOR(__x) THEN 1 ELSE 0 END)"
+    x_expr = f"LN(ABS(__v)) * {mult}"
+    if off != 0.0:
+        x_expr = f"{x_expr} + {_d(off)}"
+    i_term = f"(CAST(__i AS DOUBLE) - {_d(off)})" if off != 0.0 else "__i"
+    bucket_val = f"EXP({i_term} / {mult}) * (1.0 + {a})"
+
+    buckets_cte = f"""
+buckets AS (
+  SELECT {g}__part,
+         CASE WHEN __part <> 1 THEN {jfloor} ELSE 0 END AS __i,
+         {c_agg} AS __c
+  FROM (
+    SELECT {g}__v, __w,
+           CASE WHEN __v > {mi} THEN 2 WHEN __v < -{mi} THEN 0 ELSE 1 END AS __part,
+           {x_expr} AS __x
+    FROM vals
+  ) GROUP BY {g}__part, __i
+)"""
+
+    if config.store_policy in ("collapsing_lowest", "collapsing_highest"):
+        # global clamp model; extremes ignore zero-count buckets (they never
+        # exist in the kernel: Store.add no-ops on count 0)
+        if config.store_policy == "collapsing_lowest":
+            clamp = (
+                f"GREATEST(__i, MAX(CASE WHEN __c > 0 THEN __i END) "
+                f"OVER ({g_part}{', ' if key_cols else ''}PARTITION BY __part) - {mb - 1})"
+            ) if not key_cols else (
+                f"GREATEST(__i, MAX(CASE WHEN __c > 0 THEN __i END) "
+                f"OVER (PARTITION BY {g_group}, __part) - {mb - 1})"
+            )
+        else:
+            clamp = (
+                f"LEAST(__i, MIN(CASE WHEN __c > 0 THEN __i END) "
+                f"OVER ({g_part}{', ' if key_cols else ''}PARTITION BY __part) + {mb - 1})"
+            ) if not key_cols else (
+                f"LEAST(__i, MIN(CASE WHEN __c > 0 THEN __i END) "
+                f"OVER (PARTITION BY {g_group}, __part) + {mb - 1})"
+            )
+        buckets_cte += f""",
+collapsed AS (
+  SELECT {g}__part, __i2 AS __i, SUM(__c) AS __c FROM (
+    SELECT {g}__part, __c,
+           CASE WHEN __part <> 1 AND __c > 0 THEN {clamp} ELSE __i END AS __i2
+    FROM buckets
+  ) GROUP BY {g}__part, __i2
+)"""
+        store_rel = "collapsed"
+    else:
+        store_rel = "buckets"
+
+    live = "__n > 0 AND __c > 0"
+    q_sel, clamp_sel = [], []
+    for q, name in zip(qs, q_names):
+        qv = f"MIN(CASE WHEN __n > 0 AND __cum > {_d(float(q))} * (__n - 1) THEN __val END)"
+        q_sel.append(f"{qv} AS `{name}`")
+        clamp_sel.append(f"LEAST(GREATEST({qv}, MIN(__mn)), MAX(__mx)) AS `{name}`")
+
+    if config.track_exact_stats:
+        # exact stats from the raw rows: NULLs never reach the kernel accept,
+        # but zero-weight non-NULL values DO move the exact extremes
+        # (sketch.py accept note), so min/max skip only NULLs
+        join = f"JOIN stats USING ({g_group})" if key_cols else "CROSS JOIN stats"
+        final = f""",
+stats AS (
+  SELECT {g}{c_agg.replace('__w', '__w').replace('__v IS NULL', '__v IS NULL')} AS __cnt,
+         SUM(__v * __w) AS __sm, MIN(__v) AS __mn, MAX(__v) AS __mx
+  FROM (SELECT {g}__v, __w FROM vals) {gby}
+)
+SELECT {g}{", ".join(clamp_sel)},
+  MAX(__cnt) AS count, MAX(__sm) AS sum, MIN(__mn) AS min, MAX(__mx) AS max,
+  MAX(__sm) / MAX(__cnt) AS avg
+FROM cumw {join} {gby}"""
+    else:
+        sum_expr = f"SUM(CASE WHEN {live} THEN __val * __c END)"
+        final = f"""
+SELECT {g}{", ".join(q_sel)},
+  CAST(MAX(__n) AS DOUBLE) AS count,
+  {sum_expr} AS sum,
+  MIN(CASE WHEN {live} THEN __val END) AS min,
+  MAX(CASE WHEN {live} THEN __val END) AS max,
+  {sum_expr} / MAX(CASE WHEN __n > 0 THEN __n END) AS avg
+FROM cumw {gby}"""
+
+    sql = f"""
+WITH vals AS (
+  SELECT {g}CAST(`{value_col}` AS DOUBLE) AS __v, {w_src} AS __w
+  FROM {{__ddsparkle_src__}}
+),{buckets_cte},
+walk AS (
+  SELECT {g}__part,
+         CASE WHEN __part = 0 THEN -__i WHEN __part = 1 THEN 0 ELSE __i END AS __ord,
+         CASE WHEN __part = 1 THEN CAST(0.0 AS DOUBLE)
+              WHEN __part = 0 THEN -{bucket_val}
+              ELSE {bucket_val} END AS __val,
+         __c
+  FROM {store_rel}
+),
+cumw AS (
+  SELECT {g}__val, __c,
+         SUM(__c) OVER ({g_part} ORDER BY __part, __ord ROWS UNBOUNDED PRECEDING) AS __cum,
+         SUM(__c) OVER ({g_part}) AS __n
+  FROM walk
+){final}"""
+
+    out = df.sparkSession.sql(sql, __ddsparkle_src__=df)
+    if not key_cols:
+        # a global aggregate over ZERO input rows yields one all-NULL row in
+        # SQL; the kernel paths return an empty frame — align on the latter.
+        # (all-NULL *groups* keep their count-0 row: their count is 0.0, not
+        # NULL, because the zero-part bucket row always exists for them.)
+        from pyspark.sql import functions as F
+
+        out = out.where(F.col("count").isNotNull())
+    return out

@@ -48,10 +48,10 @@ def test_stage1_reads_no_extra_columns(spark, sf_dir):
 
 def test_full_query_single_shuffle_of_sketch_rows(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    res = quantiles(df, "value", by="event_type", qs=(0.5,))
+    res = quantiles(df, "value", by="event_type", qs=(0.5,), mode="wide")
     plan = plan_of(res)
     # exactly one exchange in the tree: the sketch-row shuffle before the
-    # (auto -> wide) vectorized finalize
+    # wide vectorized finalize
     assert plan.count("+- Exchange") == 1, plan
     # build stage below the exchange, finalize stage above it: two
     # MapInPandas operators (each printed in tree + detail section)
@@ -60,6 +60,46 @@ def test_full_query_single_shuffle_of_sketch_rows(spark, sf_dir):
     # Exchange, the build MapInPandas follows it
     assert plan.index("MapInPandas") < plan.index("+- Exchange")
     assert plan.index("MapInPandas", plan.index("+- Exchange")) > plan.index("+- Exchange")
+
+
+def test_sql_mode_plan_pure_jvm(spark, sf_dir):
+    """mode='sql' (the auto default for log-mapping configs) must produce a
+    plan with NO Python operators at all, a partial (map-side) hash
+    aggregate BELOW the bucket exchange, and pruned+pushed scans."""
+    from ddsparkle.config import SketchConfig
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "click"
+    )
+    cfg = SketchConfig(mapping_kind="log", store_policy="unbounded", max_bins=0,
+                       track_exact_stats=False)
+    res = quantiles(df, "value", by="event_type", qs=(0.5,), config=cfg)
+    plan = plan_of(res)
+    assert "InPandas" not in plan and "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    # map-side combine: a partial hash aggregate below the exchange
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    assert "HashAggregate" in plan, plan
+    # pushdown + pruning still reach the scan
+    assert "EqualTo(event_type,click)" in plan, plan
+    read = [l for l in plan.splitlines() if "ReadSchema:" in l][0]
+    assert "value:double" in read and "event_type:string" in read, read
+    # pruned: the 2 needed columns only, not the 6-column table
+    assert read.count(":") <= 3, read
+
+
+def test_auto_mode_routes_log_to_sql_and_cubic_to_kernel(spark, sf_dir):
+    from ddsparkle.config import SketchConfig
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    log_cfg = SketchConfig(mapping_kind="log", store_policy="unbounded", max_bins=0,
+                           track_exact_stats=False)
+    assert "InPandas" not in plan_of(quantiles(df, "value", qs=(0.5,), config=log_cfg))
+    cubic_cfg = SketchConfig(mapping_kind="cubic", store_policy="unbounded", max_bins=0,
+                             track_exact_stats=False)
+    # global cubic: kernel path; the default finalize is driver-side, so
+    # assert on the build-stage plan via a grouped call instead
+    grouped = quantiles(df, "value", by="event_type", qs=(0.5,), config=cubic_cfg)
+    assert "MapInPandas" in plan_of(grouped)
 
 
 def test_grouped_mode_plan_shape(spark, sf_dir):

@@ -496,3 +496,92 @@ def test_wide_finalize_rejects_heterogeneous_configs(spark, sf_dir):
     with pytest.raises(ValueError, match="not mergeable"):
         _vectorized_grouped_finalize(pdf, ["event_type"], [0.5], ["q50"],
                                      ["event_type", "q50", "count", "sum", "min", "max", "avg"])
+
+
+# ---------------------------------------------------------------------------
+# mode='sql' (pure-Catalyst log-mapping path)
+# ---------------------------------------------------------------------------
+
+
+def _cmp_sql_vs_kernel(df, col, by=None, w=None, cfg=None, qs=(0.5, 0.95, 0.99)):
+    """mode='sql' must agree with the kernel paths: quantiles/min/max to
+    <=1-ulp (JVM exp vs NumPy exp on the identical bucket index — asserted
+    via round-4, the driver-gate precision), count exactly, sum/avg to float
+    reassociation tolerance."""
+    import numpy as np
+
+    cfg = cfg or SketchConfig(
+        mapping_kind="log", store_policy="unbounded", max_bins=0, track_exact_stats=False
+    )
+    kernel_mode = "wide" if by else "grouped"
+    a = quantiles(df, col, by=by, weight_col=w, qs=qs, config=cfg, mode=kernel_mode).toPandas()
+    b = quantiles(df, col, by=by, weight_col=w, qs=qs, config=cfg, mode="sql").toPandas()
+    keys = [by] if isinstance(by, str) else list(by or [])
+    if keys:
+        a = a.sort_values(keys).reset_index(drop=True)
+        b = b.sort_values(keys).reset_index(drop=True)
+    assert len(a) == len(b) and list(a.columns) == list(b.columns)
+    for c in a.columns:
+        if c in keys:
+            assert (a[c].values == b[c].values).all(), c
+            continue
+        av = a[c].values.astype(float)
+        bv = b[c].values.astype(float)
+        if c in ("sum", "avg"):
+            assert np.allclose(av, bv, rtol=1e-9, equal_nan=True), c
+        elif c == "count":
+            assert (av == bv).all(), c
+        else:
+            both_nan = np.isnan(av) & np.isnan(bv)
+            assert ((np.round(av, 4) == np.round(bv, 4)) | both_nan).all(), (c, av, bv)
+
+
+def test_sql_mode_parity_global_grouped_mixed(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    _cmp_sql_vs_kernel(ev, "value")
+    _cmp_sql_vs_kernel(ev, "value", by="event_type")
+    _cmp_sql_vs_kernel(
+        ev.select((F.col("value") - 100.0).alias("v")), "v", qs=(0.25, 0.5, 0.9)
+    )
+
+
+def test_sql_mode_parity_collapsing_and_exact_stats(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    _cmp_sql_vs_kernel(
+        ev, "value", qs=(0.5, 0.99),
+        cfg=SketchConfig(mapping_kind="log", store_policy="collapsing_lowest",
+                         max_bins=64, track_exact_stats=False),
+    )
+    _cmp_sql_vs_kernel(
+        ev, "value", qs=(0.01, 0.5),
+        cfg=SketchConfig(mapping_kind="log", store_policy="collapsing_highest",
+                         max_bins=64, track_exact_stats=False),
+    )
+    _cmp_sql_vs_kernel(ev, "value", cfg=SketchConfig(mapping_kind="log"))
+    _cmp_sql_vs_kernel(ev, "value", by="event_type", cfg=SketchConfig(mapping_kind="log"))
+
+
+def test_sql_mode_parity_weighted_and_highcard(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w_ev = ev.select(
+        "event_type", "value", (F.pmod(F.col("user_id"), F.lit(3)) + 1).cast("double").alias("w")
+    )
+    _cmp_sql_vs_kernel(w_ev, "value", w="w")
+    _cmp_sql_vs_kernel(
+        w_ev, "value", by="event_type", w="w", qs=(0.5, 0.99),
+        cfg=SketchConfig(mapping_kind="log", store_policy="collapsing_lowest",
+                         max_bins=48, track_exact_stats=False),
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    _cmp_sql_vs_kernel(orders, "o_totalprice", by="o_custkey", qs=(0.5,))
+
+
+def test_sql_mode_rejects_non_log_mapping(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with pytest.raises(ValueError, match="mapping_kind='log'"):
+        quantiles(ev, "value", qs=(0.5,), config=SketchConfig(mapping_kind="cubic"),
+                  mode="sql").collect()
