@@ -77,9 +77,19 @@ def run_queries(data_dir: str, cores: int) -> dict:
     df = spark.read.parquet(f"{data_dir}/transcripts.parquet")
 
     results: dict = {"cores": cores, "queries": {}, "answers": {}}
+    from ddsparkle.config import SketchConfig
+
+    # the log-mapping config routes through mode='sql' (pure-Catalyst bucket
+    # hash-agg; zero Python stages) — the whole-stage-codegen scaling leg
+    # next to the Arrow-kernel legs (default cubic mapping)
+    sql_cfg = SketchConfig(
+        mapping_kind="log", store_policy="collapsing_lowest", max_bins=2048,
+        track_exact_stats=False,
+    )
     for name, fn in [
         ("text_length", lambda: text_length_quantiles(df, qs=QS)),
         ("text_length_by_role", lambda: text_length_quantiles(df, by="role", qs=QS)),
+        ("text_length_sqlmode", lambda: text_length_quantiles(df, qs=QS, config=sql_cfg)),
         ("turn_latency", lambda: turn_latency_quantiles(df, qs=QS)),
         ("turns_per_conversation", lambda: turns_per_conversation_quantiles(df, qs=QS)),
     ]:
@@ -140,6 +150,7 @@ def accuracy_check(data_dir: str, answers: dict) -> dict:
 
     checks = {
         "text_length": f"SELECT CAST(LENGTH(text) AS DOUBLE) AS v FROM '{path}'",
+        "text_length_sqlmode": f"SELECT CAST(LENGTH(text) AS DOUBLE) AS v FROM '{path}'",
         "turn_latency": (
             f"SELECT (epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)) / 1e6 AS v FROM '{path}'"
         ),

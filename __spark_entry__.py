@@ -655,6 +655,132 @@ def q_jobs_checkpoint_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt.rsplit("/", 1)[0], ignore_errors=True)
 
 
+def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by EXACT word-3-gram Jaccard with the verify computed
+    entirely JVM-side (array_intersect/array_distinct on Catalyst shingle
+    arrays — no Python in the verify stage). Candidates via uncapped banded
+    MinHash (bands=num_perm=32: miss prob (1-J)^32 ~ 4e-23 at J>=0.7 — the
+    corpus's own pair gap is [0.3, 0.8]), so the pair set equals the
+    all-pairs Jaccard graph the DuckDB oracle computes."""
+    from ddsparkle.spark.dataops import ngram_jaccard_pairs
+
+    df = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        df, threshold=0.7, num_perm=32, bands=32, max_bucket_size=None
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints (bottom-4 md5 of word 8-gram shingles, winnowing
+    -style min-selection) — pure Catalyst, hash-exact vs the DuckDB
+    md5/list_sort twin down to the digest strings."""
+    from ddsparkle.spark.dataops import document_fingerprints
+
+    df = _t(spark, sf_dir, "documents")
+    return document_fingerprints(df, shingle_n=8, k=4).select(
+        "doc_id",
+        F.col("n_shingles").cast("double").alias("n_shingles"),
+        "fp_min",
+        "fingerprint",
+    )
+
+
+def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates: the corpus is augmented with a
+    deterministic perturbed copy of every vector (first component x1.5,
+    cosine ~0.99 to its source; the corpus's natural max pair cosine is
+    ~0.6), then hyperplane-LSH candidates + exact JVM-side cosine verify at
+    threshold 0.9. LSH miss prob <= 6e-8/pair at these params (measured:
+    all planted pairs found, zero extras, at sf0.01 AND sf0.1), so the pair
+    set equals the oracle's all-pairs cosine graph."""
+    from ddsparkle.spark.dataops import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    planted = d.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("e", 1) * F.lit(1.5)),
+            F.slice("e", F.lit(2), F.size("e") - F.lit(1)),
+        ).alias("e"),
+    )
+    un = d.unionByName(planted)
+    return embedding_near_duplicates(
+        un, emb_col="e", id_col="vec_id", threshold=0.9,
+        n_planes=8, n_tables=16, seed=0, max_bucket_size=None,
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def q_simhash_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup gate: every exact word-3-gram-Jaccard >= 0.8 pair must
+    appear among the banded SimHash candidates (8 x 8-bit bands). Pigeonhole
+    guarantees coverage for Hamming distance <= 7 (245/256 of the sf0.1
+    pairs; max observed distance 15, and the 8-15 tail is band-covered at
+    BOTH harness SFs — data-dependent, validated per the repo's gate
+    policy). The oracle recomputes the exact pair count via the shingle-set
+    CTE and asserts TRUE."""
+    from ddsparkle.spark.dataops import ngram_jaccard_pairs, simhash_candidates
+
+    df = _t(spark, sf_dir, "documents")
+    hj = ngram_jaccard_pairs(
+        df, threshold=0.8, num_perm=32, bands=32, max_bucket_size=None
+    ).select("id_a", "id_b")
+    sc = simhash_candidates(df, bands=8, shingle_n=1, max_bucket_size=None).select(
+        "id_a", "id_b"
+    )
+    n_pairs = hj.count()
+    uncovered = hj.join(sc, ["id_a", "id_b"], "left_anti").count()
+    return spark.createDataFrame(
+        [(float(n_pairs), uncovered == 0)], "n_pairs double, covered_all boolean"
+    )
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH-bucketed ANN gate (the LSH sibling of ann_ivf_recall):
+    scoring only vectors that share a sign-pattern bucket with the probe
+    (expected candidate fraction ~ n_tables/2^n_planes ~ 50%) must reach
+    recall >= 0.5 vs the exact brute-force top-10 (measured 0.9 at sf0.01,
+    0.8 at sf0.1 with n_planes=6, n_tables=32, seed=0 — deterministic:
+    seeded planes, process-stable hashing)."""
+    from ddsparkle.spark.dataops import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe_row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    probe = [float(x) for x in probe_row[0]]
+    df = emb.filter(F.col("vec_id") != 0)
+    approx_ids = {
+        r["vec_id"]
+        for r in ann_lsh_topk(
+            df, probe, k=10, n_planes=6, n_tables=32, seed=0
+        ).collect()
+    }
+    probe_arr = F.array(*[F.lit(x) for x in probe])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), probe_arr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    exact_ids = {
+        r["vec_id"]
+        for r in df.select("vec_id", (dot / norm).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("vec_id"))
+        .limit(10)
+        .collect()
+    }
+    recall = len(approx_ids & exact_ids) / 10.0
+    n = df.count()
+    return spark.createDataFrame(
+        [(float(n), recall >= 0.5)], "n_vectors double, recall_ok boolean"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ddsketch_events_value": q_events_value,
@@ -693,6 +819,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_events_by_type_salted": q_events_by_type_salted,
         "ddsketch_orders_by_cust_shuffle_mode": q_orders_by_cust_shuffle_mode,
         "ddsketch_orders_by_cust_sorted_mode": q_orders_by_cust_sorted_mode,
+        "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
+        "doc_fingerprints": q_doc_fingerprints,
+        "emb_near_dup_pairs": q_emb_near_dup_pairs,
+        "simhash_dup_coverage": q_simhash_dup_coverage,
+        "ann_lsh_recall": q_ann_lsh_recall,
     }
 
 
@@ -714,6 +845,31 @@ def _language_id_sql() -> str:
         f"WITH scored AS (SELECT doc_id, {scores} FROM documents) "
         f"SELECT doc_id, CASE WHEN {best} <= 0 THEN 'und' {picks} END AS lang_pred "
         "FROM scored"
+    )
+
+
+def _shingle_cte(n: int = 3) -> str:
+    """DuckDB CTE 'sh': (doc_id, s) with s = distinct word n-gram shingles
+    (the same formulation the fuzzy-dedup oracle uses; docs with < n words
+    shingle to [text])."""
+    toks = "string_split(text, ' ')"
+    grams = ", ".join(f"{toks}[i+{j}]" for j in range(n))
+    return (
+        f"sh AS (SELECT doc_id, CASE WHEN len({toks}) < {n} THEN [text] "
+        f"ELSE list_distinct(list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', {grams}))) END AS s FROM documents)"
+    )
+
+
+def _ngram_pairs_sql(threshold: float) -> str:
+    jac = (
+        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+        "/ len(list_distinct(list_concat(a.s, b.s)))"
+    )
+    return (
+        f"WITH {_shingle_cte(3)} "
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, ROUND({jac}, 4) AS jaccard "
+        f"FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE {jac} >= {threshold}"
     )
 
 
@@ -880,6 +1036,39 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach"
             ") SELECT id AS doc_id, MIN(reach) AS rep_id, id = MIN(reach) AS keep "
             "FROM walk GROUP BY id"
+        ),
+        "doc_ngram_jaccard_pairs": _ngram_pairs_sql(0.7),
+        "doc_fingerprints": (
+            "WITH sh AS (SELECT doc_id, CASE WHEN len(string_split(text, ' ')) < 8 THEN [text] "
+            "ELSE list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 7), "
+            "i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i+1], "
+            "string_split(text, ' ')[i+2], string_split(text, ' ')[i+3], string_split(text, ' ')[i+4], "
+            "string_split(text, ' ')[i+5], string_split(text, ' ')[i+6], string_split(text, ' ')[i+7]))) "
+            "END AS s FROM documents), "
+            "d AS (SELECT doc_id, list_sort(list_transform(s, x -> md5(x))) AS h FROM sh) "
+            "SELECT doc_id, CAST(len(h) AS DOUBLE) AS n_shingles, h[1] AS fp_min, "
+            "array_to_string(h[1:4], ',') AS fingerprint FROM d"
+        ),
+        "emb_near_dup_pairs": (
+            "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+            "un AS (SELECT * FROM base UNION ALL "
+            "SELECT vec_id + 1000000, list_concat([e[1] * 1.5], e[2:len(e)]) FROM base), "
+            "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * "
+            "sqrt(list_dot_product(b.e, b.e))) AS cos "
+            "FROM un a JOIN un b ON a.vec_id < b.vec_id) "
+            "SELECT id_a, id_b, ROUND(cos, 4) AS cosine FROM pairs WHERE cos >= 0.9"
+        ),
+        "simhash_dup_coverage": (
+            f"WITH {_shingle_cte(3)} "
+            "SELECT CAST(COUNT(*) AS DOUBLE) AS n_pairs, TRUE AS covered_all "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "/ len(list_distinct(list_concat(a.s, b.s))) >= 0.8"
+        ),
+        "ann_lsh_recall": (
+            "SELECT CAST(COUNT(*) AS DOUBLE) AS n_vectors, TRUE AS recall_ok "
+            "FROM embeddings WHERE vec_id != 0"
         ),
         "ann_topk_cosine": (
             "WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0), "

@@ -10,9 +10,12 @@ Queries added in later rounds (approx-family gates, streaming parity, fuzzy
 dedup) are timed the same way but reported under ``extra_queries`` /
 ``extra_total`` so they widen coverage without muddying the trend line.
 
-The per-query timings cover the full pipeline: parquet scan -> Catalyst
-projection -> mapInPandas partial sketch build -> sketch-row shuffle ->
-applyInPandas merge/finalize -> collect.
+The per-query timings cover the full pipeline end-to-end: parquet scan ->
+Catalyst projection -> sketch aggregation -> collect. Since round 2 the
+log-mapping queries aggregate through mode='sql' (pure-Catalyst bucket
+hash-agg + window rank walk, zero Python stages); interpolated-mapping and
+explicitly-pinned-mode queries still run the Arrow-vectorized kernel path
+(mapInPandas build -> sketch-row shuffle -> vectorized finalize).
 """
 
 from __future__ import annotations

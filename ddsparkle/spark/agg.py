@@ -1064,17 +1064,27 @@ collapsed AS (
         # exact stats from the raw rows: NULLs never reach the kernel accept,
         # but zero-weight non-NULL values DO move the exact extremes
         # (sketch.py accept note), so min/max skip only NULLs
-        join = f"JOIN stats USING ({g_group})" if key_cols else "CROSS JOIN stats"
+        if key_cols:
+            # null-safe (<=>) join: a NULL group key is a real group for the
+            # kernel paths and for GROUP BY, but plain equality would drop it
+            on = " AND ".join(f"cumw.`{k}` <=> stats.`{k}`" for k in key_cols)
+            join = f"JOIN stats ON {on}"
+            g_out = "".join(f"cumw.`{k}`, " for k in key_cols)
+            gby_out = "GROUP BY " + ", ".join(f"cumw.`{k}`" for k in key_cols)
+        else:
+            join = "CROSS JOIN stats"
+            g_out = ""
+            gby_out = ""
         final = f""",
 stats AS (
-  SELECT {g}{c_agg.replace('__w', '__w').replace('__v IS NULL', '__v IS NULL')} AS __cnt,
+  SELECT {g}{c_agg} AS __cnt,
          SUM(__v * __w) AS __sm, MIN(__v) AS __mn, MAX(__v) AS __mx
   FROM (SELECT {g}__v, __w FROM vals) {gby}
 )
-SELECT {g}{", ".join(clamp_sel)},
+SELECT {g_out}{", ".join(clamp_sel)},
   MAX(__cnt) AS count, MAX(__sm) AS sum, MIN(__mn) AS min, MAX(__mx) AS max,
   MAX(__sm) / MAX(__cnt) AS avg
-FROM cumw {join} {gby}"""
+FROM cumw {join} {gby_out}"""
     else:
         sum_expr = f"SUM(CASE WHEN {live} THEN __val * __c END)"
         final = f"""

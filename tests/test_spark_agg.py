@@ -585,3 +585,27 @@ def test_sql_mode_rejects_non_log_mapping(spark, sf_dir):
     with pytest.raises(ValueError, match="mapping_kind='log'"):
         quantiles(ev, "value", qs=(0.5,), config=SketchConfig(mapping_kind="cubic"),
                   mode="sql").collect()
+
+
+def test_sql_mode_null_group_key_survives(spark):
+    """A NULL group key is a real group (SQL GROUP BY semantics, and the
+    kernel paths keep it) — the exact-stats join must be null-safe."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.when(F.col("id") % 4 == 3, None)
+        .otherwise((F.col("id") % 4).cast("string"))
+        .alias("k"),
+        F.col("id").cast("double").alias("v"),
+    )
+    for cfg in (
+        SketchConfig(mapping_kind="log"),  # exact stats (joined path)
+        SketchConfig(mapping_kind="log", store_policy="unbounded", max_bins=0,
+                     track_exact_stats=False),
+    ):
+        a = {r["k"]: r for r in quantiles(df, "v", by="k", qs=(0.5,), config=cfg, mode="wide").collect()}
+        b = {r["k"]: r for r in quantiles(df, "v", by="k", qs=(0.5,), config=cfg, mode="sql").collect()}
+        assert set(a) == set(b) == {"0", "1", "2", None}
+        for k in a:
+            assert a[k]["count"] == b[k]["count"]
+            assert round(a[k]["q50"], 4) == round(b[k]["q50"], 4)
