@@ -32,6 +32,7 @@ __all__ = [
     "build_partial_sketches",
     "merge_partials_to_sketch_rows",
     "quantile_column_name",
+    "ddsketch_spark_sql",
 ]
 
 
@@ -464,6 +465,10 @@ def quantiles(
         else:
             mode = "wide" if key_cols else "grouped"
     qs = [float(q) for q in qs]
+    if any(not 0.0 <= q <= 1.0 for q in qs):
+        # uniform early guard (DDSketch.java:355-361 throws IAE); the kernel
+        # paths would raise at finalize time, the sql path not at all
+        raise ValueError("The quantile must be between 0 and 1.")
     if q_names is None:
         q_names = [quantile_column_name(q) for q in qs]
     q_names = list(q_names)
@@ -929,16 +934,37 @@ def _shuffle_fused_quantiles(df, value_col, key_cols, qs, q_names, config, weigh
 
 
 def _catalyst_quantiles(df, value_col, key_cols, qs, q_names, config, weight_col):
-    """mode='sql': the DDSketch aggregation as a PURE-Catalyst plan — zero
-    Python stages. Only for ``mapping_kind='log'``, whose index math is
-    closed-form in SQL: ``index = java_floor(ln(v)*multiplier + offset)``
+    """mode='sql' executor: generate the one-string Catalyst plan (see
+    ``ddsketch_spark_sql``) and submit it through ONE parameterized
+    ``spark.sql`` call — building the same tree out of Column objects costs
+    hundreds of py4j round trips (~0.5 s per query of pure driver chatter);
+    parsing one string is a single round trip."""
+    sql = ddsketch_spark_sql(
+        "{__ddsparkle_src__}", value_col, qs,
+        config=config, by=key_cols, weight_col=weight_col, q_names=q_names,
+    )
+    return df.sparkSession.sql(sql, __ddsparkle_src__=df)
+
+
+def ddsketch_spark_sql(
+    source: str,
+    value_col: str,
+    qs,
+    config=None,
+    by=None,
+    weight_col=None,
+    q_names=None,
+):
+    """The DDSketch aggregation as ONE Spark-SQL string over ``source`` (a
+    table name, a parenthesized subquery, or a ``{param}`` placeholder for
+    parameterized ``spark.sql``) — the pure-SQL surface of ``mode='sql'``,
+    usable from any SQL-first pipeline with no Python at execution time.
+
+    Only for ``mapping_kind='log'``, whose index math is closed-form in SQL:
+    ``index = java_floor(ln(v)*multiplier + offset)``
     (``LogLikeIndexMapping.java:113-116``), ``value(i) =
     exp((i-offset)/multiplier)*(1+alpha)`` (``LogLikeIndexMapping.java:119-121``),
     rank walk ``first bucket with cum > q*(n-1)`` (``DDSketch.java:353-388``).
-    The plan is generated as ONE SQL string and submitted through one
-    parameterized ``spark.sql`` call: building the same tree out of Column
-    objects costs hundreds of py4j round trips (~0.5 s per query of pure
-    driver chatter); parsing one string is a single round trip.
 
     Physical shape (the 100-TB plan): scan -> hash aggregate on
     (keys, sign-part, bucket index) with MAP-SIDE partial aggregation (the
@@ -952,7 +978,9 @@ def _catalyst_quantiles(df, value_col, key_cols, qs, q_names, config, weight_col
       data (same float constants, same operand order as ddsparkle/oracle.py,
       which hash-matches the kernel across the driver suite); empty and
       all-NULL groups survive with count 0 like the kernel paths (their
-      quantiles/stats are SQL NULL rather than float NaN);
+      quantiles/stats are SQL NULL rather than float NaN); a GLOBAL
+      aggregate over zero input rows returns zero rows (outer filter), like
+      the kernel paths;
     - stats-less ``sum``/``avg`` sum bucket contributions in unspecified
       order (Spark SUM) vs the kernel's index-ordered np.dot — equal within
       float reassociation dust; exact-stats sum uses Spark SUM vs the
@@ -964,6 +992,15 @@ def _catalyst_quantiles(df, value_col, key_cols, qs, q_names, config, weight_col
       (``CollapsingLowestDenseStoreTest.java:23-37``), like the kernel and
       the oracle.
     """
+    config = config or SketchConfig()
+    key_cols = [by] if isinstance(by, str) else list(by or [])
+    qs = [float(q) for q in qs]
+    if any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError("The quantile must be between 0 and 1.")
+    if q_names is None:
+        q_names = [quantile_column_name(q) for q in qs]
+    q_names = list(q_names)
+
     mapping = config.mapping()
     if mapping.kind != "log":
         raise ValueError(
@@ -1099,7 +1136,7 @@ FROM cumw {gby}"""
     sql = f"""
 WITH vals AS (
   SELECT {g}CAST(`{value_col}` AS DOUBLE) AS __v, {w_src} AS __w
-  FROM {{__ddsparkle_src__}}
+  FROM {source}
 ),{buckets_cte},
 walk AS (
   SELECT {g}__part,
@@ -1117,13 +1154,10 @@ cumw AS (
   FROM walk
 ){final}"""
 
-    out = df.sparkSession.sql(sql, __ddsparkle_src__=df)
     if not key_cols:
         # a global aggregate over ZERO input rows yields one all-NULL row in
         # SQL; the kernel paths return an empty frame — align on the latter.
         # (all-NULL *groups* keep their count-0 row: their count is 0.0, not
         # NULL, because the zero-part bucket row always exists for them.)
-        from pyspark.sql import functions as F
-
-        out = out.where(F.col("count").isNotNull())
-    return out
+        sql = f"SELECT * FROM ({sql}\n) WHERE count IS NOT NULL"
+    return sql

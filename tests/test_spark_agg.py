@@ -609,3 +609,24 @@ def test_sql_mode_null_group_key_survives(spark):
         for k in a:
             assert a[k]["count"] == b[k]["count"]
             assert round(a[k]["q50"], 4) == round(b[k]["q50"], 4)
+
+
+def test_ddsketch_spark_sql_public_generator(spark, sf_dir):
+    """The public SQL-string surface must run standalone over a temp view
+    and agree with quantiles() exactly."""
+    from ddsparkle.spark.agg import ddsketch_spark_sql
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df.createOrReplaceTempView("events_sql_test")
+    cfg = SketchConfig(mapping_kind="log", store_policy="unbounded", max_bins=0,
+                       track_exact_stats=False)
+    sql = ddsketch_spark_sql("events_sql_test", "value", [0.5, 0.95],
+                             config=cfg, by="event_type")
+    a = {r["event_type"]: r for r in spark.sql(sql).collect()}
+    b = {r["event_type"]: r for r in
+         quantiles(df, "value", by="event_type", qs=(0.5, 0.95), config=cfg).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["q50"] == b[k]["q50"] and a[k]["q95"] == b[k]["q95"]
+        assert a[k]["count"] == b[k]["count"]
+    spark.catalog.dropTempView("events_sql_test")
