@@ -728,12 +728,21 @@ def q_simhash_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         df, threshold=0.8, num_perm=32, bands=32, max_bucket_size=None
     ).select("id_a", "id_b")
     sc = simhash_candidates(df, bands=8, shingle_n=1, max_bucket_size=None).select(
-        "id_a", "id_b"
+        "id_a", "id_b", F.lit(1).alias("__hit")
     )
-    n_pairs = hj.count()
-    uncovered = hj.join(sc, ["id_a", "id_b"], "left_anti").count()
+    # one action: left join + conditional count evaluates the (expensive)
+    # exact-Jaccard pipeline once instead of once per count
+    row = (
+        hj.join(sc, ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("miss"),
+        )
+        .collect()[0]
+    )
     return spark.createDataFrame(
-        [(float(n_pairs), uncovered == 0)], "n_pairs double, covered_all boolean"
+        [(float(row["n"]), int(row["miss"] or 0) == 0)],
+        "n_pairs double, covered_all boolean",
     )
 
 

@@ -992,7 +992,10 @@ def ddsketch_spark_sql(
       (``CollapsingLowestDenseStoreTest.java:23-37``), like the kernel and
       the oracle.
     """
-    config = config or SketchConfig()
+    # the SQL surface defaults to the log preset (the only SQL-expressible
+    # mapping); quantiles() keeps the reference's cubic default and routes
+    # non-log configs to the kernel paths
+    config = config or SketchConfig(mapping_kind="log")
     key_cols = [by] if isinstance(by, str) else list(by or [])
     qs = [float(q) for q in qs]
     if any(not 0.0 <= q <= 1.0 for q in qs):
