@@ -790,6 +790,29 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination gate: flag every non-src0 document sharing
+    any word 8-gram with the src0 slice (the held-out 'benchmark'). Pure
+    Catalyst (explode + shingle hash join + count), hash-exact vs the
+    DuckDB unnest/join twin including the per-doc shared-shingle counts."""
+    from ddsparkle.spark.dataops import cross_corpus_contamination
+
+    df = _t(spark, sf_dir, "documents")
+    corpus = df.filter(F.col("source") != "src0")
+    reference = df.filter(F.col("source") == "src0")
+    return cross_corpus_contamination(corpus, reference, shingle_n=8)
+
+
+def q_doc_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over normalized text (lowercase, punctuation stripped,
+    whitespace collapsed) — representative + copy count per normalized
+    form; the formatting-invariant sibling of doc_dedup_representatives."""
+    from ddsparkle.spark.dataops import exact_dedup_normalized
+
+    df = _t(spark, sf_dir, "documents")
+    return exact_dedup_normalized(df)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ddsketch_events_value": q_events_value,
@@ -833,6 +856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "simhash_dup_coverage": q_simhash_dup_coverage,
         "ann_lsh_recall": q_ann_lsh_recall,
+        "doc_decontamination": q_doc_decontamination,
+        "doc_dedup_normalized": q_doc_dedup_normalized,
     }
 
 
@@ -1047,6 +1072,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM walk GROUP BY id"
         ),
         "doc_ngram_jaccard_pairs": _ngram_pairs_sql(0.7),
+        "doc_decontamination": (
+            "WITH sh AS (SELECT doc_id, source, CASE WHEN len(string_split(text, ' ')) < 8 THEN [text] "
+            "ELSE list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 7), "
+            "i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i+1], "
+            "string_split(text, ' ')[i+2], string_split(text, ' ')[i+3], string_split(text, ' ')[i+4], "
+            "string_split(text, ' ')[i+5], string_split(text, ' ')[i+6], string_split(text, ' ')[i+7]))) "
+            "END AS s FROM documents), "
+            "corp AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE source != 'src0'), "
+            "ref AS (SELECT DISTINCT unnest(s) AS sg FROM sh WHERE source = 'src0'), "
+            "hits AS (SELECT doc_id, COUNT(DISTINCT sg) AS n FROM corp JOIN ref USING (sg) GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(n, 0) AS DOUBLE) AS n_shared_shingles, "
+            "COALESCE(n, 0) > 0 AS contaminated "
+            "FROM (SELECT doc_id FROM documents WHERE source != 'src0') d LEFT JOIN hits USING (doc_id)"
+        ),
+        "doc_dedup_normalized": (
+            "SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS DOUBLE) AS n_copies "
+            "FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents) "
+            "GROUP BY norm"
+        ),
         "doc_fingerprints": (
             "WITH sh AS (SELECT doc_id, CASE WHEN len(string_split(text, ' ')) < 8 THEN [text] "
             "ELSE list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 7), "

@@ -26,6 +26,9 @@ __all__ = [
     "document_fingerprints",
     "embedding_near_duplicates",
     "ann_lsh_topk",
+    "cross_corpus_contamination",
+    "normalize_text_expr",
+    "exact_dedup_normalized",
     "minhash_signatures",
     "minhash_lsh_candidates",
     "near_duplicates",
@@ -979,4 +982,87 @@ def ann_lsh_topk(
         cands.select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus decontamination + normalized dedup
+# ---------------------------------------------------------------------------
+
+
+def cross_corpus_contamination(
+    corpus,
+    reference,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+    join_on_hash: bool = False,
+):
+    """Benchmark decontamination: flag every ``corpus`` document that shares
+    at least one word ``shingle_n``-gram with the ``reference`` corpus (the
+    standard n-gram-overlap test for train/eval contamination). Returns one
+    row per corpus doc: (id, n_shared_shingles, contaminated).
+
+    Scale shape: explode to (doc, shingle) pairs, inner-join against the
+    DISTINCT reference shingle set — a hash join shuffled on the shingle
+    key, never a doc x doc comparison; Catalyst end to end. With
+    ``join_on_hash`` the join key is ``xxhash64(shingle)`` (8-byte shuffle
+    rows instead of strings — the 100-TB variant; collisions ~2^-64 can
+    only ADD a false contamination flag, never miss one)."""
+    from pyspark.sql import functions as F
+
+    # generators can't nest inside expressions: explode first, hash after
+    sh_c = corpus.select(
+        F.col(id_col), F.explode(ngram_shingles_expr(text_col, shingle_n)).alias("__s")
+    )
+    sh_r = reference.select(
+        F.explode(ngram_shingles_expr(text_col, shingle_n)).alias("__s")
+    )
+    if join_on_hash:
+        sh_c = sh_c.select(id_col, F.xxhash64("__s").alias("__s"))
+        sh_r = sh_r.select(F.xxhash64("__s").alias("__s"))
+    sh_r = sh_r.distinct()
+    hits = (
+        sh_c.join(sh_r, "__s")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__s").alias("__n"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("__n", F.lit(0)).cast("double").alias("n_shared_shingles"),
+            (F.coalesce("__n", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def normalize_text_expr(text_col: str = "text"):
+    """Canonical text normalization as a Catalyst Column: lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace runs, trim. The
+    pre-pass that turns formatting-variant duplicates ("Hello, World!" vs
+    "hello world") into exact duplicates."""
+    from pyspark.sql import functions as F
+
+    lowered = F.lower(F.col(text_col))
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(stripped, " +", " "))
+
+
+def exact_dedup_normalized(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup over NORMALIZED text: representative (min id) + copy
+    count per distinct normalized form — catches formatting-variant
+    duplicates that byte-exact dedup misses. Same map-side-aggregated
+    groupBy shape as ``exact_dedup``."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(F.col(id_col), normalize_text_expr(text_col).alias("__norm"))
+        .groupBy("__norm")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").cast("double").alias("n_copies"),
+        )
+        .select(id_col, "n_copies")
     )

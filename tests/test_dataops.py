@@ -432,3 +432,52 @@ def test_ann_lsh_topk_exact_match_and_pruning(spark):
     buckets = _hyperplane_buckets(df, "e", "vec_id", planes)
     # pruning: probe's buckets hold fewer than the full corpus
     assert buckets.select("vec_id").distinct().count() == 200
+
+
+def test_cross_corpus_contamination(spark):
+    """Planted overlap: corpus doc 0 shares an 8-gram run with the reference;
+    doc 1 does not; short docs fall back to whole-text shingles."""
+    from ddsparkle.spark.dataops import cross_corpus_contamination
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    corpus = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": [
+                shared + " unique tail here now",
+                " ".join(f"u{i}" for i in range(20)),
+                "tiny doc",  # < 8 words -> [text] shingle
+            ],
+        })
+    )
+    reference = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100, 101], "text": [shared + " other suffix words", "tiny doc"]})
+    )
+    for hashed in (False, True):
+        out = {
+            r["doc_id"]: (r["n_shared_shingles"], r["contaminated"])
+            for r in cross_corpus_contamination(
+                corpus, reference, shingle_n=8, join_on_hash=hashed
+            ).collect()
+        }
+        assert out[0][1] is True and out[0][0] >= 1.0
+        assert out[1] == (0.0, False)
+        assert out[2] == (1.0, True)  # whole-text match
+
+
+def test_exact_dedup_normalized(spark):
+    from ddsparkle.spark.dataops import exact_dedup_normalized, normalize_text_expr
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": ["Hello,   World!", "hello world", "HELLO WORLD.", "другой текст"],
+        })
+    )
+    norm = {r["doc_id"]: r["n"] for r in
+            df.select("doc_id", normalize_text_expr("text").alias("n")).collect()}
+    assert norm[0] == norm[1] == norm[2] == "hello world"
+    out = {r["doc_id"]: r["n_copies"] for r in exact_dedup_normalized(df).collect()}
+    assert out[0] == 3.0  # representative = min id, 3 formatting variants
+    assert 3 in out
