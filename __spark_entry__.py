@@ -803,6 +803,19 @@ def q_doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_corpus_contamination(corpus, reference, shingle_n=8)
 
 
+def q_doc_bpe_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantiles of BPE-ish regex token counts (letter/digit/punct
+    pre-tokens — dataops.BPE_ISH_PATTERN, parity-tested between Java regex
+    and DuckDB RE2) — tokenizer + sketch composed in one Catalyst plan."""
+    from ddsparkle.spark.dataops import token_count_expr
+
+    df = _t(spark, sf_dir, "documents").select(
+        token_count_expr("text", "bpe_ish").cast("double").alias("n_bpe_tokens")
+    )
+    res = quantiles(df, "n_bpe_tokens", qs=(0.5, 0.95), config=_cfg())
+    return _round_result(res, [], ["q50", "q95"])
+
+
 def q_doc_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over normalized text (lowercase, punctuation stripped,
     whitespace collapsed) — representative + copy count per normalized
@@ -857,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_coverage": q_simhash_dup_coverage,
         "ann_lsh_recall": q_ann_lsh_recall,
         "doc_decontamination": q_doc_decontamination,
+        "doc_bpe_token_quantiles": q_doc_bpe_token_quantiles,
         "doc_dedup_normalized": q_doc_dedup_normalized,
     }
 
@@ -965,6 +979,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_token_quantiles": ddsketch_quantile_sql(
             "documents", "len(string_split(text, ' '))", [0.5, 0.95]
+        ),
+        "doc_bpe_token_quantiles": ddsketch_quantile_sql(
+            "documents",
+            "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))",
+            [0.5, 0.95],
         ),
         "hll_distinct_users": (
             "SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS exact_distinct, "

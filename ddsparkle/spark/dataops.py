@@ -29,6 +29,8 @@ __all__ = [
     "cross_corpus_contamination",
     "normalize_text_expr",
     "exact_dedup_normalized",
+    "token_count_expr",
+    "BPE_ISH_PATTERN",
     "minhash_signatures",
     "minhash_lsh_candidates",
     "near_duplicates",
@@ -1066,3 +1068,29 @@ def exact_dedup_normalized(df, text_col: str = "text", id_col: str = "doc_id"):
         )
         .select(id_col, "n_copies")
     )
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+# simplified GPT-2-style tokenizer pattern: letter runs, digit runs, single
+# punctuation marks (whitespace delimits, never emits). Deterministic and
+# dialect-portable (same match counts in Java regex and RE2/DuckDB — parity
+# asserted in tests); a stand-in for a real BPE vocab, which would only
+# refine these pre-tokens further
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_count_expr(text_col: str = "text", kind: str = "whitespace"):
+    """Token count of ``text_col`` as a Catalyst Column (no UDF):
+    'whitespace' = split on single spaces (the quality_exprs convention);
+    'bpe_ish' = matches of BPE_ISH_PATTERN (letter/digit/punct pre-tokens,
+    the upper-bound proxy for BPE token counts)."""
+    from pyspark.sql import functions as F
+
+    if kind == "whitespace":
+        return F.size(F.split(F.col(text_col), " "))
+    if kind == "bpe_ish":
+        return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+    raise ValueError(f"unknown token kind {kind!r}")

@@ -481,3 +481,23 @@ def test_exact_dedup_normalized(spark):
     out = {r["doc_id"]: r["n_copies"] for r in exact_dedup_normalized(df).collect()}
     assert out[0] == 3.0  # representative = min id, 3 formatting variants
     assert 3 in out
+
+
+def test_bpe_ish_token_count_dialect_parity(spark):
+    """BPE_ISH_PATTERN must produce identical match counts under Java regex
+    (Spark) and RE2 (DuckDB) — the driver-gate precondition."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.dataops import BPE_ISH_PATTERN, token_count_expr
+
+    texts = ["Hello, world! It's 2026.", "foo_bar baz-qux 123abc",
+             "  spaces   and\ttabs ", "", "ISN'T can't won't", "a1b2c3 ... ???"]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    sp = [r[0] for r in df.select(token_count_expr("text", "bpe_ish")).collect()]
+    con = duckdb.connect()
+    dk = [con.execute("SELECT len(regexp_extract_all(?, ?))", [t, BPE_ISH_PATTERN]).fetchone()[0]
+          for t in texts]
+    assert sp == dk
+    ws = [r[0] for r in df.select(token_count_expr("text", "whitespace")).collect()]
+    assert ws[3] == 1  # split('', ' ') -> [''] like the quality convention
