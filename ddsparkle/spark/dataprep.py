@@ -34,18 +34,27 @@ def curate(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket_size: Optional[int] = 1000,
+    normalize_before_dedup: bool = False,
+    decontaminate_against=None,
+    decontam_shingle_n: int = 8,
 ):
     """Returns (curated DataFrame, stats dict). The curated frame keeps the
     INPUT schema exactly — one representative per exact/fuzzy duplicate
     cluster, only documents passing the quality + language gates; ``stats``
-    accounts for every drop. The intermediate dedup survivors are persisted
+    accounts for every drop. Optional stages: ``decontaminate_against``
+    (a reference/benchmark DataFrame; docs sharing any
+    ``decontam_shingle_n``-gram are dropped FIRST, via the 8-byte-hash
+    shingle join) and ``normalize_before_dedup`` (formatting-invariant
+    exact dedup). The intermediate dedup survivors are persisted
     so the per-stage counts and the caller's final write do not recompute
     the dedup lineage; the returned frame is backed by the persisted
     fuzzy-dedup stage (unpersist it when done with the result)."""
     from pyspark.sql import functions as F
 
     from .dataops import (
+        cross_corpus_contamination,
         exact_dedup,
+        exact_dedup_normalized,
         language_pred_expr,
         near_dup_clusters,
         quality_exprs,
@@ -53,8 +62,21 @@ def curate(
 
     n_input = df.count()
 
-    # 1. exact dedup (cheapest first: shrinks everything downstream)
-    reps = exact_dedup(df, text_col, id_col)  # [id_col, n_copies]
+    # 0. (optional) benchmark decontamination FIRST — contaminated docs
+    # must not survive as dedup representatives of clean ones
+    n_decontam = n_input
+    if decontaminate_against is not None:
+        clean_ids = cross_corpus_contamination(
+            df, decontaminate_against, text_col, id_col,
+            shingle_n=decontam_shingle_n, join_on_hash=True,
+        ).filter(~F.col("contaminated")).select(id_col)
+        df = df.join(clean_ids, id_col)
+        n_decontam = df.count()
+
+    # 1. exact dedup (cheapest first: shrinks everything downstream);
+    # normalize_before_dedup folds formatting variants into one cluster
+    dedup_fn = exact_dedup_normalized if normalize_before_dedup else exact_dedup
+    reps = dedup_fn(df, text_col, id_col)  # [id_col, n_copies]
     exact_kept = df.join(reps.select(id_col), id_col).persist()
     n_exact = exact_kept.count()
 
@@ -89,10 +111,12 @@ def curate(
 
     stats = {
         "input_docs": n_input,
+        "after_decontamination": n_decontam,
+        "dropped_contaminated": n_input - n_decontam,
         "after_exact_dedup": n_exact,
         "after_fuzzy_dedup": n_fuzzy,
         "after_quality_language": n_final,
-        "dropped_exact_dups": n_input - n_exact,
+        "dropped_exact_dups": n_decontam - n_exact,
         "dropped_fuzzy_dups": n_exact - n_fuzzy,
         "dropped_quality_language": n_fuzzy - n_final,
     }

@@ -501,3 +501,30 @@ def test_bpe_ish_token_count_dialect_parity(spark):
     assert sp == dk
     ws = [r[0] for r in df.select(token_count_expr("text", "whitespace")).collect()]
     assert ws[3] == 1  # split('', ' ') -> [''] like the quality convention
+
+
+def test_curate_with_decontamination_and_normalization(spark):
+    """Extended curate(): benchmark-contaminated docs drop first; formatting
+    variants fold in normalized exact dedup; accounting covers every drop."""
+    from ddsparkle.spark.dataprep import curate
+
+    shared = " ".join(f"b{i}" for i in range(10))
+    rows = [(0, "Common Words Here Now! " + " ".join(f"x{i}" for i in range(10))),
+            (1, "common words here now  " + " ".join(f"x{i}" for i in range(10))),
+            (2, shared + " more corpus text follows here"),
+            (3, " ".join(f"c{i}" for i in range(20)))]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "text": [shared + " benchmark suffix words"]})
+    )
+    curated, stats = curate(
+        df, min_tokens=2, max_mean_token_len=50.0,
+        normalize_before_dedup=True, decontaminate_against=bench,
+    )
+    kept = {r["doc_id"] for r in curated.collect()}
+    assert 2 not in kept                       # contaminated (shares 8-gram run)
+    assert (0 in kept) != (1 in kept)          # normalized variants folded to one
+    assert 3 in kept
+    assert stats["dropped_contaminated"] == 1
+    assert stats["after_decontamination"] == 3
+    assert stats["dropped_exact_dups"] == 1
