@@ -826,6 +826,90 @@ def q_doc_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_normalized(df)
 
 
+def q_rollup_timerange_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted sketch rollup, end-to-end (the reference's production
+    pattern — per-time-window sketches stored and merged at query time,
+    which is what `DDSketch.java:268-281` mergeWith exists for): build one
+    hourly sketch row per (hour, event_type) cell, write them to
+    day-partitioned parquet, read back, and answer a 10-day window by
+    merging only the covered cells (partition-pruned at the file level).
+    Merge exactness makes the result identical to a direct DDSketch build
+    over the raw rows of the range, which is exactly what the oracle
+    computes."""
+    import shutil
+    import tempfile
+
+    from ddsparkle.spark.rollup import (
+        build_rollup,
+        read_rollup,
+        rollup_quantiles,
+        write_rollup,
+    )
+
+    df = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="ddsparkle-rollup-")
+    try:
+        roll = build_rollup(
+            df, "value", time_col="ts", granularity="hour",
+            by="event_type", config=_cfg(),
+        )
+        write_rollup(roll, f"{tmp}/t")
+        back = read_rollup(spark, f"{tmp}/t")
+        res = rollup_quantiles(
+            back, (0.5, 0.95, 0.99), by="event_type",
+            start="2024-01-05 00:00:00", end="2024-01-15 00:00:00",
+        )
+        out = _round_result(res, ["event_type"], ["q50", "q95", "q99"])
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp files
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_doc_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/partitioning-independent bottom-k-by-digest sample (stable
+    eval-split primitive): the 50 documents with the smallest md5(seed|id),
+    digest-exact vs the DuckDB md5 twin — proving the sample is a pure
+    function of the ids, not of Spark's execution order."""
+    from ddsparkle.spark.dataops import deterministic_sample
+
+    df = _t(spark, sf_dir, "documents")
+    return deterministic_sample(df, id_col="doc_id", k=50, seed=0).select(
+        "doc_id", "source", "sample_key"
+    )
+
+
+def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline, driver-verified end-to-end: documents' text
+    bytes become deterministic fake image payloads (media_schema shape),
+    flow through the real Arrow-batched decode -> feature mapInPandas path
+    (multimodal.image_features with the fake codec), and the per-channel
+    means + luminance std are hash-matched against a DuckDB twin that
+    replays the fake decoder's byte tiling in SQL (ord/substr modulo
+    arithmetic) — so the batching, schema, and feature math are all checked,
+    with only the codec itself stubbed."""
+    from ddsparkle.spark.multimodal import image_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("mime"),
+        F.lit(4).alias("width"),
+        F.lit(4).alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    feats = image_features(media, fake=True, resize_to=2)
+    return feats.select(
+        "media_id",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("std_lum", 4).alias("std_lum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ddsketch_events_value": q_events_value,
@@ -872,6 +956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontamination": q_doc_decontamination,
         "doc_bpe_token_quantiles": q_doc_bpe_token_quantiles,
         "doc_dedup_normalized": q_doc_dedup_normalized,
+        "rollup_timerange_quantiles": q_rollup_timerange_quantiles,
+        "doc_deterministic_sample": q_doc_deterministic_sample,
+        "media_image_features": q_media_image_features,
     }
 
 
@@ -1152,6 +1239,37 @@ def oracle_sql() -> dict[str, str]:
             "  FROM embeddings WHERE vec_id != 0) "
             "SELECT vec_id, ROUND(sim, 4) AS cosine FROM sims "
             "ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        # direct DDSketch over the raw rows of the window — rollup+merge must
+        # equal it exactly (merge associativity; counts are integral doubles)
+        "rollup_timerange_quantiles": ddsketch_quantile_sql(
+            "(SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' "
+            "AND ts < TIMESTAMP '2024-01-15 00:00:00')",
+            "value",
+            [0.5, 0.95, 0.99],
+            group_col="event_type",
+        ),
+        "doc_deterministic_sample": (
+            "SELECT doc_id, source, md5('0|' || CAST(doc_id AS VARCHAR)) AS sample_key "
+            "FROM documents ORDER BY sample_key, doc_id LIMIT 50"
+        ),
+        # replay of the fake image decoder's byte tiling: pixel p reads bytes
+        # (3p, 3p+1, 3p+2) mod len(text) of the UTF-8 payload (ASCII corpus,
+        # so ord(char) == byte); 4x4 image -> 16 pixels. AVG over ints and
+        # /16, /3.0 are IEEE-exact on both engines; stddev accumulation
+        # differs in association only, absorbed by ROUND 4.
+        "media_image_features": (
+            "WITH px AS (SELECT doc_id, "
+            "ord(substr(text, ((3*p.g) % length(text)) + 1, 1)) AS b0, "
+            "ord(substr(text, ((3*p.g+1) % length(text)) + 1, 1)) AS b1, "
+            "ord(substr(text, ((3*p.g+2) % length(text)) + 1, 1)) AS b2 "
+            "FROM documents, (SELECT unnest(generate_series(0, 15)) AS g) p) "
+            "SELECT doc_id AS media_id, "
+            "ROUND(AVG(CAST(b0 AS DOUBLE)), 4) AS mean_r, "
+            "ROUND(AVG(CAST(b1 AS DOUBLE)), 4) AS mean_g, "
+            "ROUND(AVG(CAST(b2 AS DOUBLE)), 4) AS mean_b, "
+            "ROUND(STDDEV_POP((b0 + b1 + b2) / 3.0), 4) AS std_lum "
+            "FROM px GROUP BY 1"
         ),
     }
 

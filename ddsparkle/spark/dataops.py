@@ -1071,6 +1071,40 @@ def exact_dedup_normalized(df, text_col: str = "text", id_col: str = "doc_id"):
 
 
 # ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def deterministic_sample(df, id_col: str = "doc_id", k: int = 100, seed: int = 0):
+    """Order- and partitioning-independent ``k``-row sample: the rows whose
+    ``md5(seed|id)`` digest is smallest (ties broken by id). Under the
+    random-oracle model this is a uniform sample of the distinct ids — the
+    same bottom-k principle as the KMV sketch — but unlike a seeded
+    reservoir it does not depend on row order, partition count, or executor
+    scheduling, so reruns, retries, and different cluster sizes all select
+    the IDENTICAL sample (and so can a different engine: the driver oracle
+    recomputes it in DuckDB digest-for-digest).
+
+    Scale shape: md5 + top-k compiles to TakeOrderedAndProject — per-task
+    k-row heaps and a k-row driver fold, never a global sort or shuffle of
+    the data. Appending new rows only changes the sample where a new id's
+    digest displaces a previous bottom-k member (bounded churn), which makes
+    it the right primitive for stable eval/holdout splits of a growing
+    corpus.
+
+    Returns the sampled rows with a ``sample_key`` digest column appended.
+    """
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("sample_key", h)
+        .orderBy("sample_key", id_col)
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # token counting
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,148 @@
+"""Persisted sketch-rollup tests: rollup+query-time merge must equal a direct
+aggregation over the same raw rows (merge exactness, `DDSketch.java:268-281`),
+incremental appends must re-merge transparently, and the day-partitioned
+layout must actually prune at the file level."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ddsparkle.config import SketchConfig
+from ddsparkle.spark.agg import quantiles
+from ddsparkle.spark.rollup import (
+    build_rollup,
+    read_rollup,
+    rollup_quantiles,
+    write_rollup,
+)
+
+pytestmark = pytest.mark.spark
+
+QS = (0.5, 0.95, 0.99)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _pdf(df):
+    out = df.toPandas()
+    cols = sorted(out.columns)
+    return out.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+
+
+def assert_matches_direct(roll_res, direct_res):
+    a, b = _pdf(roll_res), _pdf(direct_res)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    for c in a.columns:
+        if a[c].dtype.kind == "f":
+            # bucket counts and min/max merge exactly; sums are Kahan folds
+            # whose association differs between the two plans -> tiny ulp play
+            assert a[c].to_numpy() == pytest.approx(b[c].to_numpy(), rel=1e-9, abs=1e-9)
+        else:
+            assert a[c].tolist() == b[c].tolist()
+
+
+def test_rollup_full_range_matches_direct_grouped(events):
+    roll = build_rollup(events, "value", time_col="ts", granularity="hour", by="event_type")
+    res = rollup_quantiles(roll, QS, by="event_type")
+    direct = quantiles(events, "value", by="event_type", qs=QS)
+    assert_matches_direct(res, direct)
+
+
+def test_rollup_time_range_matches_filtered_direct(events):
+    lo, hi = "2024-01-05 00:00:00", "2024-01-15 00:00:00"
+    roll = build_rollup(events, "value", time_col="ts", granularity="hour", by="event_type")
+    res = rollup_quantiles(roll, QS, by="event_type", start=lo, end=hi)
+    direct = quantiles(
+        events.filter((F.col("ts") >= lo) & (F.col("ts") < hi)),
+        "value",
+        by="event_type",
+        qs=QS,
+    )
+    assert_matches_direct(res, direct)
+
+
+def test_rollup_global_and_regroup(events):
+    # a rollup built WITH a dimension answers coarser (global) queries too:
+    # merging across the dimension is the same associative fold
+    roll = build_rollup(events, "value", time_col="ts", granularity="day", by="event_type")
+    res = rollup_quantiles(roll, QS)
+    direct = quantiles(events, "value", qs=QS, lazy=True)
+    assert_matches_direct(res, direct)
+
+
+def test_rollup_weighted_and_config(events):
+    cfg = SketchConfig(relative_accuracy=0.02, store_policy="collapsing_lowest", max_bins=256)
+    roll = build_rollup(
+        events.withColumn("w", (F.col("user_id") % 3 + 1).cast("double")),
+        "value",
+        time_col="ts",
+        granularity="day",
+        by="event_type",
+        config=cfg,
+        weight_col="w",
+    )
+    res = rollup_quantiles(roll, QS, by="event_type")
+    direct = quantiles(
+        events.withColumn("w", (F.col("user_id") % 3 + 1).cast("double")),
+        "value",
+        by="event_type",
+        qs=QS,
+        config=cfg,
+        weight_col="w",
+    )
+    assert_matches_direct(res, direct)
+
+
+def test_rollup_write_read_append_roundtrip(events, spark):
+    """Two disjoint appended ingests == one full build; the reread table
+    carries the day partition column and still answers exactly."""
+    cut = "2024-01-10 00:00:00"
+    tmp = tempfile.mkdtemp(prefix="rollup-")
+    path = f"{tmp}/t"
+    try:
+        first = build_rollup(
+            events.filter(F.col("ts") < cut), "value", time_col="ts",
+            granularity="hour", by="event_type",
+        )
+        write_rollup(first, path, mode="overwrite")
+        second = build_rollup(
+            events.filter(F.col("ts") >= cut), "value", time_col="ts",
+            granularity="hour", by="event_type",
+        )
+        write_rollup(second, path, mode="append")
+        back = read_rollup(spark, path)
+        assert "day" in back.columns
+        res = rollup_quantiles(back, QS, by="event_type")
+        direct = quantiles(events, "value", by="event_type", qs=QS)
+        assert_matches_direct(res, direct)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_rollup_day_partition_pruning(events, spark):
+    """The time-range filter must reach the parquet source as a partition
+    filter on `day` — file-level pruning, the property that makes querying a
+    week of a year-long rollup cheap."""
+    tmp = tempfile.mkdtemp(prefix="rollup-")
+    path = f"{tmp}/t"
+    try:
+        roll = build_rollup(events, "value", time_col="ts", granularity="hour", by="event_type")
+        write_rollup(roll, path)
+        back = read_rollup(spark, path)
+        res = rollup_quantiles(
+            back, QS, by="event_type",
+            start="2024-01-05 00:00:00", end="2024-01-08 00:00:00",
+        )
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        # the day bounds appear inside the PartitionFilters clause
+        pf = plan[plan.index("PartitionFilters"):].split("]", 1)[0]
+        assert "day" in pf and "2024-01-05" in pf
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
