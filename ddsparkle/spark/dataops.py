@@ -48,6 +48,24 @@ __all__ = [
 _WORD_SEED = 0x7E57DA7A
 
 
+def _ensure_parallelism(df, target: Optional[int] = None):
+    """Spread a narrow input across the cluster before heavy per-row work.
+
+    Shingle hashing, per-shingle md5, MinHash/SimHash signing, and cosine
+    folds are CPU-bound per row; a small input read as one split (or a
+    single-row-group parquet file, which Spark cannot subdivide) would run
+    them on ONE core. When the frame has fewer partitions than the cluster's
+    parallelism, repartition up to it — the one-time shuffle of the raw text
+    is amortized many times over by the per-row compute it parallelizes. At
+    100 TB this is a structural no-op: large inputs already scan as >= cores
+    splits, so the gate skips the shuffle entirely.
+    """
+    target = target or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # polynomial-combine constant for word n-gram shingle hashes (odd -> the
 # multiply is a bijection mod 2^64)
 _COMB = np.uint64(0xC6A4A7935BD1E995)
@@ -275,7 +293,9 @@ def minhash_signatures(df, text_col: str = "text", id_col: str = "doc_id", num_p
             sigs = mins.T.astype(np.int64).tolist()
             yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(sign, schema=schema)
+    return _ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        sign, schema=schema
+    )
 
 
 def minhash_lsh_candidates(
@@ -411,7 +431,9 @@ def simhash64(df, text_col: str = "text", id_col: str = "doc_id", shingle_n: int
             out = vals.astype(np.uint64).view(np.int64).tolist()
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
-    return df.select(id_col, text_col).mapInPandas(sig, schema=schema)
+    return _ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        sig, schema=schema
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -472,7 +494,9 @@ def _hyperplane_buckets(df, emb_col: str, id_col: str, planes: np.ndarray):
                 rows["bucket"].extend(buckets.tolist())
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, emb_col).mapInPandas(bucketize, schema=schema)
+    return _ensure_parallelism(df.select(id_col, emb_col)).mapInPandas(
+        bucketize, schema=schema
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -584,7 +608,12 @@ def ivf_index(df, emb_col: str = "embedding", id_col: str = "vec_id", n_clusters
             d = -2.0 * V @ cents.T + (cents**2).sum(axis=1)[None, :]
             yield pd.DataFrame({id_col: pdf[id_col], "cluster": d.argmin(axis=1).astype(np.int32)})
 
-    return df.select(id_col, emb_col).mapInPandas(assign_fn, schema=schema), C
+    return (
+        _ensure_parallelism(df.select(id_col, emb_col)).mapInPandas(
+            assign_fn, schema=schema
+        ),
+        C,
+    )
 
 
 def ann_ivf_topk(
@@ -835,7 +864,9 @@ def ngram_jaccard_pairs(
         candidates = minhash_lsh_candidates(
             sigs, id_col, bands, num_perm=num_perm, max_bucket_size=max_bucket_size
         )
-    sh = df.select(F.col(id_col), ngram_shingles_expr(text_col, shingle_n).alias("__s"))
+    sh = _ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), ngram_shingles_expr(text_col, shingle_n).alias("__s")
+    )
     paired = (
         candidates.join(
             sh.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__sa")), "id_a"
@@ -875,6 +906,7 @@ def document_fingerprints(
     digests = F.array_sort(
         F.transform(ngram_shingles_expr(text_col, shingle_n), F.md5)
     )
+    df = _ensure_parallelism(df.select(id_col, text_col))
     return df.select(
         F.col(id_col),
         F.size(digests).alias("n_shingles"),
@@ -1014,10 +1046,10 @@ def cross_corpus_contamination(
     from pyspark.sql import functions as F
 
     # generators can't nest inside expressions: explode first, hash after
-    sh_c = corpus.select(
+    sh_c = _ensure_parallelism(corpus.select(id_col, text_col)).select(
         F.col(id_col), F.explode(ngram_shingles_expr(text_col, shingle_n)).alias("__s")
     )
-    sh_r = reference.select(
+    sh_r = _ensure_parallelism(reference.select(text_col)).select(
         F.explode(ngram_shingles_expr(text_col, shingle_n)).alias("__s")
     )
     if join_on_hash:
