@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ddsparkle.config import SketchConfig
-from ddsparkle.oracle import ddsketch_quantile_sql
+from ddsparkle.oracle import ddsketch_cdf_sql, ddsketch_quantile_sql
 from ddsparkle.spark.agg import quantiles
 
 ALPHA = 0.01
@@ -910,6 +910,37 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse quantiles (value -> rank): estimated fraction of events at or
+    below each probe value — the rank walk read backwards (no reference
+    counterpart; sketches-java answers rank->value only). Hash-exact vs the
+    SQL twin over the identical bucket model."""
+    from ddsparkle.spark.agg import cdf_at_values
+
+    df = _t(spark, sf_dir, "events")
+    res = cdf_at_values(df, "value", [50.0, 100.0, 500.0], config=_cfg())
+    return res.select(
+        *[F.round(c, 4).alias(c) for c in ("cdf_50", "cdf_100", "cdf_500")], "count"
+    )
+
+
+def q_events_cdf_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped inverse quantiles: per-event-type share of values <= each
+    probe (the 'what fraction beat the SLO per service' query), one scan,
+    sketch rows only on the wire."""
+    from ddsparkle.spark.agg import cdf_at_values
+
+    df = _t(spark, sf_dir, "events")
+    res = cdf_at_values(
+        df, "value", [50.0, 100.0, 500.0], by="event_type", config=_cfg()
+    )
+    return res.select(
+        "event_type",
+        *[F.round(c, 4).alias(c) for c in ("cdf_50", "cdf_100", "cdf_500")],
+        "count",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ddsketch_events_value": q_events_value,
@@ -959,6 +990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_timerange_quantiles": q_rollup_timerange_quantiles,
         "doc_deterministic_sample": q_doc_deterministic_sample,
         "media_image_features": q_media_image_features,
+        "ddsketch_events_cdf": q_events_cdf,
+        "ddsketch_events_cdf_by_type": q_events_cdf_by_type,
     }
 
 
@@ -1270,6 +1303,16 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(AVG(CAST(b2 AS DOUBLE)), 4) AS mean_b, "
             "ROUND(STDDEV_POP((b0 + b1 + b2) / 3.0), 4) AS std_lum "
             "FROM px GROUP BY 1"
+        ),
+        "ddsketch_events_cdf": ddsketch_cdf_sql(
+            "events", "value", [50.0, 100.0, 500.0], ["cdf_50", "cdf_100", "cdf_500"]
+        ),
+        "ddsketch_events_cdf_by_type": ddsketch_cdf_sql(
+            "events",
+            "value",
+            [50.0, 100.0, 500.0],
+            ["cdf_50", "cdf_100", "cdf_500"],
+            group_col="event_type",
         ),
     }
 

@@ -68,6 +68,79 @@ def _bucket_cte(
     )
 
 
+def ddsketch_cdf_sql(
+    source_sql: str,
+    value_expr: str,
+    xs: Sequence[float],
+    x_names: Sequence[str],
+    alpha: float = 0.01,
+    group_col: Optional[str] = None,
+    round_digits: int = 4,
+    weight_expr: Optional[str] = None,
+) -> str:
+    """SQL computing the DDSketch value->rank (CDF) estimates of
+    ``value_expr`` at each probe in ``xs`` — the inverse of
+    ``ddsketch_quantile_sql`` over the same bucket model: every bucket
+    contributes its whole count at its representative value
+    ``±EXP(i/mult)*(1+alpha)`` (zero bucket at 0), and
+    ``cdf(x) = SUM(c WHERE val <= x) / n``.
+
+    Output columns: [group_col?] + x_names + count. Probe values should not
+    sit within libm ulp distance of a bucket representative (never the case
+    for round decimals — representatives are exp-of-rational points);
+    otherwise the ``val <= x`` comparison could bucket-flip between engines.
+    """
+    c = log_mapping_constants(alpha)
+    mult = repr(c["multiplier"])
+    a = repr(c["alpha"])
+    minidx = repr(c["min_indexed"])
+
+    g_sel = f"{group_col} AS g, " if group_col else ""
+    g_cols = "g, " if group_col else ""
+    g_part = "PARTITION BY g" if group_col else ""
+    g_group2 = "1, 2" if group_col else "1"
+    g_group1 = "GROUP BY 1" if group_col else ""
+    w_sel = f", CAST({weight_expr} AS DOUBLE) AS w" if weight_expr else ""
+    count_agg = "CAST(SUM(w) AS DOUBLE)" if weight_expr else "CAST(COUNT(*) AS DOUBLE)"
+
+    pos_cte = _bucket_cte("+", g_cols, g_group2, mult, minidx, count_agg)
+    neg_cte = _bucket_cte("-", g_cols, g_group2, mult, minidx, count_agg)
+
+    x_selects = [
+        f"ROUND(SUM(CASE WHEN val <= {x!r} THEN c ELSE 0 END) / MAX(n), {round_digits}) AS {name}"
+        for x, name in zip(xs, x_names)
+    ]
+    x_select_sql = ",\n  ".join(x_selects)
+    final_g = f"g AS {group_col},\n  " if group_col else ""
+
+    return f"""
+WITH vals AS (
+  SELECT {g_sel}CAST({value_expr} AS DOUBLE) AS v{w_sel}
+  FROM {source_sql}
+  WHERE ({value_expr}) IS NOT NULL
+),
+pos AS ({pos_cte}),
+neg AS ({neg_cte}),
+zero AS (
+  SELECT {g_cols}{count_agg} AS c FROM vals
+  WHERE v >= -{minidx} AND v <= {minidx} {g_group1}
+),
+walk AS (
+  SELECT {g_cols}-EXP(i / {mult}) * (1.0 + {a}) AS val, c FROM neg
+  UNION ALL
+  SELECT {g_cols}0.0 AS val, c FROM zero WHERE c > 0
+  UNION ALL
+  SELECT {g_cols}EXP(i / {mult}) * (1.0 + {a}) AS val, c FROM pos
+),
+cumw AS (
+  SELECT {g_cols}val, c, SUM(c) OVER ({g_part}) AS n FROM walk
+)
+SELECT {final_g}{x_select_sql},
+  CAST(MAX(n) AS DOUBLE) AS count
+FROM cumw {g_group1}
+"""
+
+
 def _collapse_wrap(inner: str, policy: str, max_bins: int, g_cols: str, g_part: str, g_group: str) -> str:
     """Wrap a bucket CTE with the collapse clamp (reference test model:
     clamp index against the store's global extreme)."""

@@ -319,6 +319,33 @@ class DDSketch:
     def value_at_quantile(self, quantile: float) -> float:
         return float(self.values_at_quantiles([quantile])[0])
 
+    def cdf_at_values(self, xs) -> np.ndarray:
+        """Fraction of the sketched mass at or below each x — the rank walk
+        of ``values_at_quantiles`` read in the inverse direction, over the
+        same discrete representation: each bucket contributes its whole
+        count at its representative value (``lowerBound*(1+alpha)`` signed,
+        the zero bucket at 0). The reference answers rank->value only
+        (`DDSketch.java:353-388`); value->rank is the natural inverse under
+        the identical relative-accuracy contract: cdf_at_values(x) equals
+        the exact CDF evaluated somewhere in [x/(1+2a), x*(1+2a)].
+
+        Returns estimates in [0, 1]; raises LookupError on an empty sketch
+        like the quantile walk.
+        """
+        xs = np.atleast_1d(np.asarray(xs, np.float64))
+        bucket_count = (
+            self.zero_count
+            + self.negative_store.total_count
+            + self.positive_store.total_count
+        )
+        if bucket_count == 0:
+            raise LookupError("The sketch is empty.")
+        values, counts = self._walk_arrays()
+        cum = np.cumsum(counts)
+        pos = np.searchsorted(values, xs, side="right")
+        out = np.where(pos == 0, 0.0, cum[np.maximum(pos - 1, 0)]) / bucket_count
+        return out
+
     # -- config identity ---------------------------------------------------
     def config_tuple(self) -> tuple:
         return (

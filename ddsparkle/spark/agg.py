@@ -841,6 +841,64 @@ def quantiles_multi(
     )
 
 
+def cdf_column_name(x: float) -> str:
+    """42.0 -> cdf_42, 0.5 -> cdf_0_5, -3 -> cdf_m3."""
+    s = f"{x:g}".replace(".", "_").replace("-", "m")
+    return f"cdf_{s}"
+
+
+def cdf_at_values(
+    df,
+    value_col: str,
+    xs: Sequence[float],
+    by: Sequence[str] | str | None = None,
+    config: Optional[SketchConfig] = None,
+    weight_col: Optional[str] = None,
+    x_names: Optional[Sequence[str]] = None,
+):
+    """Inverse-quantile (value -> rank) aggregation: for each probe x in
+    ``xs``, the estimated fraction of rows with ``value_col <= x`` — the
+    same sketch, same two-stage no-raw-shuffle plan as ``quantiles``, but
+    the finalize reads the rank walk in the opposite direction
+    (``DDSketch.cdf_at_values``). Answers "what share of requests beat the
+    250 ms SLO per service" in one scan at any group cardinality.
+
+    Returns [*by, *x_names, count]. CDF estimates are in [0, 1] with the
+    mapping's relative-accuracy contract on the VALUE axis (the estimate is
+    the exact CDF evaluated within relative distance ~2*alpha of x).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    config = config or SketchConfig()
+    key_cols = [by] if isinstance(by, str) else list(by or [])
+    xs = [float(x) for x in xs]
+    if x_names is None:
+        x_names = [cdf_column_name(x) for x in xs]
+    x_names = list(x_names)
+
+    partials = build_partial_sketches(df, value_col, key_cols, config, weight_col)
+    spark_keys = key_cols or ["__g"]
+    src = partials if key_cols else partials.withColumn("__g", _lit0())
+    key_fields = [src.schema[c] for c in spark_keys]
+    schema = T.StructType(
+        key_fields
+        + [T.StructField(n, T.DoubleType()) for n in x_names]
+        + [T.StructField("count", T.DoubleType())]
+    )
+
+    def fin(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = merge_rows(pdf[SKETCH_ROW_FIELDS].iloc[i] for i in range(len(pdf)))
+        row = {c: pdf[c].iloc[0] for c in spark_keys}
+        vals = sk.cdf_at_values(xs)
+        row.update({n: float(v) for n, v in zip(x_names, vals)})
+        row["count"] = float(sk.count)
+        return pd.DataFrame([row])
+
+    out = src.groupBy(*spark_keys).applyInPandas(fin, schema=schema)
+    return out.drop("__g") if not key_cols else out
+
+
 def _sorted_fused_quantiles(df, value_col, key_cols, qs, q_names, config, weight_col):
     """mode='sorted': repartition by key + sortWithinPartitions, then a
     STREAMING fused build+finalize — each Arrow batch's completed keys

@@ -35,6 +35,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 from ..config import SketchConfig
+from ..serde import SKETCH_ROW_FIELDS
 from .agg import (
     build_partial_sketches,
     finalize_sketch_rows,
@@ -47,6 +48,7 @@ __all__ = [
     "write_rollup",
     "read_rollup",
     "rollup_quantiles",
+    "compact_rollup",
 ]
 
 BUCKET_COL = "bucket_ts"
@@ -106,6 +108,35 @@ def read_rollup(spark, path: str):
     """Read a persisted rollup. The ``day`` partition column comes back as a
     string column usable in pruning filters."""
     return spark.read.parquet(path)
+
+
+def compact_rollup(rollup, granularity: str = "day"):
+    """Re-roll existing cells into a coarser granularity by merging their
+    sketch rows — no raw data is touched, so compacting a year of hourly
+    cells into daily cells costs one pass over ~#cells sketch rows (the
+    retention pattern: keep hourly cells for the hot week, daily beyond).
+    Merge associativity makes the compacted rollup answer queries
+    identically to one built at the coarser granularity directly (tested).
+
+    Dimension columns are preserved (every non-bucket, non-day, non-sketch
+    column); the ``day`` partition column, if present from a read-back, is
+    dropped and re-derived on the next ``write_rollup``.
+    """
+    from pyspark.sql import functions as F
+
+    if granularity not in _GRANULARITIES:
+        raise ValueError(f"granularity {granularity!r}; one of {_GRANULARITIES}")
+    key_cols = [
+        c
+        for c in rollup.columns
+        if c not in SKETCH_ROW_FIELDS and c not in (BUCKET_COL, DAY_COL)
+    ]
+    src = rollup.select(
+        F.date_trunc(granularity, F.col(BUCKET_COL)).alias(BUCKET_COL),
+        *key_cols,
+        *SKETCH_ROW_FIELDS,
+    )
+    return merge_partials_to_sketch_rows(src, [BUCKET_COL, *key_cols])
 
 
 def rollup_quantiles(

@@ -1,0 +1,95 @@
+"""Inverse-quantile (value->rank / CDF) tests: kernel semantics against an
+explicit bucket model, accuracy against the exact CDF within the mapping's
+relative-accuracy contract, and the Spark aggregation against the kernel."""
+
+import numpy as np
+import pytest
+
+from ddsparkle.config import SketchConfig
+from ddsparkle.mapping import LogarithmicMapping
+from ddsparkle.sketch import DDSketch, sketch_of
+
+
+def _model_cdf(sk, xs):
+    values, counts = sk._walk_arrays()
+    total = counts.sum()
+    return np.array([counts[values <= x].sum() / total for x in xs])
+
+
+def test_cdf_matches_bucket_model():
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([rng.lognormal(3, 1, 5000), -rng.lognormal(1, 1, 2000), [0.0] * 50])
+    sk = sketch_of(vals, mapping=LogarithmicMapping.from_relative_accuracy(0.01))
+    xs = np.array([-50.0, -1.0, 0.0, 1e-12, 5.0, 20.0, 100.0, 1e6])
+    assert sk.cdf_at_values(xs) == pytest.approx(_model_cdf(sk, xs), abs=0)
+
+
+def test_cdf_monotone_and_bounded():
+    rng = np.random.default_rng(1)
+    sk = sketch_of(rng.exponential(10, 10000), mapping=LogarithmicMapping.from_relative_accuracy(0.02))
+    xs = np.linspace(-5, 100, 211)
+    c = sk.cdf_at_values(xs)
+    assert np.all(np.diff(c) >= 0)
+    assert c[0] == 0.0
+    assert c[-1] <= 1.0
+    assert sk.cdf_at_values([1e18])[0] == pytest.approx(1.0)
+
+
+def test_cdf_value_axis_accuracy():
+    """cdf(x) must equal the exact CDF of some point within relative
+    distance 2*alpha of x (each bucket's mass sits at a representative
+    within alpha of every value it absorbed)."""
+    rng = np.random.default_rng(2)
+    vals = rng.lognormal(2, 1, 50000)
+    alpha = 0.01
+    sk = sketch_of(vals, mapping=LogarithmicMapping.from_relative_accuracy(alpha))
+    svals = np.sort(vals)
+    for x in [1.0, 5.0, 10.0, 30.0, 120.0]:
+        est = sk.cdf_at_values([x])[0]
+        lo = np.searchsorted(svals, x / (1 + 2 * alpha), side="right") / len(svals)
+        hi = np.searchsorted(svals, x * (1 + 2 * alpha), side="right") / len(svals)
+        assert lo - 1e-12 <= est <= hi + 1e-12, (x, lo, est, hi)
+
+
+def test_cdf_empty_raises():
+    sk = DDSketch(mapping=LogarithmicMapping.from_relative_accuracy(0.01))
+    with pytest.raises(LookupError):
+        sk.cdf_at_values([1.0])
+
+
+@pytest.mark.spark
+def test_spark_cdf_matches_kernel(spark, sf_dir):
+    from ddsparkle.spark.agg import cdf_at_values
+
+    cfg = SketchConfig(mapping_kind="log", relative_accuracy=0.01,
+                       store_policy="unbounded", max_bins=0, track_exact_stats=False)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    xs = [50.0, 100.0, 500.0]
+    rows = {
+        r["event_type"]: r
+        for r in cdf_at_values(df, "value", xs, by="event_type", config=cfg).collect()
+    }
+    vals_by_type = {}
+    for r in df.select("event_type", "value").collect():
+        vals_by_type.setdefault(r[0], []).append(r[1])
+    for et, vals in vals_by_type.items():
+        sk = cfg.new_sketch()
+        sk.accept(np.asarray(vals, np.float64))
+        want = sk.cdf_at_values(xs)
+        got = [rows[et][c] for c in ("cdf_50", "cdf_100", "cdf_500")]
+        assert got == pytest.approx(list(want), rel=1e-12)
+        assert rows[et]["count"] == pytest.approx(len(vals))
+
+
+@pytest.mark.spark
+def test_spark_cdf_global(spark, sf_dir):
+    from ddsparkle.spark.agg import cdf_at_values
+
+    cfg = SketchConfig(mapping_kind="log", relative_accuracy=0.01,
+                       store_policy="unbounded", max_bins=0, track_exact_stats=False)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = cdf_at_values(df, "value", [100.0], config=cfg).collect()
+    assert len(out) == 1
+    exact = df.filter("value <= 100.0").count() / df.filter("value is not null").count()
+    # value-axis contract, translated through the empirical CDF's density
+    assert out[0]["cdf_100"] == pytest.approx(exact, abs=0.05)

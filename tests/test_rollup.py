@@ -99,6 +99,22 @@ def test_rollup_weighted_and_config(events):
     assert_matches_direct(res, direct)
 
 
+def test_compact_rollup_matches_direct_coarse(events):
+    """Hourly cells compacted to daily must answer exactly like a rollup
+    built daily from raw — merge associativity end-to-end."""
+    from ddsparkle.spark.rollup import compact_rollup
+
+    hourly = build_rollup(events, "value", time_col="ts", granularity="hour", by="event_type")
+    compacted = compact_rollup(hourly, "day")
+    direct = build_rollup(events, "value", time_col="ts", granularity="day", by="event_type")
+    assert sorted(compacted.columns) == sorted(direct.columns)
+    lo, hi = "2024-01-03 00:00:00", "2024-01-20 00:00:00"
+    assert_matches_direct(
+        rollup_quantiles(compacted, QS, by="event_type", start=lo, end=hi),
+        rollup_quantiles(direct, QS, by="event_type", start=lo, end=hi),
+    )
+
+
 def test_rollup_write_read_append_roundtrip(events, spark):
     """Two disjoint appended ingests == one full build; the reread table
     carries the day partition column and still answers exactly."""
