@@ -340,22 +340,45 @@ def _make_grouped_builder(cfg, key_cols, value_col, weight_col, max_groups_per_t
 
 
 def merge_partials_to_sketch_rows(partials, key_cols: Sequence[str] = ()):
-    """Merge partial sketch rows down to ONE sketch row per key (applyInPandas
-    shuffle of sketch rows only). Useful for checkpointing merged state."""
+    """Merge partial sketch rows down to ONE sketch row per key (shuffle of
+    sketch rows only). Useful for checkpointing merged state.
+
+    Implemented as repartition-by-key + ONE ``mapInPandas`` pass with
+    pandas-side grouping rather than ``applyInPandas``: grouped-map pays a
+    per-group Python apply (~1 ms each — dominant when most cells are fine
+    e.g. a rollup's hourly x dimension grid), while here keys that already
+    have a single partial row pass through with NO sketch reconstruction at
+    all and only genuinely-split keys pay a merge."""
     key_cols = list(key_cols)
     spark_keys = key_cols or ["__g"]
     src = partials if key_cols else partials.withColumn("__g", _lit0())
     schema = _partial_schema(src, spark_keys)
+    cols = list(schema.fieldNames())
 
-    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = merge_rows(pdf[SKETCH_ROW_FIELDS].iloc[i] for i in range(len(pdf)))
-        row = {c: pdf[c].iloc[0] for c in spark_keys}
-        row.update(sketch_to_row(sk))
-        for f in ("neg_idx", "neg_cnt", "pos_idx", "pos_cnt"):
-            row[f] = row[f].tolist()
-        return pd.DataFrame([row])
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        dup = pdf.duplicated(spark_keys, keep=False)
+        singles = pdf[~dup]
+        if len(singles):
+            yield singles[cols]
+        if not dup.any():
+            return
+        rows = []
+        for key, grp in pdf[dup].groupby(spark_keys, sort=False, dropna=False):
+            sk = merge_rows(grp[SKETCH_ROW_FIELDS].iloc[i] for i in range(len(grp)))
+            key_t = key if isinstance(key, tuple) else (key,)
+            row = dict(zip(spark_keys, key_t))
+            row.update(sketch_to_row(sk))
+            for f in ("neg_idx", "neg_cnt", "pos_idx", "pos_cnt"):
+                row[f] = row[f].tolist()
+            rows.append(row)
+        yield pd.DataFrame(rows, columns=cols)
 
-    out = src.groupBy(*spark_keys).applyInPandas(merge_fn, schema=schema)
+    parted = src.repartition(*[src[c] for c in spark_keys])
+    out = parted.mapInPandas(fold, schema=schema)
     return out.drop("__g") if not key_cols else out
 
 

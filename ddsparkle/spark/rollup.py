@@ -101,7 +101,12 @@ def write_rollup(rollup, path: str, mode: str = "overwrite"):
     from pyspark.sql import functions as F
 
     out = rollup.withColumn(DAY_COL, F.date_format(BUCKET_COL, "yyyy-MM-dd"))
-    out.write.mode(mode).partitionBy(DAY_COL).parquet(path)
+    # cluster rows by day before the partitioned write: each task then emits
+    # whole day-files instead of every task opening a file in every day
+    # directory (tasks x days tiny files — the classic partitioned-write
+    # explosion; at 1000 executors x 365 days that is 365k files of a few
+    # KB). Sketch rows are small, so one file per day is the right shape.
+    out.repartition(F.col(DAY_COL)).write.mode(mode).partitionBy(DAY_COL).parquet(path)
 
 
 def read_rollup(spark, path: str):
