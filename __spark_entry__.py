@@ -941,6 +941,25 @@ def q_events_cdf_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_cdf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted grouped inverse quantiles: each event counted with an
+    integral weight — gates the weight path of both the CDF aggregation and
+    the ddsketch_cdf_sql twin (SUM(w) bucket counts)."""
+    from ddsparkle.spark.agg import cdf_at_values
+
+    df = _t(spark, sf_dir, "events").withColumn(
+        "w", (F.col("user_id") % 3 + 1).cast("double")
+    )
+    res = cdf_at_values(
+        df, "value", [50.0, 500.0], by="event_type", config=_cfg(), weight_col="w"
+    )
+    return res.select(
+        "event_type",
+        *[F.round(c, 4).alias(c) for c in ("cdf_50", "cdf_500")],
+        "count",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ddsketch_events_value": q_events_value,
@@ -992,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features": q_media_image_features,
         "ddsketch_events_cdf": q_events_cdf,
         "ddsketch_events_cdf_by_type": q_events_cdf_by_type,
+        "ddsketch_events_cdf_weighted": q_events_cdf_weighted,
     }
 
 
@@ -1284,7 +1304,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_deterministic_sample": (
             "SELECT doc_id, source, md5('0|' || CAST(doc_id AS VARCHAR)) AS sample_key "
-            "FROM documents ORDER BY sample_key, doc_id LIMIT 50"
+            "FROM documents WHERE doc_id IS NOT NULL "
+            "ORDER BY sample_key, doc_id LIMIT 50"
         ),
         # replay of the fake image decoder's byte tiling: pixel p reads bytes
         # (3p, 3p+1, 3p+2) mod len(text) of the UTF-8 payload (ASCII corpus,
@@ -1313,6 +1334,14 @@ def oracle_sql() -> dict[str, str]:
             [50.0, 100.0, 500.0],
             ["cdf_50", "cdf_100", "cdf_500"],
             group_col="event_type",
+        ),
+        "ddsketch_events_cdf_weighted": ddsketch_cdf_sql(
+            "events",
+            "value",
+            [50.0, 500.0],
+            ["cdf_50", "cdf_500"],
+            group_col="event_type",
+            weight_expr="user_id % 3 + 1",
         ),
     }
 

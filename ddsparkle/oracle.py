@@ -27,7 +27,12 @@ from typing import Optional, Sequence
 
 from .mapping import LogarithmicMapping
 
-__all__ = ["log_mapping_constants", "ddsketch_quantile_sql", "quantile_col"]
+__all__ = [
+    "log_mapping_constants",
+    "ddsketch_quantile_sql",
+    "ddsketch_cdf_sql",
+    "quantile_col",
+]
 
 
 def quantile_col(q: float) -> str:
@@ -68,6 +73,54 @@ def _bucket_cte(
     )
 
 
+def _oracle_preamble(
+    alpha: float,
+    group_col: Optional[str],
+    weight_expr: Optional[str],
+    value_expr: str,
+    source_sql: str,
+    collapse_policy: Optional[str] = None,
+    max_bins: int = 0,
+) -> dict:
+    """Shared fragment set + the ``WITH vals/pos/neg/zero`` prologue used by
+    BOTH oracle generators (quantile and CDF) — a fix to the bucket model
+    (index floor, zero-bucket boundary, NULL filtering, collapse clamp)
+    lands in exactly one place."""
+    c = log_mapping_constants(alpha)
+    p = {
+        "mult": repr(c["multiplier"]),
+        "a": repr(c["alpha"]),
+        "minidx": repr(c["min_indexed"]),
+        "g_sel": f"{group_col} AS g, " if group_col else "",
+        "g_cols": "g, " if group_col else "",
+        "g_part": "PARTITION BY g" if group_col else "",
+        "g_group2": "1, 2" if group_col else "1",
+        "g_group1": "GROUP BY 1" if group_col else "",
+        "w_sel": f", CAST({weight_expr} AS DOUBLE) AS w" if weight_expr else "",
+        "count_agg": (
+            "CAST(SUM(w) AS DOUBLE)" if weight_expr else "CAST(COUNT(*) AS DOUBLE)"
+        ),
+        "final_g": f"g AS {group_col},\n  " if group_col else "",
+    }
+    pos_cte = _bucket_cte("+", p["g_cols"], p["g_group2"], p["mult"], p["minidx"], p["count_agg"])
+    neg_cte = _bucket_cte("-", p["g_cols"], p["g_group2"], p["mult"], p["minidx"], p["count_agg"])
+    if collapse_policy:
+        pos_cte = _collapse_wrap(pos_cte, collapse_policy, max_bins, p["g_cols"], p["g_part"], p["g_group2"])
+        neg_cte = _collapse_wrap(neg_cte, collapse_policy, max_bins, p["g_cols"], p["g_part"], p["g_group2"])
+    p["prologue"] = f"""WITH vals AS (
+  SELECT {p["g_sel"]}CAST({value_expr} AS DOUBLE) AS v{p["w_sel"]}
+  FROM {source_sql}
+  WHERE ({value_expr}) IS NOT NULL
+),
+pos AS ({pos_cte}),
+neg AS ({neg_cte}),
+zero AS (
+  SELECT {p["g_cols"]}{p["count_agg"]} AS c FROM vals
+  WHERE v >= -{p["minidx"]} AND v <= {p["minidx"]} {p["g_group1"]}
+)"""
+    return p
+
+
 def ddsketch_cdf_sql(
     source_sql: str,
     value_expr: str,
@@ -89,42 +142,21 @@ def ddsketch_cdf_sql(
     sit within libm ulp distance of a bucket representative (never the case
     for round decimals — representatives are exp-of-rational points);
     otherwise the ``val <= x`` comparison could bucket-flip between engines.
+    NaN probes yield no mass (``val <= NaN`` is never true), matching the
+    kernel's NaN propagation up to the NULL-vs-NaN output convention.
     """
-    c = log_mapping_constants(alpha)
-    mult = repr(c["multiplier"])
-    a = repr(c["alpha"])
-    minidx = repr(c["min_indexed"])
-
-    g_sel = f"{group_col} AS g, " if group_col else ""
-    g_cols = "g, " if group_col else ""
-    g_part = "PARTITION BY g" if group_col else ""
-    g_group2 = "1, 2" if group_col else "1"
-    g_group1 = "GROUP BY 1" if group_col else ""
-    w_sel = f", CAST({weight_expr} AS DOUBLE) AS w" if weight_expr else ""
-    count_agg = "CAST(SUM(w) AS DOUBLE)" if weight_expr else "CAST(COUNT(*) AS DOUBLE)"
-
-    pos_cte = _bucket_cte("+", g_cols, g_group2, mult, minidx, count_agg)
-    neg_cte = _bucket_cte("-", g_cols, g_group2, mult, minidx, count_agg)
+    p = _oracle_preamble(alpha, group_col, weight_expr, value_expr, source_sql)
+    g_cols, g_group1, g_part = p["g_cols"], p["g_group1"], p["g_part"]
+    mult, a = p["mult"], p["a"]
 
     x_selects = [
         f"ROUND(SUM(CASE WHEN val <= {x!r} THEN c ELSE 0 END) / MAX(n), {round_digits}) AS {name}"
         for x, name in zip(xs, x_names)
     ]
     x_select_sql = ",\n  ".join(x_selects)
-    final_g = f"g AS {group_col},\n  " if group_col else ""
 
     return f"""
-WITH vals AS (
-  SELECT {g_sel}CAST({value_expr} AS DOUBLE) AS v{w_sel}
-  FROM {source_sql}
-  WHERE ({value_expr}) IS NOT NULL
-),
-pos AS ({pos_cte}),
-neg AS ({neg_cte}),
-zero AS (
-  SELECT {g_cols}{count_agg} AS c FROM vals
-  WHERE v >= -{minidx} AND v <= {minidx} {g_group1}
-),
+{p["prologue"]},
 walk AS (
   SELECT {g_cols}-EXP(i / {mult}) * (1.0 + {a}) AS val, c FROM neg
   UNION ALL
@@ -135,7 +167,7 @@ walk AS (
 cumw AS (
   SELECT {g_cols}val, c, SUM(c) OVER ({g_part}) AS n FROM walk
 )
-SELECT {final_g}{x_select_sql},
+SELECT {p["final_g"]}{x_select_sql},
   CAST(MAX(n) AS DOUBLE) AS count
 FROM cumw {g_group1}
 """
@@ -184,26 +216,15 @@ def ddsketch_quantile_sql(
     with ``track_exact_stats=False``; otherwise extreme quantiles diverge
     by the clamp.
     """
-    c = log_mapping_constants(alpha)
-    mult = repr(c["multiplier"])
-    a = repr(c["alpha"])
-    minidx = repr(c["min_indexed"])
-
-    g_sel = f"{group_col} AS g, " if group_col else ""
-    g_cols = "g, " if group_col else ""
-    g_part = "PARTITION BY g" if group_col else ""
-    g_group2 = "1, 2" if group_col else "1"  # (g, i) or (i)
-    g_group1 = "GROUP BY 1" if group_col else ""
-    w_sel = f", CAST({weight_expr} AS DOUBLE) AS w" if weight_expr else ""
     # integer weights keep bucket counts exactly representable; callers should
     # not pass fractional weights to a hash-compared oracle
-    count_agg = "CAST(SUM(w) AS DOUBLE)" if weight_expr else "CAST(COUNT(*) AS DOUBLE)"
-
-    pos_cte = _bucket_cte("+", g_cols, g_group2, mult, minidx, count_agg)
-    neg_cte = _bucket_cte("-", g_cols, g_group2, mult, minidx, count_agg)
-    if collapse_policy:
-        pos_cte = _collapse_wrap(pos_cte, collapse_policy, max_bins, g_cols, g_part, g_group2)
-        neg_cte = _collapse_wrap(neg_cte, collapse_policy, max_bins, g_cols, g_part, g_group2)
+    p = _oracle_preamble(
+        alpha, group_col, weight_expr, value_expr, source_sql,
+        collapse_policy=collapse_policy, max_bins=max_bins,
+    )
+    g_cols, g_group1, g_part = p["g_cols"], p["g_group1"], p["g_part"]
+    mult, a = p["mult"], p["a"]
+    final_g = p["final_g"]
 
     q_selects = []
     for q in qs:
@@ -214,7 +235,6 @@ def ddsketch_quantile_sql(
         q_selects.append(f"ROUND({qv}, {round_digits}) AS {name}")
     q_select_sql = ",\n  ".join(q_selects)
     extra = f",\n  {extra_aggs}" if extra_aggs else ""
-    final_g = f"g AS {group_col},\n  " if group_col else ""
     extrema_cte = (
         f",\nextrema AS (\n  SELECT {g_cols}MIN(v) AS mn, MAX(v) AS mx FROM vals {g_group1}\n)"
         if clamp_to_exact
@@ -227,17 +247,7 @@ def ddsketch_quantile_sql(
     )
 
     return f"""
-WITH vals AS (
-  SELECT {g_sel}CAST({value_expr} AS DOUBLE) AS v{w_sel}
-  FROM {source_sql}
-  WHERE ({value_expr}) IS NOT NULL
-),
-pos AS ({pos_cte}),
-neg AS ({neg_cte}),
-zero AS (
-  SELECT {g_cols}{count_agg} AS c FROM vals
-  WHERE v >= -{minidx} AND v <= {minidx} {g_group1}
-),
+{p["prologue"]},
 walk AS (
   SELECT {g_cols}0 AS part, -i AS ord, -EXP(i / {mult}) * (1.0 + {a}) AS val, c FROM neg
   UNION ALL

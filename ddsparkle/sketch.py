@@ -344,7 +344,10 @@ class DDSketch:
         cum = np.cumsum(counts)
         pos = np.searchsorted(values, xs, side="right")
         out = np.where(pos == 0, 0.0, cum[np.maximum(pos - 1, 0)]) / bucket_count
-        return out
+        # searchsorted sends NaN probes past the end (-> a confident 1.0);
+        # propagate the NaN instead, like SQL aggregation of `val <= NaN`
+        # yields no mass rather than full mass
+        return np.where(np.isnan(xs), np.nan, out)
 
     # -- config identity ---------------------------------------------------
     def config_tuple(self) -> tuple:

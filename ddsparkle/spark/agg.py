@@ -865,8 +865,15 @@ def quantiles_multi(
 
 
 def cdf_column_name(x: float) -> str:
-    """42.0 -> cdf_42, 0.5 -> cdf_0_5, -3 -> cdf_m3."""
-    s = f"{x:g}".replace(".", "_").replace("-", "m")
+    """42.0 -> cdf_42, 0.5 -> cdf_0_5, -3 -> cdf_m3, 1.5e300 -> cdf_1_5ep300.
+
+    Uses repr (full double precision, unlike %g's 6 significant digits — two
+    distinct probes must never collide into one column name) and sanitizes
+    every non-identifier character."""
+    s = repr(float(x))
+    if s.endswith(".0"):
+        s = s[:-2]
+    s = s.replace(".", "_").replace("-", "m").replace("+", "p")
     return f"cdf_{s}"
 
 
@@ -890,7 +897,6 @@ def cdf_at_values(
     mapping's relative-accuracy contract on the VALUE axis (the estimate is
     the exact CDF evaluated within relative distance ~2*alpha of x).
     """
-    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     config = config or SketchConfig()
@@ -899,27 +905,38 @@ def cdf_at_values(
     if x_names is None:
         x_names = [cdf_column_name(x) for x in xs]
     x_names = list(x_names)
+    if len(set(x_names)) != len(x_names):
+        raise ValueError(f"duplicate cdf column names: {x_names}")
 
     partials = build_partial_sketches(df, value_col, key_cols, config, weight_col)
-    spark_keys = key_cols or ["__g"]
-    src = partials if key_cols else partials.withColumn("__g", _lit0())
-    key_fields = [src.schema[c] for c in spark_keys]
+    # one merged sketch row per group through the vectorized merge pass
+    # (singleton groups free), then a single mapInPandas finalize over the
+    # merged rows — no per-group Python apply anywhere
+    merged = merge_partials_to_sketch_rows(partials, key_cols)
+    key_fields = [merged.schema[c] for c in key_cols]
     schema = T.StructType(
         key_fields
         + [T.StructField(n, T.DoubleType()) for n in x_names]
         + [T.StructField("count", T.DoubleType())]
     )
+    out_cols = key_cols + x_names + ["count"]
 
-    def fin(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = merge_rows(pdf[SKETCH_ROW_FIELDS].iloc[i] for i in range(len(pdf)))
-        row = {c: pdf[c].iloc[0] for c in spark_keys}
-        vals = sk.cdf_at_values(xs)
-        row.update({n: float(v) for n, v in zip(x_names, vals)})
-        row["count"] = float(sk.count)
-        return pd.DataFrame([row])
+    def fin(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for i in range(len(pdf)):
+                sk = row_to_sketch(pdf[SKETCH_ROW_FIELDS].iloc[i])
+                row = {c: pdf[c].iloc[i] for c in key_cols}
+                row.update(
+                    {n: float(v) for n, v in zip(x_names, sk.cdf_at_values(xs))}
+                )
+                row["count"] = float(sk.count)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=out_cols)
 
-    out = src.groupBy(*spark_keys).applyInPandas(fin, schema=schema)
-    return out.drop("__g") if not key_cols else out
+    return merged.mapInPandas(fin, schema=schema)
 
 
 def _sorted_fused_quantiles(df, value_col, key_cols, qs, q_names, config, weight_col):

@@ -21,6 +21,7 @@ from ..sketches.hashing import hash64
 
 __all__ = [
     "exact_dedup",
+    "deterministic_sample",
     "ngram_shingles_expr",
     "ngram_jaccard_pairs",
     "document_fingerprints",
@@ -1125,12 +1126,16 @@ def deterministic_sample(df, id_col: str = "doc_id", k: int = 100, seed: int = 0
     corpus.
 
     Returns the sampled rows with a ``sample_key`` digest column appended.
+    Rows with a NULL id are excluded: they have no stable identity to hash,
+    so including them could not be order-independent (concat_ws would
+    collapse them all onto one digest and tie-break arbitrarily).
     """
     from pyspark.sql import functions as F
 
     h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
     return (
-        df.withColumn("sample_key", h)
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("sample_key", h)
         .orderBy("sample_key", id_col)
         .limit(k)
     )

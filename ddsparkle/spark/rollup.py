@@ -111,7 +111,9 @@ def write_rollup(rollup, path: str, mode: str = "overwrite"):
 
 def read_rollup(spark, path: str):
     """Read a persisted rollup. The ``day`` partition column comes back as a
-    string column usable in pruning filters."""
+    DATE column (Spark's default partition type inference parses the
+    yyyy-MM-dd directory names); ``rollup_quantiles``'s pruning filters
+    compare it against date strings, which Spark casts implicitly."""
     return spark.read.parquet(path)
 
 
@@ -174,21 +176,28 @@ def rollup_quantiles(
     if q_names is None:
         q_names = [quantile_column_name(q) for q in qs]
     sel = rollup
+    # The day bounds are PRUNING-ONLY (cell selection is always the exact
+    # bucket_ts predicate) and are widened by one day on each side: the
+    # stored day strings were derived in the WRITER session's timezone,
+    # while these bounds evaluate in the READER's — with a different
+    # session tz the same instant can fall on the neighboring calendar
+    # day (offsets are < 24 h), and a tight bound would silently drop
+    # edge cells. One spare day-partition read is noise; a dropped cell
+    # is a wrong quantile.
     if start is not None:
         sel = sel.filter(F.col(BUCKET_COL) >= F.lit(start).cast("timestamp"))
         if DAY_COL in rollup.columns:
-            sel = sel.filter(
-                F.col(DAY_COL) >= F.date_format(F.lit(start).cast("timestamp"), "yyyy-MM-dd")
+            day_lo = F.date_format(
+                F.lit(start).cast("timestamp") - F.expr("INTERVAL 1 DAY"), "yyyy-MM-dd"
             )
+            sel = sel.filter(F.col(DAY_COL) >= day_lo)
     if end is not None:
         sel = sel.filter(F.col(BUCKET_COL) < F.lit(end).cast("timestamp"))
         if DAY_COL in rollup.columns:
-            # a bucket's day-string is <= the day of any later instant, so the
-            # day bound below keeps every bucket the bucket_ts bound keeps;
-            # pruning only, selection stays on bucket_ts
-            sel = sel.filter(
-                F.col(DAY_COL) <= F.date_format(F.lit(end).cast("timestamp"), "yyyy-MM-dd")
+            day_hi = F.date_format(
+                F.lit(end).cast("timestamp") + F.expr("INTERVAL 1 DAY"), "yyyy-MM-dd"
             )
+            sel = sel.filter(F.col(DAY_COL) <= day_hi)
     drop = [c for c in (BUCKET_COL, DAY_COL) if c in sel.columns and c not in key_cols]
     sel = sel.drop(*drop)
     if key_cols:

@@ -81,6 +81,43 @@ def test_spark_cdf_matches_kernel(spark, sf_dir):
         assert rows[et]["count"] == pytest.approx(len(vals))
 
 
+def test_cdf_nan_probe_propagates():
+    sk = sketch_of(np.arange(1.0, 100.0), mapping=LogarithmicMapping.from_relative_accuracy(0.01))
+    out = sk.cdf_at_values([10.0, float("nan"), 50.0])
+    assert not np.isnan(out[0]) and not np.isnan(out[2])
+    assert np.isnan(out[1])
+
+
+def test_cdf_column_name_full_precision():
+    from ddsparkle.spark.agg import cdf_column_name
+
+    # %g's 6 significant digits would collide these two probes
+    assert cdf_column_name(123456700.0) != cdf_column_name(123456800.0)
+    for x in (42.0, 0.5, -3.0, 1.5e300, 123456700.0):
+        name = cdf_column_name(x)
+        assert name.replace("_", "a").isalnum(), name
+
+
+@pytest.mark.spark
+def test_spark_cdf_weighted_matches_kernel(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.agg import cdf_at_values
+
+    cfg = SketchConfig(mapping_kind="log", relative_accuracy=0.01,
+                       store_policy="unbounded", max_bins=0, track_exact_stats=False)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "w", (F.col("user_id") % 3 + 1).cast("double")
+    )
+    xs = [100.0]
+    got = cdf_at_values(df, "value", xs, config=cfg, weight_col="w").collect()[0]
+    rows = df.select("value", "w").collect()
+    sk = cfg.new_sketch()
+    sk.accept(np.array([r[0] for r in rows]), np.array([r[1] for r in rows]))
+    assert got["cdf_100"] == pytest.approx(float(sk.cdf_at_values(xs)[0]), rel=1e-12)
+    assert got["count"] == pytest.approx(sk.count)
+
+
 @pytest.mark.spark
 def test_spark_cdf_global(spark, sf_dir):
     from ddsparkle.spark.agg import cdf_at_values
