@@ -866,6 +866,49 @@ def q_rollup_timerange_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_streaming_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into the persisted rollup (foreachBatch sink with
+    replay-idempotent batch partitions): events flow as file-source
+    micro-batches into hourly sketch cells; a 10-day window query over the
+    resulting table must hash-match the direct DDSketch oracle over the raw
+    rows of the range — streaming build, partitioned storage, and
+    query-time merge verified in one gate."""
+    import shutil
+    import tempfile
+
+    from ddsparkle.spark.rollup import read_rollup, rollup_quantiles, stream_to_rollup
+
+    tmp = tempfile.mkdtemp(prefix="ddsparkle-sroll-")
+    try:
+        # the file-stream source needs a DIRECTORY; link the table file in
+        import os
+
+        os.makedirs(f"{tmp}/src")
+        os.symlink(f"{sf_dir}/events.parquet", f"{tmp}/src/events.parquet")
+        schema = _t(spark, sf_dir, "events").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = stream_to_rollup(
+            stream, f"{tmp}/t", "value", time_col="ts", granularity="hour",
+            by="event_type", config=_cfg(), checkpoint=f"{tmp}/ck",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(300)
+        back = read_rollup(spark, f"{tmp}/t")
+        res = rollup_quantiles(
+            back, (0.5, 0.95, 0.99), by="event_type",
+            start="2024-01-05 00:00:00", end="2024-01-15 00:00:00",
+        )
+        out = _round_result(res, ["event_type"], ["q50", "q95", "q99"])
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp files
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_doc_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order/partitioning-independent bottom-k-by-digest sample (stable
     eval-split primitive): the 50 documents with the smallest md5(seed|id),
@@ -1012,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_events_cdf": q_events_cdf,
         "ddsketch_events_cdf_by_type": q_events_cdf_by_type,
         "ddsketch_events_cdf_weighted": q_events_cdf_weighted,
+        "streaming_rollup_quantiles": q_streaming_rollup_quantiles,
     }
 
 
@@ -1333,6 +1377,15 @@ def oracle_sql() -> dict[str, str]:
             "value",
             [50.0, 100.0, 500.0],
             ["cdf_50", "cdf_100", "cdf_500"],
+            group_col="event_type",
+        ),
+        # same raw-window oracle as rollup_timerange_quantiles: the streamed
+        # rollup must answer identically to a direct build over the range
+        "streaming_rollup_quantiles": ddsketch_quantile_sql(
+            "(SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' "
+            "AND ts < TIMESTAMP '2024-01-15 00:00:00')",
+            "value",
+            [0.5, 0.95, 0.99],
             group_col="event_type",
         ),
         "ddsketch_events_cdf_weighted": ddsketch_cdf_sql(

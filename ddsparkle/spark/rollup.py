@@ -49,10 +49,12 @@ __all__ = [
     "read_rollup",
     "rollup_quantiles",
     "compact_rollup",
+    "stream_to_rollup",
 ]
 
 BUCKET_COL = "bucket_ts"
 DAY_COL = "day"
+BATCH_COL = "ingest_batch"
 
 _GRANULARITIES = ("minute", "hour", "day", "week", "month")
 
@@ -117,6 +119,64 @@ def read_rollup(spark, path: str):
     return spark.read.parquet(path)
 
 
+def stream_to_rollup(
+    stream_df,
+    path: str,
+    value_col: str,
+    time_col: str = "ts",
+    granularity: str = "hour",
+    by: Sequence[str] | str | None = None,
+    config: Optional[SketchConfig] = None,
+    weight_col: Optional[str] = None,
+    checkpoint: Optional[str] = None,
+    trigger: Optional[dict] = None,
+):
+    """Continuous rollup ingest: every micro-batch's rows are reduced to
+    merged sketch cells and appended to the rollup table — the agent/metrics
+    pipeline pattern (events stream in, only sketch cells ever hit storage,
+    any later time-range quantile is a cell merge).
+
+    Exactly-once under replay: Structured Streaming may re-run a micro-batch
+    after recovery, and blind appends would double-count it. Each batch's
+    cells are therefore written under an ``ingest_batch=<epoch id>``
+    partition with dynamic partition overwrite — a replayed batch OVERWRITES
+    its own partitions instead of appending twice, making the sink
+    idempotent per batch id. ``rollup_quantiles`` merges cells across
+    batch partitions transparently (the same multiple-rows-per-cell
+    semantics as ``write_rollup(mode='append')``); run ``compact_rollup``
+    periodically to fold them down.
+
+    Returns the started StreamingQuery. ``trigger`` kwargs pass through
+    (e.g. ``{"availableNow": True}`` to drain a backlog and stop,
+    ``{"processingTime": "1 minute"}`` for continuous ingest).
+    """
+    from pyspark.sql import functions as F
+
+    def write_batch(bdf, batch_id: int):
+        roll = build_rollup(
+            bdf, value_col, time_col=time_col, granularity=granularity,
+            by=by, config=config, weight_col=weight_col,
+        )
+        out = (
+            roll.withColumn(DAY_COL, F.date_format(BUCKET_COL, "yyyy-MM-dd"))
+            .withColumn(BATCH_COL, F.lit(int(batch_id)))
+        )
+        (
+            out.repartition(F.col(DAY_COL))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BATCH_COL, DAY_COL)
+            .parquet(path)
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def compact_rollup(rollup, granularity: str = "day"):
     """Re-roll existing cells into a coarser granularity by merging their
     sketch rows — no raw data is touched, so compacting a year of hourly
@@ -136,7 +196,7 @@ def compact_rollup(rollup, granularity: str = "day"):
     key_cols = [
         c
         for c in rollup.columns
-        if c not in SKETCH_ROW_FIELDS and c not in (BUCKET_COL, DAY_COL)
+        if c not in SKETCH_ROW_FIELDS and c not in (BUCKET_COL, DAY_COL, BATCH_COL)
     ]
     src = rollup.select(
         F.date_trunc(granularity, F.col(BUCKET_COL)).alias(BUCKET_COL),
@@ -198,7 +258,11 @@ def rollup_quantiles(
                 F.lit(end).cast("timestamp") + F.expr("INTERVAL 1 DAY"), "yyyy-MM-dd"
             )
             sel = sel.filter(F.col(DAY_COL) <= day_hi)
-    drop = [c for c in (BUCKET_COL, DAY_COL) if c in sel.columns and c not in key_cols]
+    drop = [
+        c
+        for c in (BUCKET_COL, DAY_COL, BATCH_COL)
+        if c in sel.columns and c not in key_cols
+    ]
     sel = sel.drop(*drop)
     if key_cols:
         return finalize_sketch_rows(sel, key_cols, qs, list(q_names))

@@ -141,6 +141,61 @@ def test_rollup_write_read_append_roundtrip(events, spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stream_to_rollup_matches_batch_and_replay_idempotent(events, spark):
+    """File-source micro-batches streamed into the rollup must answer
+    exactly like a batch build; a replayed batch (same epoch id, fresh
+    checkpoint) overwrites its own partitions instead of double-counting."""
+    from ddsparkle.spark.rollup import stream_to_rollup
+
+    tmp = tempfile.mkdtemp(prefix="rollup-stream-")
+    src_dir, roll_dir = f"{tmp}/src", f"{tmp}/roll"
+    try:
+        events.repartition(4).write.parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+
+        def run(ckpt, max_files=None):
+            reader = spark.readStream.schema(schema)
+            if max_files:
+                reader = reader.option("maxFilesPerTrigger", max_files)
+            stream = reader.parquet(src_dir)
+            q = stream_to_rollup(
+                stream, roll_dir, "value", time_col="ts", granularity="hour",
+                by="event_type", checkpoint=ckpt, trigger={"availableNow": True},
+            )
+            q.awaitTermination(120)
+
+        run(f"{tmp}/ck1", max_files=2)  # several batches
+        back = read_rollup(spark, roll_dir)
+        assert "ingest_batch" in back.columns
+        assert back.select("ingest_batch").distinct().count() > 1
+        direct = quantiles(events, "value", by="event_type", qs=QS)
+        assert_matches_direct(rollup_quantiles(back, QS, by="event_type"), direct)
+
+        # replay: recovery re-runs a batch with the SAME id and content;
+        # simulate by re-streaming the whole source as batch 0 twice (fresh
+        # checkpoints, no maxFiles -> one batch each). Dynamic partition
+        # overwrite must leave one copy, not two.
+        roll_dir = f"{tmp}/roll2"
+        run(f"{tmp}/ck2")
+        n_once = read_rollup(spark, roll_dir).count()
+        run(f"{tmp}/ck3")
+        back2 = read_rollup(spark, roll_dir)
+        assert back2.count() == n_once
+        assert_matches_direct(rollup_quantiles(back2, QS, by="event_type"), direct)
+
+        # and time-range queries prune + merge across batch partitions
+        lo, hi = "2024-01-05 00:00:00", "2024-01-15 00:00:00"
+        assert_matches_direct(
+            rollup_quantiles(back2, QS, by="event_type", start=lo, end=hi),
+            quantiles(
+                events.filter((F.col("ts") >= lo) & (F.col("ts") < hi)),
+                "value", by="event_type", qs=QS,
+            ),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_rollup_day_partition_pruning(events, spark):
     """The time-range filter must reach the parquet source as a partition
     filter on `day` — file-level pruning, the property that makes querying a
