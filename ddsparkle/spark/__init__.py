@@ -15,16 +15,34 @@ grouped-map pandas UDFs):
 
 from .agg import (
     build_partial_sketches,
+    cdf_at_values,
     merge_partials_to_sketch_rows,
     quantile_column_name,
     quantiles,
+    quantiles_multi,
+)
+from .rollup import (
+    build_rollup,
+    compact_rollup,
+    read_rollup,
+    rollup_quantiles,
+    stream_to_rollup,
+    write_rollup,
 )
 from .session import get_spark
 
 __all__ = [
     "quantiles",
+    "quantiles_multi",
+    "cdf_at_values",
     "build_partial_sketches",
     "merge_partials_to_sketch_rows",
     "quantile_column_name",
+    "build_rollup",
+    "write_rollup",
+    "read_rollup",
+    "rollup_quantiles",
+    "compact_rollup",
+    "stream_to_rollup",
     "get_spark",
 ]
