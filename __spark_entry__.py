@@ -953,6 +953,44 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one driver gate: decontaminate the
+    corpus against the held-out src0 slice, exact-dedup, fuzzy-dedup
+    (full-recall LSH params so the candidate graph equals the all-pairs
+    Jaccard graph), then quality + language filters — and every per-stage
+    survivor count must hash-match a DuckDB replica that recomputes the
+    same five stages from scratch (shingle joins, recursive-SQL connected
+    components, the shared-stopword language scorer). Verifies stage
+    ORDER and composition, not just each operator alone."""
+    from ddsparkle.spark.dataprep import curate
+
+    df = _t(spark, sf_dir, "documents")
+    corpus = df.filter(F.col("source") != "src0")
+    reference = df.filter(F.col("source") == "src0")
+    curated, stats = curate(
+        corpus,
+        decontaminate_against=reference,
+        min_tokens=5,
+        max_mean_token_len=20.0,
+        languages=["en"],
+        jaccard_threshold=0.7,
+        num_perm=32,
+        bands=32,
+        max_bucket_size=None,
+    )
+    curated.unpersist()  # stats are materialized; release the stage cache
+    cols = [
+        "input_docs",
+        "after_decontamination",
+        "after_exact_dedup",
+        "after_fuzzy_dedup",
+        "after_quality_language",
+    ]
+    return spark.createDataFrame(
+        [[float(stats[c]) for c in cols]], ", ".join(f"{c} double" for c in cols)
+    )
+
+
 def q_events_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverse quantiles (value -> rank): estimated fraction of events at or
     below each probe value — the rank walk read backwards (no reference
@@ -1049,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontamination": q_doc_decontamination,
         "doc_bpe_token_quantiles": q_doc_bpe_token_quantiles,
         "doc_dedup_normalized": q_doc_dedup_normalized,
+        "doc_curation_pipeline": q_doc_curation_pipeline,
         "rollup_timerange_quantiles": q_rollup_timerange_quantiles,
         "doc_deterministic_sample": q_doc_deterministic_sample,
         "media_image_features": q_media_image_features,
@@ -1078,6 +1117,91 @@ def _language_id_sql() -> str:
         f"SELECT doc_id, CASE WHEN {best} <= 0 THEN 'und' {picks} END AS lang_pred "
         "FROM scored"
     )
+
+
+def _curation_sql() -> str:
+    """DuckDB replica of the full curate() pipeline over the harness corpus
+    (non-src0 docs, decontaminated against src0): recomputes the five stage
+    counts from scratch — 8-gram decontamination join, exact dedup (min-id
+    per text), all-pairs 3-gram-Jaccard >= 0.7 connected components
+    (recursive SQL), then the quality + 'en'-language gates with the SAME
+    stopword lists the Spark scorer uses."""
+    from ddsparkle.spark.dataops import _STOPWORDS
+
+    def gram_list(n: int, toks: str = "string_split(text, ' ')") -> str:
+        grams = ", ".join(f"{toks}[i+{j}]" for j in range(n))
+        return (
+            f"CASE WHEN len({toks}) < {n} THEN [text] "
+            f"ELSE list_distinct(list_transform(generate_series(1, len({toks}) - {n - 1}), "
+            f"i -> concat_ws(' ', {grams}))) END"
+        )
+
+    langs = list(_STOPWORDS)
+    scores = ", ".join(
+        "len(list_intersect(list_distinct(string_split(lower(text), ' ')), ["
+        + ", ".join(f"'{w}'" for w in words)
+        + f"])) AS {lang}"
+        for lang, words in _STOPWORDS.items()
+    )
+    best = "GREATEST(" + ", ".join(langs) + ")"
+    picks = " ".join(f"WHEN {l} = {best} THEN '{l}'" for l in langs)
+    jac = (
+        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+        "/ len(list_distinct(list_concat(a.s, b.s)))"
+    )
+    return f"""
+WITH RECURSIVE
+docs AS (SELECT * FROM documents WHERE source != 'src0'),
+sh8 AS (SELECT doc_id, {gram_list(8)} AS s FROM docs),
+ref8 AS (SELECT DISTINCT unnest({gram_list(8)}) AS sg FROM documents WHERE source = 'src0'),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(s) AS sg FROM sh8) c JOIN ref8 USING (sg)
+),
+clean AS (SELECT * FROM docs WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+reps AS (SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY text),
+exact_kept AS (SELECT c.* FROM clean c JOIN reps USING (doc_id)),
+sh3 AS (SELECT doc_id, {gram_list(3)} AS s FROM exact_kept),
+cand AS (
+  -- exact candidate prefilter, no recall loss: any pair with Jaccard > 0
+  -- shares at least one shingle, so verifying only shingle-sharing pairs
+  -- yields the identical graph while avoiding the all-pairs join
+  SELECT DISTINCT c1.doc_id AS ia, c2.doc_id AS ib
+  FROM (SELECT doc_id, unnest(s) AS sg FROM sh3) c1
+  JOIN (SELECT doc_id, unnest(s) AS sg FROM sh3) c2
+    ON c1.sg = c2.sg AND c1.doc_id < c2.doc_id
+),
+pairs AS (
+  SELECT ia, ib FROM cand
+  JOIN sh3 a ON a.doc_id = ia JOIN sh3 b ON b.doc_id = ib
+  WHERE {jac} >= 0.7
+),
+edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+walk(id, reach) AS (
+  SELECT doc_id, doc_id FROM exact_kept
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach
+),
+fuzzy_reps AS (SELECT id AS doc_id FROM walk GROUP BY id HAVING id = MIN(reach)),
+fuzzy_kept AS (SELECT e.* FROM exact_kept e JOIN fuzzy_reps USING (doc_id)),
+scored AS (
+  SELECT *, len(string_split(text, ' ')) AS n_toks,
+         (length(text) - (length(text) - length(replace(text, ' ', '')))) AS n_letters,
+         {scores}
+  FROM fuzzy_kept
+),
+final AS (
+  SELECT * FROM scored
+  WHERE n_toks >= 5
+    AND CAST(n_letters AS DOUBLE) / n_toks <= 20.0
+    AND (CASE WHEN {best} <= 0 THEN 'und' {picks} END) = 'en'
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM docs) AS DOUBLE) AS input_docs,
+  CAST((SELECT COUNT(*) FROM clean) AS DOUBLE) AS after_decontamination,
+  CAST((SELECT COUNT(*) FROM exact_kept) AS DOUBLE) AS after_exact_dedup,
+  CAST((SELECT COUNT(*) FROM fuzzy_kept) AS DOUBLE) AS after_fuzzy_dedup,
+  CAST((SELECT COUNT(*) FROM final) AS DOUBLE) AS after_quality_language
+"""
 
 
 def _shingle_cte(n: int = 3) -> str:
@@ -1379,6 +1503,7 @@ def oracle_sql() -> dict[str, str]:
             ["cdf_50", "cdf_100", "cdf_500"],
             group_col="event_type",
         ),
+        "doc_curation_pipeline": _curation_sql(),
         # same raw-window oracle as rollup_timerange_quantiles: the streamed
         # rollup must answer identically to a direct build over the range
         "streaming_rollup_quantiles": ddsketch_quantile_sql(
