@@ -885,6 +885,7 @@ def cdf_at_values(
     config: Optional[SketchConfig] = None,
     weight_col: Optional[str] = None,
     x_names: Optional[Sequence[str]] = None,
+    mode: str = "auto",
 ):
     """Inverse-quantile (value -> rank) aggregation: for each probe x in
     ``xs``, the estimated fraction of rows with ``value_col <= x`` — the
@@ -892,6 +893,13 @@ def cdf_at_values(
     the finalize reads the rank walk in the opposite direction
     (``DDSketch.cdf_at_values``). Answers "what share of requests beat the
     250 ms SLO per service" in one scan at any group cardinality.
+
+    ``mode``: 'sql' (the 'auto' default for stats-less log configs) runs
+    the whole thing as a pure-Catalyst plan — two hash aggregates, no
+    window, no Python (``ddsketch_cdf_spark_sql``); 'kernel' is the
+    Arrow-vectorized partial-sketch path (required for interpolated
+    mappings and exact-stats configs, whose count column is the exact
+    count rather than the bucket total).
 
     Returns [*by, *x_names, count]. CDF estimates are in [0, 1] with the
     mapping's relative-accuracy contract on the VALUE axis (the estimate is
@@ -907,6 +915,25 @@ def cdf_at_values(
     x_names = list(x_names)
     if len(set(x_names)) != len(x_names):
         raise ValueError(f"duplicate cdf column names: {x_names}")
+    if mode not in ("auto", "kernel", "sql"):
+        raise ValueError(f"unknown mode {mode!r}; one of auto|kernel|sql")
+    if mode == "auto":
+        mode = (
+            "sql"
+            if (
+                config.mapping().kind == "log"
+                and not config.track_exact_stats
+                and config.store_policy
+                in ("unbounded", "sparse", "collapsing_lowest", "collapsing_highest")
+            )
+            else "kernel"
+        )
+    if mode == "sql":
+        sql = ddsketch_cdf_spark_sql(
+            "{__ddsparkle_src__}", value_col, xs,
+            config=config, by=key_cols, weight_col=weight_col, x_names=x_names,
+        )
+        return df.sparkSession.sql(sql, __ddsparkle_src__=df)
 
     partials = build_partial_sketches(df, value_col, key_cols, config, weight_col)
     # one merged sketch row per group through the vectorized merge pass
@@ -1044,63 +1071,12 @@ def _catalyst_quantiles(df, value_col, key_cols, qs, q_names, config, weight_col
     return df.sparkSession.sql(sql, __ddsparkle_src__=df)
 
 
-def ddsketch_spark_sql(
-    source: str,
-    value_col: str,
-    qs,
-    config=None,
-    by=None,
-    weight_col=None,
-    q_names=None,
-):
-    """The DDSketch aggregation as ONE Spark-SQL string over ``source`` (a
-    table name, a parenthesized subquery, or a ``{param}`` placeholder for
-    parameterized ``spark.sql``) — the pure-SQL surface of ``mode='sql'``,
-    usable from any SQL-first pipeline with no Python at execution time.
-
-    Only for ``mapping_kind='log'``, whose index math is closed-form in SQL:
-    ``index = java_floor(ln(v)*multiplier + offset)``
-    (``LogLikeIndexMapping.java:113-116``), ``value(i) =
-    exp((i-offset)/multiplier)*(1+alpha)`` (``LogLikeIndexMapping.java:119-121``),
-    rank walk ``first bucket with cum > q*(n-1)`` (``DDSketch.java:353-388``).
-
-    Physical shape (the 100-TB plan): scan -> hash aggregate on
-    (keys, sign-part, bucket index) with MAP-SIDE partial aggregation (the
-    shuffle carries at most #groups x #buckets rows, ~hundreds per group at
-    alpha=0.01, regardless of input rows) -> per-group window cumsum over the
-    bucket rows -> one final hash aggregate. Everything stays inside
-    whole-stage codegen; no Arrow boundary, no Python workers.
-
-    Semantics notes vs the kernel paths:
-    - counts/quantiles/min/max replicate the kernel bit-for-bit on non-NaN
-      data (same float constants, same operand order as ddsparkle/oracle.py,
-      which hash-matches the kernel across the driver suite); empty and
-      all-NULL groups survive with count 0 like the kernel paths (their
-      quantiles/stats are SQL NULL rather than float NaN); a GLOBAL
-      aggregate over zero input rows returns zero rows (outer filter), like
-      the kernel paths;
-    - stats-less ``sum``/``avg`` sum bucket contributions in unspecified
-      order (Spark SUM) vs the kernel's index-ordered np.dot — equal within
-      float reassociation dust; exact-stats sum uses Spark SUM vs the
-      kernel's Kahan — same caveat. Both are exact on integer-valued data.
-    - NaN values: Spark comparison semantics route NaN to the positive
-      store (NaN > x is TRUE in Spark SQL); the kernel routes them to the
-      zero bucket. Filter NaNs upstream if they can occur.
-    - collapse replicates the global clamp model
-      (``CollapsingLowestDenseStoreTest.java:23-37``), like the kernel and
-      the oracle.
-    """
-    # the SQL surface defaults to the log preset (the only SQL-expressible
-    # mapping); quantiles() keeps the reference's cubic default and routes
-    # non-log configs to the kernel paths
-    config = config or SketchConfig(mapping_kind="log")
-    key_cols = [by] if isinstance(by, str) else list(by or [])
-    qs = [float(q) for q in qs]
-    if any(not 0.0 <= q <= 1.0 for q in qs):
-        raise ValueError("The quantile must be between 0 and 1.")
-    if q_names is None:
-        q_names = [quantile_column_name(q) for q in qs]
-    q_names = list(q_names)
+def _sql_store_fragments(config, key_cols, value_col, weight_col) -> dict:
+    """Shared SQL-mode scaffolding: validates the config, and builds the
+    grouping fragments plus the ``vals``->``buckets``(->``collapsed``) CTE
+    chain that turns raw rows into per-(group, sign-part, bucket-index)
+    count rows — identical for every sketch query shape (quantile rank
+    walk, CDF sum); only the final select differs per caller."""
 
     mapping = config.mapping()
     if mapping.kind != "log":
@@ -1191,6 +1167,78 @@ collapsed AS (
     else:
         store_rel = "buckets"
 
+    return {
+        "d": _d, "mult": mult, "a": a, "mi": mi,
+        "g": g, "g_group": g_group, "gby": gby, "g_part": g_part,
+        "w_src": w_src, "c_agg": c_agg, "bucket_val": bucket_val,
+        "buckets_cte": buckets_cte, "store_rel": store_rel,
+    }
+
+
+def ddsketch_spark_sql(
+    source: str,
+    value_col: str,
+    qs,
+    config=None,
+    by=None,
+    weight_col=None,
+    q_names=None,
+):
+    """The DDSketch aggregation as ONE Spark-SQL string over ``source`` (a
+    table name, a parenthesized subquery, or a ``{param}`` placeholder for
+    parameterized ``spark.sql``) — the pure-SQL surface of ``mode='sql'``,
+    usable from any SQL-first pipeline with no Python at execution time.
+
+    Only for ``mapping_kind='log'``, whose index math is closed-form in SQL:
+    ``index = java_floor(ln(v)*multiplier + offset)``
+    (``LogLikeIndexMapping.java:113-116``), ``value(i) =
+    exp((i-offset)/multiplier)*(1+alpha)`` (``LogLikeIndexMapping.java:119-121``),
+    rank walk ``first bucket with cum > q*(n-1)`` (``DDSketch.java:353-388``).
+
+    Physical shape (the 100-TB plan): scan -> hash aggregate on
+    (keys, sign-part, bucket index) with MAP-SIDE partial aggregation (the
+    shuffle carries at most #groups x #buckets rows, ~hundreds per group at
+    alpha=0.01, regardless of input rows) -> per-group window cumsum over the
+    bucket rows -> one final hash aggregate. Everything stays inside
+    whole-stage codegen; no Arrow boundary, no Python workers.
+
+    Semantics notes vs the kernel paths:
+    - counts/quantiles/min/max replicate the kernel bit-for-bit on non-NaN
+      data (same float constants, same operand order as ddsparkle/oracle.py,
+      which hash-matches the kernel across the driver suite); empty and
+      all-NULL groups survive with count 0 like the kernel paths (their
+      quantiles/stats are SQL NULL rather than float NaN); a GLOBAL
+      aggregate over zero input rows returns zero rows (outer filter), like
+      the kernel paths;
+    - stats-less ``sum``/``avg`` sum bucket contributions in unspecified
+      order (Spark SUM) vs the kernel's index-ordered np.dot — equal within
+      float reassociation dust; exact-stats sum uses Spark SUM vs the
+      kernel's Kahan — same caveat. Both are exact on integer-valued data.
+    - NaN values: Spark comparison semantics route NaN to the positive
+      store (NaN > x is TRUE in Spark SQL); the kernel routes them to the
+      zero bucket. Filter NaNs upstream if they can occur.
+    - collapse replicates the global clamp model
+      (``CollapsingLowestDenseStoreTest.java:23-37``), like the kernel and
+      the oracle.
+    """
+    # the SQL surface defaults to the log preset (the only SQL-expressible
+    # mapping); quantiles() keeps the reference's cubic default and routes
+    # non-log configs to the kernel paths
+    config = config or SketchConfig(mapping_kind="log")
+    key_cols = [by] if isinstance(by, str) else list(by or [])
+    qs = [float(q) for q in qs]
+    if any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError("The quantile must be between 0 and 1.")
+    if q_names is None:
+        q_names = [quantile_column_name(q) for q in qs]
+    q_names = list(q_names)
+
+    fr = _sql_store_fragments(config, key_cols, value_col, weight_col)
+    _d = fr["d"]
+    g, g_group, gby, g_part = fr["g"], fr["g_group"], fr["gby"], fr["g_part"]
+    w_src, c_agg, bucket_val = fr["w_src"], fr["c_agg"], fr["bucket_val"]
+    buckets_cte, store_rel = fr["buckets_cte"], fr["store_rel"]
+
     live = "__n > 0 AND __c > 0"
     q_sel, clamp_sel = [], []
     for q, name in zip(qs, q_names):
@@ -1260,5 +1308,73 @@ cumw AS (
         # SQL; the kernel paths return an empty frame — align on the latter.
         # (all-NULL *groups* keep their count-0 row: their count is 0.0, not
         # NULL, because the zero-part bucket row always exists for them.)
+        sql = f"SELECT * FROM ({sql}\n) WHERE count IS NOT NULL"
+    return sql
+
+
+def ddsketch_cdf_spark_sql(
+    source: str,
+    value_col: str,
+    xs,
+    config=None,
+    by=None,
+    weight_col=None,
+    x_names=None,
+):
+    """The DDSketch value->rank (CDF) aggregation as ONE Spark-SQL string —
+    the pure-Catalyst surface of ``cdf_at_values`` for log mappings, sharing
+    the vals->buckets CTE chain with ``ddsketch_spark_sql``.
+
+    An even better physical shape than the quantile plan: after the bucket
+    hash aggregate (map-side combined; at most #groups x #buckets shuffle
+    rows) the CDF needs NO window function at all — cdf(x) is one more hash
+    aggregate ``SUM(c WHERE bucket_value <= x) / SUM(c)`` over the bucket
+    rows. Two hash aggregates, zero sorts, zero Python, whole-stage codegen
+    end to end.
+
+    Count semantics are the stats-less kernel's (bucket totals); pair with
+    ``track_exact_stats=False`` configs for hash parity (the auto routing in
+    ``cdf_at_values`` enforces this). Empty global input returns zero rows
+    like the kernel paths; a count-0 group's cdf columns are NULL.
+    """
+    config = config or SketchConfig(mapping_kind="log")
+    key_cols = [by] if isinstance(by, str) else list(by or [])
+    xs = [float(x) for x in xs]
+    if any(math.isnan(x) for x in xs):
+        raise ValueError("NaN is not a valid CDF probe")
+    if x_names is None:
+        x_names = [cdf_column_name(x) for x in xs]
+    x_names = list(x_names)
+    if len(set(x_names)) != len(x_names):
+        raise ValueError(f"duplicate cdf column names: {x_names}")
+
+    fr = _sql_store_fragments(config, key_cols, value_col, weight_col)
+    _d = fr["d"]
+    g, gby = fr["g"], fr["gby"]
+    w_src, bucket_val = fr["w_src"], fr["bucket_val"]
+    buckets_cte, store_rel = fr["buckets_cte"], fr["store_rel"]
+
+    sels = [
+        f"SUM(CASE WHEN __val <= {_d(x)} THEN __c ELSE CAST(0.0 AS DOUBLE) END)"
+        f" / SUM(__c) AS `{name}`"
+        for x, name in zip(xs, x_names)
+    ]
+    sql = f"""
+WITH vals AS (
+  SELECT {g}CAST(`{value_col}` AS DOUBLE) AS __v, {w_src} AS __w
+  FROM {source}
+),{buckets_cte},
+walk AS (
+  SELECT {g}CASE WHEN __part = 1 THEN CAST(0.0 AS DOUBLE)
+              WHEN __part = 0 THEN -{bucket_val}
+              ELSE {bucket_val} END AS __val,
+         __c
+  FROM {store_rel}
+)
+SELECT {g}{", ".join(sels)},
+  CAST(SUM(__c) AS DOUBLE) AS count
+FROM walk {gby}"""
+    if not key_cols:
+        # align the zero-input global case on the kernel paths' empty frame
         sql = f"SELECT * FROM ({sql}\n) WHERE count IS NOT NULL"
     return sql

@@ -119,6 +119,61 @@ def test_spark_cdf_weighted_matches_kernel(spark, sf_dir):
 
 
 @pytest.mark.spark
+@pytest.mark.parametrize(
+    "by,weighted,policy,max_bins,shift",
+    [
+        (None, False, "unbounded", 0, 0.0),
+        ("event_type", False, "unbounded", 0, 0.0),
+        ("event_type", True, "unbounded", 0, 0.0),
+        ("event_type", False, "collapsing_lowest", 64, 0.0),
+        (None, False, "collapsing_highest", 64, 100.0),  # mixed-sign values
+    ],
+)
+def test_cdf_sql_mode_matches_kernel(spark, sf_dir, by, weighted, policy, max_bins, shift):
+    """mode='sql' (two hash aggregates, no Python) must produce the exact
+    same count ratios as the kernel path — counts are integral, so equality
+    is exact, not approximate."""
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.agg import cdf_at_values
+
+    cfg = SketchConfig(mapping_kind="log", relative_accuracy=0.01,
+                       store_policy=policy, max_bins=max_bins, track_exact_stats=False)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if shift:
+        df = df.withColumn("value", F.col("value") - shift)
+    if weighted:
+        df = df.withColumn("w", (F.col("user_id") % 3 + 1).cast("double"))
+    kw = dict(by=by, config=cfg, weight_col="w" if weighted else None)
+    xs = [-20.0, 50.0, 500.0]
+    a = cdf_at_values(df, "value", xs, mode="sql", **kw)
+    b = cdf_at_values(df, "value", xs, mode="kernel", **kw)
+    cols = sorted(a.columns)
+    key = [c for c in cols if c == by]
+    pa = a.select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+    pb = b.select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+    assert pa.equals(pb), (pa, pb)
+
+
+@pytest.mark.spark
+def test_cdf_sql_mode_plan_pure_jvm(spark, sf_dir):
+    """The sql-mode CDF plan must contain no Python evaluation and no sort/
+    window — two hash aggregates inside whole-stage codegen."""
+    from ddsparkle.spark.agg import cdf_at_values
+
+    cfg = SketchConfig(mapping_kind="log", relative_accuracy=0.01,
+                       store_policy="unbounded", max_bins=0, track_exact_stats=False)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = (
+        cdf_at_values(df, "value", [100.0], by="event_type", config=cfg, mode="sql")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("Python", "ArrowEval", "FlatMapGroups", "Window", "Sort"):
+        assert bad not in plan, f"{bad} in sql-mode CDF plan"
+    assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.spark
 def test_spark_cdf_global(spark, sf_dir):
     from ddsparkle.spark.agg import cdf_at_values
 
