@@ -1378,3 +1378,92 @@ FROM walk {gby}"""
         # align the zero-input global case on the kernel paths' empty frame
         sql = f"SELECT * FROM ({sql}\n) WHERE count IS NOT NULL"
     return sql
+
+
+def sketch_rows_spark_sql(
+    source: str,
+    value_col: str,
+    config=None,
+    by=None,
+    weight_col=None,
+):
+    """Mergeable sketch ROWS (the ``serde.spark_sketch_schema`` layout) as
+    ONE Catalyst plan — the pure-JVM build stage for persisted rollups: at
+    10^12 rows the rollup BUILD is the big scan, and this keeps it entirely
+    inside whole-stage codegen (bucket hash aggregate with map-side combine,
+    then per-cell ``collect_list``/``sort_array`` of at most ~#buckets tiny
+    struct rows — no Arrow boundary, no Python workers anywhere).
+
+    The emitted rows round-trip through ``serde.row_to_sketch`` and merge
+    with kernel-built rows (same mapping identity, same store layout:
+    ascending indexes, zero-count bins dropped like ``Store.add`` no-ops).
+
+    Restrictions: log mappings, ``track_exact_stats=False`` configs (Kahan
+    compensation state has no SQL equivalent), and non-NaN data (same
+    routing note as ``ddsketch_spark_sql``). Row-existence semantics match
+    the kernel builder: a (group) cell exists iff it has at least one
+    non-NULL value with a non-NULL weight.
+    """
+    config = config or SketchConfig(mapping_kind="log")
+    if config.track_exact_stats:
+        raise ValueError(
+            "sketch_rows_spark_sql requires track_exact_stats=False "
+            "(exact-stats Kahan state has no SQL equivalent); use the "
+            "kernel builder for exact-stats configs"
+        )
+    key_cols = [by] if isinstance(by, str) else list(by or [])
+    fr = _sql_store_fragments(config, key_cols, value_col, weight_col)
+    _d = fr["d"]
+    g, gby = fr["g"], fr["gby"]
+    w_src = fr["w_src"]
+    buckets_cte, store_rel = fr["buckets_cte"], fr["store_rel"]
+    mapping = config.mapping()
+
+    def collect(part: int) -> str:
+        return (
+            f"sort_array(collect_list(CASE WHEN __part = {part} AND __c > 0 "
+            f"THEN struct(__i AS i, __c AS c) END))"
+        )
+
+    return f"""
+WITH vals AS (
+  SELECT {g}CAST(`{value_col}` AS DOUBLE) AS __v, {w_src} AS __w
+  FROM {source}
+  WHERE `{value_col}` IS NOT NULL{f" AND `{weight_col}` IS NOT NULL" if weight_col else ""}
+),{buckets_cte},
+cells AS (
+  SELECT {g}
+    {collect(0)} AS __neg,
+    {collect(2)} AS __pos,
+    COALESCE(SUM(CASE WHEN __part = 1 THEN __c END), CAST(0.0 AS DOUBLE)) AS zero_count
+  FROM {store_rel} {gby}
+)
+SELECT {g}
+  '{mapping.kind}' AS mapping_kind,
+  {_d(mapping.gamma)} AS gamma,
+  {_d(mapping.index_offset)} AS index_offset,
+  '{config.store_policy}' AS store_policy,
+  {int(config.max_bins)} AS max_bins,
+  zero_count,
+  transform(__neg, x -> x.i) AS neg_idx,
+  transform(__neg, x -> x.c) AS neg_cnt,
+  transform(__pos, x -> x.i) AS pos_idx,
+  transform(__pos, x -> x.c) AS pos_cnt,
+  CAST(0.0 AS DOUBLE) AS stat_count,
+  CAST(0.0 AS DOUBLE) AS stat_sum,
+  CAST(0.0 AS DOUBLE) AS stat_sum_comp,
+  CAST(0.0 AS DOUBLE) AS stat_simple_sum,
+  CAST('Infinity' AS DOUBLE) AS stat_min,
+  CAST('-Infinity' AS DOUBLE) AS stat_max,
+  false AS has_exact
+FROM cells"""
+
+
+def catalyst_sketch_rows(df, value_col, key_cols, config, weight_col=None):
+    """DataFrame form of ``sketch_rows_spark_sql`` (parameterized
+    ``spark.sql`` — one py4j round trip, like ``_catalyst_quantiles``)."""
+    sql = sketch_rows_spark_sql(
+        "{__ddsparkle_src__}", value_col,
+        config=config, by=list(key_cols), weight_col=weight_col,
+    )
+    return df.sparkSession.sql(sql, __ddsparkle_src__=df)

@@ -67,18 +67,29 @@ def build_rollup(
     by: Sequence[str] | str | None = None,
     config: Optional[SketchConfig] = None,
     weight_col: Optional[str] = None,
+    mode: str = "auto",
 ):
     """One merged sketch row per (``bucket_ts``, *by) cell, where
     ``bucket_ts = date_trunc(granularity, time_col)``.
 
-    Raw rows never shuffle: stage 1 builds per-task partial sketches keyed by
-    the cell, stage 2 shuffles only sketch rows and merges to exactly one row
-    per cell. Output columns: [bucket_ts, *by, <sketch row fields>].
+    Raw rows never shuffle. ``mode='sql'`` (the 'auto' default for
+    stats-less log configs) assembles the cells entirely in Catalyst
+    (``agg.sketch_rows_spark_sql``: bucket hash aggregate with map-side
+    combine, then per-cell collect/sort of ~#buckets struct rows — no
+    Python anywhere on the ingest scan, which at 10^12 rows IS the job).
+    ``mode='kernel'`` is the Arrow-vectorized two-stage path (required for
+    interpolated mappings and exact-stats configs). Both emit the same
+    mergeable sketch-row layout; outputs interoperate.
+
+    Output columns: [bucket_ts, *by, <sketch row fields>].
     """
     from pyspark.sql import functions as F
 
     if granularity not in _GRANULARITIES:
         raise ValueError(f"granularity {granularity!r}; one of {_GRANULARITIES}")
+    if mode not in ("auto", "kernel", "sql"):
+        raise ValueError(f"unknown mode {mode!r}; one of auto|kernel|sql")
+    config = config or SketchConfig()
     key_cols = [by] if isinstance(by, str) else list(by or [])
     sel = df.select(
         F.date_trunc(granularity, F.col(time_col)).alias(BUCKET_COL),
@@ -86,6 +97,23 @@ def build_rollup(
         value_col,
         *([weight_col] if weight_col else []),
     )
+    if mode == "auto":
+        mode = (
+            "sql"
+            if (
+                config.mapping().kind == "log"
+                and not config.track_exact_stats
+                and config.store_policy
+                in ("unbounded", "sparse", "collapsing_lowest", "collapsing_highest")
+            )
+            else "kernel"
+        )
+    if mode == "sql":
+        from .agg import catalyst_sketch_rows
+
+        return catalyst_sketch_rows(
+            sel, value_col, [BUCKET_COL, *key_cols], config, weight_col
+        )
     partials = build_partial_sketches(
         sel, value_col, [BUCKET_COL, *key_cols], config, weight_col
     )

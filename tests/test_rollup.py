@@ -99,6 +99,76 @@ def test_rollup_weighted_and_config(events):
     assert_matches_direct(res, direct)
 
 
+def _sql_cfg(policy="unbounded", max_bins=0):
+    return SketchConfig(mapping_kind="log", relative_accuracy=0.01,
+                        store_policy=policy, max_bins=max_bins,
+                        track_exact_stats=False)
+
+
+def test_build_rollup_sql_mode_cells_equal_kernel(events):
+    """mode='sql' (pure-Catalyst cell assembly) must emit the IDENTICAL
+    sketch rows as the kernel builder for unbounded stores: same cells,
+    same sorted index arrays, same counts."""
+    cfg = _sql_cfg()
+    kw = dict(time_col="ts", granularity="day", by="event_type", config=cfg)
+    cols = ["bucket_ts", "event_type", "zero_count",
+            "neg_idx", "neg_cnt", "pos_idx", "pos_cnt"]
+
+    def rows(df):
+        pdf = df.select(cols).toPandas()
+        for c in ("neg_idx", "neg_cnt", "pos_idx", "pos_cnt"):
+            pdf[c] = pdf[c].map(lambda v: [float(x) for x in v])
+        return sorted(map(str, pdf.to_dict("records")))
+
+    a = rows(build_rollup(events, "value", mode="sql", **kw))
+    b = rows(build_rollup(events, "value", mode="kernel", **kw))
+    assert len(a) == len(b)
+    assert a == b
+
+
+def test_build_rollup_sql_mode_queries_match_kernel(events):
+    """Collapsed + weighted sql-mode builds answer identically to kernel
+    builds through the whole query path (merge across cells included)."""
+    from pyspark.sql import functions as F
+
+    wdf = events.withColumn("w", (F.col("user_id") % 3 + 1).cast("double"))
+    cfg = _sql_cfg("collapsing_lowest", 64)
+    kw = dict(time_col="ts", granularity="hour", by="event_type",
+              config=cfg, weight_col="w")
+    res_sql = rollup_quantiles(build_rollup(wdf, "value", mode="sql", **kw),
+                               QS, by="event_type")
+    res_ker = rollup_quantiles(build_rollup(wdf, "value", mode="kernel", **kw),
+                               QS, by="event_type")
+    assert_matches_direct(res_sql, res_ker)
+
+
+def test_build_rollup_sql_mode_plan_pure_jvm(events):
+    """The sql-mode build plan must contain no Python stages."""
+    cfg = _sql_cfg()
+    plan = (
+        build_rollup(events, "value", time_col="ts", granularity="hour",
+                     by="event_type", config=cfg, mode="sql")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("Python", "ArrowEval", "FlatMapGroups", "MapInPandas"):
+        assert bad not in plan, f"{bad} in sql-mode rollup build plan"
+
+
+def test_build_rollup_sql_and_kernel_rows_interoperate(events):
+    """Cells built by the two modes merge together (append half-and-half,
+    query across) — the layout contract, not just per-mode correctness."""
+    from pyspark.sql import functions as F
+
+    cfg = _sql_cfg()
+    cut = "2024-01-10 00:00:00"
+    kw = dict(time_col="ts", granularity="hour", by="event_type", config=cfg)
+    first = build_rollup(events.filter(F.col("ts") < cut), "value", mode="sql", **kw)
+    second = build_rollup(events.filter(F.col("ts") >= cut), "value", mode="kernel", **kw)
+    mixed = first.unionByName(second)
+    direct = quantiles(events, "value", by="event_type", qs=QS, config=cfg)
+    assert_matches_direct(rollup_quantiles(mixed, QS, by="event_type"), direct)
+
+
 def test_compact_rollup_matches_direct_coarse(events):
     """Hourly cells compacted to daily must answer exactly like a rollup
     built daily from raw — merge associativity end-to-end."""
