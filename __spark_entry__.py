@@ -880,16 +880,15 @@ def q_streaming_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="ddsparkle-sroll-")
     try:
-        # the file-stream source needs a DIRECTORY; link the table file in
-        import os
-
-        os.makedirs(f"{tmp}/src")
-        os.symlink(f"{sf_dir}/events.parquet", f"{tmp}/src/events.parquet")
         schema = _t(spark, sf_dir, "events").schema
+        # the file-stream source needs a directory: stream the table dir
+        # with a glob pinned to the one table file (same idiom as
+        # q_streaming_events_value)
         stream = (
             spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{tmp}/src")
+            .parquet(sf_dir)
         )
         q = stream_to_rollup(
             stream, f"{tmp}/t", "value", time_col="ts", granularity="hour",
@@ -967,7 +966,7 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "documents")
     corpus = df.filter(F.col("source") != "src0")
     reference = df.filter(F.col("source") == "src0")
-    curated, stats = curate(
+    _curated, stats = curate(
         corpus,
         decontaminate_against=reference,
         min_tokens=5,
@@ -977,8 +976,8 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_perm=32,
         bands=32,
         max_bucket_size=None,
+        release_cache=True,  # only stats are consumed here
     )
-    curated.unpersist()  # stats are materialized; release the stage cache
     cols = [
         "input_docs",
         "after_decontamination",
@@ -1098,9 +1097,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _language_id_sql() -> str:
-    """DuckDB twin of dataops.language_id, generated from the SAME stopword
-    lists and tie-break order so the two can never drift apart."""
+def _stopword_scores_parts() -> tuple[str, str, str]:
+    """(scores select-list, best expr, CASE picks) of the DuckDB language
+    scorer, generated from the SAME stopword lists and tie-break order as
+    dataops.language_pred_expr so the twins can never drift apart — the ONE
+    definition shared by _language_id_sql and _curation_sql."""
     from ddsparkle.spark.dataops import _STOPWORDS
 
     langs = list(_STOPWORDS)
@@ -1112,6 +1113,12 @@ def _language_id_sql() -> str:
     )
     best = "GREATEST(" + ", ".join(langs) + ")"
     picks = " ".join(f"WHEN {l} = {best} THEN '{l}'" for l in langs)
+    return scores, best, picks
+
+
+def _language_id_sql() -> str:
+    """DuckDB twin of dataops.language_id (shared scorer parts above)."""
+    scores, best, picks = _stopword_scores_parts()
     return (
         f"WITH scored AS (SELECT doc_id, {scores} FROM documents) "
         f"SELECT doc_id, CASE WHEN {best} <= 0 THEN 'und' {picks} END AS lang_pred "
@@ -1126,25 +1133,8 @@ def _curation_sql() -> str:
     per text), all-pairs 3-gram-Jaccard >= 0.7 connected components
     (recursive SQL), then the quality + 'en'-language gates with the SAME
     stopword lists the Spark scorer uses."""
-    from ddsparkle.spark.dataops import _STOPWORDS
-
-    def gram_list(n: int, toks: str = "string_split(text, ' ')") -> str:
-        grams = ", ".join(f"{toks}[i+{j}]" for j in range(n))
-        return (
-            f"CASE WHEN len({toks}) < {n} THEN [text] "
-            f"ELSE list_distinct(list_transform(generate_series(1, len({toks}) - {n - 1}), "
-            f"i -> concat_ws(' ', {grams}))) END"
-        )
-
-    langs = list(_STOPWORDS)
-    scores = ", ".join(
-        "len(list_intersect(list_distinct(string_split(lower(text), ' ')), ["
-        + ", ".join(f"'{w}'" for w in words)
-        + f"])) AS {lang}"
-        for lang, words in _STOPWORDS.items()
-    )
-    best = "GREATEST(" + ", ".join(langs) + ")"
-    picks = " ".join(f"WHEN {l} = {best} THEN '{l}'" for l in langs)
+    gram_list = _gram_list_sql
+    scores, best, picks = _stopword_scores_parts()
     jac = (
         "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
         "/ len(list_distinct(list_concat(a.s, b.s)))"
@@ -1185,7 +1175,7 @@ fuzzy_reps AS (SELECT id AS doc_id FROM walk GROUP BY id HAVING id = MIN(reach))
 fuzzy_kept AS (SELECT e.* FROM exact_kept e JOIN fuzzy_reps USING (doc_id)),
 scored AS (
   SELECT *, len(string_split(text, ' ')) AS n_toks,
-         (length(text) - (length(text) - length(replace(text, ' ', '')))) AS n_letters,
+         length(replace(text, ' ', '')) AS n_letters,
          {scores}
   FROM fuzzy_kept
 ),
@@ -1204,17 +1194,24 @@ SELECT
 """
 
 
-def _shingle_cte(n: int = 3) -> str:
-    """DuckDB CTE 'sh': (doc_id, s) with s = distinct word n-gram shingles
-    (the same formulation the fuzzy-dedup oracle uses; docs with < n words
-    shingle to [text])."""
+def _gram_list_sql(n: int) -> str:
+    """DuckDB expression: distinct word ``n``-gram shingles of ``text``
+    (docs with < n words shingle to [text]) — the ONE formulation shared by
+    the shingle CTE and the curation oracle, mirroring
+    dataops.ngram_shingles_expr."""
     toks = "string_split(text, ' ')"
     grams = ", ".join(f"{toks}[i+{j}]" for j in range(n))
     return (
-        f"sh AS (SELECT doc_id, CASE WHEN len({toks}) < {n} THEN [text] "
+        f"CASE WHEN len({toks}) < {n} THEN [text] "
         f"ELSE list_distinct(list_transform(generate_series(1, len({toks}) - {n - 1}), "
-        f"i -> concat_ws(' ', {grams}))) END AS s FROM documents)"
+        f"i -> concat_ws(' ', {grams}))) END"
     )
+
+
+def _shingle_cte(n: int = 3) -> str:
+    """DuckDB CTE 'sh': (doc_id, s) with s = distinct word n-gram shingles
+    (the same formulation the fuzzy-dedup oracle uses)."""
+    return f"sh AS (SELECT doc_id, {_gram_list_sql(n)} AS s FROM documents)"
 
 
 def _ngram_pairs_sql(threshold: float) -> str:

@@ -918,16 +918,11 @@ def cdf_at_values(
     if mode not in ("auto", "kernel", "sql"):
         raise ValueError(f"unknown mode {mode!r}; one of auto|kernel|sql")
     if mode == "auto":
-        mode = (
-            "sql"
-            if (
-                config.mapping().kind == "log"
-                and not config.track_exact_stats
-                and config.store_policy
-                in ("unbounded", "sparse", "collapsing_lowest", "collapsing_highest")
-            )
-            else "kernel"
-        )
+        # NaN-data caveat rides along with the routing: the kernel path
+        # skips NaN values, the sql path's comparisons route NaN into the
+        # positive store (Spark NaN > x is TRUE) — filter NaNs upstream if
+        # they can occur, or pin mode='kernel'
+        mode = "sql" if sql_mode_eligible(config) else "kernel"
     if mode == "sql":
         sql = ddsketch_cdf_spark_sql(
             "{__ddsparkle_src__}", value_col, xs,
@@ -956,9 +951,14 @@ def cdf_at_values(
             for i in range(len(pdf)):
                 sk = row_to_sketch(pdf[SKETCH_ROW_FIELDS].iloc[i])
                 row = {c: pdf[c].iloc[i] for c in key_cols}
-                row.update(
-                    {n: float(v) for n, v in zip(x_names, sk.cdf_at_values(xs))}
-                )
+                if sk.count > 0:
+                    row.update(
+                        {n: float(v) for n, v in zip(x_names, sk.cdf_at_values(xs))}
+                    )
+                else:
+                    # count-0 groups (all-NULL values) survive with NULL cdf
+                    # columns, matching mode='sql' — not a LookupError crash
+                    row.update({n: None for n in x_names})
                 row["count"] = float(sk.count)
                 rows.append(row)
             yield pd.DataFrame(rows, columns=out_cols)
@@ -1071,6 +1071,23 @@ def _catalyst_quantiles(df, value_col, key_cols, qs, q_names, config, weight_col
     return df.sparkSession.sql(sql, __ddsparkle_src__=df)
 
 
+def sql_mode_eligible(config) -> bool:
+    """True when an aggregation over ``config`` can run as a pure-Catalyst
+    plan with kernel-identical count semantics: log mapping (closed-form
+    index math), a supported store policy, and NO exact-stats tracking (the
+    SQL paths' count column is the bucket total; Kahan compensation state
+    has no SQL equivalent). The ONE routing predicate shared by
+    ``cdf_at_values`` and ``build_rollup`` — ``quantiles``' auto routing
+    differs deliberately (its sql final reproduces exact stats via a stats
+    join, so it routes exact-stats configs too)."""
+    return (
+        config.mapping().kind == "log"
+        and not config.track_exact_stats
+        and config.store_policy
+        in ("unbounded", "sparse", "collapsing_lowest", "collapsing_highest")
+    )
+
+
 def _sql_store_fragments(config, key_cols, value_col, weight_col) -> dict:
     """Shared SQL-mode scaffolding: validates the config, and builds the
     grouping fragments plus the ``vals``->``buckets``(->``collapsed``) CTE
@@ -1109,10 +1126,13 @@ def _sql_store_fragments(config, key_cols, value_col, weight_col) -> dict:
     g_part = f"PARTITION BY {g_group}" if key_cols else ""
 
     w_src = f"CAST(`{weight_col}` AS DOUBLE)" if weight_col else "CAST(1.0 AS DOUBLE)"
-    # NULL values contribute 0 to every bucket count (the kernel drops them
-    # before accept) but keep their group alive — all-NULL groups emit a
-    # count-0 result row like the kernel paths
-    c_agg = "SUM(CASE WHEN __v IS NULL THEN CAST(0.0 AS DOUBLE) ELSE __w END)"
+    # NULL values (and NULL weights — the kernel's valid-mask drops the row
+    # when EITHER is NaN) contribute 0 to every bucket count but keep their
+    # group alive — all-NULL groups emit a count-0 result row like the
+    # kernel paths
+    c_agg = (
+        "SUM(CASE WHEN __v IS NULL OR __w IS NULL THEN CAST(0.0 AS DOUBLE) ELSE __w END)"
+    )
 
     # _java_floor (LogLikeIndexMapping.java:113-116): floor, except exact
     # negative integers land one lower (truncation-toward-zero minus one)
@@ -1401,8 +1421,9 @@ def sketch_rows_spark_sql(
     Restrictions: log mappings, ``track_exact_stats=False`` configs (Kahan
     compensation state has no SQL equivalent), and non-NaN data (same
     routing note as ``ddsketch_spark_sql``). Row-existence semantics match
-    the kernel builder: a (group) cell exists iff it has at least one
-    non-NULL value with a non-NULL weight.
+    the kernel builder: a cell with rows but only NULL values/weights emits
+    a count-0 sketch row (empty stores, zero_count 0), like the kernel's
+    all-NULL-group rows; a cell with zero rows does not exist in either.
     """
     config = config or SketchConfig(mapping_kind="log")
     if config.track_exact_stats:
@@ -1429,7 +1450,6 @@ def sketch_rows_spark_sql(
 WITH vals AS (
   SELECT {g}CAST(`{value_col}` AS DOUBLE) AS __v, {w_src} AS __w
   FROM {source}
-  WHERE `{value_col}` IS NOT NULL{f" AND `{weight_col}` IS NOT NULL" if weight_col else ""}
 ),{buckets_cte},
 cells AS (
   SELECT {g}

@@ -37,6 +37,7 @@ def curate(
     normalize_before_dedup: bool = False,
     decontaminate_against=None,
     decontam_shingle_n: int = 8,
+    release_cache: bool = False,
 ):
     """Returns (curated DataFrame, stats dict). The curated frame keeps the
     INPUT schema exactly — one representative per exact/fuzzy duplicate
@@ -45,10 +46,14 @@ def curate(
     (a reference/benchmark DataFrame; docs sharing any
     ``decontam_shingle_n``-gram are dropped FIRST, via the 8-byte-hash
     shingle join) and ``normalize_before_dedup`` (formatting-invariant
-    exact dedup). The intermediate dedup survivors are persisted
-    so the per-stage counts and the caller's final write do not recompute
-    the dedup lineage; the returned frame is backed by the persisted
-    fuzzy-dedup stage (unpersist it when done with the result)."""
+    exact dedup). The intermediate dedup survivors are persisted so the
+    per-stage counts and the caller's final write do not recompute the
+    dedup lineage; the returned frame is backed by that cached stage.
+    ``release_cache=True`` unpersists it before returning — use when only
+    ``stats`` are consumed (a later action on the returned frame would
+    recompute the pipeline); note that unpersisting the returned frame
+    itself is a no-op (it is a plan DERIVED from the cached stage, and
+    Spark's unpersist only drops exact-plan matches)."""
     from pyspark.sql import functions as F
 
     from .dataops import (
@@ -108,6 +113,8 @@ def curate(
         gated = gated.filter(language_pred_expr(text_col).isin(list(languages)))
     curated = gated.select(*df.columns)  # exactly the input schema
     n_final = curated.count()
+    if release_cache:
+        fuzzy_kept.unpersist()
 
     stats = {
         "input_docs": n_input,

@@ -98,16 +98,9 @@ def build_rollup(
         *([weight_col] if weight_col else []),
     )
     if mode == "auto":
-        mode = (
-            "sql"
-            if (
-                config.mapping().kind == "log"
-                and not config.track_exact_stats
-                and config.store_policy
-                in ("unbounded", "sparse", "collapsing_lowest", "collapsing_highest")
-            )
-            else "kernel"
-        )
+        from .agg import sql_mode_eligible
+
+        mode = "sql" if sql_mode_eligible(config) else "kernel"
     if mode == "sql":
         from .agg import catalyst_sketch_rows
 

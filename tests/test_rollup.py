@@ -126,6 +126,32 @@ def test_build_rollup_sql_mode_cells_equal_kernel(events):
     assert a == b
 
 
+def test_build_rollup_sql_mode_all_null_cell_matches_kernel(events, spark):
+    """A cell whose rows are all NULL-valued must emit the same count-0
+    sketch row in both modes (kernel registers the key; sql keeps the
+    zero-part bucket row) — the row-existence contract."""
+    from pyspark.sql import functions as F
+
+    cfg = _sql_cfg()
+    df = events.limit(200).withColumn(
+        "value",
+        F.when(F.col("event_type") == "click", F.lit(None).cast("double"))
+        .otherwise(F.col("value")),
+    )
+    kw = dict(time_col="ts", granularity="month", by="event_type", config=cfg)
+    a = build_rollup(df, "value", mode="sql", **kw)
+    b = build_rollup(df, "value", mode="kernel", **kw)
+    rows_a = {(r["event_type"]): r for r in a.collect()}
+    rows_b = {(r["event_type"]): r for r in b.collect()}
+    assert set(rows_a) == set(rows_b)
+    assert "click" in rows_a
+    for k in rows_a:
+        za, zb = rows_a[k], rows_b[k]
+        assert za["zero_count"] == zb["zero_count"]
+        assert list(za["pos_idx"]) == list(zb["pos_idx"])
+        assert list(za["pos_cnt"]) == list(zb["pos_cnt"])
+
+
 def test_build_rollup_sql_mode_queries_match_kernel(events):
     """Collapsed + weighted sql-mode builds answer identically to kernel
     builds through the whole query path (merge across cells included)."""
