@@ -908,6 +908,48 @@ def q_streaming_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_rollup_hll_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted HLL rollup (per-hour distinct-user cells by event type,
+    written day-partitioned, read back) answering a 10-day window by
+    register union — the time-series distinct metric. HLL union is
+    register-exact over merges, so the windowed estimate equals running HLL
+    on the window's raw rows; the gate hash-matches the exact windowed
+    COUNT(DISTINCT) and a 3*rse bound boolean like the other HLL gates."""
+    import shutil
+    import tempfile
+
+    from ddsparkle.spark.rollup import hll_rollup, read_rollup, rollup_distinct, write_rollup
+
+    df = _t(spark, sf_dir, "events")
+    lo, hi = "2024-01-05 00:00:00", "2024-01-15 00:00:00"
+    tmp = tempfile.mkdtemp(prefix="ddsparkle-hllroll-")
+    try:
+        roll = hll_rollup(
+            df, "user_id", time_col="ts", granularity="hour",
+            by="event_type", p=14, seed=0,
+        )
+        write_rollup(roll, f"{tmp}/t")
+        back = read_rollup(spark, f"{tmp}/t")
+        est = rollup_distinct(back, by="event_type", start=lo, end=hi, p=14, seed=0)
+        exact = (
+            df.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").cast("double").alias("exact_distinct"))
+        )
+        out = exact.join(est, "event_type").select(
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+                <= 3.0 * F.col("rse") * F.col("exact_distinct")
+            ).alias("within_3rse"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp files
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_doc_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order/partitioning-independent bottom-k-by-digest sample (stable
     eval-split primitive): the 50 documents with the smallest md5(seed|id),
@@ -1094,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_events_cdf_by_type": q_events_cdf_by_type,
         "ddsketch_events_cdf_weighted": q_events_cdf_weighted,
         "streaming_rollup_quantiles": q_streaming_rollup_quantiles,
+        "rollup_hll_window_distinct": q_rollup_hll_window_distinct,
     }
 
 
@@ -1501,6 +1544,12 @@ def oracle_sql() -> dict[str, str]:
             group_col="event_type",
         ),
         "doc_curation_pipeline": _curation_sql(),
+        "rollup_hll_window_distinct": (
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS exact_distinct, "
+            "TRUE AS within_3rse FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00' "
+            "GROUP BY event_type"
+        ),
         # same raw-window oracle as rollup_timerange_quantiles: the streamed
         # rollup must answer identically to a direct build over the range
         "streaming_rollup_quantiles": ddsketch_quantile_sql(

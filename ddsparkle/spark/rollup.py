@@ -50,6 +50,9 @@ __all__ = [
     "rollup_quantiles",
     "compact_rollup",
     "stream_to_rollup",
+    "build_payload_rollup",
+    "hll_rollup",
+    "rollup_distinct",
 ]
 
 BUCKET_COL = "bucket_ts"
@@ -198,6 +201,175 @@ def stream_to_rollup(
     return writer.start()
 
 
+def _apply_time_filter(sel, start, end):
+    """The shared [start, end) cell filter: exact selection on ``bucket_ts``
+    plus pruning-only ``day`` bounds widened one day each side (cross-
+    timezone safety — see rollup_quantiles)."""
+    from pyspark.sql import functions as F
+
+    has_day = DAY_COL in sel.columns
+    if start is not None:
+        sel = sel.filter(F.col(BUCKET_COL) >= F.lit(start).cast("timestamp"))
+        if has_day:
+            day_lo = F.date_format(
+                F.lit(start).cast("timestamp") - F.expr("INTERVAL 1 DAY"), "yyyy-MM-dd"
+            )
+            sel = sel.filter(F.col(DAY_COL) >= day_lo)
+    if end is not None:
+        sel = sel.filter(F.col(BUCKET_COL) < F.lit(end).cast("timestamp"))
+        if has_day:
+            day_hi = F.date_format(
+                F.lit(end).cast("timestamp") + F.expr("INTERVAL 1 DAY"), "yyyy-MM-dd"
+            )
+            sel = sel.filter(F.col(DAY_COL) <= day_hi)
+    return sel
+
+
+def build_payload_rollup(
+    df,
+    value_col: str,
+    make,
+    update,
+    from_payload,
+    time_col: str = "ts",
+    granularity: str = "hour",
+    by: Sequence[str] | str | None = None,
+):
+    """One merged sketch PAYLOAD per (``bucket_ts``, *by) cell — the
+    approx-family analogue of ``build_rollup`` for any sketch on the payload
+    chassis (HLL, CMS, KLL, t-digest, KMV...): distinct users per hour,
+    frequency sketches per day, etc., persisted once and unioned at query
+    time over any range. ``make``/``update``/``from_payload`` are the same
+    plugin triple ``approx`` uses. Output: [bucket_ts, *by, payload].
+
+    Same scale shape as the DDSketch rollup: raw rows never shuffle (stage-1
+    per-task payloads keyed by cell), the exchange carries one payload row
+    per (task, cell), and cells merge via one pandas pass with singleton
+    pass-through."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .approx import _build_payload_partials
+
+    if granularity not in _GRANULARITIES:
+        raise ValueError(f"granularity {granularity!r}; one of {_GRANULARITIES}")
+    key_cols = [by] if isinstance(by, str) else list(by or [])
+    sel = df.select(
+        F.date_trunc(granularity, F.col(time_col)).alias(BUCKET_COL),
+        *key_cols,
+        value_col,
+    )
+    cell_keys = [BUCKET_COL, *key_cols]
+    partials = _build_payload_partials(sel, value_col, cell_keys, make, update)
+    schema = partials.schema
+    cols = list(schema.fieldNames())
+
+    def fold(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        dup = pdf.duplicated(cell_keys, keep=False)
+        singles = pdf[~dup]
+        if len(singles):
+            yield singles[cols]
+        if not dup.any():
+            return
+        rows = []
+        for key, grp in pdf[dup].groupby(cell_keys, sort=False, dropna=False):
+            acc = None
+            for payload in grp["payload"]:
+                cur = from_payload(bytes(payload))
+                acc = cur if acc is None else (acc.merge(cur) or acc)
+            key_t = key if isinstance(key, tuple) else (key,)
+            row = dict(zip(cell_keys, key_t))
+            row["payload"] = acc.to_bytes()
+            rows.append(row)
+        yield pd.DataFrame(rows, columns=cols)
+
+    return partials.repartition(*[partials[c] for c in cell_keys]).mapInPandas(
+        fold, schema=schema
+    )
+
+
+def hll_rollup(
+    df,
+    value_col: str,
+    time_col: str = "ts",
+    granularity: str = "hour",
+    by: Sequence[str] | str | None = None,
+    p: int = 14,
+    seed: int = 0,
+):
+    """HyperLogLog rollup cells: distinct ``value_col`` per (time bucket,
+    *by). Persist with ``write_rollup``; answer any window with
+    ``rollup_distinct`` — HLL union is exact over merges, so the windowed
+    estimate is IDENTICAL to running HLL directly over the window's raw
+    rows (same registers), with the usual ~1.04/sqrt(2^p) rse vs truth."""
+    from ..sketches.hll import HyperLogLog
+
+    return build_payload_rollup(
+        df,
+        value_col,
+        make=lambda: HyperLogLog(p=p, seed=seed),
+        update=lambda sk, v: sk.update(v),
+        from_payload=lambda b: HyperLogLog.from_bytes(b, p, seed),
+        time_col=time_col,
+        granularity=granularity,
+        by=by,
+    )
+
+
+def rollup_distinct(
+    rollup,
+    by: Sequence[str] | str | None = None,
+    start=None,
+    end=None,
+    p: int = 14,
+    seed: int = 0,
+):
+    """Merge the HLL cells covering ``[start, end)`` and estimate distincts,
+    optionally re-grouped by ``by``. Returns [*by, distinct_est, rse].
+    Register-wise union makes the result independent of how the range was
+    cut into cells (hourly vs daily vs appended batches)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..sketches.hll import HyperLogLog
+
+    key_cols = [by] if isinstance(by, str) else list(by or [])
+    sel = _apply_time_filter(rollup, start, end)
+    drop = [
+        c
+        for c in (BUCKET_COL, DAY_COL, BATCH_COL)
+        if c in sel.columns and c not in key_cols
+    ]
+    sel = sel.drop(*drop)
+    group_keys = key_cols or ["__g"]
+    src = sel if key_cols else sel.withColumn("__g", F.lit(0))
+    schema = T.StructType(
+        [src.schema[c] for c in group_keys]
+        + [
+            T.StructField("distinct_est", T.DoubleType()),
+            T.StructField("rse", T.DoubleType()),
+        ]
+    )
+
+    def fin(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for payload in pdf["payload"]:
+            cur = HyperLogLog.from_bytes(bytes(payload), p, seed)
+            acc = cur if acc is None else (acc.merge(cur) or acc)
+        row = {c: pdf[c].iloc[0] for c in group_keys}
+        row["distinct_est"] = float(acc.estimate())
+        row["rse"] = acc.relative_standard_error
+        return pd.DataFrame([row])
+
+    out = src.groupBy(*group_keys).applyInPandas(fin, schema=schema)
+    return out.drop("__g") if not key_cols else out
+
+
 def compact_rollup(rollup, granularity: str = "day"):
     """Re-roll existing cells into a coarser granularity by merging their
     sketch rows — no raw data is touched, so compacting a year of hourly
@@ -256,29 +428,12 @@ def rollup_quantiles(
     qs = [float(q) for q in qs]
     if q_names is None:
         q_names = [quantile_column_name(q) for q in qs]
-    sel = rollup
-    # The day bounds are PRUNING-ONLY (cell selection is always the exact
-    # bucket_ts predicate) and are widened by one day on each side: the
-    # stored day strings were derived in the WRITER session's timezone,
-    # while these bounds evaluate in the READER's — with a different
-    # session tz the same instant can fall on the neighboring calendar
-    # day (offsets are < 24 h), and a tight bound would silently drop
-    # edge cells. One spare day-partition read is noise; a dropped cell
-    # is a wrong quantile.
-    if start is not None:
-        sel = sel.filter(F.col(BUCKET_COL) >= F.lit(start).cast("timestamp"))
-        if DAY_COL in rollup.columns:
-            day_lo = F.date_format(
-                F.lit(start).cast("timestamp") - F.expr("INTERVAL 1 DAY"), "yyyy-MM-dd"
-            )
-            sel = sel.filter(F.col(DAY_COL) >= day_lo)
-    if end is not None:
-        sel = sel.filter(F.col(BUCKET_COL) < F.lit(end).cast("timestamp"))
-        if DAY_COL in rollup.columns:
-            day_hi = F.date_format(
-                F.lit(end).cast("timestamp") + F.expr("INTERVAL 1 DAY"), "yyyy-MM-dd"
-            )
-            sel = sel.filter(F.col(DAY_COL) <= day_hi)
+    # day bounds are PRUNING-ONLY and widened one day each side: the stored
+    # day strings carry the WRITER session's timezone, the bounds evaluate
+    # in the READER's — a tight bound could silently drop edge cells under
+    # a tz mismatch. One spare day-partition read is noise; a dropped cell
+    # is a wrong quantile. Exact selection stays on bucket_ts.
+    sel = _apply_time_filter(rollup, start, end)
     drop = [
         c
         for c in (BUCKET_COL, DAY_COL, BATCH_COL)

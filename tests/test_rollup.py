@@ -292,6 +292,45 @@ def test_stream_to_rollup_matches_batch_and_replay_idempotent(events, spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_hll_rollup_matches_direct_hll(events):
+    """HLL union over cells is register-exact, so the rollup answer equals
+    running HLL directly on the same rows — full range and windowed."""
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.approx import hll_distinct
+    from ddsparkle.spark.rollup import hll_rollup, rollup_distinct
+
+    roll = hll_rollup(events, "user_id", time_col="ts", granularity="day",
+                      by="event_type", p=12, seed=0)
+    got = _pdf(rollup_distinct(roll, by="event_type", p=12, seed=0))
+    want = _pdf(hll_distinct(events, "user_id", by="event_type", p=12, seed=0))
+    assert got.equals(want), (got, want)
+
+    lo, hi = "2024-01-05 00:00:00", "2024-01-15 00:00:00"
+    got_w = _pdf(rollup_distinct(roll, by="event_type", start=lo, end=hi, p=12, seed=0))
+    want_w = _pdf(hll_distinct(
+        events.filter((F.col("ts") >= lo) & (F.col("ts") < hi)),
+        "user_id", by="event_type", p=12, seed=0,
+    ))
+    assert got_w.equals(want_w)
+
+
+def test_hll_rollup_write_read_global(events, spark):
+    from ddsparkle.spark.approx import hll_distinct
+    from ddsparkle.spark.rollup import hll_rollup, rollup_distinct
+
+    tmp = tempfile.mkdtemp(prefix="rollup-hll-")
+    try:
+        roll = hll_rollup(events, "user_id", time_col="ts", granularity="hour", p=12)
+        write_rollup(roll, f"{tmp}/t")
+        back = read_rollup(spark, f"{tmp}/t")
+        got = _pdf(rollup_distinct(back, p=12))
+        want = _pdf(hll_distinct(events, "user_id", p=12))
+        assert got.equals(want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_rollup_day_partition_pruning(events, spark):
     """The time-range filter must reach the parquet source as a partition
     filter on `day` — file-level pruning, the property that makes querying a
