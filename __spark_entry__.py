@@ -950,6 +950,41 @@ def q_rollup_hll_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_rollup_window_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed SLO-attainment from persisted cells: the share of the
+    10-day window's events at or below each probe value, per event type,
+    answered by merging rollup cells (no raw re-scan) — hash-exact vs the
+    DuckDB CDF twin over the raw rows of the window (count ratios are
+    integral, merge is exact on the rank axis too)."""
+    import shutil
+    import tempfile
+
+    from ddsparkle.spark.rollup import build_rollup, read_rollup, rollup_cdf, write_rollup
+
+    df = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="ddsparkle-cdfroll-")
+    try:
+        roll = build_rollup(
+            df, "value", time_col="ts", granularity="hour",
+            by="event_type", config=_cfg(),
+        )
+        write_rollup(roll, f"{tmp}/t")
+        back = read_rollup(spark, f"{tmp}/t")
+        res = rollup_cdf(
+            back, [50.0, 500.0], by="event_type",
+            start="2024-01-05 00:00:00", end="2024-01-15 00:00:00",
+        )
+        out = res.select(
+            "event_type",
+            *[F.round(c, 4).alias(c) for c in ("cdf_50", "cdf_500")],
+            "count",
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp files
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_doc_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order/partitioning-independent bottom-k-by-digest sample (stable
     eval-split primitive): the 50 documents with the smallest md5(seed|id),
@@ -1137,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_events_cdf_weighted": q_events_cdf_weighted,
         "streaming_rollup_quantiles": q_streaming_rollup_quantiles,
         "rollup_hll_window_distinct": q_rollup_hll_window_distinct,
+        "rollup_window_cdf": q_rollup_window_cdf,
     }
 
 
@@ -1557,6 +1593,14 @@ def oracle_sql() -> dict[str, str]:
             "AND ts < TIMESTAMP '2024-01-15 00:00:00')",
             "value",
             [0.5, 0.95, 0.99],
+            group_col="event_type",
+        ),
+        "rollup_window_cdf": ddsketch_cdf_sql(
+            "(SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' "
+            "AND ts < TIMESTAMP '2024-01-15 00:00:00')",
+            "value",
+            [50.0, 500.0],
+            ["cdf_50", "cdf_500"],
             group_col="event_type",
         ),
         "ddsketch_events_cdf_weighted": ddsketch_cdf_sql(

@@ -935,6 +935,21 @@ def cdf_at_values(
     # (singleton groups free), then a single mapInPandas finalize over the
     # merged rows — no per-group Python apply anywhere
     merged = merge_partials_to_sketch_rows(partials, key_cols)
+    return cdf_finalize_sketch_rows(merged, key_cols, xs, x_names)
+
+
+def cdf_finalize_sketch_rows(merged, key_cols, xs, x_names=None):
+    """CDF finalize over pre-merged sketch rows (one row per key): one
+    mapInPandas pass emitting [*key_cols, *x_names, count]. Shared by
+    ``cdf_at_values``' kernel mode and ``rollup.rollup_cdf`` (persisted
+    cells answering windowed SLO-attainment queries)."""
+    from pyspark.sql import types as T
+
+    key_cols = list(key_cols)
+    xs = [float(x) for x in xs]
+    if x_names is None:
+        x_names = [cdf_column_name(x) for x in xs]
+    x_names = list(x_names)
     key_fields = [merged.schema[c] for c in key_cols]
     schema = T.StructType(
         key_fields

@@ -53,6 +53,8 @@ __all__ = [
     "build_payload_rollup",
     "hll_rollup",
     "rollup_distinct",
+    "rollup_cdf",
+    "compact_payload_rollup",
 ]
 
 BUCKET_COL = "bucket_ts"
@@ -246,7 +248,6 @@ def build_payload_rollup(
     per-task payloads keyed by cell), the exchange carries one payload row
     per (task, cell), and cells merge via one pandas pass with singleton
     pass-through."""
-    import pandas as pd
     from pyspark.sql import functions as F
 
     from .approx import _build_payload_partials
@@ -261,7 +262,17 @@ def build_payload_rollup(
     )
     cell_keys = [BUCKET_COL, *key_cols]
     partials = _build_payload_partials(sel, value_col, cell_keys, make, update)
-    schema = partials.schema
+    return _merge_payload_cells(partials, cell_keys, from_payload)
+
+
+def _merge_payload_cells(src, cell_keys, from_payload):
+    """One merged payload row per cell: repartition by the cell key + one
+    mapInPandas pass with singleton pass-through (the payload twin of
+    ``agg.merge_partials_to_sketch_rows``); shared by the payload-rollup
+    build and compaction."""
+    import pandas as pd
+
+    schema = src.schema
     cols = list(schema.fieldNames())
 
     def fold(batches):
@@ -287,9 +298,7 @@ def build_payload_rollup(
             rows.append(row)
         yield pd.DataFrame(rows, columns=cols)
 
-    return partials.repartition(*[partials[c] for c in cell_keys]).mapInPandas(
-        fold, schema=schema
-    )
+    return src.repartition(*[src[c] for c in cell_keys]).mapInPandas(fold, schema=schema)
 
 
 def hll_rollup(
@@ -368,6 +377,54 @@ def rollup_distinct(
 
     out = src.groupBy(*group_keys).applyInPandas(fin, schema=schema)
     return out.drop("__g") if not key_cols else out
+
+
+def rollup_cdf(
+    rollup,
+    xs: Sequence[float],
+    by: Sequence[str] | str | None = None,
+    start=None,
+    end=None,
+    x_names=None,
+):
+    """Inverse quantiles over the pruned cells of ``[start, end)``: the
+    share of the window's values at or below each probe, per ``by`` group —
+    'what fraction of last week's requests beat the 250 ms SLO per service'
+    answered from the persisted rollup without touching raw data. Returns
+    [*by, *x_names, count] like ``agg.cdf_at_values``."""
+    from .agg import cdf_finalize_sketch_rows, merge_partials_to_sketch_rows
+
+    key_cols = [by] if isinstance(by, str) else list(by or [])
+    sel = _apply_time_filter(rollup, start, end)
+    drop = [
+        c
+        for c in (BUCKET_COL, DAY_COL, BATCH_COL)
+        if c in sel.columns and c not in key_cols
+    ]
+    sel = sel.drop(*drop)
+    merged = merge_partials_to_sketch_rows(sel, key_cols)
+    return cdf_finalize_sketch_rows(merged, key_cols, xs, x_names)
+
+
+def compact_payload_rollup(rollup, from_payload, granularity: str = "day"):
+    """Payload-cell analogue of ``compact_rollup``: re-roll e.g. hourly HLL
+    cells into daily ones by merging payloads — no raw data touched, and
+    register-exactness makes the compacted table answer identically."""
+    from pyspark.sql import functions as F
+
+    if granularity not in _GRANULARITIES:
+        raise ValueError(f"granularity {granularity!r}; one of {_GRANULARITIES}")
+    key_cols = [
+        c
+        for c in rollup.columns
+        if c not in ("payload", BUCKET_COL, DAY_COL, BATCH_COL)
+    ]
+    src = rollup.select(
+        F.date_trunc(granularity, F.col(BUCKET_COL)).alias(BUCKET_COL),
+        *key_cols,
+        "payload",
+    )
+    return _merge_payload_cells(src, [BUCKET_COL, *key_cols], from_payload)
 
 
 def compact_rollup(rollup, granularity: str = "day"):

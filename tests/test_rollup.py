@@ -331,6 +331,55 @@ def test_hll_rollup_write_read_global(events, spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_rollup_cdf_matches_direct(events):
+    """Windowed SLO-attainment over persisted cells == cdf_at_values over
+    the raw rows of the window (merge exactness on the rank axis too)."""
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.agg import cdf_at_values
+    from ddsparkle.spark.rollup import rollup_cdf
+
+    cfg = _sql_cfg()
+    lo, hi = "2024-01-05 00:00:00", "2024-01-15 00:00:00"
+    roll = build_rollup(events, "value", time_col="ts", granularity="hour",
+                        by="event_type", config=cfg)
+    got = _pdf(rollup_cdf(roll, [50.0, 500.0], by="event_type", start=lo, end=hi))
+    want = _pdf(cdf_at_values(
+        events.filter((F.col("ts") >= lo) & (F.col("ts") < hi)),
+        "value", [50.0, 500.0], by="event_type", config=cfg,
+    ))
+    assert got.equals(want), (got, want)
+    # global form too
+    gg = _pdf(rollup_cdf(roll, [100.0], start=lo, end=hi))
+    gw = _pdf(cdf_at_values(
+        events.filter((F.col("ts") >= lo) & (F.col("ts") < hi)),
+        "value", [100.0], config=cfg,
+    ))
+    assert gg.equals(gw)
+
+
+def test_compact_payload_rollup_matches_direct_coarse(events):
+    from ddsparkle.sketches.hll import HyperLogLog
+
+    from ddsparkle.spark.rollup import (
+        compact_payload_rollup,
+        hll_rollup,
+        rollup_distinct,
+    )
+
+    hourly = hll_rollup(events, "user_id", time_col="ts", granularity="hour",
+                        by="event_type", p=12, seed=0)
+    compacted = compact_payload_rollup(
+        hourly, lambda b: HyperLogLog.from_bytes(b, 12, 0), "day"
+    )
+    direct = hll_rollup(events, "user_id", time_col="ts", granularity="day",
+                        by="event_type", p=12, seed=0)
+    a = _pdf(rollup_distinct(compacted, by="event_type", p=12, seed=0))
+    b = _pdf(rollup_distinct(direct, by="event_type", p=12, seed=0))
+    assert a.equals(b)
+    assert compacted.count() == direct.count()
+
+
 def test_rollup_day_partition_pruning(events, spark):
     """The time-range filter must reach the parquet source as a partition
     filter on `day` — file-level pruning, the property that makes querying a
