@@ -22,9 +22,14 @@ from .agg import (
     quantiles_multi,
 )
 from .rollup import (
+    build_payload_rollup,
     build_rollup,
+    compact_payload_rollup,
     compact_rollup,
+    hll_rollup,
     read_rollup,
+    rollup_cdf,
+    rollup_distinct,
     rollup_quantiles,
     stream_to_rollup,
     write_rollup,
@@ -42,7 +47,12 @@ __all__ = [
     "write_rollup",
     "read_rollup",
     "rollup_quantiles",
+    "rollup_cdf",
+    "rollup_distinct",
     "compact_rollup",
+    "compact_payload_rollup",
+    "build_payload_rollup",
+    "hll_rollup",
     "stream_to_rollup",
     "get_spark",
 ]
