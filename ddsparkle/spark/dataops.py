@@ -660,18 +660,33 @@ def ann_ivf_topk(
     )
 
 
-def connected_components(edges, nodes, id_col: str = "doc_id", max_iter: int = 50):
+def connected_components(
+    edges,
+    nodes,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+    local_threshold: int = 100_000,
+):
     """Connected components by min-label propagation over an undirected edge
     list [id_a, id_b]. Returns [id_col, component] for EVERY node (isolated
     nodes are their own component); component = min node id reachable.
 
-    Scale notes: each round is one shuffle join (neighbor labels) + one
-    aggregation; rounds needed = graph diameter. Duplicate clusters are
-    near-cliques (diameter 1-3), so propagation converges in 2-4 rounds —
-    cheaper than large-star/small-star, which only wins on long-chain
-    graphs. Labels only decrease, so the per-round convergence check is one
-    SUM aggregate (equal sum <=> fixpoint), not a row-level diff join. Each
-    round materializes (persist + count) to keep task counts flat.
+    Small graphs take a driver-local union-find fast path: the edge list is
+    materialized anyway (it feeds every round), and when it has at most
+    ``local_threshold`` rows the whole component search is O(edges) on the
+    driver plus ONE broadcast join back onto the nodes — versus ~4 Spark
+    jobs per propagation round. Near-dup edge sets are a tiny fraction of
+    the corpus (only verified duplicate pairs), so this path covers most
+    real runs; ``local_threshold=0`` forces the distributed loop.
+
+    Scale notes (distributed path): each round is one shuffle join
+    (neighbor labels) + one aggregation; rounds needed = graph diameter.
+    Duplicate clusters are near-cliques (diameter 1-3), so propagation
+    converges in 2-4 rounds — cheaper than large-star/small-star, which
+    only wins on long-chain graphs. Labels only decrease, so the per-round
+    convergence check is one SUM aggregate (equal sum <=> fixpoint), not a
+    row-level diff join. Each round materializes (persist + count) to keep
+    task counts flat.
 
     ``nodes[id_col]`` must be unique (duplicate node rows would emit
     duplicate component rows). Raises RuntimeError if the fixpoint is not
@@ -688,7 +703,52 @@ def connected_components(edges, nodes, id_col: str = "doc_id", max_iter: int = 5
     # upstream it may be a whole LSH+verify pipeline (recomputing that per
     # round would dominate the component search)
     sym = sym.persist()
-    sym.count()
+    n_edges = sym.count()
+    if n_edges <= local_threshold:
+        # driver-local union-find over the edge endpoints; nodes touching no
+        # edge keep their own id via the left join's coalesce
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in sym.collect():  # bounded by local_threshold rows
+            a, b = r["src"], r["dst"]
+            for v in (a, b):
+                if v not in parent:
+                    parent[v] = v
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the root IS the component label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        mapping = [(x, find(x)) for x in parent]
+        sym.unpersist()
+        spark = nodes.sparkSession
+        id_field = nodes.schema[id_col]
+        from pyspark.sql import types as T
+
+        map_schema = T.StructType(
+            [
+                T.StructField("id", id_field.dataType),
+                T.StructField("__comp", id_field.dataType),
+            ]
+        )
+        map_df = spark.createDataFrame(mapping, map_schema)
+        out = (
+            nodes.select(F.col(id_col).alias("id"))
+            .join(F.broadcast(map_df), "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                F.coalesce("__comp", F.col("id")).alias("component"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
     cached = labels = labels.persist()
     converged = False

@@ -70,12 +70,16 @@ def curate(
     # 0. (optional) benchmark decontamination FIRST — contaminated docs
     # must not survive as dedup representatives of clean ones
     n_decontam = n_input
+    decontam_cached = None
     if decontaminate_against is not None:
         clean_ids = cross_corpus_contamination(
             df, decontaminate_against, text_col, id_col,
             shingle_n=decontam_shingle_n, join_on_hash=True,
         ).filter(~F.col("contaminated")).select(id_col)
-        df = df.join(clean_ids, id_col)
+        # cache the decontaminated corpus: it feeds THREE evaluations below
+        # (the stage count, the dedup-reps aggregation, and the survivor
+        # join) — without the cache each re-runs the shingle join
+        df = decontam_cached = df.join(clean_ids, id_col).persist()
         n_decontam = df.count()
 
     # 1. exact dedup (cheapest first: shrinks everything downstream);
@@ -84,6 +88,9 @@ def curate(
     reps = dedup_fn(df, text_col, id_col)  # [id_col, n_copies]
     exact_kept = df.join(reps.select(id_col), id_col).persist()
     n_exact = exact_kept.count()
+    if decontam_cached is not None:
+        # exact_kept's cache now shields downstream lineage
+        decontam_cached.unpersist()
 
     # 2. fuzzy dedup on the exact-deduped survivors
     clusters = near_dup_clusters(

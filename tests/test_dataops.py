@@ -195,11 +195,17 @@ def test_connected_components_and_fuzzy_clusters(spark, docs):
         pd.DataFrame({"id_a": [1, 2, 1, 10, 11, 12], "id_b": [2, 3, 3, 11, 12, 13]})
     )
     nodes = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 3, 10, 11, 12, 13, 99]}))
-    comp = {
-        r["doc_id"]: r["component"]
-        for r in connected_components(edges, nodes, "doc_id").collect()
-    }
-    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 99: 99}
+    # both code paths — driver-local union-find (default for small edge
+    # sets) and the distributed propagation loop (local_threshold=0) —
+    # must produce identical components
+    for thr in (100_000, 0):
+        comp = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(
+                edges, nodes, "doc_id", local_threshold=thr
+            ).collect()
+        }
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 99: 99}, thr
 
     # string ids: the convergence check must be id-type agnostic (a
     # SUM(label) probe would cast-crash or silently no-op on strings)
@@ -207,11 +213,14 @@ def test_connected_components_and_fuzzy_clusters(spark, docs):
         pd.DataFrame({"id_a": ["a", "b", "c"], "id_b": ["b", "c", "d"]})
     )
     s_nodes = spark.createDataFrame(pd.DataFrame({"doc_id": ["a", "b", "c", "d", "z"]}))
-    s_comp = {
-        r["doc_id"]: r["component"]
-        for r in connected_components(s_edges, s_nodes, "doc_id").collect()
-    }
-    assert s_comp == {"a": "a", "b": "a", "c": "a", "d": "a", "z": "z"}
+    for thr in (100_000, 0):
+        s_comp = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(
+                s_edges, s_nodes, "doc_id", local_threshold=thr
+            ).collect()
+        }
+        assert s_comp == {"a": "a", "b": "a", "c": "a", "d": "a", "z": "z"}, thr
 
     df, near_pairs = docs
     out = near_dup_clusters(df, jaccard_threshold=0.5).toPandas()
