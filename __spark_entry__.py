@@ -379,10 +379,13 @@ def q_doc_dedup_fuzzy_representatives(spark: SparkSession, sf_dir: str) -> DataF
     # max_bucket_size=None: the oracle computes the UNCAPPED all-pairs
     # Jaccard graph, so the skew guard (on by default for the operator)
     # must be disabled here or a >cap degenerate bucket would diverge the
-    # pair sets
+    # pair sets. cc_local_threshold=0 pins the DISTRIBUTED propagation loop
+    # (the at-scale code path) under the oracle gate; the driver-local
+    # union-find leg gets its oracle coverage from doc_curation_pipeline,
+    # which uses the default routing.
     return near_dup_clusters(
         df, num_perm=32, bands=32, shingle_n=3, jaccard_threshold=0.7,
-        max_bucket_size=None,
+        max_bucket_size=None, cc_local_threshold=0,
     ).select("doc_id", "rep_id", "keep")
 
 

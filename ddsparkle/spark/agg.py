@@ -914,7 +914,7 @@ def cdf_at_values(
         x_names = [cdf_column_name(x) for x in xs]
     x_names = list(x_names)
     if len(set(x_names)) != len(x_names):
-        raise ValueError(f"duplicate cdf column names: {x_names}")
+        raise ValueError(f"duplicate cdf column names: {x_names}")  # sql mode; kernel re-checks
     if mode not in ("auto", "kernel", "sql"):
         raise ValueError(f"unknown mode {mode!r}; one of auto|kernel|sql")
     if mode == "auto":
@@ -950,6 +950,8 @@ def cdf_finalize_sketch_rows(merged, key_cols, xs, x_names=None):
     if x_names is None:
         x_names = [cdf_column_name(x) for x in xs]
     x_names = list(x_names)
+    if len(set(x_names)) != len(x_names):
+        raise ValueError(f"duplicate cdf column names: {x_names}")
     key_fields = [merged.schema[c] for c in key_cols]
     schema = T.StructType(
         key_fields

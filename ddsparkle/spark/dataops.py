@@ -660,6 +660,71 @@ def ann_ivf_topk(
     )
 
 
+def _local_components(sym, nodes, id_col: str):
+    """Driver-local union-find leg of ``connected_components``: collect the
+    (small, persisted) symmetrized edge list, restrict it to edges whose
+    endpoints are BOTH real nodes (matching the distributed loop, whose
+    label join silently ignores edges referencing absent or NULL ids), run
+    an O(edges) union-by-min-root, and broadcast-join the labels back."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark = nodes.sparkSession
+    id_field = nodes.schema[id_col]
+    rows = sym.collect()  # bounded by the caller's threshold
+    endpoints = {v for r in rows for v in (r["src"], r["dst"]) if v is not None}
+    ep_schema = T.StructType([T.StructField("id", id_field.dataType)])
+    node_eps = set()
+    if endpoints:
+        ep_df = spark.createDataFrame([(v,) for v in endpoints], ep_schema)
+        node_eps = {
+            r["id"]
+            for r in nodes.select(F.col(id_col).alias("id"))
+            .join(F.broadcast(ep_df), "id")
+            .collect()
+        }
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r["src"], r["dst"]
+        if a not in node_eps or b not in node_eps:
+            continue
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the root IS the component label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    mapping = [(x, find(x)) for x in parent]
+    sym.unpersist()
+    map_schema = T.StructType(
+        [
+            T.StructField("id", id_field.dataType),
+            T.StructField("__comp", id_field.dataType),
+        ]
+    )
+    map_df = spark.createDataFrame(mapping, map_schema)
+    out = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(F.broadcast(map_df), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("__comp", F.col("id")).alias("component"),
+        )
+    )
+    return out.localCheckpoint(eager=True)
+
+
 def connected_components(
     edges,
     nodes,
@@ -673,11 +738,15 @@ def connected_components(
 
     Small graphs take a driver-local union-find fast path: the edge list is
     materialized anyway (it feeds every round), and when it has at most
-    ``local_threshold`` rows the whole component search is O(edges) on the
-    driver plus ONE broadcast join back onto the nodes — versus ~4 Spark
-    jobs per propagation round. Near-dup edge sets are a tiny fraction of
-    the corpus (only verified duplicate pairs), so this path covers most
-    real runs; ``local_threshold=0`` forces the distributed loop.
+    ``local_threshold`` input pairs the whole component search is O(edges)
+    on the driver plus ONE broadcast join back onto the nodes — versus ~4
+    Spark jobs per propagation round. Near-dup edge sets are a tiny
+    fraction of the corpus (only verified duplicate pairs), so this path
+    covers most real runs; ``local_threshold=0`` forces the distributed
+    loop. Both paths ignore edges with a NULL endpoint or an endpoint
+    absent from ``nodes`` (equality to the label set never matches them in
+    the distributed join; the local leg filters them explicitly) and are
+    tested identical.
 
     Scale notes (distributed path): each round is one shuffle join
     (neighbor labels) + one aggregation; rounds needed = graph diameter.
@@ -703,52 +772,9 @@ def connected_components(
     # upstream it may be a whole LSH+verify pipeline (recomputing that per
     # round would dominate the component search)
     sym = sym.persist()
-    n_edges = sym.count()
-    if n_edges <= local_threshold:
-        # driver-local union-find over the edge endpoints; nodes touching no
-        # edge keep their own id via the left join's coalesce
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
-        for r in sym.collect():  # bounded by local_threshold rows
-            a, b = r["src"], r["dst"]
-            for v in (a, b):
-                if v not in parent:
-                    parent[v] = v
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union by MIN id so the root IS the component label
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        mapping = [(x, find(x)) for x in parent]
-        sym.unpersist()
-        spark = nodes.sparkSession
-        id_field = nodes.schema[id_col]
-        from pyspark.sql import types as T
-
-        map_schema = T.StructType(
-            [
-                T.StructField("id", id_field.dataType),
-                T.StructField("__comp", id_field.dataType),
-            ]
-        )
-        map_df = spark.createDataFrame(mapping, map_schema)
-        out = (
-            nodes.select(F.col(id_col).alias("id"))
-            .join(F.broadcast(map_df), "id", "left")
-            .select(
-                F.col("id").alias(id_col),
-                F.coalesce("__comp", F.col("id")).alias("component"),
-            )
-        )
-        return out.localCheckpoint(eager=True)
+    n_edges = sym.count()  # symmetrized: 2x the input pairs
+    if n_edges <= 2 * local_threshold:
+        return _local_components(sym, nodes, id_col)
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
     cached = labels = labels.persist()
     converged = False
@@ -811,12 +837,14 @@ def near_dup_clusters(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
     max_bucket_size: Optional[int] = 1000,
+    cc_local_threshold: int = 100_000,
 ):
     """Fuzzy-duplicate cluster RESOLUTION (pairs are not a dedup decision):
     connected components over the verified ``near_duplicates`` graph, then
     keep/drop per document. Returns [id_col, rep_id, keep] for every doc:
     rep_id = min doc id of its near-dup cluster, keep = (doc == rep). The
-    fuzzy analogue of ``exact_dedup``'s representative selection."""
+    fuzzy analogue of ``exact_dedup``'s representative selection.
+    ``cc_local_threshold`` passes through to ``connected_components``."""
     from pyspark.sql import functions as F
 
     pairs = near_duplicates(
@@ -829,7 +857,9 @@ def near_dup_clusters(
         jaccard_threshold=jaccard_threshold,
         max_bucket_size=max_bucket_size,
     ).select("id_a", "id_b")
-    comp = connected_components(pairs, df.select(id_col), id_col)
+    comp = connected_components(
+        pairs, df.select(id_col), id_col, local_threshold=cc_local_threshold
+    )
     return comp.select(
         F.col(id_col),
         F.col("component").alias("rep_id"),

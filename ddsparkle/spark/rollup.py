@@ -341,11 +341,10 @@ def rollup_distinct(
     optionally re-grouped by ``by``. Returns [*by, distinct_est, rse].
     Register-wise union makes the result independent of how the range was
     cut into cells (hourly vs daily vs appended batches)."""
-    import pandas as pd
-    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     from ..sketches.hll import HyperLogLog
+    from .approx import _merge_finalize
 
     key_cols = [by] if isinstance(by, str) else list(by or [])
     sel = _apply_time_filter(rollup, start, end)
@@ -355,28 +354,21 @@ def rollup_distinct(
         if c in sel.columns and c not in key_cols
     ]
     sel = sel.drop(*drop)
-    group_keys = key_cols or ["__g"]
-    src = sel if key_cols else sel.withColumn("__g", F.lit(0))
-    schema = T.StructType(
-        [src.schema[c] for c in group_keys]
-        + [
-            T.StructField("distinct_est", T.DoubleType()),
-            T.StructField("rse", T.DoubleType()),
-        ]
+    out_fields = [
+        T.StructField("distinct_est", T.DoubleType()),
+        T.StructField("rse", T.DoubleType()),
+    ]
+
+    def finalize(sk):
+        return {
+            "distinct_est": float(sk.estimate()),
+            "rse": sk.relative_standard_error,
+        }
+
+    return _merge_finalize(
+        sel, key_cols, out_fields,
+        lambda b: HyperLogLog.from_bytes(b, p, seed), finalize,
     )
-
-    def fin(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = None
-        for payload in pdf["payload"]:
-            cur = HyperLogLog.from_bytes(bytes(payload), p, seed)
-            acc = cur if acc is None else (acc.merge(cur) or acc)
-        row = {c: pdf[c].iloc[0] for c in group_keys}
-        row["distinct_est"] = float(acc.estimate())
-        row["rse"] = acc.relative_standard_error
-        return pd.DataFrame([row])
-
-    out = src.groupBy(*group_keys).applyInPandas(fin, schema=schema)
-    return out.drop("__g") if not key_cols else out
 
 
 def rollup_cdf(

@@ -207,6 +207,23 @@ def test_connected_components_and_fuzzy_clusters(spark, docs):
         }
         assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 99: 99}, thr
 
+    # edges with NULL endpoints or endpoints absent from `nodes` are
+    # ignored by BOTH paths (the distributed label join never matches
+    # them; the local leg filters explicitly) — here 2 is not a node, so
+    # 1-2-3 must NOT connect through it, and the NULL edge is inert
+    d_edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1.0, 2.0, None], "id_b": [2.0, 3.0, 3.0]})
+    ).selectExpr("CAST(id_a AS BIGINT) id_a", "CAST(id_b AS BIGINT) id_b")
+    d_nodes = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 3]}))
+    for thr in (100_000, 0):
+        d_comp = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(
+                d_edges, d_nodes, "doc_id", local_threshold=thr
+            ).collect()
+        }
+        assert d_comp == {1: 1, 3: 3}, (thr, d_comp)
+
     # string ids: the convergence check must be id-type agnostic (a
     # SUM(label) probe would cast-crash or silently no-op on strings)
     s_edges = spark.createDataFrame(
