@@ -988,6 +988,26 @@ def q_rollup_window_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_reservoir_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reservoir-sampling conservation gate: with capacity m >= n the
+    per-task reservoirs + hypergeometric tree merge must return EXACTLY the
+    population multiset (no element lost or duplicated by the payload serde
+    or any merge fold), so every 500th order statistic — and the total
+    count — is bit-exact against SQL ROW_NUMBER over the raw values. This
+    pins the plumbing deterministically; distributional correctness of the
+    m < n case is covered by the hypergeometric unit tests."""
+    import numpy as np
+
+    from ddsparkle.spark.approx import reservoir_sample
+
+    df = _t(spark, sf_dir, "events")
+    rs = reservoir_sample(df, "value", m=200_000, seed=0)
+    vals = np.sort(rs.items)
+    n = float(vals.size)
+    rows = [(float(r), float(vals[r]), n) for r in range(0, vals.size, 500)]
+    return spark.createDataFrame(rows, "r double, value double, n double")
+
+
 def q_doc_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order/partitioning-independent bottom-k-by-digest sample (stable
     eval-split primitive): the 50 documents with the smallest md5(seed|id),
@@ -1176,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_rollup_quantiles": q_streaming_rollup_quantiles,
         "rollup_hll_window_distinct": q_rollup_hll_window_distinct,
         "rollup_window_cdf": q_rollup_window_cdf,
+        "reservoir_exhaustive": q_reservoir_exhaustive,
     }
 
 
@@ -1597,6 +1618,13 @@ def oracle_sql() -> dict[str, str]:
             "value",
             [0.5, 0.95, 0.99],
             group_col="event_type",
+        ),
+        "reservoir_exhaustive": (
+            "WITH s AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) - 1 AS r "
+            "FROM events WHERE value IS NOT NULL) "
+            "SELECT CAST(r AS DOUBLE) AS r, value, "
+            "CAST((SELECT COUNT(value) FROM events) AS DOUBLE) AS n "
+            "FROM s WHERE r % 500 = 0"
         ),
         "rollup_window_cdf": ddsketch_cdf_sql(
             "(SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' "
