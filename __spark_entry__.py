@@ -898,7 +898,11 @@ def q_streaming_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             by="event_type", config=_cfg(), checkpoint=f"{tmp}/ck",
             trigger={"availableNow": True},
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # reading a half-written rollup (and rmtree-ing under a live
+            # stream) would surface as a confusing hash mismatch — fail loud
+            q.stop()
+            raise RuntimeError("rollup stream did not drain within 300 s")
         back = read_rollup(spark, f"{tmp}/t")
         res = rollup_quantiles(
             back, (0.5, 0.95, 0.99), by="event_type",

@@ -232,25 +232,126 @@ def lsh_bucket_stats(exploded, band_col: str = "band", bucket_col: str = "bucket
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(df, text_col: str = "text", id_col: str = "doc_id", by_hash: bool = False):
-    """Keep one representative (min id) per exact text.
+def exact_dedup(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by_hash: bool = False,
+    strategy: str = "auto",
+    broadcast_limit: int = 8_000_000,
+):
+    """Keep one representative (min id) per exact text: [id_col, n_copies].
 
-    Default groups by the text itself — truly exact (Catalyst's map-side
-    partial aggregation still reduces each task to one row per distinct
-    text before the shuffle). ``by_hash=True`` groups by xxhash64(text)
-    instead: shuffles 8-byte keys rather than documents, at the cost of a
-    ~n^2/2^65 chance of silently merging two distinct documents — at 10^12
-    docs that is tens of thousands of expected collisions, so the hash mode
-    is a pre-filter, not an exact answer.
+    Default is the lossless hash-first plan — full documents never shuffle:
+
+    1. ``groupBy(xxhash64(text), length(text))`` → per-group (min id,
+       count). Shuffle rows are 16-byte keys + id + count; map-side combine
+       collapses duplicates before the wire. Groups with count == 1 are
+       DONE (a single row cannot collide with itself) — in a mostly-unique
+       corpus that resolves almost every document with key-only shuffles.
+    2. Only rows whose (hash, length) group has count > 1 — the duplicate
+       candidates plus ~n^2/2^80 hash-collision groups — go through an
+       exact ``groupBy(hash, length, text)`` verify. Map-side partial
+       aggregation sends one copy per distinct text per task, and a real
+       collision simply yields two output rows, so the answer is exact with
+       zero collision risk.
+
+    The phase-2 candidate filter never shuffles the probe side:
+    ``strategy='broadcast'`` broadcast-semi-joins the multi-group keys
+    (exact); ``strategy='bloom'`` broadcasts a Bloom filter over the group
+    hashes and probes it with an Arrow-batched UDF on the 8-byte hash
+    column only (false positives are unique texts that fall through to
+    phase 2 and come back out as singletons — still exact; phase-1
+    singleton rows that probe positive are dropped in favor of their
+    phase-2 twin, so nothing double-reports). ``strategy='auto'`` counts
+    the multi groups (one key-only decision job) and picks broadcast up to
+    ``broadcast_limit`` keys, bloom above.
+
+    ``by_hash=True`` is the old single-pass prefilter: groups by
+    xxhash64(text) alone and ACCEPTS ~n^2/2^65 silent merges — at 10^12
+    docs that is tens of thousands of expected collisions, so it is a
+    pre-filter, not an exact answer.
     """
     from pyspark.sql import functions as F
 
-    key = F.xxhash64(F.col(text_col)).alias("__th") if by_hash else F.col(text_col).alias("__t")
-    return (
-        df.groupBy(key)
-        .agg(F.min(id_col).alias(id_col), F.count("*").cast("double").alias("n_copies"))
-        .drop("__th", "__t")
+    if by_hash:
+        return (
+            df.groupBy(F.xxhash64(F.col(text_col)).alias("__th"))
+            .agg(
+                F.min(id_col).alias(id_col),
+                F.count("*").cast("double").alias("n_copies"),
+            )
+            .drop("__th")
+        )
+    if strategy not in ("auto", "broadcast", "bloom"):
+        raise ValueError(f"unknown strategy {strategy!r}; one of auto|broadcast|bloom")
+    keyed = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.xxhash64(F.col(text_col)).alias("__h"),
+        F.length(F.col(text_col)).alias("__l"),
     )
+    groups = keyed.groupBy("__h", "__l").agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("__n")
+    )
+    singles = groups.filter(F.col("__n") == 1)
+    multi_keys = groups.filter(F.col("__n") > 1).select("__h", "__l")
+
+    if strategy != "broadcast":
+        # decision/sizing job: one scan + 16-byte-key shuffle, no text
+        n_multi = multi_keys.count()
+        if strategy == "auto":
+            strategy = "broadcast" if n_multi <= broadcast_limit else "bloom"
+
+    if strategy == "broadcast":
+        cand = keyed.join(F.broadcast(multi_keys), ["__h", "__l"], "semi")
+    else:
+        member = _bloom_member_udf(multi_keys, "__h", max(n_multi, 1))
+        cand = keyed.filter(member(F.col("__h")))
+        # bloom false positives resolve (correctly, as singletons) in
+        # phase 2 — drop their phase-1 row so nothing double-reports
+        singles = singles.filter(~member(F.col("__h")))
+
+    resolved = cand.groupBy("__h", "__l", F.col(text_col)).agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("__n")
+    )
+    out = lambda d: d.select(  # noqa: E731
+        F.col(id_col), F.col("__n").cast("double").alias("n_copies")
+    )
+    return out(singles).unionByName(out(resolved))
+
+
+def _bloom_member_udf(build_df, col: str, n_keys: int, k: int = 7, seed: int = 0):
+    """Broadcast-Bloom membership probe as an Arrow-batched scalar UDF over
+    a single int64 column — the shuffle-free semi-join prefilter for
+    ``exact_dedup``'s bloom strategy. Sized at ~16 bits/key (fp ~0.2%);
+    capped at 1 GiB of broadcast bits — beyond ~5e8 keys a single broadcast
+    filter stops being the right tool and the cap just bounds fp growth
+    (false positives only cost phase-2 work, never correctness)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..sketches import BloomFilter
+    from .approx import _build_payload_partials, _reduce_payloads
+
+    n_bits = 1 << min(33, max(16, int(np.ceil(np.log2(16 * n_keys)))))
+    partials = _build_payload_partials(
+        build_df,
+        col,
+        [],
+        make=lambda: BloomFilter(n_bits=n_bits, k=k, seed=seed),
+        update=lambda sk, v: sk.update(v),
+    )
+    merged = _reduce_payloads(
+        partials, lambda b: BloomFilter.from_bytes(b, n_bits, k, seed)
+    ) or BloomFilter(n_bits=n_bits, k=k, seed=seed)
+    bc = build_df.sparkSession.sparkContext.broadcast(merged.to_bytes())
+
+    @pandas_udf("boolean")
+    def member(vals: pd.Series) -> pd.Series:
+        bloom = BloomFilter.from_bytes(bc.value, n_bits, k, seed)
+        return pd.Series(bloom.contains(vals))
+
+    return member
 
 
 # ---------------------------------------------------------------------------
@@ -748,14 +849,20 @@ def connected_components(
     the distributed join; the local leg filters them explicitly) and are
     tested identical.
 
-    Scale notes (distributed path): each round is one shuffle join
-    (neighbor labels) + one aggregation; rounds needed = graph diameter.
-    Duplicate clusters are near-cliques (diameter 1-3), so propagation
-    converges in 2-4 rounds — cheaper than large-star/small-star, which
-    only wins on long-chain graphs. Labels only decrease, so the per-round
-    convergence check is one SUM aggregate (equal sum <=> fixpoint), not a
-    row-level diff join. Each round materializes (persist + count) to keep
-    task counts flat.
+    Scale notes (distributed path): the propagation loop runs ONLY over
+    edge-touching nodes (``nodes`` semi-joined against the edge endpoints)
+    — a node with no edges can never change label, and in a dedup graph
+    the overwhelming majority of documents have no edges, so shuffling the
+    full corpus's labels every round (as a loop over ``nodes`` would)
+    costs diameter x corpus for work proportional to the ~1% of nodes the
+    graph touches. Edge-free nodes are emitted as their own singleton
+    component by one anti-join after the loop. Each round is then one
+    shuffle join (neighbor labels) + one aggregation over the edge-node
+    frame; rounds needed = graph diameter. Duplicate clusters are
+    near-cliques (diameter 1-3), so propagation converges in 2-4 rounds —
+    cheaper than large-star/small-star, which only wins on long-chain
+    graphs. Each round materializes (persist + count) to keep task counts
+    flat.
 
     ``nodes[id_col]`` must be unique (duplicate node rows would emit
     duplicate component rows). Raises RuntimeError if the fixpoint is not
@@ -773,9 +880,19 @@ def connected_components(
     # round would dominate the component search)
     sym = sym.persist()
     n_edges = sym.count()  # symmetrized: 2x the input pairs
-    if n_edges <= 2 * local_threshold:
+    # local_threshold=0 must force the distributed loop even on an empty
+    # edge list (the oracle gates rely on that pin), hence the > 0 guard
+    if local_threshold > 0 and n_edges <= 2 * local_threshold:
         return _local_components(sym, nodes, id_col)
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+    node_ids = nodes.select(F.col(id_col).alias("id"))
+    # the loop operates ONLY on edge-touching nodes: sym is symmetrized so
+    # its src column covers every endpoint; the semi-join keeps just the
+    # valid (present-in-nodes) ones, which also preserves the "ignore
+    # edges with endpoints outside nodes" contract
+    edge_ids = sym.select(F.col("src").alias("id")).distinct().persist()
+    labels = node_ids.join(edge_ids, "id", "semi").select(
+        "id", F.col("id").alias("component")
+    )
     cached = labels = labels.persist()
     converged = False
     for _ in range(max_iter):
@@ -813,17 +930,28 @@ def connected_components(
         # returning intermediate labels would silently split components on
         # long-chain graphs (propagation advances one hop per round)
         cached.unpersist()
+        edge_ids.unpersist()
         sym.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in max_iter={max_iter} "
             "rounds; the graph diameter exceeds it — raise max_iter (or use "
             "a star-contraction variant for long-chain graphs)"
         )
+    # edge-free nodes never entered the loop; each is its own component —
+    # one cheap anti-join instead of diameter x corpus label shuffles
+    singletons = node_ids.join(edge_ids, "id", "left_anti").select(
+        "id", F.col("id").alias("component")
+    )
     # detach the result from the loop's cache: localCheckpoint materializes
     # the final labels, after which the per-round persisted frames can be
     # released instead of living until session end
-    out = labels.withColumnRenamed("id", id_col).localCheckpoint(eager=True)
+    out = (
+        labels.unionByName(singletons)
+        .withColumnRenamed("id", id_col)
+        .localCheckpoint(eager=True)
+    )
     cached.unpersist()
+    edge_ids.unpersist()
     sym.unpersist()
     return out
 

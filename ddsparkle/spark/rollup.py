@@ -86,6 +86,12 @@ def build_rollup(
     interpolated mappings and exact-stats configs). Both emit the same
     mergeable sketch-row layout; outputs interoperate.
 
+    NaN caveat (same as ``cdf_at_values`` / ``ddsketch_spark_sql``): under
+    ``mode='sql'`` NaN values are bucketed by ``CAST(FLOOR(NaN) AS BIGINT)``
+    into the positive store, while ``mode='kernel'`` drops them — a silent
+    cross-mode count/quantile divergence. Filter NaNs upstream or pin
+    ``mode='kernel'`` if the value column can contain them.
+
     Output columns: [bucket_ts, *by, <sketch row fields>].
     """
     from pyspark.sql import functions as F
@@ -171,6 +177,13 @@ def stream_to_rollup(
     batch partitions transparently (the same multiple-rows-per-cell
     semantics as ``write_rollup(mode='append')``); run ``compact_rollup``
     periodically to fold them down.
+
+    Layout warning: this sink partitions by ``(ingest_batch, day)`` while
+    ``write_rollup`` partitions by ``(day)`` only — a rollup table must be
+    written exclusively by ONE writer shape. Pointing both writers at the
+    same path produces a mixed partition layout Spark cannot read; to move
+    a streamed table under batch ownership, ``compact_rollup`` it into a
+    fresh path first.
 
     Returns the started StreamingQuery. ``trigger`` kwargs pass through
     (e.g. ``{"availableNow": True}`` to drain a backlog and stop,

@@ -60,6 +60,50 @@ def test_exact_dedup(spark, docs):
     assert (out[out["n_copies"] == 2]["doc_id"] < 3).all()  # representative = min id
 
 
+def test_exact_dedup_strategies_identical(spark, docs):
+    """Both phase-2 prefilter strategies (broadcast semi-join, bloom probe)
+    and the auto route must produce identical exact answers; by_hash stays
+    the collision-accepting prefilter."""
+    df, _ = docs
+    base = (
+        exact_dedup(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for strat in ("broadcast", "bloom"):
+        got = (
+            exact_dedup(df, strategy=strat)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, base), strat
+    byh = exact_dedup(df, by_hash=True).toPandas()
+    assert len(byh) == 33 and byh["n_copies"].sum() == 36
+
+
+def test_exact_dedup_bloom_fp_no_double_report(spark):
+    """Force a tiny, saturated bloom (every probe a false positive): phase-1
+    singleton rows must defer to their phase-2 twin — one output row per
+    distinct text, exact counts."""
+    import ddsparkle.spark.dataops as dataops
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(8), "text": [f"unique doc {i}" for i in range(4)] * 2}
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pdf)
+    orig = dataops._bloom_member_udf
+    try:
+        # worst case: every probe returns True (fp rate 1.0)
+        dataops._bloom_member_udf = lambda b, c, n, **kw: (lambda col: F.lit(True))
+        out = dataops.exact_dedup(df, strategy="bloom").toPandas()
+    finally:
+        dataops._bloom_member_udf = orig
+    assert len(out) == 4
+    assert out["n_copies"].sum() == 8
+    assert set(out["doc_id"]) == {0, 1, 2, 3}
+
+
 def test_minhash_near_duplicates(spark, docs):
     df, near_pairs = docs
     found = near_duplicates(df, num_perm=64, bands=16, jaccard_threshold=0.5).toPandas()
