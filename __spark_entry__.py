@@ -319,6 +319,48 @@ def q_kll_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_bound_result(df, row, 0.02, [(0.5, "q50"), (0.95, "q95"), (0.99, "q99")])
 
 
+def q_ddsketch_events_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cubically-interpolated mapping (the reference's preset default,
+    ``DDSketches.java:75-78``) end-to-end at the driver: the non-SQL kernel
+    path builds the sketch, and each returned quantile must sit within the
+    configured relative accuracy of the exact order statistic at the same
+    rank convention the sketch uses (``rank = q*(n-1)``, element at
+    0-based ``floor(rank)`` — ``DDSketch.java:343-388``). Oracle: exact
+    count/min/max parts + TRUE bounds (the established bound-gate
+    pattern; the Cardano-inverse index math itself is pytest-swept)."""
+    import math
+
+    from pyspark.sql import Window
+
+    cfg = SketchConfig(
+        mapping_kind="cubic",
+        relative_accuracy=ALPHA,
+        store_policy="unbounded",
+        max_bins=0,
+        track_exact_stats=False,
+    )
+    df = _t(spark, sf_dir, "events")
+    qs = ((0.5, "q50"), (0.95, "q95"), (0.99, "q99"))
+    res = quantiles(df, "value", qs=tuple(q for q, _ in qs), config=cfg).collect()[0]
+    n = df.count()
+    targets = {name: int(math.floor(q * (n - 1))) + 1 for q, name in qs}
+    ranked = df.select("value", F.row_number().over(Window.orderBy("value")).alias("rn"))
+    by_rn = {
+        r["rn"]: float(r["value"])
+        for r in ranked.filter(F.col("rn").isin(list(targets.values()))).collect()
+    }
+    aggs = [
+        F.count("value").cast("double").alias("count"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    ]
+    for _, name in qs:
+        exact = by_rn[targets[name]]
+        ok = abs(float(res[name]) - exact) <= ALPHA * abs(exact) + 1e-9
+        aggs.append(F.lit(bool(ok)).alias(f"{name}_within_alpha"))
+    return df.agg(*aggs)
+
+
 def q_tdigest_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest rank-error gate, eps=0.01 (delta=200; observed max rank error
     0.0009 across partition layouts — 10x margin; tails are tighter than
@@ -1056,6 +1098,64 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analogue of media_image_features: documents' text bytes become
+    fake waveform payloads, flow through the real Arrow-batched decode ->
+    frame-split -> RMS mapInPandas path (multimodal.audio_features, fake
+    codec), and first/last-frame RMS + peak are hash-matched against a
+    DuckDB twin that replays the fake decoder ((byte-127.5)/127.5 cast to
+    FLOAT) and numpy's array_split chunk boundaries in SQL — only the
+    codec swap itself remains untested."""
+    from ddsparkle.spark.multimodal import audio_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("audio/fake").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    feats = audio_features(media, fake=True, n_frames=16)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("rms", 1), 4).alias("rms_first"),
+        F.round(F.element_at("rms", 16), 4).alias("rms_last"),
+        F.round("peak", 4).alias("peak"),
+    )
+
+
+def q_media_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video analogue: fake 4x4 clips (8 evenly-spaced fake frames whose
+    per-frame byte rotation is driven by duration_ms) through the real
+    decode -> frame-sample -> luminance/motion mapInPandas path
+    (multimodal.video_features). First/last frame mean luminance and the
+    inter-frame motion score are hash-matched against a DuckDB twin that
+    replays the rotation index arithmetic (np.roll + tiling) and the
+    per-pixel |frame diff| mean in SQL."""
+    from ddsparkle.spark.multimodal import video_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("video/fake").alias("mime"),
+        F.lit(4).alias("width"),
+        F.lit(4).alias("height"),
+        F.lit(977).alias("duration_ms"),
+    )
+    feats = video_features(media, fake=True, n_frames=8, resize_to=2)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("frame_lum", 1), 4).alias("lum_f0"),
+        F.round(F.element_at("frame_lum", 8), 4).alias("lum_f7"),
+        F.round("motion", 4).alias("motion"),
+    )
+
+
 def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE curation pipeline as one driver gate: decontaminate the
     corpus against the held-out src0 slice, exact-dedup, fuzzy-dedup
@@ -1169,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership_custkeys": q_bloom_membership_custkeys,
         "kll_quantiles_events": q_kll_quantiles_events,
         "tdigest_quantiles_events": q_tdigest_quantiles_events,
+        "ddsketch_events_cubic": q_ddsketch_events_cubic,
         "streaming_events_value": q_streaming_events_value,
         "doc_dedup_fuzzy_representatives": q_doc_dedup_fuzzy_representatives,
         "doc_language_id": q_doc_language_id,
@@ -1194,6 +1295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_timerange_quantiles": q_rollup_timerange_quantiles,
         "doc_deterministic_sample": q_doc_deterministic_sample,
         "media_image_features": q_media_image_features,
+        "media_audio_features": q_media_audio_features,
+        "media_video_motion": q_media_video_motion,
         "ddsketch_events_cdf": q_events_cdf,
         "ddsketch_events_cdf_by_type": q_events_cdf_by_type,
         "ddsketch_events_cdf_weighted": q_events_cdf_weighted,
@@ -1206,20 +1309,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _stopword_scores_parts() -> tuple[str, str, str]:
     """(scores select-list, best expr, CASE picks) of the DuckDB language
-    scorer, generated from the SAME stopword lists and tie-break order as
-    dataops.language_pred_expr so the twins can never drift apart — the ONE
-    definition shared by _language_id_sql and _curation_sql."""
-    from ddsparkle.spark.dataops import _STOPWORDS
+    scorer, generated from the SAME stopword/script tables and tie-break
+    order as dataops.language_pred_expr so the twins can never drift apart
+    — the ONE definition shared by _language_id_sql and _curation_sql.
+    Script scores replay the exact Spark arithmetic shape (int multiply →
+    double divide → floor); the only per-engine difference is regex escape
+    syntax (RE2 ``\\x{hhhh}`` here vs Java ``\\uhhhh`` in Catalyst)."""
+    from ddsparkle.spark.dataops import _SCRIPTS, _STOPWORDS
 
-    langs = list(_STOPWORDS)
-    scores = ", ".join(
-        "len(list_intersect(list_distinct(string_split(lower(text), ' ')), ["
-        + ", ".join(f"'{w}'" for w in words)
-        + f"])) AS {lang}"
-        for lang, words in _STOPWORDS.items()
-    )
-    best = "GREATEST(" + ", ".join(langs) + ")"
-    picks = " ".join(f"WHEN {l} = {best} THEN '{l}'" for l in langs)
+    parts, order = [], []
+    for lang, words in _STOPWORDS.items():
+        wl = ", ".join(f"'{w}'" for w in words)
+        parts.append(
+            "len(list_intersect(list_distinct(string_split(lower(text), ' ')), "
+            f"[{wl}])) AS s_{lang}"
+        )
+        order.append(lang)
+    for lang, (ranges, weight) in _SCRIPTS.items():
+        cls = "".join(f"\\x{{{lo}}}-\\x{{{hi}}}" for lo, hi in ranges)
+        cnt = f"length(regexp_replace(text, '[^{cls}]', '', 'g'))"
+        parts.append(
+            f"CAST(FLOOR(({cnt} * {20 * weight}) / GREATEST(length(text), 1)) "
+            f"AS BIGINT) AS s_{lang}"
+        )
+        order.append(lang)
+    scores = ", ".join(parts)
+    best = "GREATEST(" + ", ".join(f"s_{l}" for l in order) + ")"
+    picks = " ".join(f"WHEN s_{l} = {best} THEN '{l}'" for l in order)
     return scores, best, picks
 
 
@@ -1424,6 +1540,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(COUNT(value) AS DOUBLE) AS count, TRUE AS q50_rank_ok, "
             "TRUE AS q95_rank_ok, TRUE AS q99_rank_ok FROM events"
         ),
+        "ddsketch_events_cubic": (
+            "SELECT CAST(COUNT(value) AS DOUBLE) AS count, "
+            "ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value, "
+            "TRUE AS q50_within_alpha, TRUE AS q95_within_alpha, "
+            "TRUE AS q99_within_alpha FROM events"
+        ),
         # the streaming pipeline must land on the batch answer exactly
         "streaming_events_value": ddsketch_quantile_sql(
             "events", "value", [0.5, 0.95, 0.99]
@@ -1596,6 +1718,43 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(AVG(CAST(b2 AS DOUBLE)), 4) AS mean_b, "
             "ROUND(STDDEV_POP((b0 + b1 + b2) / 3.0), 4) AS std_lum "
             "FROM px GROUP BY 1"
+        ),
+        # fake waveform: v = float32((byte-127.5)/127.5); numpy array_split
+        # boundaries: first chunk = L//16 (+1 if L%16), last chunk = L//16
+        "media_audio_features": (
+            "WITH w AS (SELECT doc_id, length(text) AS L, g.i, "
+            "CAST((ord(substr(text, g.i, 1)) - 127.5) / 127.5 AS FLOAT) AS v "
+            "FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) g) "
+            "SELECT doc_id AS media_id, "
+            "ROUND(SQRT(AVG(CASE WHEN i <= (L // 16) + (CASE WHEN L % 16 > 0 THEN 1 ELSE 0 END) "
+            "THEN POW(v, 2) END)), 4) AS rms_first, "
+            "ROUND(COALESCE(SQRT(AVG(CASE WHEN (L // 16) > 0 AND i > L - (L // 16) "
+            "THEN POW(v, 2) END)), 0.0), 4) AS rms_last, "
+            "ROUND(MAX(ABS(CAST(v AS DOUBLE))), 4) AS peak "
+            "FROM w GROUP BY doc_id, L"
+        ),
+        # fake 4x4x8 clip: frame f = np.roll(tiled48, (-(f*step)) % L) with
+        # step = (977 % max(L-1,1)) + 1; idx arithmetic below replays the
+        # roll + tiling; motion = mean per-pixel |lum diff| between frames
+        "media_video_motion": (
+            "WITH lum AS (SELECT doc_id, f, p, "
+            "AVG(CAST(ord(substr(text, idx + 1, 1)) AS DOUBLE)) AS lum FROM ("
+            "SELECT d.doc_id, d.text, f.f, p.p, "
+            "(((((p.p * 3 + c.c) - ((length(d.text) - "
+            "(f.f * ((977 % GREATEST(length(d.text) - 1, 1)) + 1)) % length(d.text)"
+            ") % length(d.text))) % 48) + 48) % 48) % length(d.text) AS idx "
+            "FROM documents d, "
+            "(SELECT unnest(generate_series(0, 7)) AS f) f, "
+            "(SELECT unnest(generate_series(0, 15)) AS p) p, "
+            "(SELECT unnest(generate_series(0, 2)) AS c) c"
+            ") GROUP BY doc_id, f, p), "
+            "ld AS (SELECT doc_id, f, p, lum, "
+            "lag(lum) OVER (PARTITION BY doc_id, p ORDER BY f) AS prev FROM lum) "
+            "SELECT doc_id AS media_id, "
+            "ROUND(AVG(CASE WHEN f = 0 THEN lum END), 4) AS lum_f0, "
+            "ROUND(AVG(CASE WHEN f = 7 THEN lum END), 4) AS lum_f7, "
+            "ROUND(AVG(CASE WHEN prev IS NOT NULL THEN ABS(lum - prev) END), 4) AS motion "
+            "FROM ld GROUP BY doc_id"
         ),
         "ddsketch_events_cdf": ddsketch_cdf_sql(
             "events", "value", [50.0, 100.0, 500.0], ["cdf_50", "cdf_100", "cdf_500"]

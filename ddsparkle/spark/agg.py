@@ -481,9 +481,7 @@ def quantiles(
         # (validated hash-identical vs the kernel paths across the driver
         # suite; see _catalyst_quantiles). Interpolated mappings need frexp
         # bit access, so they keep the Arrow-vectorized kernel path.
-        if config.mapping().kind == "log" and config.store_policy in (
-            "unbounded", "sparse", "collapsing_lowest", "collapsing_highest"
-        ):
+        if sql_mode_eligible(config, stats_final=True):
             mode = "sql"
         else:
             mode = "wide" if key_cols else "grouped"
@@ -921,8 +919,10 @@ def cdf_at_values(
         # NaN-data caveat rides along with the routing: the kernel path
         # skips NaN values, the sql path's comparisons route NaN into the
         # positive store (Spark NaN > x is TRUE) — filter NaNs upstream if
-        # they can occur, or pin mode='kernel'
-        mode = "sql" if sql_mode_eligible(config) else "kernel"
+        # they can occur, or pin mode='kernel'. Exact-stats configs route
+        # to SQL too: the CDF final reproduces the exact count via a stats
+        # join (same as quantiles' auto routing).
+        mode = "sql" if sql_mode_eligible(config, stats_final=True) else "kernel"
     if mode == "sql":
         sql = ddsketch_cdf_spark_sql(
             "{__ddsparkle_src__}", value_col, xs,
@@ -1088,18 +1088,19 @@ def _catalyst_quantiles(df, value_col, key_cols, qs, q_names, config, weight_col
     return df.sparkSession.sql(sql, __ddsparkle_src__=df)
 
 
-def sql_mode_eligible(config) -> bool:
+def sql_mode_eligible(config, stats_final: bool = False) -> bool:
     """True when an aggregation over ``config`` can run as a pure-Catalyst
-    plan with kernel-identical count semantics: log mapping (closed-form
-    index math), a supported store policy, and NO exact-stats tracking (the
-    SQL paths' count column is the bucket total; Kahan compensation state
-    has no SQL equivalent). The ONE routing predicate shared by
-    ``cdf_at_values`` and ``build_rollup`` — ``quantiles``' auto routing
-    differs deliberately (its sql final reproduces exact stats via a stats
-    join, so it routes exact-stats configs too)."""
+    plan with kernel-identical semantics: log mapping (closed-form index
+    math) and a supported store policy. ``stats_final=True`` is for callers
+    whose SQL final reproduces exact summary statistics via a stats join
+    (``quantiles``, ``cdf_at_values``) — they route exact-stats configs to
+    SQL too. The default (``stats_final=False``) additionally requires NO
+    exact-stats tracking; it is the predicate for ``build_rollup``, whose
+    persisted cells carry bucket state only (Kahan compensation state has
+    no cell column)."""
     return (
         config.mapping().kind == "log"
-        and not config.track_exact_stats
+        and (stats_final or not config.track_exact_stats)
         and config.store_policy
         in ("unbounded", "sparse", "collapsing_lowest", "collapsing_highest")
     )
@@ -1369,10 +1370,13 @@ def ddsketch_cdf_spark_sql(
     rows. Two hash aggregates, zero sorts, zero Python, whole-stage codegen
     end to end.
 
-    Count semantics are the stats-less kernel's (bucket totals); pair with
-    ``track_exact_stats=False`` configs for hash parity (the auto routing in
-    ``cdf_at_values`` enforces this). Empty global input returns zero rows
-    like the kernel paths; a count-0 group's cdf columns are NULL.
+    Stats-less configs read ``count`` off the bucket totals; exact-stats
+    configs add a ``stats`` CTE over the raw rows and a null-safe group
+    join (the same final shape as ``ddsketch_spark_sql``), so the count
+    column carries the exact-summary semantics — still two hash aggregates
+    for the CDF itself, plus the stats join. Empty global input returns
+    zero rows like the kernel paths; a count-0 group's cdf columns are
+    NULL.
     """
     config = config or SketchConfig(mapping_kind="log")
     key_cols = [by] if isinstance(by, str) else list(by or [])
@@ -1388,7 +1392,7 @@ def ddsketch_cdf_spark_sql(
     fr = _sql_store_fragments(config, key_cols, value_col, weight_col)
     _d = fr["d"]
     g, gby = fr["g"], fr["gby"]
-    w_src, bucket_val = fr["w_src"], fr["bucket_val"]
+    w_src, c_agg, bucket_val = fr["w_src"], fr["c_agg"], fr["bucket_val"]
     buckets_cte, store_rel = fr["buckets_cte"], fr["store_rel"]
 
     sels = [
@@ -1396,6 +1400,36 @@ def ddsketch_cdf_spark_sql(
         f" / SUM(__c) AS `{name}`"
         for x, name in zip(xs, x_names)
     ]
+    if config.track_exact_stats:
+        # exact count from the raw rows via a stats CTE + null-safe group
+        # join (mirrors ddsketch_spark_sql's exact-stats final); the cdf
+        # estimates themselves stay pure bucket math
+        if key_cols:
+            on = " AND ".join(f"agg.`{k}` <=> stats.`{k}`" for k in key_cols)
+            join = f"JOIN stats ON {on}"
+            g_out = "".join(f"agg.`{k}`, " for k in key_cols)
+        else:
+            join = "CROSS JOIN stats"
+            g_out = ""
+        x_out = ", ".join(f"agg.`{n}`" for n in x_names)
+        final = f""",
+agg AS (
+  SELECT {g}{", ".join(sels)},
+    CAST(SUM(__c) AS DOUBLE) AS __bn
+  FROM walk {gby}
+),
+stats AS (
+  SELECT {g}{c_agg} AS __cnt
+  FROM (SELECT {g}__v, __w FROM vals) {gby}
+)
+SELECT {g_out}{x_out},
+  CAST(stats.__cnt AS DOUBLE) AS count
+FROM agg {join}"""
+    else:
+        final = f"""
+SELECT {g}{", ".join(sels)},
+  CAST(SUM(__c) AS DOUBLE) AS count
+FROM walk {gby}"""
     sql = f"""
 WITH vals AS (
   SELECT {g}CAST(`{value_col}` AS DOUBLE) AS __v, {w_src} AS __w
@@ -1407,10 +1441,7 @@ walk AS (
               ELSE {bucket_val} END AS __val,
          __c
   FROM {store_rel}
-)
-SELECT {g}{", ".join(sels)},
-  CAST(SUM(__c) AS DOUBLE) AS count
-FROM walk {gby}"""
+){final}"""
     if not key_cols:
         # align the zero-input global case on the kernel paths' empty frame
         sql = f"SELECT * FROM ({sql}\n) WHERE count IS NOT NULL"

@@ -44,6 +44,8 @@ __all__ = [
     "quality_exprs",
     "language_id",
     "language_pred_expr",
+    "language_score_exprs",
+    "language_pick_expr",
 ]
 
 _WORD_SEED = 0x7E57DA7A
@@ -605,11 +607,64 @@ def _hyperplane_buckets(df, emb_col: str, id_col: str, planes: np.ndarray):
 # text analysis
 # ---------------------------------------------------------------------------
 
+# Space-tokenized languages scored by DISTINCT-stopword hits (0..20 each).
+# Dict order IS the tie-break order on equal scores — keep the generated
+# DuckDB twin (__spark_entry__._stopword_scores_parts) iterating the same
+# tables so the two scorers cannot drift.
 _STOPWORDS = {
-    "en": ["the", "of", "and", "to", "a", "in", "is", "it", "you", "that"],
-    "de": ["der", "die", "das", "und", "zu", "ein", "ist", "nicht", "mit", "sich"],
-    "fr": ["le", "la", "de", "et", "un", "une", "est", "pas", "pour", "que"],
-    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "no", "por"],
+    "en": ["the", "of", "and", "to", "a", "in", "is", "it", "you", "that",
+           "he", "was", "for", "on", "are", "as", "with", "his", "they", "at"],
+    "de": ["der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich",
+           "des", "auf", "für", "ist", "im", "dem", "nicht", "ein", "eine", "als"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une",
+           "que", "est", "pour", "qui", "dans", "par", "plus", "pas", "au", "sur"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "no",
+           "por", "con", "una", "su", "para", "es", "al", "lo", "como", "más"],
+    "pt": ["o", "a", "de", "que", "e", "do", "da", "em", "um", "para",
+           "é", "com", "não", "uma", "os", "no", "se", "na", "por", "mais"],
+    "it": ["di", "e", "il", "la", "che", "è", "per", "un", "in", "non",
+           "sono", "una", "con", "del", "le", "si", "mi", "ma", "lo", "ho"],
+    "nl": ["de", "het", "een", "van", "ik", "te", "dat", "die", "in", "en",
+           "niet", "is", "op", "aan", "met", "als", "voor", "er", "maar", "om"],
+    "pl": ["nie", "się", "na", "że", "i", "z", "do", "to", "jest", "w",
+           "jak", "po", "co", "tak", "ale", "za", "przez", "być", "od", "ma"],
+    "tr": ["bir", "bu", "ne", "ve", "de", "o", "için", "da", "çok", "ben",
+           "ama", "gibi", "daha", "mi", "sen", "var", "olarak", "en", "ki", "ile"],
+    "sv": ["och", "i", "att", "det", "som", "en", "på", "är", "av", "för",
+           "med", "den", "till", "inte", "om", "ett", "han", "var", "jag", "sig"],
+    "da": ["og", "i", "at", "det", "er", "en", "den", "til", "af", "på",
+           "de", "med", "han", "for", "ikke", "der", "var", "som", "jeg", "har"],
+    "fi": ["ja", "on", "ei", "se", "että", "hän", "oli", "mutta", "olen", "mitä",
+           "kun", "niin", "vain", "joka", "nyt", "sinä", "tämä", "ole", "minä", "hyvä"],
+    "cs": ["a", "se", "na", "je", "to", "že", "s", "z", "do", "o",
+           "i", "k", "by", "ale", "jako", "po", "co", "jsem", "si", "není"],
+    "ro": ["de", "și", "la", "a", "în", "cu", "pe", "o", "un", "ce",
+           "este", "nu", "mai", "pentru", "din", "sa", "se", "care", "sunt", "dar"],
+    "hu": ["a", "az", "és", "hogy", "nem", "is", "egy", "ez", "van", "de",
+           "meg", "ha", "már", "csak", "mint", "el", "még", "volt", "lesz", "mert"],
+    "id": ["yang", "dan", "di", "ini", "itu", "dengan", "untuk", "tidak", "dari", "dalam",
+           "akan", "pada", "juga", "saya", "ke", "bisa", "ada", "mereka", "kita", "atau"],
+}
+
+# Script-identified languages: score = floor(20 * weight * script_chars /
+# chars) — the 0..20 scale makes script scores comparable with the
+# distinct-stopword scores above. Ranges are explicit BMP codepoint
+# intervals (identical semantics in Java regex and RE2, unlike \p{script=}
+# classes whose names differ between engines). Japanese is weighted 3x on
+# kana only: running Japanese text is typically ~30% kana amid Han
+# characters, which would otherwise score as Chinese. Known coarseness,
+# documented: all Cyrillic maps to 'ru', all Arabic script to 'ar', all
+# Devanagari to 'hi'.
+_SCRIPTS = {
+    "ru": ((("0400", "04ff"),), 1),                    # Cyrillic
+    "el": ((("0370", "03ff"),), 1),                    # Greek
+    "he": ((("0590", "05ff"),), 1),                    # Hebrew
+    "ar": ((("0600", "06ff"),), 1),                    # Arabic
+    "hi": ((("0900", "097f"),), 1),                    # Devanagari
+    "th": ((("0e00", "0e7f"),), 1),                    # Thai
+    "ko": ((("ac00", "d7af"), ("1100", "11ff")), 1),   # Hangul
+    "ja": ((("3040", "309f"), ("30a0", "30ff")), 3),   # Hiragana+Katakana
+    "zh": ((("4e00", "9fff"),), 1),                    # CJK Unified Han
 }
 
 
@@ -639,11 +694,15 @@ def text_quality(df, text_col: str = "text", id_col: str = "doc_id"):
     return df.select(id_col, *[c.alias(n) for n, c in exprs.items()])
 
 
-def language_pred_expr(text_col: str = "text"):
-    """The stopword-ratio language heuristic as ONE Catalyst Column (the
-    language whose stopword list covers the largest token fraction, 'und'
-    when nothing matches) — row-local, so pipelines inline it with
-    withColumn instead of joining a language_id frame."""
+def language_score_exprs(text_col: str = "text") -> dict:
+    """Per-language score Columns on a shared 0..20 scale — 25 languages,
+    two scorer families: DISTINCT-stopword hits for the 16 space-tokenized
+    languages in ``_STOPWORDS``, and script-character ratios (explicit BMP
+    codepoint ranges, ``_SCRIPTS``; ``floor(20 * weight * script_chars /
+    chars)``, integer multiply -> double divide -> floor, the exact
+    arithmetic shape the generated DuckDB twin replays) for Cyrillic/
+    Greek/Hebrew/Arabic/Devanagari/Thai/Hangul/kana/Han languages, where
+    whitespace tokenization is meaningless. Pure Catalyst, row-local."""
     from pyspark.sql import functions as F
 
     tokens = F.split(F.lower(F.col(text_col)), " ")
@@ -651,17 +710,61 @@ def language_pred_expr(text_col: str = "text"):
         lang: F.size(F.array_intersect(tokens, F.array(*[F.lit(w) for w in words])))
         for lang, words in _STOPWORDS.items()
     }
-    best = F.greatest(*scores.values())
-    pick = F.when(best <= 0, F.lit("und"))
-    for lang in _STOPWORDS:
-        pick = pick.when(scores[lang] == best, F.lit(lang))
-    return pick
+    n_chars = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    for lang, (ranges, weight) in _SCRIPTS.items():
+        cls = "".join(f"\\u{lo}-\\u{hi}" for lo, hi in ranges)
+        cnt = F.length(F.regexp_replace(F.col(text_col), f"[^{cls}]", ""))
+        scores[lang] = F.floor((cnt * F.lit(20 * weight)) / n_chars)
+    return scores
+
+
+def language_pick_expr(scores: dict):
+    """Argmax pick over language score columns ('und' when nothing scores;
+    ties break to the first language in table order — the same order the
+    generated DuckDB twin iterates, so the two scorers cannot drift).
+
+    Codegen-shape note: the naive ``greatest(...) == score`` CASE chain
+    references every score O(n^2) times once Catalyst's predicate pushdown
+    substitutes the score aliases back into a filter — with 25 languages
+    that is ~430 inlined array_intersect/regexp copies, past Janino's
+    64 KB per-method limit, and Spark silently falls back to interpreted
+    evaluation on exactly the full-corpus scan where codegen matters.
+    This form builds ONE struct array (score, -index, lang) and takes
+    ``array_max`` — struct ordering gives highest score then lowest index
+    — so each score expression appears at most twice even when fully
+    inlined."""
+    from pyspark.sql import functions as F
+
+    entries = [
+        F.struct(c.alias("s"), F.lit(-i).alias("ni"), F.lit(lang).alias("lang"))
+        for i, (lang, c) in enumerate(scores.items())
+    ]
+    m = F.array_max(F.array(*entries))
+    return F.when(m["s"] <= 0, F.lit("und")).otherwise(m["lang"])
+
+
+def language_pred_expr(text_col: str = "text"):
+    """Language identification as ONE inlineable Catalyst Column (scores +
+    argmax fused). Convenient for small frames; on full-corpus scans prefer
+    the two-step ``language_id`` shape — this fused form repeats each score
+    expression ~3x and exceeds the whole-stage-codegen method limit (see
+    ``language_pick_expr``)."""
+    return language_pick_expr(language_score_exprs(text_col))
 
 
 def language_id(df, text_col: str = "text", id_col: str = "doc_id"):
-    """Stopword-ratio language heuristic (the classic n-gram/stopword
-    baseline). Pure Catalyst: one pass, no UDF."""
-    return df.select(id_col, language_pred_expr(text_col).alias("lang_pred"))
+    """Language identification (stopword + script-ratio scorer families).
+    Pure Catalyst, no UDF, two projections: scores materialize as columns
+    first so the argmax references them by name — each score is computed
+    once and the generated code stays under the codegen method limit."""
+    from pyspark.sql import functions as F
+
+    scores = language_score_exprs(text_col)
+    scored = df.select(
+        id_col, *[c.alias(f"__lang_{lang}") for lang, c in scores.items()]
+    )
+    refs = {lang: F.col(f"__lang_{lang}") for lang in scores}
+    return scored.select(id_col, language_pick_expr(refs).alias("lang_pred"))
 
 
 def ivf_index(df, emb_col: str = "embedding", id_col: str = "vec_id", n_clusters: int = 16, seed: int = 0, sample: int = 10_000, iters: int = 3):

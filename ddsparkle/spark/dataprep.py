@@ -60,7 +60,8 @@ def curate(
         cross_corpus_contamination,
         exact_dedup,
         exact_dedup_normalized,
-        language_pred_expr,
+        language_pick_expr,
+        language_score_exprs,
         near_dup_clusters,
         quality_exprs,
     )
@@ -117,7 +118,15 @@ def curate(
         (qe["n_tokens"] >= min_tokens) & (qe["mean_token_len"] <= max_mean_token_len)
     )
     if languages:
-        gated = gated.filter(language_pred_expr(text_col).isin(list(languages)))
+        # two-step scoring (materialize scores, argmax over the column
+        # refs) — the fused language_pred_expr repeats every score ~3x and
+        # overflows the codegen method limit on this full-corpus stage
+        scores = language_score_exprs(text_col)
+        gated = gated.select(
+            "*", *[c.alias(f"__lang_{lang}") for lang, c in scores.items()]
+        )
+        refs = {lang: F.col(f"__lang_{lang}") for lang in scores}
+        gated = gated.filter(language_pick_expr(refs).isin(list(languages)))
     curated = gated.select(*df.columns)  # exactly the input schema
     n_final = curated.count()
     if release_cache:

@@ -162,13 +162,16 @@ def image_features(df, fake: bool = True, resize_to: int = 8):
 
 def audio_features(df, fake: bool = True, n_frames: int = 16):
     """Decode -> frame-sample -> per-frame RMS energy. Returns
-    [media_id, rms array<float>, peak double]."""
+    [media_id, rms array<double>, peak double]. The waveform contract is
+    float32; the feature math runs in float64 over those float32 samples so
+    results are summation-order stable (and exactly replayable by a SQL
+    oracle that casts each sample to FLOAT before squaring in DOUBLE)."""
     from pyspark.sql import types as T
 
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
-            T.StructField("rms", T.ArrayType(T.FloatType())),
+            T.StructField("rms", T.ArrayType(T.DoubleType())),
             T.StructField("peak", T.DoubleType()),
         ]
     )
@@ -179,7 +182,7 @@ def audio_features(df, fake: bool = True, n_frames: int = 16):
             for _, r in pdf.iterrows():
                 if r["payload"] is None:
                     continue
-                wave = decode_audio(bytes(r["payload"]), fake=fake)
+                wave = decode_audio(bytes(r["payload"]), fake=fake).astype(np.float64)
                 frames = np.array_split(wave, n_frames)
                 rows["media_id"].append(r["media_id"])
                 rows["rms"].append([float(np.sqrt((f**2).mean())) if f.size else 0.0 for f in frames])
@@ -203,7 +206,7 @@ def video_features(df, fake: bool = True, n_frames: int = 8, resize_to: int = 8)
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
-            T.StructField("frame_lum", T.ArrayType(T.FloatType())),
+            T.StructField("frame_lum", T.ArrayType(T.DoubleType())),
             T.StructField("motion", T.DoubleType()),
             T.StructField("thumb", T.ArrayType(T.FloatType())),
         ]
@@ -225,7 +228,9 @@ def video_features(df, fake: bool = True, n_frames: int = 8, resize_to: int = 8)
                 )
                 lum = frames.astype(np.float64).mean(axis=3)  # (n, h, w)
                 rows["media_id"].append(r["media_id"])
-                rows["frame_lum"].append(lum.mean(axis=(1, 2)).astype(np.float32).tolist())
+                # frame_lum stays float64 so a double-arithmetic SQL oracle
+                # can reproduce it bit-stably (thumb remains float32)
+                rows["frame_lum"].append(lum.mean(axis=(1, 2)).tolist())
                 rows["motion"].append(
                     float(np.abs(np.diff(lum, axis=0)).mean()) if n_frames > 1 else 0.0
                 )

@@ -120,16 +120,21 @@ def test_spark_cdf_weighted_matches_kernel(spark, sf_dir):
 
 @pytest.mark.spark
 @pytest.mark.parametrize(
-    "by,weighted,policy,max_bins,shift",
+    "by,weighted,policy,max_bins,shift,stats",
     [
-        (None, False, "unbounded", 0, 0.0),
-        ("event_type", False, "unbounded", 0, 0.0),
-        ("event_type", True, "unbounded", 0, 0.0),
-        ("event_type", False, "collapsing_lowest", 64, 0.0),
-        (None, False, "collapsing_highest", 64, 100.0),  # mixed-sign values
+        (None, False, "unbounded", 0, 0.0, False),
+        ("event_type", False, "unbounded", 0, 0.0, False),
+        ("event_type", True, "unbounded", 0, 0.0, False),
+        ("event_type", False, "collapsing_lowest", 64, 0.0, False),
+        (None, False, "collapsing_highest", 64, 100.0, False),  # mixed-sign values
+        # exact-stats configs: the sql final adds a stats CTE + null-safe
+        # group join for the exact count (same shape as quantiles' final)
+        (None, False, "unbounded", 0, 0.0, True),
+        ("event_type", True, "unbounded", 0, 0.0, True),
+        ("event_type", False, "collapsing_lowest", 64, 0.0, True),
     ],
 )
-def test_cdf_sql_mode_matches_kernel(spark, sf_dir, by, weighted, policy, max_bins, shift):
+def test_cdf_sql_mode_matches_kernel(spark, sf_dir, by, weighted, policy, max_bins, shift, stats):
     """mode='sql' (two hash aggregates, no Python) must produce the exact
     same count ratios as the kernel path — counts are integral, so equality
     is exact, not approximate."""
@@ -138,7 +143,7 @@ def test_cdf_sql_mode_matches_kernel(spark, sf_dir, by, weighted, policy, max_bi
     from ddsparkle.spark.agg import cdf_at_values
 
     cfg = SketchConfig(mapping_kind="log", relative_accuracy=0.01,
-                       store_policy=policy, max_bins=max_bins, track_exact_stats=False)
+                       store_policy=policy, max_bins=max_bins, track_exact_stats=stats)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if shift:
         df = df.withColumn("value", F.col("value") - shift)
@@ -171,6 +176,37 @@ def test_cdf_sql_mode_plan_pure_jvm(spark, sf_dir):
     for bad in ("Python", "ArrowEval", "FlatMapGroups", "Window", "Sort"):
         assert bad not in plan, f"{bad} in sql-mode CDF plan"
     assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.spark
+def test_cdf_exact_stats_auto_routes_to_sql(spark, sf_dir):
+    """Exact-stats configs must auto-route to the pure-Catalyst plan. With
+    an unbounded store the plan is still window/sort-free: two hash
+    aggregates + a broadcast stats join. The DEFAULT config (collapsing
+    store) also routes to SQL — its clamp needs one window, but no Python
+    stage anywhere."""
+    from ddsparkle.spark.agg import cdf_at_values
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cfg = SketchConfig(mapping_kind="log", relative_accuracy=0.01,
+                       store_policy="unbounded", max_bins=0)
+    assert cfg.track_exact_stats
+    plan = (
+        cdf_at_values(df, "value", [100.0], by="event_type", config=cfg)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("Python", "ArrowEval", "FlatMapGroups", "Window", "Sort"):
+        assert bad not in plan, f"{bad} in auto-routed exact-stats CDF plan"
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan  # the stats join never shuffles agg rows
+
+    default_plan = (
+        cdf_at_values(df, "value", [100.0], by="event_type",
+                      config=SketchConfig(mapping_kind="log", relative_accuracy=0.01))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("Python", "ArrowEval", "FlatMapGroups"):
+        assert bad not in default_plan, f"{bad} in default-config CDF plan"
 
 
 @pytest.mark.spark

@@ -193,6 +193,51 @@ def test_language_id(spark):
     assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "und"
 
 
+def test_language_id_25_languages(spark):
+    """One planted doc per supported language — stopword-scored and
+    script-scored families both resolve; mixed Han+kana text must come out
+    Japanese (the 3x kana weight), not Chinese."""
+    samples = {
+        "en": "the cat is in the house and it was warm for them",
+        "de": "der hund ist nicht zu hause und die katze war im garten",
+        "fr": "le chat est pour la maison et une souris dans le jardin",
+        "es": "el que y los se no por su al lo como más",
+        "pt": "o cão não está em casa para uma pessoa com mais de um",
+        "it": "di il che è per non sono una con del le si ma lo ho",
+        "nl": "de het een van ik te dat die in en niet is op aan met als",
+        "pl": "nie się na że i z do to jest w jak po co tak ale za",
+        "tr": "bu bir ne ve o için çok ama gibi daha sen var ki ile",
+        "sv": "och det är inte en fråga att jag är på med om ett",
+        "da": "og det er ikke en hund der var til af jeg har",
+        "fi": "ja se on ei hän oli mutta kun niin nyt",
+        "cs": "a se na je to že s z do o i k by ale",
+        "ro": "de și la în cu pe un ce nu mai pentru din care sunt",
+        "hu": "az és hogy nem is egy ez van de meg már csak mint még",
+        "id": "yang dan di ini itu dengan untuk tidak dari dalam",
+        "ru": "привет как дела это хорошо спасибо",
+        "el": "αυτό είναι μια δοκιμή κειμένου",
+        "he": "זה מבחן בעברית של טקסט",
+        "ar": "هذا اختبار باللغة العربية للنص",
+        "hi": "यह एक परीक्षण है हिंदी में",
+        "th": "นี่คือการทดสอบข้อความ",
+        "ko": "안녕하세요 한국어 테스트 문서",
+        "ja": "日本語のテストです",  # Han + kana: must NOT classify as zh
+        "zh": "这是一个中文测试文档内容",
+    }
+    from ddsparkle.spark.dataops import _SCRIPTS, _STOPWORDS
+
+    assert len(samples) == len(_STOPWORDS) + len(_SCRIPTS) >= 20
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(samples)), "text": list(samples.values())}
+    )
+    out = {
+        r["doc_id"]: r["lang_pred"]
+        for r in language_id(spark.createDataFrame(pdf)).collect()
+    }
+    got = {lang: out[i] for i, lang in enumerate(samples)}
+    assert got == {lang: lang for lang in samples}, got
+
+
 def test_ivf_ann_recall(spark, sf_dir):
     """IVF top-k recall vs brute force: searching n_probe of n_clusters
     clusters must recover most of the true neighbors while scanning fewer
