@@ -240,13 +240,168 @@ if __name__ == "__main__":
     return _json.loads(res.stdout.strip().splitlines()[-1])
 
 
+def _max_task_sec(spark) -> float:
+    """Max completed-task duration across this session's stages, via the
+    local UI REST API (requires spark.ui.enabled=true) — the direct
+    measurement for the hot-key skew criterion (wall clock alone can hide a
+    straggler behind other queries' parallelism)."""
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    appid = spark.sparkContext.applicationId
+    stages = _json.load(
+        urllib.request.urlopen(f"{base}/api/v1/applications/{appid}/stages?status=complete")
+    )
+    mx = 0.0
+    for st in stages:
+        try:
+            s = _json.load(
+                urllib.request.urlopen(
+                    f"{base}/api/v1/applications/{appid}/stages/"
+                    f"{st['stageId']}/{st.get('attemptId', 0)}/taskSummary?quantiles=1.0"
+                )
+            )
+            mx = max(mx, float(s["duration"][0]) / 1000.0)
+        except Exception:
+            pass
+    return round(mx, 3)
+
+
+def skew_leg(args) -> dict:
+    """Hot-key scaling leg: the SAME per-conversation queries on the same
+    turn total, uniform ('bench': 0.1% of convs hold 30%) vs hot-key
+    ('skewed': ONE conv_id holds ~20% of ALL turns). The two-stage build
+    (per-task partial sketches -> merge by key) plus the salted pre-merge
+    (agg._salted_pre_merge) must bound the straggler: criterion is
+    max-task-time ratio (skewed / uniform) < 2x per query.
+
+    One fresh SparkSession per (profile, query) so the REST task metrics
+    attribute cleanly; wall times are same-epoch interleave-free but the
+    RATIO is the metric, so host drift cancels."""
+    from ddsparkle.config import SketchConfig
+    from ddsparkle.spark.queries import (
+        text_length_quantiles,
+        turns_per_conversation_quantiles,
+    )
+
+    sql_cfg = SketchConfig(
+        mapping_kind="log", store_policy="collapsing_lowest", max_bins=2048,
+        track_exact_stats=False,
+    )
+    queries = {
+        # kernel path, per-conv sketches (the salted-merge surface)
+        "len_by_conv_kernel": lambda df: text_length_quantiles(df, by="conv_id", qs=QS),
+        # pure-Catalyst path: hot conv becomes <=max_bins bucket rows
+        "len_by_conv_sql": lambda df: text_length_quantiles(
+            df, by="conv_id", qs=QS, config=sql_cfg
+        ),
+        "turns_per_conv": lambda df: turns_per_conversation_quantiles(df, qs=QS),
+    }
+    dirs = {}
+    for prof in ("bench", "skewed"):
+        d = f"{args.data_dir}/skewleg_{prof}"
+        os.makedirs(d, exist_ok=True)
+        if not args.skip_gen or not os.path.exists(f"{d}/transcripts.parquet"):
+            meta = _generate_profile(d, args.turns, prof)
+            print(f"generated {prof}:", meta, flush=True)
+        dirs[prof] = d
+
+    report: dict = {"turns": args.turns, "cores": 32, "queries": {}}
+    for qname, qfn in queries.items():
+        report["queries"][qname] = {}
+        for prof in ("bench", "skewed"):
+            res = _skew_leg_once(dirs[prof], qfn)
+            report["queries"][qname][prof] = res
+            print(qname, prof, res, flush=True)
+        u, s = report["queries"][qname]["bench"], report["queries"][qname]["skewed"]
+        report["queries"][qname]["max_task_ratio"] = round(
+            s["max_task_sec"] / max(u["max_task_sec"], 1e-9), 3
+        )
+        report["queries"][qname]["wall_ratio"] = round(
+            s["wall_sec"] / max(u["wall_sec"], 1e-9), 3
+        )
+    report["criterion"] = "max_task_ratio < 2.0 per query (skewed vs uniform)"
+    report["pass"] = all(
+        q["max_task_ratio"] < 2.0 for q in report["queries"].values()
+    )
+    return report
+
+
+def _generate_profile(data_dir: str, n_turns: int, profile: str) -> dict:
+    from ddsparkle.spark.session import get_spark
+    from ddsparkle.transcripts import transcripts_df
+
+    spark = get_spark(
+        "ddsparkle-gen", master="local[32]", extra_conf={"spark.ui.enabled": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    n_convs = max(1000, n_turns // 10)
+    df = transcripts_df(
+        spark, n_convs=n_convs, profile=profile, seed=42,
+        target_turns=n_turns, partitions=128,
+    )
+    # bounded row groups: a hot conversation written contiguously by one
+    # writer otherwise becomes ONE unsplittable row group, and no query-side
+    # technique can parallelize an unsplittable scan split (first skew-leg
+    # run measured a 10.7 s scan straggler vs 1.1 s median from exactly
+    # this). Scan skew is a STORAGE-layout property — bound it at write
+    # time; the salted two-stage build bounds the shuffle side.
+    df.write.option("parquet.block.size", 8 * 1024 * 1024).mode(
+        "overwrite"
+    ).parquet(f"{data_dir}/transcripts.parquet")
+    actual = spark.read.parquet(f"{data_dir}/transcripts.parquet").count()
+    spark.stop()
+    return {"n_convs": n_convs, "n_turns": actual, "profile": profile}
+
+
+def _skew_leg_once(data_dir: str, qfn) -> dict:
+    from ddsparkle.spark.session import get_spark
+
+    spark = get_spark(
+        "ddsparkle-skewleg",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(16 * 1024 * 1024),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(f"{data_dir}/transcripts.parquet")
+    df.count()  # warm: worker pool + footers
+    t0 = time.perf_counter()
+    # noop sink: full materialization of every group without a driver
+    # collect (by=conv_id emits one row per conversation)
+    qfn(df).write.format("noop").mode("overwrite").save()
+    wall = round(time.perf_counter() - t0, 3)
+    mx = _max_task_sec(spark)
+    spark.stop()
+    return {"wall_sec": wall, "max_task_sec": mx}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--turns", type=int, default=16_000_000)
     ap.add_argument("--data-dir", default="/tmp/ddsparkle_bench")
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--out-name", default="scaling_r1.json")
+    ap.add_argument(
+        "--skew-leg", action="store_true",
+        help="run ONLY the hot-key skew leg (uniform vs one-conv-20%% input)",
+    )
     args = ap.parse_args()
+
+    if args.skew_leg:
+        out_dir = os.path.dirname(os.path.abspath(__file__))
+        os.makedirs(args.data_dir, exist_ok=True)
+        report = skew_leg(args)
+        name = args.out_name if args.out_name != "scaling_r1.json" else "scaling_r3_skew.json"
+        with open(f"{out_dir}/{name}", "w") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps(report, indent=2))
+        return
 
     out_dir = os.path.dirname(os.path.abspath(__file__))
     os.makedirs(args.data_dir, exist_ok=True)

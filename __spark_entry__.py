@@ -1208,6 +1208,43 @@ def q_events_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_cdf_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-stats CDF through the round-3 SQL routing: the DEFAULT-style
+    config (track_exact_stats=True, log mapping) auto-routes to the
+    pure-Catalyst plan whose final adds a stats CTE + null-safe broadcast
+    join for the exact count. Same oracle as the stats-less CDF (counts
+    are integral here, so exact == bucket total), but this row pins the
+    stats-join code path at the driver."""
+    from ddsparkle.spark.agg import cdf_at_values
+
+    cfg = SketchConfig(
+        mapping_kind="log",
+        relative_accuracy=ALPHA,
+        store_policy="unbounded",
+        max_bins=0,
+        track_exact_stats=True,
+    )
+    df = _t(spark, sf_dir, "events")
+    res = cdf_at_values(df, "value", [50.0, 100.0, 500.0], by="event_type", config=cfg)
+    return res.select(
+        "event_type",
+        *[F.round(c, 4).alias(c) for c in ("cdf_50", "cdf_100", "cdf_500")],
+        "count",
+    )
+
+
+def q_doc_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact_dedup's bloom strategy end-to-end at the driver: the phase-2
+    prefilter is a broadcast Bloom probe on the 8-byte hash column instead
+    of the broadcast semi-join — false positives fall through to the exact
+    verify, so the answer (and the oracle) is identical to
+    doc_dedup_representatives."""
+    from ddsparkle.spark.dataops import exact_dedup
+
+    df = _t(spark, sf_dir, "documents")
+    return exact_dedup(df, strategy="bloom").orderBy("doc_id")
+
+
 def q_events_cdf_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped inverse quantiles: per-event-type share of values <= each
     probe (the 'what fraction beat the SLO per service' query), one scan,
@@ -1304,6 +1341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hll_window_distinct": q_rollup_hll_window_distinct,
         "rollup_window_cdf": q_rollup_window_cdf,
         "reservoir_exhaustive": q_reservoir_exhaustive,
+        "ddsketch_events_cdf_exact_stats": q_events_cdf_exact_stats,
+        "doc_dedup_bloom": q_doc_dedup_bloom,
     }
 
 
@@ -1765,6 +1804,19 @@ def oracle_sql() -> dict[str, str]:
             [50.0, 100.0, 500.0],
             ["cdf_50", "cdf_100", "cdf_500"],
             group_col="event_type",
+        ),
+        # exact-stats routing: counts are integral, so the exact-count
+        # stats join must land on the same numbers as the bucket total
+        "ddsketch_events_cdf_exact_stats": ddsketch_cdf_sql(
+            "events",
+            "value",
+            [50.0, 100.0, 500.0],
+            ["cdf_50", "cdf_100", "cdf_500"],
+            group_col="event_type",
+        ),
+        "doc_dedup_bloom": (
+            "SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS DOUBLE) AS n_copies "
+            "FROM documents GROUP BY text ORDER BY doc_id"
         ),
         "doc_curation_pipeline": _curation_sql(),
         "rollup_hll_window_distinct": (

@@ -241,10 +241,21 @@ def exact_dedup(
     by_hash: bool = False,
     strategy: str = "auto",
     broadcast_limit: int = 8_000_000,
+    direct_threshold_bytes: int = 4 << 30,
 ):
     """Keep one representative (min id) per exact text: [id_col, n_copies].
 
-    Default is the lossless hash-first plan — full documents never shuffle:
+    ``strategy='auto'`` picks the plan from Catalyst's input-size statistic
+    (no job): at or below ``direct_threshold_bytes`` (default 4 GiB) the
+    'direct' single-shuffle ``groupBy(text)`` plan wins — the text shuffle
+    is trivial at that size and the hash-first plan's two extra jobs
+    dominate (same-epoch A/B at sf0.1: 0.25 s direct vs 0.81 s hash-first);
+    above it, the hash-first plan — at corpus scale the text shuffle IS the
+    job (2.5x shuffle-byte reduction measured on a 380 MB fixture, far more
+    on mostly-unique corpora). All strategies return identical exact
+    answers.
+
+    The hash-first plan — full documents never shuffle:
 
     1. ``groupBy(xxhash64(text), length(text))`` → per-group (min id,
        count). Shuffle rows are 16-byte keys + id + count; map-side combine
@@ -285,8 +296,26 @@ def exact_dedup(
             )
             .drop("__th")
         )
-    if strategy not in ("auto", "broadcast", "bloom"):
-        raise ValueError(f"unknown strategy {strategy!r}; one of auto|broadcast|bloom")
+    if strategy not in ("auto", "direct", "broadcast", "bloom"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}; one of auto|direct|broadcast|bloom"
+        )
+    if strategy == "auto":
+        try:
+            est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        except Exception:
+            est = None  # unknown size -> assume large (the scale-safe plan)
+        if est is not None and est <= direct_threshold_bytes:
+            strategy = "direct"
+    if strategy == "direct":
+        return (
+            df.groupBy(F.col(text_col).alias("__t"))
+            .agg(
+                F.min(id_col).alias(id_col),
+                F.count("*").cast("double").alias("n_copies"),
+            )
+            .drop("__t")
+        )
     keyed = df.select(
         F.col(id_col),
         F.col(text_col),
@@ -964,8 +993,10 @@ def connected_components(
     frame; rounds needed = graph diameter. Duplicate clusters are
     near-cliques (diameter 1-3), so propagation converges in 2-4 rounds —
     cheaper than large-star/small-star, which only wins on long-chain
-    graphs. Each round materializes (persist + count) to keep task counts
-    flat.
+    graphs. Each round localCheckpoints its labels: materialization keeps
+    task counts flat AND truncates lineage — the loop references ``labels``
+    twice per round, so a lazy loop's logical plan doubles every round
+    (exponential in diameter; ~12 rounds OOMs the optimizer).
 
     ``nodes[id_col]`` must be unique (duplicate node rows would emit
     duplicate component rows). Raises RuntimeError if the fixpoint is not
@@ -996,7 +1027,14 @@ def connected_components(
     labels = node_ids.join(edge_ids, "id", "semi").select(
         "id", F.col("id").alias("component")
     )
-    cached = labels = labels.persist()
+    # each round references `labels` TWICE (the neighbor join and the merge
+    # join), so a lazily-built loop doubles the logical plan per round —
+    # exponential in graph diameter: ~12 rounds is already a multi-GB plan
+    # tree that OOMs the optimizer/stringifier long before any data moves.
+    # localCheckpoint(eager=True) materializes AND truncates lineage, so
+    # every round starts from a flat leaf (persist alone caches execution
+    # but keeps the full logical tree).
+    labels = labels.localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iter):
         nbr = (
@@ -1020,11 +1058,9 @@ def connected_components(
                     F.col("nbr_min") < F.col("component"), F.lit(False)
                 ).alias("__changed"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         n_changed = joined.agg(F.sum(F.col("__changed").cast("long"))).collect()[0][0]
-        cached.unpersist()
-        cached = joined
         labels = joined.select("id", "component")
         if not n_changed:
             converged = True
@@ -1032,7 +1068,6 @@ def connected_components(
     if not converged:
         # returning intermediate labels would silently split components on
         # long-chain graphs (propagation advances one hop per round)
-        cached.unpersist()
         edge_ids.unpersist()
         sym.unpersist()
         raise RuntimeError(
@@ -1045,15 +1080,13 @@ def connected_components(
     singletons = node_ids.join(edge_ids, "id", "left_anti").select(
         "id", F.col("id").alias("component")
     )
-    # detach the result from the loop's cache: localCheckpoint materializes
-    # the final labels, after which the per-round persisted frames can be
-    # released instead of living until session end
+    # materialize the final frame so the per-round checkpoints and the edge
+    # caches can be released before returning
     out = (
         labels.unionByName(singletons)
         .withColumnRenamed("id", id_col)
         .localCheckpoint(eager=True)
     )
-    cached.unpersist()
     edge_ids.unpersist()
     sym.unpersist()
     return out

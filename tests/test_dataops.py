@@ -341,6 +341,24 @@ def test_connected_components_and_fuzzy_clusters(spark, docs):
     assert int(out["keep"].sum()) == 30
 
 
+def test_connected_components_long_chain_distributed(spark):
+    """A 14-hop chain forces ~14 propagation rounds on the distributed path.
+    Without per-round lineage truncation the loop's logical plan doubles
+    every round (labels is referenced twice per round) — exponential in
+    diameter, OOMing the optimizer around round ~12. With localCheckpoint
+    rounds, this must converge to one min-id component."""
+    from ddsparkle.spark.dataops import connected_components
+
+    n = 15  # nodes 0..14, edges i-(i+1): diameter 14
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)})
+    )
+    nodes = spark.createDataFrame(pd.DataFrame({"doc_id": range(n)}))
+    comp = connected_components(edges, nodes, "doc_id", local_threshold=0)
+    out = {r["doc_id"]: r["component"] for r in comp.collect()}
+    assert out == {i: 0 for i in range(n)}
+
+
 def test_batch_vectorized_hashing_matches_per_doc_reference(spark, docs):
     """The Arrow-batch-vectorized MinHash/SimHash paths must produce EXACTLY
     the signatures of the per-document reference formulation (one
