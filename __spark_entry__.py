@@ -1156,6 +1156,32 @@ def q_media_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6 h inactivity gap) + per-user session
+    accounting — the event-stream/transcript segmentation primitive. One
+    window shuffle (lag and the running session counter share the same
+    sort), one hash aggregate; hash-exact vs the identical window SQL in
+    DuckDB (ties broken by event_id so boundaries are deterministic)."""
+    from ddsparkle.spark.dataops import session_stats
+
+    df = _t(spark, sf_dir, "events")
+    return session_stats(
+        df, "ts", "user_id", gap_seconds=21600.0, order_cols=("event_id",)
+    ).orderBy("user_id")
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic sample (bottom-20 by md5 digest within each
+    stratum) — the balanced eval-split primitive; digest-exact vs the
+    DuckDB ROW_NUMBER twin like doc_deterministic_sample."""
+    from ddsparkle.spark.dataops import deterministic_stratified_sample
+
+    df = _t(spark, sf_dir, "documents")
+    return deterministic_stratified_sample(df, by="source", k=20).select(
+        "doc_id", "source", "sample_key"
+    )
+
+
 def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE curation pipeline as one driver gate: decontaminate the
     corpus against the held-out src0 slice, exact-dedup, fuzzy-dedup
@@ -1343,6 +1369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_exhaustive": q_reservoir_exhaustive,
         "ddsketch_events_cdf_exact_stats": q_events_cdf_exact_stats,
         "doc_dedup_bloom": q_doc_dedup_bloom,
+        "events_sessionization": q_events_sessionization,
+        "doc_stratified_sample": q_doc_stratified_sample,
     }
 
 
@@ -1817,6 +1845,30 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_bloom": (
             "SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS DOUBLE) AS n_copies "
             "FROM documents GROUP BY text ORDER BY doc_id"
+        ),
+        # identical window logic: lag + running sum share one (user, ts,
+        # event_id) sort; epoch() yields double seconds on both engines
+        "events_sessionization": (
+            "WITH s AS (SELECT user_id, "
+            "SUM(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 21600.0 "
+            "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_id "
+            "FROM (SELECT user_id, ts, event_id, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events)), "
+            "per AS (SELECT user_id, session_id, COUNT(*) AS n FROM s GROUP BY 1, 2) "
+            "SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n_sessions, "
+            "CAST(SUM(n) AS DOUBLE) AS n_events, "
+            "CAST(MAX(n) AS DOUBLE) AS max_session_events "
+            "FROM per GROUP BY user_id ORDER BY user_id"
+        ),
+        "doc_stratified_sample": (
+            "SELECT doc_id, source, sample_key FROM ("
+            "SELECT doc_id, source, "
+            "md5('0|' || CAST(doc_id AS VARCHAR)) AS sample_key, "
+            "ROW_NUMBER() OVER (PARTITION BY source "
+            "ORDER BY md5('0|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk "
+            "FROM documents WHERE doc_id IS NOT NULL) WHERE rk <= 20"
         ),
         "doc_curation_pipeline": _curation_sql(),
         "rollup_hll_window_distinct": (

@@ -46,6 +46,9 @@ __all__ = [
     "language_pred_expr",
     "language_score_exprs",
     "language_pick_expr",
+    "sessionize",
+    "session_stats",
+    "deterministic_stratified_sample",
 ]
 
 _WORD_SEED = 0x7E57DA7A
@@ -1458,6 +1461,74 @@ def exact_dedup_normalized(df, text_col: str = "text", id_col: str = "doc_id"):
 
 
 # ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+
+def sessionize(
+    df,
+    ts_col: str = "ts",
+    by: str = "user_id",
+    gap_seconds: float = 1800.0,
+    order_cols: Sequence[str] = (),
+    session_col: str = "session_id",
+):
+    """Gap-based sessionization: within each ``by`` key (user, conversation,
+    agent run), a row whose time since the PREVIOUS row exceeds
+    ``gap_seconds`` starts a new session; ``session_col`` is the 1-based
+    session index within the key. The standard event-stream / transcript
+    segmentation primitive (turn bursts -> episodes).
+
+    Scale shape: exactly ONE shuffle — both window passes (lag, running
+    sum) share the same (partition by key, order by ts) sort, so Catalyst
+    plans a single exchange + sort; no Python anywhere. ``order_cols``
+    breaks timestamp ties deterministically (pass a unique id column when
+    ts collisions are possible — nondeterministic tie order would make
+    session boundaries run-dependent)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(by).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    # timestamp SUBTRACTION (day-time interval), not epoch casts: works for
+    # both TIMESTAMP and TIMESTAMP_NTZ and is timezone-free — an epoch
+    # conversion of NTZ values would go through the session timezone
+    new_sess = prev.isNull() | (
+        (F.col(ts_col) - prev) > F.expr(f"INTERVAL '{float(gap_seconds)}' SECOND")
+    )
+    running = Window.partitionBy(by).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(
+        session_col, F.sum(new_sess.cast("long")).over(running)
+    )
+
+
+def session_stats(
+    df,
+    ts_col: str = "ts",
+    by: str = "user_id",
+    gap_seconds: float = 1800.0,
+    order_cols: Sequence[str] = (),
+):
+    """Per-key session accounting over ``sessionize``: [by, n_sessions,
+    n_events, max_session_events] — one window shuffle + one hash
+    aggregate."""
+    from pyspark.sql import functions as F
+
+    sess = sessionize(df, ts_col, by, gap_seconds, order_cols)
+    per_session = sess.groupBy(by, "session_id").agg(
+        F.count("*").alias("__n")
+    )
+    return per_session.groupBy(by).agg(
+        F.count("*").cast("double").alias("n_sessions"),
+        F.sum("__n").cast("double").alias("n_events"),
+        F.max("__n").cast("double").alias("max_session_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # deterministic sampling
 # ---------------------------------------------------------------------------
 
@@ -1492,6 +1563,34 @@ def deterministic_sample(df, id_col: str = "doc_id", k: int = 100, seed: int = 0
         .withColumn("sample_key", h)
         .orderBy("sample_key", id_col)
         .limit(k)
+    )
+
+
+def deterministic_stratified_sample(
+    df, by: str = "source", id_col: str = "doc_id", k: int = 10, seed: int = 0
+):
+    """Per-stratum ``deterministic_sample``: the ``k`` rows with the
+    smallest ``md5(seed|id)`` digest WITHIN each ``by`` group (ties broken
+    by id) — the stable eval-split primitive when splits must be balanced
+    across sources/languages/domains rather than corpus-uniform. Same
+    engine-reproducible digest contract as ``deterministic_sample``.
+
+    Scale shape: one shuffle on ``by`` + per-group row_number over the
+    digest sort — rank <= k prunes inside the window stage, so only k rows
+    per stratum survive the exchange stage's output. Rows with a NULL id
+    are excluded (no stable identity); a NULL stratum is a real group.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
+    w = Window.partitionBy(by).orderBy("sample_key", id_col)
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("sample_key", h)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(k))
+        .drop("__rk")
     )
 
 

@@ -341,6 +341,65 @@ def test_connected_components_and_fuzzy_clusters(spark, docs):
     assert int(out["keep"].sum()) == 30
 
 
+def test_sessionize_and_stats(spark):
+    """Planted gaps: sessions split exactly where the inter-event gap
+    exceeds the threshold; tie rows (same ts) break by the order column."""
+    import datetime as dt
+
+    from ddsparkle.spark.dataops import session_stats, sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: 3 events tight, 1-hour hole, 2 events tight -> 2 sessions
+        (1, 1, base),
+        (1, 2, base + dt.timedelta(seconds=60)),
+        (1, 3, base + dt.timedelta(seconds=120)),
+        (1, 4, base + dt.timedelta(seconds=3800)),
+        (1, 5, base + dt.timedelta(seconds=3860)),
+        # user 2: single event -> 1 session; tie on ts with event 7
+        (2, 7, base),
+        (2, 6, base),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["user_id", "event_id", "ts"]))
+    sess = sessionize(df, "ts", "user_id", gap_seconds=600.0, order_cols=("event_id",))
+    got = {(r["user_id"], r["event_id"]): r["session_id"] for r in sess.collect()}
+    assert got == {(1, 1): 1, (1, 2): 1, (1, 3): 1, (1, 4): 2, (1, 5): 2,
+                   (2, 6): 1, (2, 7): 1}
+    stats = {
+        r["user_id"]: (r["n_sessions"], r["n_events"], r["max_session_events"])
+        for r in session_stats(
+            df, "ts", "user_id", gap_seconds=600.0, order_cols=("event_id",)
+        ).collect()
+    }
+    assert stats == {1: (2.0, 5.0, 3.0), 2: (1.0, 2.0, 2.0)}
+    # one exchange only: lag + running sum share the sort (AQE prints the
+    # plan twice — inspect the final section only)
+    plan = sess._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, plan
+
+
+def test_deterministic_stratified_sample(spark):
+    from ddsparkle.spark.dataops import deterministic_sample, deterministic_stratified_sample
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(100), "source": [f"s{i % 3}" for i in range(100)]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = deterministic_stratified_sample(df, by="source", k=5).toPandas()
+    assert len(out) == 15
+    assert out.groupby("source").size().to_dict() == {"s0": 5, "s1": 5, "s2": 5}
+    # within a stratum the picks equal the flat deterministic_sample of it
+    s0 = df.filter("source = 's0'")
+    flat = deterministic_sample(s0, k=5).toPandas()
+    assert set(out[out["source"] == "s0"]["doc_id"]) == set(flat["doc_id"])
+    # partitioning-independent
+    out2 = deterministic_stratified_sample(df.repartition(17), by="source", k=5).toPandas()
+    assert set(map(tuple, out2[["doc_id", "source"]].values.tolist())) == set(
+        map(tuple, out[["doc_id", "source"]].values.tolist())
+    )
+
+
 def test_connected_components_long_chain_distributed(spark):
     """A 14-hop chain forces ~14 propagation rounds on the distributed path.
     Without per-round lineage truncation the loop's logical plan doubles
