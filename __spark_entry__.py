@@ -408,6 +408,39 @@ def q_streaming_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_result(final, [], ["q50", "q95", "q99"])
 
 
+def q_streaming_dedup_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time streaming dedup gate: documents flow as file-source
+    micro-batches through the stateful first-seen dedup
+    (applyInPandasWithState keyed by xxhash64(text), exact texts in state),
+    and the surviving ids must equal the batch exact-dedup representatives
+    (min id per distinct text) — the single-file source makes one batch, so
+    first-seen == min-id and the DuckDB twin is exact."""
+    from ddsparkle.spark.streaming import streaming_dedup
+
+    schema = _t(spark, sf_dir, "documents").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    out = streaming_dedup(stream)
+    _STREAM_SEQ[0] += 1
+    name = f"ddsparkle_stream_dedup_{_STREAM_SEQ[0]}"
+    q = (
+        out.select("doc_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("dedup stream did not drain within 300 s")
+    return spark.table(name).orderBy("doc_id")
+
+
 def q_doc_dedup_fuzzy_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dup cluster resolution end-to-end: MinHash -> banded LSH
     candidates -> exact 3-gram Jaccard verify (>= 0.7) -> connected
@@ -1371,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_bloom": q_doc_dedup_bloom,
         "events_sessionization": q_events_sessionization,
         "doc_stratified_sample": q_doc_stratified_sample,
+        "streaming_dedup_firstseen": q_streaming_dedup_firstseen,
     }
 
 
@@ -1861,6 +1895,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(n) AS DOUBLE) AS n_events, "
             "CAST(MAX(n) AS DOUBLE) AS max_session_events "
             "FROM per GROUP BY user_id ORDER BY user_id"
+        ),
+        "streaming_dedup_firstseen": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
         ),
         "doc_stratified_sample": (
             "SELECT doc_id, source, sample_key FROM ("

@@ -23,7 +23,7 @@ from ..config import SketchConfig
 from ..serde import decode_sketch, encode_sketch
 from .agg import quantile_column_name
 
-__all__ = ["streaming_quantiles", "windowed_streaming_quantiles"]
+__all__ = ["streaming_quantiles", "windowed_streaming_quantiles", "streaming_dedup"]
 
 
 def streaming_quantiles(
@@ -97,6 +97,69 @@ def streaming_quantiles(
         update_fn, out_schema, state_schema, "update", timeout_conf
     )
     return out.drop("__g") if drop_key else out
+
+
+def streaming_dedup(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    timeout: str = "NoTimeout",
+):
+    """First-seen streaming EXACT deduplication: emit each arriving row
+    whose text has not appeared in any earlier micro-batch (within a batch,
+    the min-id copy represents its duplicates) — ingest-time dedup, so
+    downstream storage only ever sees one copy of each document.
+
+    State is keyed by ``xxhash64(text)`` and stores the exact texts seen
+    under that key — almost always exactly one (a 64-bit collision only
+    lengthens one key's list; it can never produce a wrong keep/drop
+    decision, unlike hash-only dedup). State size is therefore one text per
+    DISTINCT document; at 100 TB the same operator runs with RocksDB state
+    store backing, and keying by the hash keeps the shuffle 8-byte.
+
+    Batch-order caveat: which copy of a cross-batch duplicate survives is
+    first-seen by ARRIVAL (batch) order — deterministic for a deterministic
+    file/batch order; within one batch it is min-id, matching
+    ``exact_dedup``'s representative choice exactly when the input fits one
+    batch. Returns an append-mode stream of [id_col, text_col].
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = df.select(
+        F.xxhash64(F.col(text_col)).alias("__h"),
+        F.col(id_col),
+        F.col(text_col),
+    )
+    out_schema = T.StructType([src.schema[id_col], src.schema[text_col]])
+    state_schema = T.StructType(
+        [T.StructField("texts", T.ArrayType(T.StringType()))]
+    )
+
+    def update_fn(key, pdfs, state):
+        seen = list(state.get[0]) if state.exists else []
+        batch = [pdf[[id_col, text_col]] for pdf in pdfs]
+        if not batch:
+            return iter(())
+        rows = pd.concat(batch, ignore_index=True)
+        # min-id per distinct text within the batch, in min-id order so the
+        # emitted representative is deterministic
+        reps = rows.groupby(text_col, sort=False)[id_col].min().reset_index()
+        reps = reps.sort_values(id_col)
+        keep = reps[~reps[text_col].isin(seen)]
+        if len(keep):
+            seen.extend(keep[text_col].tolist())
+            state.update((seen,))
+            return iter([keep[[id_col, text_col]]])
+        if not state.exists:
+            state.update((seen,))
+        return iter(())
+
+    timeout_conf = getattr(GroupStateTimeout, timeout, GroupStateTimeout.NoTimeout)
+    return src.groupBy("__h").applyInPandasWithState(
+        update_fn, out_schema, state_schema, "append", timeout_conf
+    )
 
 
 def windowed_streaming_quantiles(
