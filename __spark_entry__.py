@@ -990,6 +990,34 @@ def q_streaming_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_rollup_cms_window_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted count-min rollup (per-hour frequency cells, written
+    day-partitioned, read back) answering a 10-day windowed frequency query
+    by counter-wise cell union. At depth 5 x width 8192 over 5 distinct
+    keys there are no collisions (same argument as cms_event_type_freq, the
+    gate that pins it), so the windowed estimates must hash-match the
+    exact windowed GROUP BY counts."""
+    import shutil
+    import tempfile
+
+    from ddsparkle.spark.rollup import cms_rollup, read_rollup, rollup_frequencies, write_rollup
+
+    df = _t(spark, sf_dir, "events")
+    lo, hi = "2024-01-05 00:00:00", "2024-01-15 00:00:00"
+    probes = ["click", "error", "purchase", "signup", "view"]
+    tmp = tempfile.mkdtemp(prefix="ddsparkle-cmsroll-")
+    try:
+        roll = cms_rollup(df, "event_type", time_col="ts", granularity="hour")
+        write_rollup(roll, f"{tmp}/t")
+        back = read_rollup(spark, f"{tmp}/t")
+        est = rollup_frequencies(back, probes, start=lo, end=hi)
+        out = est.select(*[F.col(f"freq_{p}") for p in probes])
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp files
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_rollup_hll_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted HLL rollup (per-hour distinct-user cells by event type,
     written day-partitioned, read back) answering a 10-day window by
@@ -1405,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": q_events_sessionization,
         "doc_stratified_sample": q_doc_stratified_sample,
         "streaming_dedup_firstseen": q_streaming_dedup_firstseen,
+        "rollup_cms_window_freq": q_rollup_cms_window_freq,
     }
 
 
@@ -1898,6 +1927,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "streaming_dedup_firstseen": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
+        ),
+        # CMS merge is counter-addition (exact over cell splits) and this
+        # depth x width has no collisions over 5 keys -> exact counts
+        "rollup_cms_window_freq": (
+            "SELECT "
+            + ", ".join(
+                f"CAST(COUNT(CASE WHEN event_type = '{p}' THEN 1 END) AS DOUBLE) AS freq_{p}"
+                for p in ["click", "error", "purchase", "signup", "view"]
+            )
+            + " FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' "
+            "AND ts < TIMESTAMP '2024-01-15 00:00:00'"
         ),
         "doc_stratified_sample": (
             "SELECT doc_id, source, sample_key FROM ("

@@ -53,6 +53,8 @@ __all__ = [
     "build_payload_rollup",
     "hll_rollup",
     "rollup_distinct",
+    "cms_rollup",
+    "rollup_frequencies",
     "rollup_cdf",
     "compact_payload_rollup",
 ]
@@ -381,6 +383,75 @@ def rollup_distinct(
     return _merge_finalize(
         sel, key_cols, out_fields,
         lambda b: HyperLogLog.from_bytes(b, p, seed), finalize,
+    )
+
+
+def cms_rollup(
+    df,
+    value_col: str,
+    time_col: str = "ts",
+    granularity: str = "hour",
+    by: Sequence[str] | str | None = None,
+    depth: int = 5,
+    width: int = 8192,
+    seed: int = 0,
+):
+    """Count-min rollup cells: a frequency sketch of ``value_col`` per
+    (time bucket, *by). CMS merge is counter-wise addition — exact over any
+    cell split — so a windowed union answers 'how often did X occur last
+    week' identically to sketching the window's raw rows directly."""
+    from ..sketches.countmin import CountMinSketch
+
+    return build_payload_rollup(
+        df,
+        value_col,
+        make=lambda: CountMinSketch(depth=depth, width=width, seed=seed),
+        update=lambda sk, v: sk.update(v),
+        from_payload=lambda b: CountMinSketch.from_bytes(b, depth, width, seed),
+        time_col=time_col,
+        granularity=granularity,
+        by=by,
+    )
+
+
+def rollup_frequencies(
+    rollup,
+    probes: Sequence,
+    by: Sequence[str] | str | None = None,
+    start=None,
+    end=None,
+    depth: int = 5,
+    width: int = 8192,
+    seed: int = 0,
+):
+    """Merge the CMS cells covering ``[start, end)`` and estimate each
+    probe's frequency in the window (exact-or-overestimate with the usual
+    eps*N bound). Returns [*by, freq_<probe>...] — one column per probe."""
+    from pyspark.sql import types as T
+
+    from ..sketches.countmin import CountMinSketch
+    from .approx import _merge_finalize
+
+    probes = [str(p) for p in probes]
+    key_cols = [by] if isinstance(by, str) else list(by or [])
+    sel = _apply_time_filter(rollup, start, end)
+    drop = [
+        c
+        for c in (BUCKET_COL, DAY_COL, BATCH_COL)
+        if c in sel.columns and c not in key_cols
+    ]
+    sel = sel.drop(*drop)
+    out_fields = [T.StructField(f"freq_{p}", T.DoubleType()) for p in probes]
+
+    def finalize(sk):
+        import pandas as pd
+
+        ests = sk.query(pd.Series(probes))
+        return {f"freq_{p}": float(e) for p, e in zip(probes, ests)}
+
+    return _merge_finalize(
+        sel, key_cols, out_fields,
+        lambda b: CountMinSketch.from_bytes(b, depth, width, seed), finalize,
     )
 
 

@@ -315,6 +315,34 @@ def test_hll_rollup_matches_direct_hll(events):
     assert got_w.equals(want_w)
 
 
+def test_cms_rollup_window_frequencies(events, spark):
+    """CMS cell union is counter-wise addition: the windowed frequency
+    answer from hourly cells must equal exact windowed counts at a
+    collision-free depth x width, through a write/read round-trip, and be
+    independent of the cell granularity."""
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.rollup import cms_rollup, read_rollup, rollup_frequencies
+
+    probes = ["click", "error", "purchase", "signup", "view"]
+    lo, hi = "2024-01-05 00:00:00", "2024-01-15 00:00:00"
+    exact = {
+        f"freq_{r['event_type']}": float(r["n"])
+        for r in events.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    tmp = tempfile.mkdtemp(prefix="rollup-cms-")
+    try:
+        for gran in ("hour", "day"):
+            roll = cms_rollup(events, "event_type", time_col="ts", granularity=gran)
+            write_rollup(roll, f"{tmp}/{gran}")
+            back = read_rollup(spark, f"{tmp}/{gran}")
+            got = rollup_frequencies(back, probes, start=lo, end=hi).collect()[0].asDict()
+            assert got == exact, (gran, got, exact)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_hll_rollup_write_read_global(events, spark):
     from ddsparkle.spark.approx import hll_distinct
     from ddsparkle.spark.rollup import hll_rollup, rollup_distinct
