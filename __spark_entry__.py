@@ -1217,6 +1217,45 @@ def q_media_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining chunking gate: overlapping 64-token windows (stride 48)
+    over every document, pure Catalyst (split -> sequence explode -> slice
+    -> array_join). Every chunk's exact text must hash-match the DuckDB
+    list_slice twin — boundaries, overlap carry, and the short-doc
+    whole-pass-through are all pinned."""
+    from ddsparkle.spark.dataops import chunk_documents
+
+    df = _t(spark, sf_dir, "documents")
+    return chunk_documents(df, chunk_tokens=64, overlap=16)
+
+
+def q_topk_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 most active users per event type — the grouped top-k
+    window pattern (aggregate then rank inside each group); rank ties
+    break deterministically by user_id. One hash aggregate + one window
+    over the (small) aggregated frame."""
+    from pyspark.sql import Window
+
+    df = _t(spark, sf_dir, "events")
+    counts = df.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("__n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("__n").desc(), F.col("user_id")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "event_type",
+            "user_id",
+            F.col("__n").cast("double").alias("n_events"),
+            F.col("rank").cast("double").alias("rank"),
+        )
+        .orderBy("event_type", "rank")
+    )
+
+
 def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (6 h inactivity gap) + per-user session
     accounting — the event-stream/transcript segmentation primitive. One
@@ -1434,6 +1473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_doc_stratified_sample,
         "streaming_dedup_firstseen": q_streaming_dedup_firstseen,
         "rollup_cms_window_freq": q_rollup_cms_window_freq,
+        "topk_users_per_type": q_topk_users_per_type,
+        "doc_chunks": q_doc_chunks,
     }
 
 
@@ -1927,6 +1968,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "streaming_dedup_firstseen": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
+        ),
+        # chunk i covers tokens [i*48+1, i*48+64] (1-based inclusive on both
+        # engines: DuckDB list_slice(begin, end) == Spark slice(start, len));
+        # n_chunks = max(ceil((n-16)/48), 1)
+        "doc_chunks": (
+            "SELECT doc_id, g.i AS chunk_idx, "
+            "array_to_string(list_slice(string_split(text, ' '), "
+            "g.i * 48 + 1, g.i * 48 + 64), ' ') AS chunk_text, "
+            "CAST(GREATEST(CEIL((len(string_split(text, ' ')) - 16) / 48.0), 1) "
+            "AS DOUBLE) AS n_chunks "
+            "FROM documents, LATERAL (SELECT unnest(generate_series(0, "
+            "CAST(GREATEST(CEIL((len(string_split(text, ' ')) - 16) / 48.0), 1) "
+            "AS BIGINT) - 1)) AS i) g"
+        ),
+        "topk_users_per_type": (
+            "SELECT event_type, user_id, CAST(n AS DOUBLE) AS n_events, "
+            "CAST(rk AS DOUBLE) AS rank FROM ("
+            "SELECT event_type, user_id, COUNT(*) AS n, "
+            "ROW_NUMBER() OVER (PARTITION BY event_type "
+            "ORDER BY COUNT(*) DESC, user_id) AS rk "
+            "FROM events GROUP BY event_type, user_id) WHERE rk <= 3 "
+            "ORDER BY event_type, rk"
         ),
         # CMS merge is counter-addition (exact over cell splits) and this
         # depth x width has no collisions over 5 keys -> exact counts

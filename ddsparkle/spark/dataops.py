@@ -49,6 +49,7 @@ __all__ = [
     "sessionize",
     "session_stats",
     "deterministic_stratified_sample",
+    "chunk_documents",
 ]
 
 _WORD_SEED = 0x7E57DA7A
@@ -1457,6 +1458,65 @@ def exact_dedup_normalized(df, text_col: str = "text", id_col: str = "doc_id"):
             F.count("*").cast("double").alias("n_copies"),
         )
         .select(id_col, "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# document chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+):
+    """Split documents into overlapping whitespace-token windows — the
+    pretraining chunking primitive (long doc -> fixed-size training
+    windows with ``overlap`` tokens of context carried across boundaries).
+    Returns [id_col, chunk_idx, chunk_text, n_chunks]; every document
+    yields at least one chunk (short docs pass through whole).
+
+    Pure Catalyst and row-local: tokens = split, chunk count =
+    ceil((n_tokens - overlap) / stride), one generator explode over the
+    chunk index sequence, slice + array_join per chunk — no UDF, no
+    shuffle; at corpus scale this runs fused into the ingest scan.
+    """
+    from pyspark.sql import functions as F
+
+    stride = int(chunk_tokens) - int(overlap)
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    tokens = F.split(F.col(text_col), " ")
+    n_chunks = F.greatest(
+        F.ceil((F.size(tokens) - F.lit(int(overlap))) / F.lit(stride)), F.lit(1)
+    )
+    base = df.select(
+        F.col(id_col),
+        tokens.alias("__toks"),
+        n_chunks.alias("n_chunks"),
+    )
+    exploded = base.select(
+        id_col,
+        "__toks",
+        "n_chunks",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+    )
+    chunk = F.array_join(
+        F.slice(
+            F.col("__toks"),
+            F.col("chunk_idx") * stride + 1,
+            F.lit(int(chunk_tokens)),
+        ),
+        " ",
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx"),
+        chunk.alias("chunk_text"),
+        F.col("n_chunks").cast("double").alias("n_chunks"),
     )
 
 

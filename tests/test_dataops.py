@@ -341,6 +341,26 @@ def test_connected_components_and_fuzzy_clusters(spark, docs):
     assert int(out["keep"].sum()) == 30
 
 
+def test_chunk_documents(spark):
+    """Chunk boundaries, overlap carry, and short-doc pass-through: a
+    10-token doc at chunk=4/overlap=2 yields ceil(8/2)=4 chunks with 2
+    shared tokens between neighbors; a 2-token doc yields itself."""
+    from ddsparkle.spark.dataops import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": [" ".join(words), "a b"]})
+    out = chunk_documents(
+        spark.createDataFrame(pdf), chunk_tokens=4, overlap=2
+    ).toPandas()
+    d1 = out[out["doc_id"] == 1].sort_values("chunk_idx")
+    assert list(d1["chunk_text"]) == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9"
+    ]
+    assert (d1["n_chunks"] == 4.0).all()
+    d2 = out[out["doc_id"] == 2]
+    assert list(d2["chunk_text"]) == ["a b"] and list(d2["n_chunks"]) == [1.0]
+
+
 def test_sessionize_and_stats(spark):
     """Planted gaps: sessions split exactly where the inter-event gap
     exceeds the threshold; tie rows (same ts) break by the order column."""
