@@ -128,3 +128,16 @@ def test_length_projection_stays_jvm_side(spark, sf_dir):
     plan = plan_of(partials)
     assert "length(text" in plan  # Catalyst expression present JVM-side
     assert "Exchange" not in plan
+
+
+def test_chunking_plan_fuses_into_scan(spark, sf_dir):
+    """chunk_documents must be a scan -> generate -> project chain: zero
+    exchanges (it runs fused into the ingest scan at corpus scale) and no
+    Python stage anywhere."""
+    from ddsparkle.spark.dataops import chunk_documents
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(chunk_documents(df))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "Generate" in plan  # the chunk-index explode
