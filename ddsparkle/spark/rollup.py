@@ -55,6 +55,8 @@ __all__ = [
     "rollup_distinct",
     "cms_rollup",
     "rollup_frequencies",
+    "tdigest_rollup",
+    "rollup_tdigest_quantiles",
     "rollup_cdf",
     "compact_payload_rollup",
 ]
@@ -453,6 +455,74 @@ def rollup_frequencies(
         sel, key_cols, out_fields,
         lambda b: CountMinSketch.from_bytes(b, depth, width, seed), finalize,
     )
+
+
+def tdigest_rollup(
+    df,
+    value_col: str,
+    time_col: str = "ts",
+    granularity: str = "hour",
+    by: Sequence[str] | str | None = None,
+    delta: float = 200.0,
+):
+    """t-digest rollup cells: a rank-error quantile sketch of ``value_col``
+    per (time bucket, *by) — the payload-chassis quantile alternative to
+    the DDSketch cells when RANK error (uniform eps on quantile position,
+    tails tighter by the scale function) is the contract wanted, rather
+    than DDSketch's relative VALUE error. Cell merge is the standard
+    t-digest centroid merge; unlike HLL/CMS it is not bit-identical to a
+    direct build over the window (merge order moves centroids within the
+    accuracy budget), so windowed answers carry the sketch's rank-error
+    bound, not hash equality — gate accordingly (bound booleans)."""
+    from ..sketches.tdigest import TDigest
+
+    return build_payload_rollup(
+        df,
+        value_col,
+        make=lambda: TDigest(delta=delta),
+        update=lambda sk, v: sk.update(v.to_numpy("float64")),
+        from_payload=TDigest.from_bytes,
+        time_col=time_col,
+        granularity=granularity,
+        by=by,
+    )
+
+
+def rollup_tdigest_quantiles(
+    rollup,
+    qs: Sequence[float],
+    by: Sequence[str] | str | None = None,
+    start=None,
+    end=None,
+):
+    """Merge the t-digest cells covering ``[start, end)`` and read
+    quantiles. Returns [*by, *qXX, count]; count (total weight) is exact
+    over merges even though centroid positions are order-dependent."""
+    from pyspark.sql import types as T
+
+    from ..sketches.tdigest import TDigest
+    from .agg import quantile_column_name
+    from .approx import _merge_finalize
+
+    qs = [float(q) for q in qs]
+    q_names = [quantile_column_name(q) for q in qs]
+    key_cols = [by] if isinstance(by, str) else list(by or [])
+    sel = _apply_time_filter(rollup, start, end)
+    drop = [
+        c
+        for c in (BUCKET_COL, DAY_COL, BATCH_COL)
+        if c in sel.columns and c not in key_cols
+    ]
+    sel = sel.drop(*drop)
+    out_fields = [T.StructField(n, T.DoubleType()) for n in q_names] + [
+        T.StructField("count", T.DoubleType())
+    ]
+
+    def finalize(sk):
+        vals = sk.values_at_quantiles(qs)
+        return {**{n: float(v) for n, v in zip(q_names, vals)}, "count": float(sk.n)}
+
+    return _merge_finalize(sel, key_cols, out_fields, TDigest.from_bytes, finalize)
 
 
 def rollup_cdf(

@@ -430,3 +430,31 @@ def test_rollup_day_partition_pruning(events, spark):
         assert "day" in pf and "2024-01-04" in pf and "2024-01-09" in pf
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_tdigest_rollup_window_bound(events, spark):
+    """t-digest cells merged over a window: count (total weight) is exact,
+    and every windowed quantile's exact rank stays within the rank-error
+    budget, through a write/read round-trip."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.rollup import (
+        read_rollup, rollup_tdigest_quantiles, tdigest_rollup,
+    )
+
+    lo, hi = "2024-01-05 00:00:00", "2024-01-15 00:00:00"
+    tmp = tempfile.mkdtemp(prefix="rollup-td-")
+    try:
+        roll = tdigest_rollup(events, "value", granularity="hour", delta=200.0)
+        write_rollup(roll, f"{tmp}/t")
+        back = read_rollup(spark, f"{tmp}/t")
+        row = rollup_tdigest_quantiles(back, (0.5, 0.95, 0.99), start=lo, end=hi).collect()[0]
+        window = events.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        vals = np.sort(window.select("value").toPandas()["value"].to_numpy())
+        assert row["count"] == float(len(vals))
+        for q, c in ((0.5, "q50"), (0.95, "q95"), (0.99, "q99")):
+            rank = np.searchsorted(vals, row[c], side="right") / len(vals)
+            assert abs(rank - q) <= 0.02, (c, rank)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
