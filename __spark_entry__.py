@@ -1447,58 +1447,110 @@ def q_events_cdf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# transcript north-star queries (BASELINE.json north_star / input_hint shape:
+# conv_id, turn_idx, role, text, tool, ts). The table is synthesized
+# deterministically (ddsparkle/transcripts.py — pure function of (seed,
+# conv_index), byte-identical under any partitioning) and materialized to a
+# fixed local parquet path so the DuckDB oracle reads the SAME rows: the
+# generation itself is numpy-RNG-based and not SQL-expressible, but once the
+# rows are on disk every downstream computation (length/lag/count + the
+# DDSketch bucket walk) has an exact SQL twin. The driver runs the Spark
+# query before its oracle (same order as tests/test_entry_harness.py), so
+# the files exist when the oracle reads them; writes are idempotent
+# (overwrite) and the table is small (~25k turns).
+# ---------------------------------------------------------------------------
+
+_TRANSCRIPTS_TMP = "/tmp/ddsparkle_transcripts_driver"
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ddsparkle.transcripts import transcripts_df
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    # content-keyed path + _SUCCESS marker: generation is deterministic in
+    # these parameters, so later calls (bench warm+timed runs, the 4 sibling
+    # queries) reuse the files instead of re-writing the table every call —
+    # the timed leg must measure the QUERY, not the generator. Bump the _v
+    # tag when the generator changes.
+    path = f"{_TRANSCRIPTS_TMP}/{name}_v1_c2000_s42_bench"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        transcripts_df(spark, n_convs=2000, profile="bench", seed=42).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
+def _transcripts_oracle_src() -> str:
+    # the driver compares at sf0.01; the bench/other SFs write sibling dirs
+    return f"read_parquet('{_TRANSCRIPTS_TMP}/sf0.01_v1_c2000_s42_bench/*.parquet')"
+
+
+def q_transcripts_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star query 1: per-role q50/q95/q99 of per-turn text length.
+    Stage 1 is scan-partition-local (no shuffle of raw turns — only sketch
+    rows move), so conv_id skew is irrelevant here."""
+    from ddsparkle.spark.queries import text_length_quantiles
+
+    df = _transcripts(spark, sf_dir)
+    res = text_length_quantiles(df, by="role", config=_cfg())
+    return _round_result(res, ["role"], ["q50", "q95", "q99"])
+
+
+def q_transcripts_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star query 2: q50/q95/q99 of turn latency (ts - lag(ts) within
+    a conversation, seconds). The lag window shuffles by conv_id once; the
+    sketch build after it is partition-local."""
+    from ddsparkle.spark.queries import turn_latency_quantiles
+
+    df = _transcripts(spark, sf_dir)
+    res = turn_latency_quantiles(df, config=_cfg(), method="window")
+    return _round_result(res, [], ["q50", "q95", "q99"])
+
+
+def q_transcripts_latency_skewproof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star query 2, skew-proof formulation: turn t joins turn t-1 on
+    the composite key (conv_id, turn_idx) — every join key is distinct, so a
+    hot conversation spreads uniformly across shuffle partitions instead of
+    sorting inside one task. Must hash-match the window formulation's oracle
+    exactly (same latencies, same sketch)."""
+    from ddsparkle.spark.queries import turn_latency_quantiles
+
+    df = _transcripts(spark, sf_dir)
+    res = turn_latency_quantiles(df, config=_cfg(), method="join")
+    return _round_result(res, [], ["q50", "q95", "q99"])
+
+
+def q_transcripts_turns_per_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star query 3: q50/q95/q99 of turns per conversation. The count
+    is native groupBy (map-side partial agg: a hot conv_id contributes one
+    partial per task, not one shuffled row per turn); counts then enter the
+    sketch shuffle-free."""
+    from ddsparkle.spark.queries import turns_per_conversation_quantiles
+
+    df = _transcripts(spark, sf_dir)
+    res = turns_per_conversation_quantiles(df, config=_cfg())
+    return _round_result(res, [], ["q50", "q95", "q99"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry ORDER is evidence policy, not alphabetics: the driver
+    snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json, so entries
+    that have never had a driver row (or changed behavior this round) come
+    first, then the rest rotate. Every entry is additionally replayed by
+    tests/test_entry_harness.py regardless of position. r4 front-loads:
+    the 4 new transcript north-star queries, the 17 entries that grew past
+    the r3 snapshot window, and the two language-id-dependent queries whose
+    scorer changed this round (bounded prefix + NULL guard)."""
     return {
-        "ddsketch_events_value": q_events_value,
-        "ddsketch_events_by_type": q_events_by_type,
-        "ddsketch_events_mixed_sign": q_events_mixed_sign,
-        "ddsketch_events_collapsing_lowest": q_events_collapsing_lowest,
-        "ddsketch_events_collapsing_highest": q_events_collapsing_highest,
-        "ddsketch_lineitem_price_by_flag": q_lineitem_price_by_flag,
-        "ddsketch_events_latency": q_events_latency,
-        "ddsketch_orders_per_customer": q_orders_per_customer,
-        "ddsketch_orders_price_by_cust_wide": q_orders_price_by_cust_wide,
-        "ddsketch_lineitem_weighted": q_lineitem_weighted,
-        "ddsketch_events_exact_stats": q_events_exact_stats,
-        "heavy_hitters_event_type": q_heavy_hitters_event_type,
-        "doc_dedup_exact": q_doc_dedup_exact,
-        "doc_dedup_representatives": q_doc_dedup_representatives,
-        "doc_text_quality": q_doc_text_quality,
-        "doc_token_quantiles": q_doc_token_quantiles,
-        "ann_topk_cosine": q_ann_topk_cosine,
-        "hll_distinct_users": q_hll_distinct_users,
-        "hll_distinct_users_by_type": q_hll_distinct_users_by_type,
-        "cms_event_type_freq": q_cms_event_type_freq,
-        "bloom_membership_custkeys": q_bloom_membership_custkeys,
-        "kll_quantiles_events": q_kll_quantiles_events,
-        "tdigest_quantiles_events": q_tdigest_quantiles_events,
-        "ddsketch_events_cubic": q_ddsketch_events_cubic,
-        "streaming_events_value": q_streaming_events_value,
-        "doc_dedup_fuzzy_representatives": q_doc_dedup_fuzzy_representatives,
-        "doc_language_id": q_doc_language_id,
-        "multi_measure_events": q_multi_measure_events,
-        "jobs_checkpoint_quantiles": q_jobs_checkpoint_quantiles,
-        "streaming_windowed_hourly": q_streaming_windowed_hourly,
-        "ddsketch_by_type_collapsed_weighted": q_events_by_type_collapsed_weighted,
-        "kmv_orderkey_overlap": q_kmv_orderkey_overlap,
-        "ann_ivf_recall": q_ann_ivf_recall,
-        "convert_mapping_accuracy": q_convert_mapping_accuracy,
-        "ddsketch_events_by_type_salted": q_events_by_type_salted,
-        "ddsketch_orders_by_cust_shuffle_mode": q_orders_by_cust_shuffle_mode,
-        "ddsketch_orders_by_cust_sorted_mode": q_orders_by_cust_sorted_mode,
-        "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
-        "doc_fingerprints": q_doc_fingerprints,
-        "emb_near_dup_pairs": q_emb_near_dup_pairs,
-        "simhash_dup_coverage": q_simhash_dup_coverage,
-        "ann_lsh_recall": q_ann_lsh_recall,
-        "doc_decontamination": q_doc_decontamination,
-        "doc_bpe_token_quantiles": q_doc_bpe_token_quantiles,
-        "doc_dedup_normalized": q_doc_dedup_normalized,
-        "doc_curation_pipeline": q_doc_curation_pipeline,
-        "rollup_timerange_quantiles": q_rollup_timerange_quantiles,
-        "doc_deterministic_sample": q_doc_deterministic_sample,
-        "media_image_features": q_media_image_features,
-        "media_audio_features": q_media_audio_features,
+        # --- new this round: BASELINE.json north-star transcript queries ---
+        "transcripts_text_len_by_role": q_transcripts_text_len,
+        "transcripts_turn_latency": q_transcripts_latency,
+        "transcripts_turn_latency_skewproof": q_transcripts_latency_skewproof,
+        "transcripts_turns_per_conv": q_transcripts_turns_per_conv,
+        # --- never had a driver row (registry positions 51-67 in r3) ---
         "media_video_motion": q_media_video_motion,
         "ddsketch_events_cdf": q_events_cdf,
         "ddsketch_events_cdf_by_type": q_events_cdf_by_type,
@@ -1516,6 +1568,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_users_per_type": q_topk_users_per_type,
         "doc_chunks": q_doc_chunks,
         "rollup_tdigest_window_quantiles": q_rollup_tdigest_window_quantiles,
+        # --- behavior changed this round (language scorer prefix bound) ---
+        "doc_language_id": q_doc_language_id,
+        "doc_curation_pipeline": q_doc_curation_pipeline,
+        # --- core sketch family (driver-green r1-r3, kept in-window) ---
+        "ddsketch_events_value": q_events_value,
+        "ddsketch_events_by_type": q_events_by_type,
+        "ddsketch_events_mixed_sign": q_events_mixed_sign,
+        "ddsketch_events_collapsing_lowest": q_events_collapsing_lowest,
+        "ddsketch_events_collapsing_highest": q_events_collapsing_highest,
+        "ddsketch_lineitem_price_by_flag": q_lineitem_price_by_flag,
+        "ddsketch_events_latency": q_events_latency,
+        "ddsketch_orders_per_customer": q_orders_per_customer,
+        "ddsketch_orders_price_by_cust_wide": q_orders_price_by_cust_wide,
+        "ddsketch_lineitem_weighted": q_lineitem_weighted,
+        "ddsketch_events_exact_stats": q_events_exact_stats,
+        "ddsketch_events_cubic": q_ddsketch_events_cubic,
+        "ddsketch_by_type_collapsed_weighted": q_events_by_type_collapsed_weighted,
+        "ddsketch_events_by_type_salted": q_events_by_type_salted,
+        "ddsketch_orders_by_cust_shuffle_mode": q_orders_by_cust_shuffle_mode,
+        "ddsketch_orders_by_cust_sorted_mode": q_orders_by_cust_sorted_mode,
+        "convert_mapping_accuracy": q_convert_mapping_accuracy,
+        "multi_measure_events": q_multi_measure_events,
+        "jobs_checkpoint_quantiles": q_jobs_checkpoint_quantiles,
+        "streaming_events_value": q_streaming_events_value,
+        "streaming_windowed_hourly": q_streaming_windowed_hourly,
+        "rollup_timerange_quantiles": q_rollup_timerange_quantiles,
+        "doc_dedup_exact": q_doc_dedup_exact,
+        "doc_dedup_fuzzy_representatives": q_doc_dedup_fuzzy_representatives,
+        "doc_decontamination": q_doc_decontamination,
+        "heavy_hitters_event_type": q_heavy_hitters_event_type,
+        "hll_distinct_users": q_hll_distinct_users,
+        # --- rotated past the 50-entry snapshot window this round; ALL are
+        # driver-green in CORRECTNESS_r01-r03 and stay harness-replayed ---
+        "doc_dedup_representatives": q_doc_dedup_representatives,
+        "doc_text_quality": q_doc_text_quality,
+        "doc_token_quantiles": q_doc_token_quantiles,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "hll_distinct_users_by_type": q_hll_distinct_users_by_type,
+        "cms_event_type_freq": q_cms_event_type_freq,
+        "bloom_membership_custkeys": q_bloom_membership_custkeys,
+        "kll_quantiles_events": q_kll_quantiles_events,
+        "tdigest_quantiles_events": q_tdigest_quantiles_events,
+        "kmv_orderkey_overlap": q_kmv_orderkey_overlap,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
+        "doc_fingerprints": q_doc_fingerprints,
+        "emb_near_dup_pairs": q_emb_near_dup_pairs,
+        "simhash_dup_coverage": q_simhash_dup_coverage,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "doc_bpe_token_quantiles": q_doc_bpe_token_quantiles,
+        "doc_dedup_normalized": q_doc_dedup_normalized,
+        "doc_deterministic_sample": q_doc_deterministic_sample,
+        "media_image_features": q_media_image_features,
+        "media_audio_features": q_media_audio_features,
     }
 
 
@@ -1526,22 +1632,26 @@ def _stopword_scores_parts() -> tuple[str, str, str]:
     — the ONE definition shared by _language_id_sql and _curation_sql.
     Script scores replay the exact Spark arithmetic shape (int multiply →
     double divide → floor); the only per-engine difference is regex escape
-    syntax (RE2 ``\\x{hhhh}`` here vs Java ``\\uhhhh`` in Catalyst)."""
-    from ddsparkle.spark.dataops import _SCRIPTS, _STOPWORDS
+    syntax (RE2 ``\\x{hhhh}`` here vs Java ``\\uhhhh`` in Catalyst). Both
+    families score the same bounded prefix as the Spark scorer
+    (``LANGUAGE_MAX_CHARS`` characters — substr is character-based in both
+    engines, so the cut prefixes are byte-identical)."""
+    from ddsparkle.spark.dataops import _SCRIPTS, _STOPWORDS, LANGUAGE_MAX_CHARS
 
+    prefix = f"substr(text, 1, {LANGUAGE_MAX_CHARS})"
     parts, order = [], []
     for lang, words in _STOPWORDS.items():
         wl = ", ".join(f"'{w}'" for w in words)
         parts.append(
-            "len(list_intersect(list_distinct(string_split(lower(text), ' ')), "
+            f"len(list_intersect(list_distinct(string_split(lower({prefix}), ' ')), "
             f"[{wl}])) AS s_{lang}"
         )
         order.append(lang)
     for lang, (ranges, weight) in _SCRIPTS.items():
         cls = "".join(f"\\x{{{lo}}}-\\x{{{hi}}}" for lo, hi in ranges)
-        cnt = f"length(regexp_replace(text, '[^{cls}]', '', 'g'))"
+        cnt = f"length(regexp_replace({prefix}, '[^{cls}]', '', 'g'))"
         parts.append(
-            f"CAST(FLOOR(({cnt} * {20 * weight}) / GREATEST(length(text), 1)) "
+            f"CAST(FLOOR(({cnt} * {20 * weight}) / GREATEST(length({prefix}), 1)) "
             f"AS BIGINT) AS s_{lang}"
         )
         order.append(lang)
@@ -1667,7 +1777,32 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY user_id ORDER BY ts, event_id)) / 1e6 AS lat FROM events)"
     )
     cust_src = "(SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM orders GROUP BY o_custkey)"
+    # transcript north-star twins read the SAME materialized parquet the
+    # Spark queries wrote (the driver runs Spark before its oracle). The
+    # latency twin replays the window formulation; the skew-proof self-join
+    # formulation must produce the IDENTICAL latency multiset, so both pair
+    # with the same SQL — that equality is exactly what the gate asserts.
+    tr_src = _transcripts_oracle_src()
+    tr_len_src = (
+        f"(SELECT role, CAST(length(text) AS DOUBLE) AS text_len FROM {tr_src})"
+    )
+    tr_lat_src = (
+        f"(SELECT (epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+        f"(PARTITION BY conv_id ORDER BY turn_idx)) / 1e6 AS lat FROM {tr_src})"
+    )
+    tr_cnt_src = (
+        f"(SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM {tr_src} GROUP BY conv_id)"
+    )
+    tr_lat_sql = ddsketch_quantile_sql(tr_lat_src, "lat", [0.5, 0.95, 0.99])
     return {
+        "transcripts_text_len_by_role": ddsketch_quantile_sql(
+            tr_len_src, "text_len", [0.5, 0.95, 0.99], group_col="role"
+        ),
+        "transcripts_turn_latency": tr_lat_sql,
+        "transcripts_turn_latency_skewproof": tr_lat_sql,
+        "transcripts_turns_per_conv": ddsketch_quantile_sql(
+            tr_cnt_src, "n", [0.5, 0.95, 0.99]
+        ),
         "ddsketch_events_value": ddsketch_quantile_sql("events", "value", [0.5, 0.95, 0.99]),
         "ddsketch_events_by_type": ddsketch_quantile_sql(
             "events", "value", [0.5, 0.99], group_col="event_type"
@@ -2032,14 +2167,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type, user_id) WHERE rk <= 3 "
             "ORDER BY event_type, rk"
         ),
-        # CMS merge is counter-addition (exact over cell splits) and this
-        # depth x width has no collisions over 5 keys -> exact counts
+        # t-digest windowed quantiles gate: the merged-cell estimate's RANK
+        # (position among the window's exact sorted values) must sit within
+        # the measured rank bound for delta=200 (max observed 0.0009 at
+        # eps 0.02; gate uses a conservative margin) — the count is exact.
         "rollup_tdigest_window_quantiles": (
             "SELECT CAST(COUNT(value) AS DOUBLE) AS count, TRUE AS q50_rank_ok, "
             "TRUE AS q95_rank_ok, TRUE AS q99_rank_ok FROM events "
             "WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' "
             "AND ts < TIMESTAMP '2024-01-15 00:00:00'"
         ),
+        # CMS merge is counter-addition (exact over cell splits) and this
+        # depth x width has no collisions over 5 keys -> exact counts
         "rollup_cms_window_freq": (
             "SELECT "
             + ", ".join(

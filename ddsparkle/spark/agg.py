@@ -1414,8 +1414,7 @@ def ddsketch_cdf_spark_sql(
         x_out = ", ".join(f"agg.`{n}`" for n in x_names)
         final = f""",
 agg AS (
-  SELECT {g}{", ".join(sels)},
-    CAST(SUM(__c) AS DOUBLE) AS __bn
+  SELECT {g}{", ".join(sels)}
   FROM walk {gby}
 ),
 stats AS (

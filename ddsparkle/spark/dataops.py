@@ -727,7 +727,15 @@ def text_quality(df, text_col: str = "text", id_col: str = "doc_id"):
     return df.select(id_col, *[c.alias(n) for n, c in exprs.items()])
 
 
-def language_score_exprs(text_col: str = "text") -> dict:
+#: Language decisions saturate after a few KB of text — standard langid
+#: practice is to score a bounded prefix, which also bounds the per-row scan
+#: cost (9 regexp passes + tokenize) independent of document length. 100-TB
+#: framing: without the bound the scorer's cost is O(total corpus bytes)
+#: even though the decision is already made after the first 4 KB.
+LANGUAGE_MAX_CHARS = 4096
+
+
+def language_score_exprs(text_col: str = "text", max_chars: int | None = LANGUAGE_MAX_CHARS) -> dict:
     """Per-language score Columns on a shared 0..20 scale — 25 languages,
     two scorer families: DISTINCT-stopword hits for the 16 space-tokenized
     languages in ``_STOPWORDS``, and script-character ratios (explicit BMP
@@ -735,18 +743,26 @@ def language_score_exprs(text_col: str = "text") -> dict:
     chars)``, integer multiply -> double divide -> floor, the exact
     arithmetic shape the generated DuckDB twin replays) for Cyrillic/
     Greek/Hebrew/Arabic/Devanagari/Thai/Hangul/kana/Han languages, where
-    whitespace tokenization is meaningless. Pure Catalyst, row-local."""
+    whitespace tokenization is meaningless. Pure Catalyst, row-local.
+
+    Both scorer families read only the first ``max_chars`` characters
+    (character-based substring — identical in Spark and DuckDB, so the
+    generated twin cuts the same prefix); ``max_chars=None`` scores the
+    full text (the pre-r4 behavior, kept for A/B comparison)."""
     from pyspark.sql import functions as F
 
-    tokens = F.split(F.lower(F.col(text_col)), " ")
+    text = F.col(text_col)
+    if max_chars is not None:
+        text = F.substring(text, 1, max_chars)
+    tokens = F.split(F.lower(text), " ")
     scores = {
         lang: F.size(F.array_intersect(tokens, F.array(*[F.lit(w) for w in words])))
         for lang, words in _STOPWORDS.items()
     }
-    n_chars = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    n_chars = F.greatest(F.length(text), F.lit(1))
     for lang, (ranges, weight) in _SCRIPTS.items():
         cls = "".join(f"\\u{lo}-\\u{hi}" for lo, hi in ranges)
-        cnt = F.length(F.regexp_replace(F.col(text_col), f"[^{cls}]", ""))
+        cnt = F.length(F.regexp_replace(text, f"[^{cls}]", ""))
         scores[lang] = F.floor((cnt * F.lit(20 * weight)) / n_chars)
     return scores
 
@@ -773,7 +789,15 @@ def language_pick_expr(scores: dict):
         for i, (lang, c) in enumerate(scores.items())
     ]
     m = F.array_max(F.array(*entries))
-    return F.when(m["s"] <= 0, F.lit("und")).otherwise(m["lang"])
+    # NULL text -> every score NULL -> m['s'] <= 0 is NULL, which would fall
+    # through otherwise() and classify NULL text as the first language; guard
+    # so NULL stays NULL (matching the DuckDB twin and letting language
+    # filters drop NULL-text rows naturally).
+    return (
+        F.when(m["s"].isNull(), F.lit(None).cast("string"))
+        .when(m["s"] <= 0, F.lit("und"))
+        .otherwise(m["lang"])
+    )
 
 
 def language_pred_expr(text_col: str = "text"):

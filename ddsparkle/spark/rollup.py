@@ -434,7 +434,13 @@ def rollup_frequencies(
     from ..sketches.countmin import CountMinSketch
     from .approx import _merge_finalize
 
-    probes = [str(p) for p in probes]
+    # Query with the ORIGINAL probe values: hash_pandas_object canonicalizes
+    # numerics and strings differently, so coercing probes to str before
+    # sk.query() would silently return ~0 for numeric value_col rollups
+    # (cells are built from the raw column values). str(p) is only for the
+    # output column names.
+    probes = list(probes)
+    names = [f"freq_{p}" for p in probes]
     key_cols = [by] if isinstance(by, str) else list(by or [])
     sel = _apply_time_filter(rollup, start, end)
     drop = [
@@ -443,13 +449,13 @@ def rollup_frequencies(
         if c in sel.columns and c not in key_cols
     ]
     sel = sel.drop(*drop)
-    out_fields = [T.StructField(f"freq_{p}", T.DoubleType()) for p in probes]
+    out_fields = [T.StructField(n, T.DoubleType()) for n in names]
 
     def finalize(sk):
         import pandas as pd
 
         ests = sk.query(pd.Series(probes))
-        return {f"freq_{p}": float(e) for p, e in zip(probes, ests)}
+        return {n: float(e) for n, e in zip(names, ests)}
 
     return _merge_finalize(
         sel, key_cols, out_fields,

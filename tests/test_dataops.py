@@ -238,6 +238,33 @@ def test_language_id_25_languages(spark):
     assert got == {lang: lang for lang in samples}, got
 
 
+def test_language_id_null_and_prefix_bound(spark):
+    """NULL text stays NULL (not 'en' — the r3 advice drift surface: every
+    score NULL made the argmax fall through otherwise()), and the scorer
+    reads only the first LANGUAGE_MAX_CHARS characters, so a long document
+    whose head is English and whose tail is German noise still scores from
+    the head alone — bounding per-row cost independent of document length."""
+    from pyspark.sql import types as T
+
+    from ddsparkle.spark.dataops import LANGUAGE_MAX_CHARS
+
+    long_en = ("the cat is in the house and it is warm " * 200)[:LANGUAGE_MAX_CHARS]
+    tail_de = " der hund ist nicht zu hause und die katze war im garten" * 400
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, long_en + tail_de)], schema
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert out[1] is None, out
+    assert out[2] == "und", out
+    assert out[3] == "en", out
+
+
 def test_ivf_ann_recall(spark, sf_dir):
     """IVF top-k recall vs brute force: searching n_probe of n_clusters
     clusters must recover most of the true neighbors while scanning fewer

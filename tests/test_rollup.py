@@ -343,6 +343,27 @@ def test_cms_rollup_window_frequencies(events, spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_cms_rollup_numeric_probes(events, spark):
+    """Probes must be hashed with their ORIGINAL type: cells built from a
+    numeric value_col are updated with numeric pandas values, and
+    hash_pandas_object canonicalizes numerics differently from their str()
+    forms — a str-coerced probe would silently return ~0. Regression test
+    for the r3 advice finding (rollup_frequencies probe coercion)."""
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.rollup import cms_rollup, rollup_frequencies
+
+    ev = events.withColumn("code", (F.xxhash64("event_type") % 7).cast("long"))
+    probes = [r["code"] for r in ev.select("code").distinct().collect()]
+    exact = {
+        f"freq_{r['code']}": float(r["n"])
+        for r in ev.groupBy("code").agg(F.count("*").alias("n")).collect()
+    }
+    roll = cms_rollup(ev, "code", time_col="ts", granularity="day")
+    got = rollup_frequencies(roll, probes).collect()[0].asDict()
+    assert got == exact, (got, exact)
+
+
 def test_hll_rollup_write_read_global(events, spark):
     from ddsparkle.spark.approx import hll_distinct
     from ddsparkle.spark.rollup import hll_rollup, rollup_distinct
