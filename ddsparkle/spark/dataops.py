@@ -735,7 +735,25 @@ def text_quality(df, text_col: str = "text", id_col: str = "doc_id"):
 LANGUAGE_MAX_CHARS = 4096
 
 
-def language_score_exprs(text_col: str = "text", max_chars: int | None = LANGUAGE_MAX_CHARS) -> dict:
+def language_tokens_expr(text_col: str = "text", max_chars: int | None = LANGUAGE_MAX_CHARS):
+    """DISTINCT lowercase whitespace tokens of the scored prefix — the shared
+    input of all 16 stopword scorers. Materialize this ONCE as a column and
+    pass its name as ``tokens_col`` to :func:`language_score_exprs`: Catalyst
+    does not eliminate the common split/lower/distinct subtree across 16
+    independent score expressions (measured 2x on the stopword family)."""
+    from pyspark.sql import functions as F
+
+    text = F.col(text_col)
+    if max_chars is not None:
+        text = F.substring(text, 1, max_chars)
+    return F.array_distinct(F.split(F.lower(text), " "))
+
+
+def language_score_exprs(
+    text_col: str = "text",
+    max_chars: int | None = LANGUAGE_MAX_CHARS,
+    tokens=None,
+) -> dict:
     """Per-language score Columns on a shared 0..20 scale — 25 languages,
     two scorer families: DISTINCT-stopword hits for the 16 space-tokenized
     languages in ``_STOPWORDS``, and script-character ratios (explicit BMP
@@ -748,13 +766,24 @@ def language_score_exprs(text_col: str = "text", max_chars: int | None = LANGUAG
     Both scorer families read only the first ``max_chars`` characters
     (character-based substring — identical in Spark and DuckDB, so the
     generated twin cuts the same prefix); ``max_chars=None`` scores the
-    full text (the pre-r4 behavior, kept for A/B comparison)."""
+    full text (the pre-r4 behavior, kept for A/B comparison).
+
+    ``tokens`` is a pre-bound :func:`language_tokens_expr` Column (built
+    with the SAME max_chars) — normally the let-bound lambda variable from
+    ``language_pred_expr`` — so the tokenize runs once, not 16x. Script
+    counts use ``regexp_count(text, '[ranges]')`` — the same integer as
+    ``length(regexp_replace(text, '[^ranges]', ''))`` (each match is one
+    char; all ranges are BMP) without allocating the stripped string,
+    measured 3.3x faster — so the DuckDB twins need no change."""
     from pyspark.sql import functions as F
 
     text = F.col(text_col)
     if max_chars is not None:
         text = F.substring(text, 1, max_chars)
-    tokens = F.split(F.lower(text), " ")
+    # array_intersect has set semantics, so distinct tokens give the same
+    # count as raw tokens — pre-distincting just shrinks the 16 probe arrays
+    if tokens is None:
+        tokens = language_tokens_expr(text_col, max_chars)
     scores = {
         lang: F.size(F.array_intersect(tokens, F.array(*[F.lit(w) for w in words])))
         for lang, words in _STOPWORDS.items()
@@ -762,7 +791,7 @@ def language_score_exprs(text_col: str = "text", max_chars: int | None = LANGUAG
     n_chars = F.greatest(F.length(text), F.lit(1))
     for lang, (ranges, weight) in _SCRIPTS.items():
         cls = "".join(f"\\u{lo}-\\u{hi}" for lo, hi in ranges)
-        cnt = F.length(F.regexp_replace(text, f"[^{cls}]", ""))
+        cnt = F.regexp_count(text, F.lit(f"[{cls}]"))
         scores[lang] = F.floor((cnt * F.lit(20 * weight)) / n_chars)
     return scores
 
@@ -800,28 +829,53 @@ def language_pick_expr(scores: dict):
     )
 
 
-def language_pred_expr(text_col: str = "text"):
-    """Language identification as ONE inlineable Catalyst Column (scores +
-    argmax fused). Convenient for small frames; on full-corpus scans prefer
-    the two-step ``language_id`` shape — this fused form repeats each score
-    expression ~3x and exceeds the whole-stage-codegen method limit (see
-    ``language_pick_expr``)."""
-    return language_pick_expr(language_score_exprs(text_col))
+def language_pred_expr(text_col: str = "text", max_chars: int | None = LANGUAGE_MAX_CHARS):
+    """Language identification as ONE Catalyst Column, with the tokenize
+    LET-BOUND via a single-element ``transform`` lambda:
+
+        element_at(transform(array(tokens_expr), t -> pick(scores(t))), 1)
+
+    Why the lambda: Catalyst's projection collapse and filter pushdown
+    substitute plain column aliases back into every use site, so a
+    materialized ``__toks`` column still ends up re-inlined into all 16
+    stopword scorers (measured: 16 ``array_distinct`` copies in the curate
+    gate's physical plan). A lambda variable is bound ONCE per row at eval
+    time and can never be substituted — the plan keeps exactly one
+    tokenize. The lambda body is evaluated outside whole-stage codegen
+    (higher-order functions are CodegenFallback), which also sidesteps the
+    Janino 64 KB method limit that broke the fully-inlined form; measured
+    NET faster than the alias-materialized shape (sf0.1 gate 1.23 -> 0.91 s
+    same-epoch) because it stops the duplication.
+    NULL text flows through as NULL (array(NULL) -> lambda sees NULL ->
+    every score NULL -> pick's NULL guard)."""
+    from pyspark.sql import functions as F
+
+    toks = language_tokens_expr(text_col, max_chars)
+    return F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda t: language_pick_expr(
+                language_score_exprs(text_col, max_chars, tokens=t)
+            ),
+        ),
+        1,
+    )
 
 
 def language_id(df, text_col: str = "text", id_col: str = "doc_id"):
     """Language identification (stopword + script-ratio scorer families).
-    Pure Catalyst, no UDF, two projections: scores materialize as columns
-    first so the argmax references them by name — each score is computed
-    once and the generated code stays under the codegen method limit."""
-    from pyspark.sql import functions as F
+    Pure Catalyst, no UDF: one projection around the let-bound
+    ``language_pred_expr`` (tokenize runs once per row — see that
+    docstring for why a lambda binding, not a column alias).
 
-    scores = language_score_exprs(text_col)
-    scored = df.select(
-        id_col, *[c.alias(f"__lang_{lang}") for lang, c in scores.items()]
+    The scorer fuses into the scan, so on a single-split input (one
+    parquet file = one row group) all per-row work serializes onto ONE
+    core — the same narrow-scan trap as the hashing ops; gate through
+    ``_ensure_parallelism`` (structural no-op at scale, where inputs scan
+    as >= cores splits)."""
+    return _ensure_parallelism(df.select(id_col, text_col)).select(
+        id_col, language_pred_expr(text_col).alias("lang_pred")
     )
-    refs = {lang: F.col(f"__lang_{lang}") for lang in scores}
-    return scored.select(id_col, language_pick_expr(refs).alias("lang_pred"))
 
 
 def ivf_index(df, emb_col: str = "embedding", id_col: str = "vec_id", n_clusters: int = 16, seed: int = 0, sample: int = 10_000, iters: int = 3):

@@ -60,8 +60,7 @@ def curate(
         cross_corpus_contamination,
         exact_dedup,
         exact_dedup_normalized,
-        language_pick_expr,
-        language_score_exprs,
+        language_pred_expr,
         near_dup_clusters,
         quality_exprs,
     )
@@ -118,15 +117,12 @@ def curate(
         (qe["n_tokens"] >= min_tokens) & (qe["mean_token_len"] <= max_mean_token_len)
     )
     if languages:
-        # two-step scoring (materialize scores, argmax over the column
-        # refs) — the fused language_pred_expr repeats every score ~3x and
-        # overflows the codegen method limit on this full-corpus stage
-        scores = language_score_exprs(text_col)
-        gated = gated.select(
-            "*", *[c.alias(f"__lang_{lang}") for lang, c in scores.items()]
-        )
-        refs = {lang: F.col(f"__lang_{lang}") for lang in scores}
-        gated = gated.filter(language_pick_expr(refs).isin(list(languages)))
+        # let-bound single-expression gate: the lambda binds the tokenize
+        # once per row (alias-materialized shapes get re-inlined 16x by
+        # projection collapse / filter pushdown; the lambda body also
+        # evaluates outside whole-stage codegen, sidestepping the Janino
+        # 64 KB limit the old fused form hit — see language_pred_expr)
+        gated = gated.filter(language_pred_expr(text_col).isin(list(languages)))
     curated = gated.select(*df.columns)  # exactly the input schema
     n_final = curated.count()
     if release_cache:
