@@ -104,59 +104,102 @@ def streaming_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     timeout: str = "NoTimeout",
+    exact_texts: bool = True,
 ):
-    """First-seen streaming EXACT deduplication: emit each arriving row
-    whose text has not appeared in any earlier micro-batch (within a batch,
-    the min-id copy represents its duplicates) — ingest-time dedup, so
+    """First-seen streaming deduplication: emit each arriving row whose
+    text has not appeared in any earlier micro-batch (within a batch, the
+    min-id copy represents its duplicates) — ingest-time dedup, so
     downstream storage only ever sees one copy of each document.
 
-    State is keyed by ``xxhash64(text)`` and stores the exact texts seen
-    under that key — almost always exactly one (a 64-bit collision only
-    lengthens one key's list; it can never produce a wrong keep/drop
-    decision, unlike hash-only dedup). State size is therefore one text per
-    DISTINCT document; at 100 TB the same operator runs with RocksDB state
-    store backing, and keying by the hash keeps the shuffle 8-byte.
+    ``exact_texts=True`` (default, EXACT): state is keyed by
+    ``xxhash64(text)`` and stores the exact texts seen under that key —
+    almost always exactly one (a 64-bit collision only lengthens one key's
+    list; it can never produce a wrong keep/drop decision, unlike hash-only
+    dedup). State size is one text per DISTINCT document; at 100 TB the
+    same operator runs with RocksDB state store backing, and keying by the
+    hash keeps the shuffle 8-byte.
 
-    Batch-order caveat: which copy of a cross-batch duplicate survives is
-    first-seen by ARRIVAL (batch) order — deterministic for a deterministic
-    file/batch order; within one batch it is min-id, matching
+    ``exact_texts=False`` (hash-only, opt-in for scale): state is keyed by
+    the 128-bit ``md5(text)`` digest and stores only a presence flag — no
+    document text ever enters the state store, so state is ~16 bytes +
+    store overhead per distinct document instead of the full text. The
+    price is quantified collision risk: two DISTINCT documents sharing an
+    md5 drops one of them. By the birthday bound p <= n^2 / 2^129, at
+    n = 10^12 distinct documents p ~ 1.5e-15 — negligible, but nonzero,
+    which is why exact mode stays the default. The shuffle key is 16 bytes
+    (vs 8), still constant-size regardless of document length.
+
+    Batch-order caveat (both modes): which copy of a cross-batch duplicate
+    survives is first-seen by ARRIVAL (batch) order — deterministic for a
+    deterministic file/batch order; within one batch it is min-id, matching
     ``exact_dedup``'s representative choice exactly when the input fits one
     batch. Returns an append-mode stream of [id_col, text_col].
+
+    Throughput: ``applyInPandasWithState`` hands each state key's rows to
+    Python as its own group (~1 ms of interpreter/Arrow overhead per
+    group), and one distinct document = one group, so ingest throughput is
+    bounded by groups/sec/core, not bytes — measured at local[32] in
+    ``BENCH/streaming_ingest_r04.json`` (see AB_r04.md §streaming). The
+    hash-only mode shrinks state, not group count, so its throughput gain
+    is modest; the knob that matters at 100 TB is partitions × cores.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    src = df.select(
-        F.xxhash64(F.col(text_col)).alias("__h"),
-        F.col(id_col),
-        F.col(text_col),
+    key_expr = (
+        F.xxhash64(F.col(text_col))
+        if exact_texts
+        else F.unhex(F.md5(F.col(text_col)))
     )
+    src = df.select(key_expr.alias("__h"), F.col(id_col), F.col(text_col))
     out_schema = T.StructType([src.schema[id_col], src.schema[text_col]])
-    state_schema = T.StructType(
-        [T.StructField("texts", T.ArrayType(T.StringType()))]
-    )
-
-    def update_fn(key, pdfs, state):
-        seen = list(state.get[0]) if state.exists else []
-        batch = [pdf[[id_col, text_col]] for pdf in pdfs]
-        if not batch:
-            return iter(())
-        rows = pd.concat(batch, ignore_index=True)
-        # min-id per distinct text within the batch, in min-id order so the
-        # emitted representative is deterministic
-        reps = rows.groupby(text_col, sort=False)[id_col].min().reset_index()
-        reps = reps.sort_values(id_col)
-        keep = reps[~reps[text_col].isin(seen)]
-        if len(keep):
-            seen.extend(keep[text_col].tolist())
-            state.update((seen,))
-            return iter([keep[[id_col, text_col]]])
-        if not state.exists:
-            state.update((seen,))
-        return iter(())
 
     timeout_conf = getattr(GroupStateTimeout, timeout, GroupStateTimeout.NoTimeout)
+
+    if exact_texts:
+        state_schema = T.StructType(
+            [T.StructField("texts", T.ArrayType(T.StringType()))]
+        )
+
+        def update_fn(key, pdfs, state):
+            seen = list(state.get[0]) if state.exists else []
+            batch = [pdf[[id_col, text_col]] for pdf in pdfs]
+            if not batch:
+                return iter(())
+            rows = pd.concat(batch, ignore_index=True)
+            # min-id per distinct text within the batch, in min-id order so
+            # the emitted representative is deterministic
+            reps = rows.groupby(text_col, sort=False)[id_col].min().reset_index()
+            reps = reps.sort_values(id_col)
+            keep = reps[~reps[text_col].isin(seen)]
+            if len(keep):
+                seen.extend(keep[text_col].tolist())
+                state.update((seen,))
+                return iter([keep[[id_col, text_col]]])
+            if not state.exists:
+                state.update((seen,))
+            return iter(())
+
+    else:
+        state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+        def update_fn(key, pdfs, state):
+            if state.exists:
+                for _ in pdfs:  # drain — this digest was already emitted
+                    pass
+                return iter(())
+            batch = [pdf[[id_col, text_col]] for pdf in pdfs]
+            if not batch:
+                return iter(())
+            rows = pd.concat(batch, ignore_index=True)
+            if not len(rows):
+                return iter(())
+            state.update((True,))
+            # one digest = one distinct text (modulo md5 collision): emit
+            # the min-id copy
+            return iter([rows.loc[[rows[id_col].idxmin()], [id_col, text_col]]])
+
     return src.groupBy("__h").applyInPandasWithState(
         update_fn, out_schema, state_schema, "append", timeout_conf
     )

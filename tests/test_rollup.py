@@ -453,6 +453,42 @@ def test_rollup_day_partition_pruning(events, spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_rollup_day_pruning_cms_and_tdigest(events, spark):
+    """The CMS and t-digest window readers must prune on the `day`
+    partition column exactly like the DDSketch reader — a refactor that
+    drops the pruning would silently full-scan a year-long cell table for
+    a one-week window. Same pin as test_rollup_day_partition_pruning,
+    extended to the two r3 cell families (VERDICT r3 #7)."""
+    from ddsparkle.spark.rollup import (
+        cms_rollup, read_rollup, rollup_frequencies,
+        rollup_tdigest_quantiles, tdigest_rollup,
+    )
+
+    lo, hi = "2024-01-05 00:00:00", "2024-01-08 00:00:00"
+    tmp = tempfile.mkdtemp(prefix="rollup-prune-")
+    try:
+        cms = cms_rollup(events, "event_type", time_col="ts", granularity="hour")
+        write_rollup(cms, f"{tmp}/cms")
+        td = tdigest_rollup(events, "value", granularity="hour", delta=200.0)
+        write_rollup(td, f"{tmp}/td")
+        reads = {
+            "cms": rollup_frequencies(
+                read_rollup(spark, f"{tmp}/cms"), ["click"], start=lo, end=hi
+            ),
+            "td": rollup_tdigest_quantiles(
+                read_rollup(spark, f"{tmp}/td"), (0.5,), start=lo, end=hi
+            ),
+        }
+        for name, res in reads.items():
+            plan = res._jdf.queryExecution().executedPlan().toString()
+            assert "PartitionFilters" in plan, name
+            pf = plan[plan.index("PartitionFilters"):].split("]", 1)[0]
+            # bounds widened one day each side for cross-timezone safety
+            assert "day" in pf and "2024-01-04" in pf and "2024-01-09" in pf, (name, pf)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_tdigest_rollup_window_bound(events, spark):
     """t-digest cells merged over a window: count (total weight) is exact,
     and every windowed quantile's exact rank stays within the rank-error

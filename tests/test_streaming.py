@@ -139,6 +139,45 @@ def test_streaming_dedup_first_seen(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_dedup_hash_only(spark, tmp_path):
+    """exact_texts=False keeps first-seen/min-id semantics with only a
+    16-byte digest + flag in state (no document text)."""
+    from ddsparkle.spark.streaming import streaming_dedup
+
+    src = str(tmp_path / "dedh_src")
+    ckpt = str(tmp_path / "dedh_ckpt")
+    b1 = pd.DataFrame({"doc_id": [10, 11, 12], "text": ["alpha", "beta", "alpha"]})
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(src)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_dedup(stream, exact_texts=False)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdedh")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {(r["doc_id"], r["text"]) for r in spark.sql("select * from sdedh").collect()}
+        assert got1 == {(10, "alpha"), (11, "beta")}  # min-id within batch
+
+        b2 = pd.DataFrame({"doc_id": [1, 2], "text": ["alpha", "gamma"]})
+        spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got2 = {(r["doc_id"], r["text"]) for r in spark.sql("select * from sdedh").collect()}
+        # doc 1 is a cross-batch duplicate of 'alpha' — dropped despite id 1 < 10
+        assert got2 == {(10, "alpha"), (11, "beta"), (2, "gamma")}
+    finally:
+        q.stop()
+
+
 def test_windowed_streaming_quantiles(spark, tmp_path):
     """Event-time tumbling windows: values land in their window's sketch and
     windows report independent quantiles."""
