@@ -1535,6 +1535,86 @@ def q_transcripts_turns_per_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_result(res, [], ["q50", "q95", "q99"])
 
 
+def q_transcripts_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation summary (turns, tool calls, roles, chars, duration):
+    one map-side-combined groupBy, exact SQL twin. The conversation-level
+    frame every downstream transcript operator starts from."""
+    from ddsparkle.spark.transcript_ops import conversation_stats
+
+    df = _transcripts(spark, sf_dir)
+    res = conversation_stats(df)
+    # duration_s is NOT rounded: both sides compute the identical double
+    # (BIGINT micros difference / 1e6), while ROUND-to-4 would hit exact
+    # decimal ties (micros/1e6 has 6 fractional digits) where Spark
+    # (half-up) and DuckDB disagree.
+    return res.select(
+        "conv_id", "n_turns", "n_tool_turns", "n_roles", "total_chars", "duration_s"
+    ).orderBy("conv_id")
+
+
+def q_transcripts_conv_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch q50/q95/q99 of conversation wall-clock duration. Single-turn
+    conversations land in the sketch's exact zero bucket (DDSketch.java:275
+    zeroCount semantics), which the SQL bucket walk reproduces."""
+    from ddsparkle.spark.transcript_ops import conv_duration_quantiles
+
+    df = _transcripts(spark, sf_dir)
+    res = conv_duration_quantiles(df, config=_cfg())
+    return _round_result(res, [], ["q50", "q95", "q99"])
+
+
+def q_transcripts_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch q50/q95/q99 of user->assistant response latency (adjacent
+    pairs only) via the skew-proof composite-key join — the operational
+    metric, as opposed to raw turn latency which mixes tool rounds in."""
+    from ddsparkle.spark.transcript_ops import response_latency_quantiles
+
+    df = _transcripts(spark, sf_dir)
+    res = response_latency_quantiles(df, config=_cfg())
+    return _round_result(res, [], ["q50", "q95", "q99"])
+
+
+def q_transcripts_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-transition matrix (from_role -> to_role counts over adjacent
+    turns), computed with distinct composite join keys so a hot conversation
+    cannot create a straggler; exact window-LAG SQL twin."""
+    from ddsparkle.spark.transcript_ops import role_transitions
+
+    df = _transcripts(spark, sf_dir)
+    return role_transitions(df)
+
+
+def q_transcripts_tool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 tools by call count through the two-pass Misra-Gries
+    pattern (mg_k=64 far exceeds tool cardinality, so candidates are
+    lossless and pass 2 makes the counts exact)."""
+    from ddsparkle.spark.transcript_ops import tool_top_k
+
+    df = _transcripts(spark, sf_dir)
+    return tool_top_k(df, k=3, mg_k=64)
+
+
+def q_transcripts_tool_distinct_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool distinct conversations: HLL(p=14) estimate bound-checked
+    within 3*rse of the exact COUNT(DISTINCT) per group (the oracle asserts
+    the exact part + TRUE bound, same gate shape as hll_distinct_users)."""
+    from ddsparkle.spark.transcript_ops import tool_distinct_conversations
+
+    df = _transcripts(spark, sf_dir)
+    return tool_distinct_conversations(df)
+
+
+def q_transcripts_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup (identical ordered turn texts):
+    hash-first — 32-byte per-turn digests shuffle, never text; fingerprint =
+    md5 over ordered turn digests, twin-checked against DuckDB's ordered
+    string_agg construction."""
+    from ddsparkle.spark.transcript_ops import dedup_conversations
+
+    df = _transcripts(spark, sf_dir)
+    return dedup_conversations(df)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is evidence policy, not alphabetics: the driver
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json, so entries
@@ -1550,6 +1630,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_turn_latency": q_transcripts_latency,
         "transcripts_turn_latency_skewproof": q_transcripts_latency_skewproof,
         "transcripts_turns_per_conv": q_transcripts_turns_per_conv,
+        # --- r4 transcript-native conversation-level operators ---
+        "transcripts_conv_stats": q_transcripts_conv_stats,
+        "transcripts_conv_duration": q_transcripts_conv_duration,
+        "transcripts_response_latency": q_transcripts_response_latency,
+        "transcripts_role_transitions": q_transcripts_role_transitions,
+        "transcripts_tool_topk": q_transcripts_tool_topk,
+        "transcripts_tool_distinct_convs": q_transcripts_tool_distinct_convs,
+        "transcripts_conv_dedup": q_transcripts_conv_dedup,
         # --- never had a driver row (registry positions 51-67 in r3) ---
         "media_video_motion": q_media_video_motion,
         "ddsketch_events_cdf": q_events_cdf,
@@ -1802,6 +1890,55 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_turn_latency_skewproof": tr_lat_sql,
         "transcripts_turns_per_conv": ddsketch_quantile_sql(
             tr_cnt_src, "n", [0.5, 0.95, 0.99]
+        ),
+        # r4 conversation-level twins (same materialized transcript files)
+        "transcripts_conv_stats": (
+            "SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS n_turns, "
+            "CAST(COUNT(tool) AS DOUBLE) AS n_tool_turns, "
+            "CAST(COUNT(DISTINCT role) AS DOUBLE) AS n_roles, "
+            "CAST(SUM(LENGTH(text)) AS DOUBLE) AS total_chars, "
+            "(MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1e6 AS duration_s "
+            f"FROM {tr_src} GROUP BY conv_id ORDER BY conv_id"
+        ),
+        "transcripts_conv_duration": ddsketch_quantile_sql(
+            f"(SELECT (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1e6 AS dur "
+            f"FROM {tr_src} GROUP BY conv_id)",
+            "dur",
+            [0.5, 0.95, 0.99],
+        ),
+        "transcripts_response_latency": ddsketch_quantile_sql(
+            f"(SELECT gap FROM (SELECT role, "
+            f"LAG(role) OVER w AS from_role, "
+            f"(epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1e6 AS gap "
+            f"FROM {tr_src} "
+            f"WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)) "
+            f"WHERE from_role = 'user' AND role = 'assistant')",
+            "gap",
+            [0.5, 0.95, 0.99],
+        ),
+        "transcripts_role_transitions": (
+            "SELECT from_role, to_role, CAST(COUNT(*) AS DOUBLE) AS n_transitions "
+            "FROM (SELECT LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) "
+            f"AS from_role, role AS to_role FROM {tr_src}) "
+            "WHERE from_role IS NOT NULL GROUP BY from_role, to_role "
+            "ORDER BY n_transitions DESC, from_role, to_role"
+        ),
+        "transcripts_tool_topk": (
+            "SELECT CAST(tool AS VARCHAR) AS value, CAST(COUNT(*) AS DOUBLE) AS freq "
+            f"FROM {tr_src} WHERE tool IS NOT NULL "
+            "GROUP BY tool ORDER BY freq DESC, value LIMIT 3"
+        ),
+        "transcripts_tool_distinct_convs": (
+            "SELECT tool, CAST(COUNT(DISTINCT conv_id) AS DOUBLE) AS exact_distinct, "
+            f"TRUE AS within_3rse FROM {tr_src} WHERE tool IS NOT NULL "
+            "GROUP BY tool ORDER BY tool"
+        ),
+        "transcripts_conv_dedup": (
+            "SELECT MIN(conv_id) AS conv_id, CAST(COUNT(*) AS DOUBLE) AS n_copies, "
+            "n_turns FROM (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS n_turns, "
+            "md5(string_agg(md5(text), '|' ORDER BY turn_idx)) AS fp "
+            f"FROM {tr_src} GROUP BY conv_id) "
+            "GROUP BY fp, n_turns ORDER BY conv_id"
         ),
         "ddsketch_events_value": ddsketch_quantile_sql("events", "value", [0.5, 0.95, 0.99]),
         "ddsketch_events_by_type": ddsketch_quantile_sql(

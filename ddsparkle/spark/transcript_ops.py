@@ -1,0 +1,262 @@
+"""Transcript-native analytics operators over the north-star table
+(BASELINE.json ``input_hint``: conv_id, turn_idx, role, text, tool, ts).
+
+These extend the three north-star queries (``queries.py``) with the
+conversation-level operations a transcript corpus pipeline needs:
+per-conversation stats, conversation-duration and response-latency sketch
+quantiles, role-transition counts, tool-usage analytics, and
+conversation-level exact dedup. Everything is expressed so the hot path
+scales with turn count, not conversation size:
+
+- per-conversation aggregations are native ``groupBy(conv_id)`` — map-side
+  partial aggregation means a hot conversation contributes one partial per
+  task, never one shuffled row per turn;
+- adjacency (transitions / response latency) uses the composite-key
+  self-join formulation from ``queries.turn_latency_quantiles(method=
+  'join')``: turn t joins turn t-1 on (conv_id, turn_idx), every join key
+  distinct, so conv_id skew cannot create a straggler task by construction;
+- conversation dedup hashes each TURN first (md5 hex, 32 bytes) so only
+  digests + turn indices shuffle, never document text — the same
+  hash-first discipline as ``dataops.exact_dedup(strategy='hash')``.
+
+Timestamps are TIMESTAMP_NTZ in parquet; all epoch math goes through
+``unix_micros(cast(ts as timestamp))`` which is NTZ-tolerant and matches
+DuckDB's ``epoch_us`` (CLAUDE.md note; see also ``queries.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from ..config import SketchConfig
+from .agg import quantiles
+
+__all__ = [
+    "conversation_stats",
+    "conv_duration_quantiles",
+    "role_transitions",
+    "response_latency_quantiles",
+    "tool_top_k",
+    "tool_distinct_conversations",
+    "dedup_conversations",
+]
+
+DEFAULT_QS = (0.5, 0.95, 0.99)
+
+
+def _micros(col):
+    from pyspark.sql import functions as F
+
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def conversation_stats(df):
+    """Per-conversation summary frame: turn count, tool-call count,
+    distinct roles, total characters, wall-clock duration in seconds.
+
+    One native groupBy — map-side combine bounds the shuffle at one partial
+    row per (task, conv_id); no window, no full-text movement (lengths are
+    computed in the scan projection). Output columns:
+    [conv_id, n_turns, n_tool_turns, n_roles, total_chars, duration_s].
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(
+            "conv_id",
+            F.length("text").cast("double").alias("__len"),
+            F.col("tool").isNotNull().cast("long").alias("__is_tool"),
+            "role",
+            _micros("ts").alias("__us"),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").cast("double").alias("n_turns"),
+            F.sum("__is_tool").cast("double").alias("n_tool_turns"),
+            # size(collect_set) not countDistinct: a distinct aggregate
+            # expands to a TWO-exchange plan (partial by (conv_id, role)
+            # then re-shuffle by conv_id); collect_set partial-aggregates
+            # map-side in the same single exchange as the other five
+            # aggregates, and the set is bounded by role cardinality (4)
+            F.size(F.collect_set("role")).cast("double").alias("n_roles"),
+            F.sum("__len").alias("total_chars"),
+            ((F.max("__us") - F.min("__us")) / 1e6).alias("duration_s"),
+        )
+    )
+
+
+def conv_duration_quantiles(
+    df,
+    qs: Sequence[float] = DEFAULT_QS,
+    config: Optional[SketchConfig] = None,
+):
+    """DDSketch quantiles of conversation wall-clock duration (seconds,
+    first-to-last turn). Single-turn conversations contribute 0.0 — DDSketch
+    stores zeros in the dedicated zero bucket, exactly (``DDSketch.java:275``
+    zeroCount), so the oracle's bucket walk reproduces them.
+
+    Shuffle profile: one map-side-combined groupBy; durations then enter
+    the sketch build partition-local.
+    """
+    durations = conversation_stats(df).select("duration_s")
+    return quantiles(durations, "duration_s", qs=qs, config=config)
+
+
+def _adjacent_pairs(df, extra_cols: Sequence[str] = ()):
+    """Frame of adjacent turn pairs via the skew-proof composite-key
+    self-join: columns [conv_id, turn_idx, from_role, to_role, gap_s,
+    *extra]. Requires the transcript contract's dense per-conversation
+    turn_idx numbering (FIXTURES.md section 1)."""
+    from pyspark.sql import functions as F
+
+    cur = df.select(
+        "conv_id",
+        "turn_idx",
+        F.col("role").alias("to_role"),
+        _micros("ts").alias("__us"),
+        *extra_cols,
+    )
+    prev = df.select(
+        "conv_id",
+        (F.col("turn_idx") + 1).alias("turn_idx"),
+        F.col("role").alias("from_role"),
+        _micros("ts").alias("__prev_us"),
+    )
+    return cur.join(prev, ["conv_id", "turn_idx"]).select(
+        "conv_id",
+        "turn_idx",
+        "from_role",
+        "to_role",
+        ((F.col("__us") - F.col("__prev_us")) / 1e6).alias("gap_s"),
+        *extra_cols,
+    )
+
+
+def role_transitions(df):
+    """Count of (from_role -> to_role) adjacent-turn transitions across all
+    conversations — the role-transition matrix in long form, ordered by
+    count desc then lexicographic.
+
+    Both the pair join (distinct composite keys) and the final 16-cell
+    groupBy are skew-immune; the count agg is map-side combined. Output:
+    [from_role, to_role, n_transitions].
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        _adjacent_pairs(df)
+        .groupBy("from_role", "to_role")
+        .agg(F.count("*").cast("double").alias("n_transitions"))
+        .orderBy(F.desc("n_transitions"), "from_role", "to_role")
+    )
+
+
+def response_latency_quantiles(
+    df,
+    from_role: str = "user",
+    to_role: str = "assistant",
+    qs: Sequence[float] = DEFAULT_QS,
+    config: Optional[SketchConfig] = None,
+):
+    """DDSketch quantiles of response latency: the ts gap of adjacent turn
+    pairs where ``from_role`` is answered by ``to_role`` (default
+    user -> assistant) — the transcript metric operators actually watch,
+    distinct from raw turn latency which mixes tool rounds in.
+
+    The role filters push into the two scan projections BEFORE the join
+    (Catalyst pushes both through the join keys), so only candidate turns
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    pairs = _adjacent_pairs(df).filter(
+        (F.col("from_role") == from_role) & (F.col("to_role") == to_role)
+    )
+    lat = pairs.select(F.col("gap_s").alias("latency_s"))
+    return quantiles(lat, "latency_s", qs=qs, config=config)
+
+
+def tool_top_k(df, k: int = 3, mg_k: int = 64):
+    """Exact top-k most-called tools via the two-pass Misra-Gries pattern
+    (``approx.heavy_hitters``): MG candidates per task, merged, then exact
+    counts for candidates only. NULL tool (non-tool turns) excluded before
+    the scan leaves the parquet reader (pushed filter).
+
+    Returns [value string, freq double] ordered by freq desc, value."""
+    from pyspark.sql import functions as F
+
+    from .approx import heavy_hitters
+
+    return heavy_hitters(df.filter(F.col("tool").isNotNull()), "tool", k=k, mg_k=mg_k)
+
+
+def tool_distinct_conversations(df, p: int = 14, seed: int = 0):
+    """Per-tool distinct-conversation counts via HLL (p=14, rse ~0.81%),
+    each estimate bound-checked against the exact COUNT(DISTINCT) — same
+    gate shape as ``hll_distinct_users_by_type``. Output:
+    [tool, exact_distinct, within_3rse]."""
+    from pyspark.sql import functions as F
+
+    from .approx import hll_distinct
+
+    base = df.filter(F.col("tool").isNotNull())
+    est = hll_distinct(base, "conv_id", by="tool", p=p, seed=seed)
+    exact = base.groupBy("tool").agg(
+        F.countDistinct("conv_id").cast("double").alias("exact_distinct")
+    )
+    return (
+        exact.join(est, "tool", "left")
+        .select(
+            "tool",
+            "exact_distinct",
+            (
+                F.abs(F.coalesce("distinct_est", F.lit(0.0)) - F.col("exact_distinct"))
+                <= 3.0 * F.coalesce("rse", F.lit(0.0)) * F.col("exact_distinct")
+            ).alias("within_3rse"),
+        )
+        .orderBy("tool")
+    )
+
+
+def dedup_conversations(df):
+    """Conversation-level exact dedup: two conversations are duplicates iff
+    their ordered turn-text sequences are identical. Returns one row per
+    distinct conversation content: [conv_id (min = representative),
+    n_copies, n_turns], ordered by conv_id.
+
+    Scale shape (hash-first, mirroring ``dataops.exact_dedup`` above its
+    size threshold): each turn is reduced to md5(text) hex in the scan
+    projection, so the conv_id shuffle moves 32-byte digests + indices,
+    never text. The conversation fingerprint is md5 over the '|'-joined
+    turn digests in turn_idx order (array_sort on (turn_idx, digest)
+    structs -> order by the int key). Fingerprint collisions would need an
+    md5 collision inside the corpus — the same 128-bit contract as the
+    hash-first document dedup's phase-1 key, except here it is additionally
+    guarded by n_turns equality in the group key.
+    """
+    from pyspark.sql import functions as F
+
+    per_conv = (
+        df.select("conv_id", "turn_idx", F.md5(F.col("text")).alias("__h"))
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").cast("double").alias("n_turns"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("turn_idx", "__h"))),
+                        lambda x: x["__h"],
+                    ),
+                )
+            ).alias("__fp"),
+        )
+    )
+    return (
+        per_conv.groupBy("__fp", "n_turns")
+        .agg(
+            F.min("conv_id").alias("conv_id"),
+            F.count("*").cast("double").alias("n_copies"),
+        )
+        .select("conv_id", "n_copies", "n_turns")
+        .orderBy("conv_id")
+    )

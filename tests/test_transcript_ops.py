@@ -1,0 +1,179 @@
+"""Conversation-level transcript operator tests (transcript_ops.py):
+every operator cross-checked against a local pandas recomputation on the
+deterministic tiny profile, plus a constructed-duplicate fixture for the
+conversation dedup semantics.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ddsparkle.spark.transcript_ops import (
+    conv_duration_quantiles,
+    conversation_stats,
+    dedup_conversations,
+    response_latency_quantiles,
+    role_transitions,
+    tool_distinct_conversations,
+    tool_top_k,
+)
+from ddsparkle.transcripts import transcripts_df
+
+pytestmark = pytest.mark.spark
+
+ALPHA = 0.01
+EPS = 1e-10
+
+
+def rank_interval_error(sorted_vals, q, actual):
+    n = len(sorted_vals)
+    lo = sorted_vals[int(math.floor(q * (n - 1)))]
+    hi = sorted_vals[int(math.ceil(q * (n - 1)))]
+    if lo <= actual <= hi:
+        return 0.0
+    if actual < lo:
+        return (lo - actual) / abs(lo) if lo != 0 else math.inf
+    return (actual - hi) / abs(hi) if hi != 0 else math.inf
+
+
+@pytest.fixture(scope="module")
+def tiny_df(spark):
+    df = transcripts_df(spark, n_convs=400, profile="tiny", seed=11).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def tiny_pdf(tiny_df):
+    return (
+        tiny_df.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+
+
+def test_conversation_stats_vs_pandas(spark, tiny_df, tiny_pdf):
+    got = conversation_stats(tiny_df).toPandas().set_index("conv_id").sort_index()
+    g = tiny_pdf.groupby("conv_id")
+    assert (got["n_turns"] == g.size().sort_index().astype(float)).all()
+    assert (
+        got["n_tool_turns"] == g["tool"].count().sort_index().astype(float)
+    ).all()
+    assert (got["n_roles"] == g["role"].nunique().sort_index().astype(float)).all()
+    chars = tiny_pdf.assign(_l=tiny_pdf["text"].str.len()).groupby("conv_id")["_l"]
+    assert (got["total_chars"] == chars.sum().sort_index().astype(float)).all()
+    dur = (g["ts"].max() - g["ts"].min()).dt.total_seconds().sort_index()
+    np.testing.assert_allclose(got["duration_s"], dur, rtol=1e-9)
+
+
+def test_conv_duration_quantiles_accuracy(spark, tiny_df, tiny_pdf):
+    res = conv_duration_quantiles(tiny_df).collect()[0]
+    g = tiny_pdf.groupby("conv_id")["ts"]
+    durs = np.sort((g.max() - g.min()).dt.total_seconds().to_numpy(np.float64))
+    assert res["count"] == len(durs)
+    # single-turn conversations are exact zeros via the zero bucket
+    assert (durs == 0.0).sum() > 0
+    for q, col in [(0.5, "q50"), (0.95, "q95"), (0.99, "q99")]:
+        assert rank_interval_error(durs, q, res[col]) <= ALPHA + EPS
+
+
+def _adjacent_pdf(tiny_pdf):
+    p = tiny_pdf.sort_values(["conv_id", "turn_idx"]).copy()
+    p["from_role"] = p.groupby("conv_id")["role"].shift(1)
+    p["gap_s"] = p.groupby("conv_id")["ts"].diff().dt.total_seconds()
+    return p[p["from_role"].notna()]
+
+
+def test_response_latency_vs_pandas(spark, tiny_df, tiny_pdf):
+    res = response_latency_quantiles(tiny_df).collect()[0]
+    adj = _adjacent_pdf(tiny_pdf)
+    gaps = adj[(adj["from_role"] == "user") & (adj["role"] == "assistant")]["gap_s"]
+    gaps = np.sort(gaps.to_numpy(np.float64))
+    assert res["count"] == len(gaps)
+    for q, col in [(0.5, "q50"), (0.95, "q95"), (0.99, "q99")]:
+        assert rank_interval_error(gaps, q, res[col]) <= ALPHA + EPS
+
+
+def test_role_transitions_vs_pandas(spark, tiny_df, tiny_pdf):
+    got = (
+        role_transitions(tiny_df)
+        .toPandas()
+        .set_index(["from_role", "to_role"])["n_transitions"]
+        .sort_index()
+    )
+    adj = _adjacent_pdf(tiny_pdf)
+    want = (
+        adj.rename(columns={"role": "to_role"})
+        .groupby(["from_role", "to_role"])
+        .size()
+        .astype(float)
+        .sort_index()
+    )
+    # pandas "string" grouping keys come back as object — compare as dicts
+    assert {tuple(map(str, k)): v for k, v in got.items()} == {
+        tuple(map(str, k)): v for k, v in want.items()
+    }
+    # conservation: every non-first turn is exactly one transition
+    assert got.sum() == len(adj)
+
+
+def test_tool_top_k_exact(spark, tiny_df, tiny_pdf):
+    got = tool_top_k(tiny_df, k=3, mg_k=64).toPandas()
+    counts = tiny_pdf["tool"].dropna().value_counts()
+    want = sorted(
+        ((str(t), float(c)) for t, c in counts.items()), key=lambda x: (-x[1], x[0])
+    )[:3]
+    assert list(map(tuple, got[["value", "freq"]].itertuples(index=False))) == want
+
+
+def test_tool_distinct_conversations_bound(spark, tiny_df, tiny_pdf):
+    got = tool_distinct_conversations(tiny_df).toPandas().set_index("tool").sort_index()
+    base = tiny_pdf[tiny_pdf["tool"].notna()]
+    want = base.groupby("tool")["conv_id"].nunique().astype(float).sort_index()
+    assert {str(k): v for k, v in got["exact_distinct"].items()} == {
+        str(k): v for k, v in want.items()
+    }
+    assert got["within_3rse"].all()
+
+
+def test_dedup_conversations_counts(spark, tiny_df, tiny_pdf):
+    got = dedup_conversations(tiny_df).toPandas()
+    n_convs = tiny_pdf["conv_id"].nunique()
+    assert got["n_copies"].sum() == n_convs
+    # pandas ground truth: fingerprint = the ordered tuple of turn texts
+    fp = (
+        tiny_pdf.sort_values(["conv_id", "turn_idx"])
+        .groupby("conv_id")["text"]
+        .agg(tuple)
+    )
+    want_groups = fp.groupby(fp).agg(["count"])
+    assert len(got) == len(want_groups)
+    reps = {min(fp[fp == k].index): c for k, c in fp.value_counts().items()}
+    got_map = dict(zip(got["conv_id"], got["n_copies"]))
+    assert {str(k): v for k, v in got_map.items()} == {
+        str(k): float(v) for k, v in reps.items()
+    }
+
+
+def test_dedup_conversations_constructed_duplicates(spark):
+    """Two byte-identical conversations + a decoy differing only in turn
+    ORDER of the same texts: order must distinguish them, and the
+    representative is the min conv_id."""
+    rows = []
+    for cid, texts in [
+        ("c1", ["hello", "world"]),
+        ("c2", ["hello", "world"]),
+        ("c3", ["world", "hello"]),
+        ("c4", ["hello"]),
+    ]:
+        for i, t in enumerate(texts):
+            rows.append(
+                ("%s" % cid, i, "user" if i % 2 == 0 else "assistant", t, None,
+                 (pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i)).to_pydatetime())
+            )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {r["conv_id"]: (r["n_copies"], r["n_turns"]) for r in dedup_conversations(df).collect()}
+    assert got == {"c1": (2.0, 2.0), "c3": (1.0, 2.0), "c4": (1.0, 1.0)}
