@@ -1464,14 +1464,14 @@ def q_events_cdf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRANSCRIPTS_TMP = "/tmp/ddsparkle_transcripts_driver"
 
 
-def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _transcripts_path(spark: SparkSession, sf_dir: str) -> str:
     import os
 
     from ddsparkle.transcripts import transcripts_df
 
     name = os.path.basename(os.path.normpath(sf_dir)) or "default"
     # content-keyed path + _SUCCESS marker: generation is deterministic in
-    # these parameters, so later calls (bench warm+timed runs, the 4 sibling
+    # these parameters, so later calls (bench warm+timed runs, the sibling
     # queries) reuse the files instead of re-writing the table every call —
     # the timed leg must measure the QUERY, not the generator. Bump the _v
     # tag when the generator changes.
@@ -1480,7 +1480,11 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         transcripts_df(spark, n_convs=2000, profile="bench", seed=42).write.mode(
             "overwrite"
         ).parquet(path)
-    return spark.read.parquet(path)
+    return path
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(_transcripts_path(spark, sf_dir))
 
 
 def _transcripts_oracle_src() -> str:
@@ -1604,6 +1608,74 @@ def q_transcripts_tool_distinct_convs(spark: SparkSession, sf_dir: str) -> DataF
     return tool_distinct_conversations(df)
 
 
+def q_transcripts_checkpoint_textlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule resumability on the north-star table itself: per-role text
+    length quantiles built through the file-granular checkpoint protocol
+    (build partials -> verify a second build pass is a 0-file no-op ->
+    finalize from checkpoint only). Must hash-match the SAME oracle as the
+    direct transcripts_text_len_by_role query — checkpointing cannot change
+    the answer (merge order-independence of the store algebra)."""
+    import shutil
+    import tempfile
+
+    from ddsparkle.spark.jobs import build_with_checkpoint, finalize_from_checkpoint
+
+    src = _transcripts_path(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="ddsparkle_tck_") + "/ck"
+    try:
+        build_with_checkpoint(
+            spark, src, "cast(length(text) as double)", ckpt, by="role", config=_cfg()
+        )
+        m2 = build_with_checkpoint(
+            spark, src, "cast(length(text) as double)", ckpt, by="role", config=_cfg()
+        )
+        if m2["files_processed"] != 0:  # not assert: survives python -O
+            raise RuntimeError(f"resume must be a no-op, reprocessed {m2}")
+        res = finalize_from_checkpoint(spark, ckpt, by="role", qs=(0.5, 0.95, 0.99))
+        out = _round_result(res, ["role"], ["q50", "q95", "q99"])
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from ckpt files
+        return out
+    finally:
+        shutil.rmtree(ckpt.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def q_transcripts_streaming_turn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming turn-rate over the transcript table: hourly event-time
+    windows x role through BUILT-IN streaming operators only (watermark +
+    window groupBy count — Spark's own state store, no Python in the
+    stream). availableNow with no file cap -> one micro-batch over the whole
+    table, so every window appears exactly once and the exact epoch-bucket
+    SQL twin must hash-match."""
+    from ddsparkle.spark.streaming import windowed_streaming_counts
+
+    path = _transcripts_path(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windowed_streaming_counts(
+        stream, ts_col="ts", window="1 hour", watermark="10 minutes", by="role"
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"ddsparkle_stream_tr_{_STREAM_SEQ[0]}"
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if q.exception() is not None:
+            raise q.exception()
+        res = spark.table(name).orderBy("window_start", "role")
+        return spark.createDataFrame(res.collect(), res.schema)  # detach from sink
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def q_transcripts_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level exact dedup (identical ordered turn texts):
     hash-first — 32-byte per-turn digests shuffle, never text; fingerprint =
@@ -1638,6 +1710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_tool_topk": q_transcripts_tool_topk,
         "transcripts_tool_distinct_convs": q_transcripts_tool_distinct_convs,
         "transcripts_conv_dedup": q_transcripts_conv_dedup,
+        "transcripts_checkpoint_textlen": q_transcripts_checkpoint_textlen,
+        "transcripts_streaming_turn_rate": q_transcripts_streaming_turn_rate,
         # --- never had a driver row (registry positions 51-67 in r3) ---
         "media_video_motion": q_media_video_motion,
         "ddsketch_events_cdf": q_events_cdf,
@@ -1932,6 +2006,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tool, CAST(COUNT(DISTINCT conv_id) AS DOUBLE) AS exact_distinct, "
             f"TRUE AS within_3rse FROM {tr_src} WHERE tool IS NOT NULL "
             "GROUP BY tool ORDER BY tool"
+        ),
+        "transcripts_checkpoint_textlen": ddsketch_quantile_sql(
+            tr_len_src, "text_len", [0.5, 0.95, 0.99], group_col="role"
+        ),
+        "transcripts_streaming_turn_rate": (
+            "SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS DOUBLE) AS window_start, "
+            "role, CAST(COUNT(*) AS DOUBLE) AS n "
+            f"FROM {tr_src} GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "transcripts_conv_dedup": (
             "SELECT MIN(conv_id) AS conv_id, CAST(COUNT(*) AS DOUBLE) AS n_copies, "

@@ -23,7 +23,47 @@ from ..config import SketchConfig
 from ..serde import decode_sketch, encode_sketch
 from .agg import quantile_column_name
 
-__all__ = ["streaming_quantiles", "windowed_streaming_quantiles", "streaming_dedup"]
+__all__ = [
+    "streaming_quantiles",
+    "windowed_streaming_quantiles",
+    "windowed_streaming_counts",
+    "streaming_dedup",
+]
+
+
+def windowed_streaming_counts(
+    df,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    by: Sequence[str] | str | None = None,
+):
+    """Event-time tumbling-window row counts — entirely BUILT-IN Structured
+    Streaming operators (withWatermark + window groupBy + count): the state
+    store, late-data drop, and map-side partial aggregation are all Spark's
+    own, with no Python in the stream at all (contrast the sketch operators
+    above, which need ``applyInPandasWithState`` for custom state). Use this
+    for rate/volume monitoring next to a sketch stream; it scales as an
+    ordinary streaming hash aggregate.
+
+    Emits [window_start (epoch seconds, double), *by, n (double)]. The
+    window struct aligns to epoch boundaries in the session timezone —
+    callers comparing against epoch-bucket SQL must pin the session tz (the
+    driver gate pins UTC).
+    """
+    from pyspark.sql import functions as F
+
+    keys = [by] if isinstance(by, str) else list(by or [])
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), *keys)
+        .agg(F.count("*").cast("double").alias("n"))
+        .select(
+            F.unix_seconds(F.col("window.start")).cast("double").alias("window_start"),
+            *keys,
+            "n",
+        )
+    )
 
 
 def streaming_quantiles(

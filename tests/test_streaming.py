@@ -275,3 +275,52 @@ def test_windowed_streaming_drops_late_data(spark, tmp_path):
         assert max(hour0_counts) == 200.0
     finally:
         q.stop()
+
+
+def test_windowed_streaming_counts(spark, tmp_path):
+    """Built-in windowed count stream: per-(window, key) totals equal the
+    batch GROUP BY, and late rows past the watermark are dropped by Spark's
+    own pre-aggregation filter (no resurrected windows in append-state)."""
+    from pyspark.sql import types as T
+
+    from ddsparkle.spark.streaming import windowed_streaming_counts
+
+    src = str(tmp_path / "cnt_src")
+    ckpt = str(tmp_path / "cnt_ck")
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    b1 = pd.DataFrame(
+        {"k": ["a"] * 120 + ["b"] * 30,
+         "ts": [base + pd.Timedelta(minutes=i % 40) for i in range(150)]}
+    )
+    b1b = pd.DataFrame(
+        {"k": ["a"] * 60,
+         "ts": [base + pd.Timedelta(hours=6, minutes=i % 40) for i in range(60)]}
+    )
+    spark.createDataFrame(pd.concat([b1, b1b])).coalesce(1).write.mode("append").parquet(src)
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("ts", T.TimestampType())]
+    )
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = windowed_streaming_counts(
+        stream, ts_col="ts", window="1 hour", watermark="10 minutes", by="k"
+    )
+    q = (out.writeStream.format("memory").queryName("wcnt").outputMode("update")
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        got = {(int(r["window_start"]), r["k"]): r["n"]
+               for r in spark.sql("select * from wcnt").collect()}
+        h0 = int(base.timestamp())
+        assert got == {(h0, "a"): 120.0, (h0, "b"): 30.0, (h0 + 6 * 3600, "a"): 60.0}
+        # late hour-0 rows: watermark sits at 6:40-0:10 — must be dropped
+        late = pd.DataFrame({"k": ["a"] * 50, "ts": [base + pd.Timedelta(minutes=5)] * 50})
+        spark.createDataFrame(late).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql("select * from wcnt").collect()
+        h0_counts = [r["n"] for r in rows if int(r["window_start"]) == h0 and r["k"] == "a"]
+        assert max(h0_counts) == 120.0
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
