@@ -1475,7 +1475,7 @@ def _transcripts_path(spark: SparkSession, sf_dir: str) -> str:
     # queries) reuse the files instead of re-writing the table every call —
     # the timed leg must measure the QUERY, not the generator. Bump the _v
     # tag when the generator changes.
-    path = f"{_TRANSCRIPTS_TMP}/{name}_v1_c2000_s42_bench"
+    path = f"{_TRANSCRIPTS_TMP}/{name}_v2_c2000_s42_bench"
     if not os.path.exists(f"{path}/_SUCCESS"):
         transcripts_df(spark, n_convs=2000, profile="bench", seed=42).write.mode(
             "overwrite"
@@ -1489,7 +1489,7 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _transcripts_oracle_src() -> str:
     # the driver compares at sf0.01; the bench/other SFs write sibling dirs
-    return f"read_parquet('{_TRANSCRIPTS_TMP}/sf0.01_v1_c2000_s42_bench/*.parquet')"
+    return f"read_parquet('{_TRANSCRIPTS_TMP}/sf0.01_v2_c2000_s42_bench/*.parquet')"
 
 
 def q_transcripts_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1676,6 +1676,30 @@ def q_transcripts_streaming_turn_rate(spark: SparkSession, sf_dir: str) -> DataF
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
+def q_transcripts_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level NEAR-duplicate pairs: exact Jaccard over per-turn
+    md5 digest sets, candidates from the lossless shared-digest join with
+    the digest-frequency skew guard (mirrored verbatim in the DuckDB twin).
+    The table plants overlay twin conversations (every 200th, one day later,
+    every 5th turn perturbed), so the gate has known positives plus whatever
+    coincidental-content pairs the corpus holds — both sides compute the
+    identical candidate rule, so the output must hash-match exactly."""
+    from ddsparkle.spark.transcript_ops import near_dup_conversations
+
+    return near_dup_conversations(
+        _transcripts(spark, sf_dir), threshold=0.6, min_turns=2, max_digest_df=64
+    )
+
+
+def q_transcripts_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call sequence bigrams (tool -> next tool within a conversation):
+    pushed NULL filter, one window sort over only the tool rows, map-side
+    combined 16-cell count — exact vs the identical DuckDB LEAD twin."""
+    from ddsparkle.spark.transcript_ops import tool_transitions
+
+    return tool_transitions(_transcripts(spark, sf_dir))
+
+
 def q_transcripts_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level exact dedup (identical ordered turn texts):
     hash-first — 32-byte per-turn digests shuffle, never text; fingerprint =
@@ -1712,6 +1736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_conv_dedup": q_transcripts_conv_dedup,
         "transcripts_checkpoint_textlen": q_transcripts_checkpoint_textlen,
         "transcripts_streaming_turn_rate": q_transcripts_streaming_turn_rate,
+        "transcripts_near_dup": q_transcripts_near_dup,
+        "transcripts_tool_transitions": q_transcripts_tool_transitions,
         # --- never had a driver row (registry positions 51-67 in r3) ---
         "media_video_motion": q_media_video_motion,
         "ddsketch_events_cdf": q_events_cdf,
@@ -2014,6 +2040,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS DOUBLE) AS window_start, "
             "role, CAST(COUNT(*) AS DOUBLE) AS n "
             f"FROM {tr_src} GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # exact-Jaccard near-dup pairs: the twin replicates the Spark plan's
+        # candidate rule verbatim (min-turns gate, shared-digest join, the
+        # digest-frequency <=64 skew guard applied to CANDIDATES only) and
+        # the identical |A∩B|/|A∪B| over distinct md5 sets — integer-ratio
+        # doubles, so the 0.6 threshold and ROUND(.,4) agree bit-for-bit
+        "transcripts_near_dup": (
+            "WITH per AS (SELECT conv_id, list(DISTINCT md5(text)) AS hs "
+            f"FROM {tr_src} GROUP BY conv_id HAVING COUNT(*) >= 2), "
+            "ex AS (SELECT conv_id, UNNEST(hs) AS h FROM per), "
+            "keep AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) <= 64), "
+            "kept AS (SELECT conv_id, h FROM ex JOIN keep USING (h)), "
+            "cand AS (SELECT DISTINCT a.conv_id AS conv_a, b.conv_id AS conv_b "
+            "FROM kept a JOIN kept b USING (h) WHERE a.conv_id < b.conv_id) "
+            "SELECT conv_a, conv_b, ROUND(CAST(len(list_intersect(pa.hs, pb.hs)) "
+            "AS DOUBLE) / len(list_distinct(list_concat(pa.hs, pb.hs))), 4) AS jaccard "
+            "FROM cand JOIN per pa ON pa.conv_id = cand.conv_a "
+            "JOIN per pb ON pb.conv_id = cand.conv_b "
+            "WHERE CAST(len(list_intersect(pa.hs, pb.hs)) AS DOUBLE) "
+            "/ len(list_distinct(list_concat(pa.hs, pb.hs))) >= 0.6 "
+            "ORDER BY conv_a, conv_b"
+        ),
+        "transcripts_tool_transitions": (
+            "SELECT tool, next_tool, CAST(COUNT(*) AS DOUBLE) AS n FROM ("
+            "SELECT tool, LEAD(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) "
+            f"AS next_tool FROM {tr_src} WHERE tool IS NOT NULL) "
+            "WHERE next_tool IS NOT NULL GROUP BY tool, next_tool "
+            "ORDER BY n DESC, tool, next_tool"
         ),
         "transcripts_conv_dedup": (
             "SELECT MIN(conv_id) AS conv_id, CAST(COUNT(*) AS DOUBLE) AS n_copies, "

@@ -39,6 +39,8 @@ __all__ = [
     "tool_top_k",
     "tool_distinct_conversations",
     "dedup_conversations",
+    "near_dup_conversations",
+    "tool_transitions",
 ]
 
 DEFAULT_QS = (0.5, 0.95, 0.99)
@@ -214,6 +216,113 @@ def tool_distinct_conversations(df, p: int = 14, seed: int = 0):
             ).alias("within_3rse"),
         )
         .orderBy("tool")
+    )
+
+
+def near_dup_conversations(
+    df,
+    threshold: float = 0.6,
+    min_turns: int = 2,
+    max_digest_df: int = 64,
+):
+    """Near-duplicate conversation pairs by EXACT Jaccard over per-turn
+    content digests: two conversations are near-duplicates when the distinct
+    md5(text) sets of their turns overlap by at least ``threshold`` —
+    order-insensitive, the conversation-granularity analogue of
+    ``dataops.ngram_jaccard_pairs`` with turns playing the role of shingles
+    (agent logs are full of retried / branched conversations that differ in
+    a handful of turns; exact ``dedup_conversations`` cannot see them).
+
+    Scale shape (the same hash-first + lossless-prefilter discipline as the
+    document stack):
+
+    - turns reduce to 32-byte digests in the scan projection — text never
+      shuffles; the per-conversation distinct set is one map-side-combined
+      ``collect_set`` (set size is bounded by the conversation's distinct
+      turn count, and conv_id skew contributes one partial per task);
+    - candidates come from an exact shared-digest self-join — LOSSLESS for
+      any positive threshold (CLAUDE.md oracle-twin rule) — with digests
+      present in more than ``max_digest_df`` conversations excluded from
+      candidate generation only (boilerplate turns — greetings, empty
+      acknowledgements — would otherwise create quadratic bucket blowup;
+      they still count in the verify sets, so scores are unaffected; the
+      guard is the document LSH joins' ``max_bucket_size`` in df form);
+    - the verify is JVM-side ``array_intersect``/``array_union`` on the two
+      digest arrays — no Python stage anywhere.
+
+    ``min_turns`` drops shorter conversations before candidate generation
+    (single-turn conversations with equal content are better served by
+    ``dedup_conversations``). Returns [conv_a, conv_b, jaccard] with
+    conv_a < conv_b, jaccard rounded to 4 digits, ordered by the pair.
+    """
+    from pyspark.sql import functions as F
+
+    per = (
+        df.select("conv_id", F.md5(F.col("text")).alias("__h"))
+        .groupBy("conv_id")
+        .agg(
+            F.collect_set("__h").alias("__hs"),
+            F.count("*").alias("__n"),
+        )
+        .filter(F.col("__n") >= min_turns)
+    )
+    ex = per.select("conv_id", F.explode("__hs").alias("__h"))
+    kept = ex.join(
+        ex.groupBy("__h")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= max_digest_df),
+        "__h",
+    )
+    cand = (
+        kept.select(F.col("conv_id").alias("conv_a"), "__h")
+        .join(kept.select(F.col("conv_id").alias("conv_b"), "__h"), "__h")
+        .filter(F.col("conv_a") < F.col("conv_b"))
+        .select("conv_a", "conv_b")
+        .distinct()
+    )
+    sets = per.select("conv_id", "__hs")
+    paired = cand.join(
+        sets.select(F.col("conv_id").alias("conv_a"), F.col("__hs").alias("__sa")),
+        "conv_a",
+    ).join(
+        sets.select(F.col("conv_id").alias("conv_b"), F.col("__hs").alias("__sb")),
+        "conv_b",
+    )
+    jac = F.size(F.array_intersect("__sa", "__sb")).cast("double") / F.size(
+        F.array_union("__sa", "__sb")
+    )
+    return (
+        paired.filter(jac >= threshold)
+        .select("conv_a", "conv_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("conv_a", "conv_b")
+    )
+
+
+def tool_transitions(df):
+    """Tool-call sequence bigrams: counts of (tool -> next tool called in
+    the SAME conversation), ordered by count desc then lexicographic — the
+    agent-behavior matrix ("which tool follows which") over the transcript
+    corpus. Output: [tool, next_tool, n].
+
+    Plan shape: the NULL-tool filter pushes into the parquet scan, so the
+    window sort runs over only the tool-call rows (~8% of turns in the
+    fixture profiles); the hot-conversation skew bound for one
+    sort-by-(conv_id, turn_idx) exchange is the measured sessionize/window
+    leg (BENCH/scaling_r3_skew.json — max-task ratio <=1.16 with one conv =
+    20% of all turns). The final 16-cell groupBy is map-side combined.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t = df.filter(F.col("tool").isNotNull()).select("conv_id", "turn_idx", "tool")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = t.select(
+        "tool", F.lead("tool").over(w).alias("next_tool")
+    ).filter(F.col("next_tool").isNotNull())
+    return (
+        pairs.groupBy("tool", "next_tool")
+        .agg(F.count("*").cast("double").alias("n"))
+        .orderBy(F.desc("n"), "tool", "next_tool")
     )
 
 

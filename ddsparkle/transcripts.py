@@ -15,6 +15,16 @@ Skew profiles (FIXTURES.md section 1.2):
 - ``tiny``    : ~1k convs, turns/conv ~ geometric(mean 10)
 - ``skewed``  : one hot conv_id holding ~20% of all turns
 - ``bench``   : 0.1% of convs hold ~30% of turns
+
+Planted near-duplicates: every conversation whose index ``% NEAR_DUP_STRIDE
+== NEAR_DUP_RESIDUE`` gets an overlay twin (``conv_id`` suffixed ``d``, one
+day later) whose every ``NEAR_DUP_PERTURB_EVERY``-th turn has its length —
+hence text and content digest — perturbed by one character. Twins of short
+conversations (no perturbable turn) are EXACT duplicates. The overlay is a
+pure function of the base conversation's (seed, index, n_turns), so both
+generation paths stay byte-identical under any partitioning; it gives the
+conversation-dedup operators real planted positives (exact and fuzzy)
+instead of relying on coincidental length collisions.
 """
 
 from __future__ import annotations
@@ -36,6 +46,10 @@ PROFILES = {
     "skewed": (10.0, 0.20, None),  # None -> single hot conversation
     "bench": (10.0, 0.30, 0.001),
 }
+
+NEAR_DUP_STRIDE = 200
+NEAR_DUP_RESIDUE = 7
+NEAR_DUP_PERTURB_EVERY = 5
 
 
 def _turn_counts(rng: np.random.Generator, n_convs: int, mean_turns: float) -> np.ndarray:
@@ -72,6 +86,32 @@ def _conv_arrays(seed: int, conv_index: int, n_turns: int) -> dict:
         "lengths": lengths,
         "ts_us": ts_us,
     }
+
+
+def _overlay_conv(seed: int, conv_index: int, n_turns: int) -> dict:
+    """Near-duplicate twin of conversation ``conv_index``: same turns, one
+    day later, with every ``NEAR_DUP_PERTURB_EVERY``-th turn's length (hence
+    text content and md5 digest) off by one character. Pure function of the
+    base conversation's inputs — no extra rng draws, so adding/removing the
+    overlay can never shift any other conversation's content."""
+    base = _conv_arrays(seed, conv_index, n_turns)
+    out = {k: (v.copy() if isinstance(v, np.ndarray) else v) for k, v in base.items()}
+    out["conv_id"] = f"conv{conv_index:010d}d"
+    mask = (out["turn_idx"] % NEAR_DUP_PERTURB_EVERY) == NEAR_DUP_PERTURB_EVERY - 1
+    ln = out["lengths"]
+    ln[mask] = np.where(ln[mask] < 100_000, ln[mask] + 1, ln[mask] - 1)
+    out["ts_us"] = out["ts_us"] + 86_400_000_000
+    return out
+
+
+def _convs_for_index(seed: int, conv_index: int, n_turns: int) -> list[dict]:
+    """Base conversation plus (for the planted-dup residue class) its
+    overlay twin — the single shared expansion point for the distributed and
+    local generation paths."""
+    convs = [_conv_arrays(seed, conv_index, n_turns)]
+    if n_turns > 0 and conv_index % NEAR_DUP_STRIDE == NEAR_DUP_RESIDUE:
+        convs.append(_overlay_conv(seed, conv_index, n_turns))
+    return convs
 
 
 def _assemble_frame(convs: list[dict]) -> pd.DataFrame:
@@ -121,7 +161,9 @@ def generate_conversations_pandas(
 ) -> pd.DataFrame:
     """Local (driver/test) generation of a set of conversations."""
     convs = [
-        _conv_arrays(seed, int(ci), int(tc)) for ci, tc in zip(conv_indexes, turn_counts)
+        c
+        for ci, tc in zip(conv_indexes, turn_counts)
+        for c in _convs_for_index(seed, int(ci), int(tc))
     ]
     if not convs:
         return _assemble_frame([_conv_arrays(seed, 0, 0)])
@@ -177,8 +219,9 @@ def transcripts_df(
             acc = 0
             for i in pdf["id"].to_numpy():
                 ci = (int(i) * a + 12345) % n_convs
-                convs.append(_conv_arrays(seed, ci, int(all_counts[ci])))
-                acc += len(convs[-1]["turn_idx"])
+                for c in _convs_for_index(seed, ci, int(all_counts[ci])):
+                    convs.append(c)
+                    acc += len(c["turn_idx"])
                 if acc >= 65536:
                     yield _assemble_frame(convs)
                     convs, acc = [], 0

@@ -177,3 +177,86 @@ def test_dedup_conversations_constructed_duplicates(spark):
     )
     got = {r["conv_id"]: (r["n_copies"], r["n_turns"]) for r in dedup_conversations(df).collect()}
     assert got == {"c1": (2.0, 2.0), "c3": (1.0, 2.0), "c4": (1.0, 1.0)}
+
+
+def test_near_dup_conversations_vs_pandas(spark, tiny_df, tiny_pdf):
+    """The full pair output equals a local all-pairs Jaccard recomputation
+    (with the same min-turns + digest-df candidate rule), and every planted
+    overlay twin that qualifies is present."""
+    import hashlib
+
+    from ddsparkle.spark.transcript_ops import near_dup_conversations
+    from ddsparkle.transcripts import NEAR_DUP_RESIDUE, NEAR_DUP_STRIDE
+
+    threshold, min_turns, max_df = 0.6, 2, 64
+    got = (
+        near_dup_conversations(
+            tiny_df, threshold=threshold, min_turns=min_turns, max_digest_df=max_df
+        )
+        .toPandas()
+        .sort_values(["conv_a", "conv_b"])
+        .reset_index(drop=True)
+    )
+    pdf = tiny_pdf.copy()
+    pdf["h"] = [hashlib.md5(t.encode()).hexdigest() for t in pdf["text"]]
+    sets = pdf.groupby("conv_id").agg(hs=("h", set), n=("h", "size"))
+    sets = sets[sets["n"] >= min_turns]
+    df_count = pd.Series(
+        [h for hs in sets["hs"] for h in hs]
+    ).value_counts()
+    rare = set(df_count[df_count <= max_df].index)
+    ids = list(sets.index)
+    expected = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ha, hb = sets.loc[a, "hs"], sets.loc[b, "hs"]
+            if not ((ha & hb) & rare):
+                continue
+            j = len(ha & hb) / len(ha | hb)
+            if j >= threshold:
+                expected.append((a, b, round(j, 4)))
+    expected.sort()
+    assert list(map(tuple, got.itertuples(index=False))) == expected
+    # at least one planted overlay twin qualifies in the 400-conv fixture
+    planted = [
+        p for p in expected if p[1] == p[0] + "d"
+    ]
+    assert planted, "no planted near-dup twin passed the threshold"
+    # all planted residue conversations either appear or are excluded by
+    # min_turns / threshold for an explainable reason (recompute says so) —
+    # the pair list itself was asserted equal above; just sanity the residue
+    base_ids = {f"conv{i:010d}" for i in range(400) if i % NEAR_DUP_STRIDE == NEAR_DUP_RESIDUE}
+    assert base_ids  # fixture covers the residue class
+
+
+def test_near_dup_conversations_exact_twin_is_j1(spark):
+    """A twin with no perturbable turn (n_turns <= PERTURB_EVERY-1) is an
+    exact duplicate: Jaccard exactly 1.0."""
+    from ddsparkle.spark.transcript_ops import near_dup_conversations
+    from ddsparkle.transcripts import generate_conversations_pandas
+
+    local = generate_conversations_pandas(3, np.array([7]), np.array([3]))
+    df = spark.createDataFrame(local)
+    got = near_dup_conversations(df, threshold=0.99).toPandas()
+    assert len(got) == 1 and got.loc[0, "jaccard"] == 1.0
+
+
+def test_tool_transitions_vs_pandas(spark, tiny_df, tiny_pdf):
+    from ddsparkle.spark.transcript_ops import tool_transitions
+
+    got = tool_transitions(tiny_df).toPandas()
+    t = tiny_pdf[tiny_pdf["tool"].notna()].sort_values(["conv_id", "turn_idx"])
+    t = t.assign(next_tool=t.groupby("conv_id")["tool"].shift(-1))
+    exp = (
+        t.dropna(subset=["next_tool"])
+        .groupby(["tool", "next_tool"])
+        .size()
+        .astype(float)
+        .reset_index(name="n")
+        .sort_values(["n", "tool", "next_tool"], ascending=[False, True, True])
+        .reset_index(drop=True)
+    )
+    assert (
+        got[["tool", "next_tool", "n"]].to_numpy().tolist()
+        == exp[["tool", "next_tool", "n"]].to_numpy().tolist()
+    )
