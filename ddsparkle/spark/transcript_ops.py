@@ -233,22 +233,42 @@ def near_dup_conversations(
     (agent logs are full of retried / branched conversations that differ in
     a handful of turns; exact ``dedup_conversations`` cannot see them).
 
+    Digest contract: turns are keyed by ``xxhash64(text)`` (8 bytes). A
+    64-bit collision merges two distinct turn contents into one set element,
+    perturbing a Jaccard score slightly upward — expected colliding pairs
+    ~n²/2^65 (≈27 corpus-wide at 10^12 distinct turns, each touching a few
+    sets by one element), never a dropped pair. The oracle twin computes the
+    same sets from md5, so the driver gate additionally certifies the
+    fixture collision-free.
+
     Scale shape (the same hash-first + lossless-prefilter discipline as the
     document stack):
 
-    - turns reduce to 32-byte digests in the scan projection — text never
+    - turns reduce to 8-byte digests in the scan projection — text never
       shuffles; the per-conversation distinct set is one map-side-combined
       ``collect_set`` (set size is bounded by the conversation's distinct
       turn count, and conv_id skew contributes one partial per task);
-    - candidates come from an exact shared-digest self-join — LOSSLESS for
-      any positive threshold (CLAUDE.md oracle-twin rule) — with digests
-      present in more than ``max_digest_df`` conversations excluded from
+    - candidates come from exact shared-digest buckets — LOSSLESS for any
+      positive threshold (CLAUDE.md oracle-twin rule): ONE exchange on the
+      digest, each bucket's (sorted, bounded) conversation list expanded to
+      pairs by a JVM lambda — no self-join, no digest-count join. Buckets
+      larger than ``max_digest_df`` conversations are excluded from
       candidate generation only (boilerplate turns — greetings, empty
       acknowledgements — would otherwise create quadratic bucket blowup;
       they still count in the verify sets, so scores are unaffected; the
-      guard is the document LSH joins' ``max_bucket_size`` in df form);
-    - the verify is JVM-side ``array_intersect``/``array_union`` on the two
-      digest arrays — no Python stage anywhere.
+      guard is the document LSH joins' ``max_bucket_size`` in
+      digest-frequency form);
+    - the verify never computes a union: J = |A∩B| / (|A|+|B|−|A∩B|) from
+      one JVM ``array_intersect`` plus precomputed set sizes — and before
+      any digest ARRAY moves, candidate pairs are pruned by the size bound
+      J ≤ min(|A|,|B|)/max(|A|,|B|) over a sizes-only (8 B/side) join, so a
+      hot conversation's multi-thousand-element array is only shipped for
+      pairs that could actually pass the threshold; no Python anywhere;
+    - the per-conversation digest frame feeds candidate generation AND both
+      verify sides, so it is persisted for the duration of the call and the
+      (small) pair result is localCheckpoint-materialized before
+      unpersisting — otherwise the scan + digest-set aggregation recomputes
+      three times (the connected-components reuse discipline, dataops.py).
 
     ``min_turns`` drops shorter conversations before candidate generation
     (single-turn conversations with equal content are better served by
@@ -258,44 +278,66 @@ def near_dup_conversations(
     from pyspark.sql import functions as F
 
     per = (
-        df.select("conv_id", F.md5(F.col("text")).alias("__h"))
+        df.select("conv_id", F.xxhash64(F.col("text")).alias("__h"))
         .groupBy("conv_id")
         .agg(
             F.collect_set("__h").alias("__hs"),
             F.count("*").alias("__n"),
         )
         .filter(F.col("__n") >= min_turns)
+        .select("conv_id", "__hs", F.size("__hs").alias("__sz"))
+        .persist()
     )
-    ex = per.select("conv_id", F.explode("__hs").alias("__h"))
-    kept = ex.join(
-        ex.groupBy("__h")
-        .agg(F.count("*").alias("__df"))
-        .filter(F.col("__df") <= max_digest_df),
-        "__h",
+    buckets = (
+        per.select("conv_id", F.explode("__hs").alias("__h"))
+        .groupBy("__h")
+        .agg(F.sort_array(F.collect_set("conv_id")).alias("__cs"))
+        .filter((F.size("__cs") >= 2) & (F.size("__cs") <= max_digest_df))
     )
     cand = (
-        kept.select(F.col("conv_id").alias("conv_a"), "__h")
-        .join(kept.select(F.col("conv_id").alias("conv_b"), "__h"), "__h")
-        .filter(F.col("conv_a") < F.col("conv_b"))
-        .select("conv_a", "conv_b")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__cs, (x, i) -> "
+                    "transform(slice(__cs, i + 2, size(__cs) - i - 1), "
+                    "y -> struct(x AS conv_a, y AS conv_b))))"
+                )
+            ).alias("__p")
+        )
+        .select("__p.conv_a", "__p.conv_b")
         .distinct()
     )
-    sets = per.select("conv_id", "__hs")
-    paired = cand.join(
-        sets.select(F.col("conv_id").alias("conv_a"), F.col("__hs").alias("__sa")),
+    sized = (
+        cand.join(
+            per.select(F.col("conv_id").alias("conv_a"), F.col("__sz").alias("__za")),
+            "conv_a",
+        )
+        .join(
+            per.select(F.col("conv_id").alias("conv_b"), F.col("__sz").alias("__zb")),
+            "conv_b",
+        )
+        .filter(
+            F.least("__za", "__zb").cast("double")
+            >= F.lit(threshold) * F.greatest("__za", "__zb")
+        )
+    )
+    paired = sized.join(
+        per.select(F.col("conv_id").alias("conv_a"), F.col("__hs").alias("__sa")),
         "conv_a",
     ).join(
-        sets.select(F.col("conv_id").alias("conv_b"), F.col("__hs").alias("__sb")),
+        per.select(F.col("conv_id").alias("conv_b"), F.col("__hs").alias("__sb")),
         "conv_b",
     )
-    jac = F.size(F.array_intersect("__sa", "__sb")).cast("double") / F.size(
-        F.array_union("__sa", "__sb")
-    )
-    return (
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    jac = inter / (F.col("__za") + F.col("__zb") - inter)
+    out = (
         paired.filter(jac >= threshold)
         .select("conv_a", "conv_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("conv_a", "conv_b")
+        .localCheckpoint(eager=True)
     )
+    per.unpersist()
+    return out
 
 
 def tool_transitions(df):
