@@ -1700,6 +1700,27 @@ def q_transcripts_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFram
     return tool_transitions(_transcripts(spark, sf_dir))
 
 
+def q_transcripts_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation curation pipeline gate: all four stage counts (input,
+    after exact dedup, after near-dup cluster resolution, after the
+    min-turns + role-coverage quality gate) hash-matched against a
+    from-scratch DuckDB replica (ordered-fingerprint dedup, the shared
+    digest-bucket near-dup rule, recursive-SQL connected components) —
+    verifying stage ORDER and composition, not just each operator alone,
+    the same bar as doc_curation_pipeline. The union-find driver-local CC
+    leg gets its transcript-side oracle coverage here (the distributed leg
+    is pinned by doc_dedup_fuzzy_representatives)."""
+    from ddsparkle.spark.transcript_ops import curate_conversations
+
+    _curated, stats = curate_conversations(_transcripts(spark, sf_dir))
+    row = {k: float(stats[k]) for k in (
+        "input_convs", "after_exact_dedup", "after_near_dup", "after_quality"
+    )}
+    return spark.createDataFrame([row]).select(
+        "input_convs", "after_exact_dedup", "after_near_dup", "after_quality"
+    )
+
+
 def q_transcripts_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level exact dedup (identical ordered turn texts):
     hash-first — 32-byte per-turn digests shuffle, never text; fingerprint =
@@ -1738,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_streaming_turn_rate": q_transcripts_streaming_turn_rate,
         "transcripts_near_dup": q_transcripts_near_dup,
         "transcripts_tool_transitions": q_transcripts_tool_transitions,
+        "transcripts_curation": q_transcripts_curation,
         # --- never had a driver row (registry positions 51-67 in r3) ---
         "media_video_motion": q_media_video_motion,
         "ddsketch_events_cdf": q_events_cdf,
@@ -2068,6 +2090,44 @@ def oracle_sql() -> dict[str, str]:
             f"AS next_tool FROM {tr_src} WHERE tool IS NOT NULL) "
             "WHERE next_tool IS NOT NULL GROUP BY tool, next_tool "
             "ORDER BY n DESC, tool, next_tool"
+        ),
+        # from-scratch pipeline replica: ordered-fingerprint exact dedup,
+        # the shared digest-bucket near-dup rule (md5 sets standing in for
+        # the Spark side's xxhash64 — collision-free on the fixture by the
+        # near-dup gate), recursive-SQL connected components over the pair
+        # graph, then the min-turns + user&assistant role gate
+        "transcripts_curation": (
+            "WITH RECURSIVE "
+            f"turns AS (SELECT conv_id, turn_idx, role, text FROM {tr_src}), "
+            "fp AS (SELECT conv_id, COUNT(*) AS n_turns, "
+            "md5(string_agg(md5(text), '|' ORDER BY turn_idx)) AS f "
+            "FROM turns GROUP BY conv_id), "
+            "exact_reps AS (SELECT MIN(conv_id) AS conv_id FROM fp GROUP BY f, n_turns), "
+            "ek AS (SELECT t.* FROM turns t JOIN exact_reps USING (conv_id)), "
+            "per AS (SELECT conv_id, list(DISTINCT md5(text)) AS hs "
+            "FROM ek GROUP BY conv_id HAVING COUNT(*) >= 2), "
+            "ex AS (SELECT conv_id, UNNEST(hs) AS h FROM per), "
+            "keep AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) <= 64), "
+            "kept AS (SELECT conv_id, h FROM ex JOIN keep USING (h)), "
+            "cand AS (SELECT DISTINCT a.conv_id AS ca, b.conv_id AS cb "
+            "FROM kept a JOIN kept b USING (h) WHERE a.conv_id < b.conv_id), "
+            "pairs AS (SELECT ca, cb FROM cand "
+            "JOIN per pa ON pa.conv_id = cand.ca JOIN per pb ON pb.conv_id = cand.cb "
+            "WHERE CAST(len(list_intersect(pa.hs, pb.hs)) AS DOUBLE) "
+            "/ len(list_distinct(list_concat(pa.hs, pb.hs))) >= 0.6), "
+            "edges AS (SELECT ca AS a, cb AS b FROM pairs UNION SELECT cb, ca FROM pairs), "
+            "walk(id, reach) AS (SELECT conv_id, conv_id FROM exact_reps "
+            "UNION SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach), "
+            "fuzzy_reps AS (SELECT id AS conv_id FROM walk GROUP BY id HAVING id = MIN(reach)), "
+            "fk AS (SELECT t.* FROM ek t JOIN fuzzy_reps USING (conv_id)), "
+            "quality AS (SELECT conv_id FROM fk GROUP BY conv_id "
+            "HAVING COUNT(*) >= 2 "
+            "AND SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) > 0 "
+            "AND SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) > 0) "
+            "SELECT CAST((SELECT COUNT(*) FROM fp) AS DOUBLE) AS input_convs, "
+            "CAST((SELECT COUNT(*) FROM exact_reps) AS DOUBLE) AS after_exact_dedup, "
+            "CAST((SELECT COUNT(*) FROM fuzzy_reps) AS DOUBLE) AS after_near_dup, "
+            "CAST((SELECT COUNT(*) FROM quality) AS DOUBLE) AS after_quality"
         ),
         "transcripts_conv_dedup": (
             "SELECT MIN(conv_id) AS conv_id, CAST(COUNT(*) AS DOUBLE) AS n_copies, "

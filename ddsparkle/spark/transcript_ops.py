@@ -41,6 +41,7 @@ __all__ = [
     "dedup_conversations",
     "near_dup_conversations",
     "tool_transitions",
+    "curate_conversations",
 ]
 
 DEFAULT_QS = (0.5, 0.95, 0.99)
@@ -338,6 +339,84 @@ def near_dup_conversations(
     )
     per.unpersist()
     return out
+
+
+def curate_conversations(
+    df,
+    min_turns: int = 2,
+    require_roles: Sequence[str] = ("user", "assistant"),
+    jaccard_threshold: float = 0.6,
+    max_digest_df: int = 64,
+    cc_local_threshold: int = 100_000,
+):
+    """Conversation-granularity curation for SFT corpora — the transcript
+    analogue of ``dataprep.curate``: exact conversation dedup → near-dup
+    cluster resolution → structural quality gates, with per-stage
+    conversation counts. Returns (curated turn-level DataFrame keeping the
+    INPUT schema, stats dict accounting for every dropped conversation).
+
+    Stages (each count is a distinct-conversation count):
+
+    1. exact dedup — one representative (min conv_id) per identical ordered
+       turn-text sequence (``dedup_conversations`` fingerprints: only
+       digests shuffle);
+    2. near-dup resolution — connected components over the verified
+       ``near_dup_conversations`` pair graph (edges are a tiny fraction of
+       the corpus, so ``connected_components``' driver-local union-find leg
+       usually applies — ``cc_local_threshold`` passes through); keep the
+       min conv_id of each cluster; conversations below the pairing
+       ``min_turns`` floor of 2 pass through as singletons;
+    3. quality — at least ``min_turns`` turns and at least one turn from
+       every role in ``require_roles`` (a conversation with no assistant
+       turn teaches nothing).
+
+    Stage order mirrors the document pipeline (dedup first, gates last over
+    the dedup survivors): representatives are chosen by min conv_id, not by
+    quality, so a cluster whose representative fails the gate is dropped
+    whole — the same contract as ``dataprep.curate``. Stage counts are
+    computed as actions (one job each), like ``curate``.
+    """
+    from pyspark.sql import functions as F
+
+    from .dataops import connected_components
+
+    stats: dict = {}
+    stats["input_convs"] = int(df.select("conv_id").distinct().count())
+
+    exact_reps = dedup_conversations(df).select("conv_id")
+    exact_kept = df.join(exact_reps, "conv_id", "left_semi")
+    stats["after_exact_dedup"] = int(exact_reps.count())
+
+    pairs = near_dup_conversations(
+        exact_kept,
+        threshold=jaccard_threshold,
+        min_turns=2,
+        max_digest_df=max_digest_df,
+    ).select(F.col("conv_a").alias("id_a"), F.col("conv_b").alias("id_b"))
+    comp = connected_components(
+        pairs,
+        exact_kept.select("conv_id").distinct(),
+        "conv_id",
+        local_threshold=cc_local_threshold,
+    )
+    fuzzy_reps = comp.filter(F.col("conv_id") == F.col("component")).select("conv_id")
+    fuzzy_kept = exact_kept.join(fuzzy_reps, "conv_id", "left_semi")
+    stats["after_near_dup"] = int(fuzzy_reps.count())
+
+    meta = fuzzy_kept.groupBy("conv_id").agg(
+        F.count("*").alias("__n"), F.collect_set("role").alias("__roles")
+    )
+    good = meta.filter(F.col("__n") >= min_turns)
+    for r in require_roles:
+        good = good.filter(F.array_contains("__roles", r))
+    good = good.select("conv_id")
+    curated = fuzzy_kept.join(good, "conv_id", "left_semi")
+    stats["after_quality"] = int(good.count())
+
+    stats["dropped_exact_dups"] = stats["input_convs"] - stats["after_exact_dedup"]
+    stats["dropped_near_dups"] = stats["after_exact_dedup"] - stats["after_near_dup"]
+    stats["dropped_quality"] = stats["after_near_dup"] - stats["after_quality"]
+    return curated, stats
 
 
 def tool_transitions(df):

@@ -260,3 +260,65 @@ def test_tool_transitions_vs_pandas(spark, tiny_df, tiny_pdf):
         got[["tool", "next_tool", "n"]].to_numpy().tolist()
         == exp[["tool", "next_tool", "n"]].to_numpy().tolist()
     )
+
+
+def test_curate_conversations_accounting(spark, tiny_df, tiny_pdf):
+    """Stage counts recomputed locally: exact-dup groups from ordered turn
+    digests, near-dup clusters via union-find over the same pair rule, the
+    quality gate over survivors; the curated frame holds exactly the
+    surviving conversations with the input schema."""
+    import hashlib
+
+    from ddsparkle.spark.transcript_ops import curate_conversations
+
+    curated, stats = curate_conversations(tiny_df)
+
+    pdf = tiny_pdf.copy()
+    pdf["h"] = [hashlib.md5(t.encode()).hexdigest() for t in pdf["text"]]
+    # exact dedup
+    fp = (
+        pdf.sort_values(["conv_id", "turn_idx"])
+        .groupby("conv_id")["h"]
+        .agg("|".join)
+    )
+    reps = fp.reset_index().groupby("h")["conv_id"].min()
+    exact_kept = set(reps)
+    assert stats["input_convs"] == fp.size
+    assert stats["after_exact_dedup"] == len(exact_kept)
+    # near-dup pairs over exact-kept, same rule as the operator
+    ek = pdf[pdf["conv_id"].isin(exact_kept)]
+    sets = ek.groupby("conv_id").agg(hs=("h", set), n=("h", "size"))
+    sets = sets[sets["n"] >= 2]
+    dfreq = pd.Series([h for hs in sets["hs"] for h in hs]).value_counts()
+    rare = set(dfreq[dfreq <= 64].index)
+    parent = {c: c for c in exact_kept}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = list(sets.index)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ha, hb = sets.loc[a, "hs"], sets.loc[b, "hs"]
+            if not ((ha & hb) & rare):
+                continue
+            if len(ha & hb) / len(ha | hb) >= 0.6:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    fuzzy_kept = {c for c in exact_kept if find(c) == c}
+    assert stats["after_near_dup"] == len(fuzzy_kept)
+    # quality gate
+    fk = pdf[pdf["conv_id"].isin(fuzzy_kept)]
+    g = fk.groupby("conv_id").agg(n=("turn_idx", "size"), roles=("role", set))
+    good = g[(g["n"] >= 2) & g["roles"].map(lambda r: {"user", "assistant"} <= r)]
+    assert stats["after_quality"] == len(good)
+    got = curated.toPandas()
+    assert set(got["conv_id"]) == set(good.index)
+    assert list(got.columns) == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert stats["dropped_exact_dups"] + stats["dropped_near_dups"] + stats[
+        "dropped_quality"
+    ] == stats["input_convs"] - stats["after_quality"]
