@@ -1721,6 +1721,28 @@ def q_transcripts_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transcripts_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing gate: per-(conv, window) turn counts, token
+    totals and turn ranges from the Catalyst greedy fold, hash-matched
+    against a DuckDB RECURSIVE walk that advances every conversation one
+    turn per iteration — two completely different executions of the same
+    sequential-per-conversation recurrence."""
+    from ddsparkle.spark.transcript_ops import pack_conversations
+
+    out = pack_conversations(_transcripts(spark, sf_dir), max_tokens=512)
+    return (
+        out.groupBy("conv_id", "window_id")
+        .agg(
+            F.count("*").cast("double").alias("n_turns"),
+            F.sum("n_tokens").cast("double").alias("n_tokens"),
+            F.min("turn_idx").cast("double").alias("first_turn"),
+            F.max("turn_idx").cast("double").alias("last_turn"),
+        )
+        .withColumn("window_id", F.col("window_id").cast("double"))
+        .orderBy("conv_id", "window_id")
+    )
+
+
 def q_transcripts_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level exact dedup (identical ordered turn texts):
     hash-first — 32-byte per-turn digests shuffle, never text; fingerprint =
@@ -1760,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_near_dup": q_transcripts_near_dup,
         "transcripts_tool_transitions": q_transcripts_tool_transitions,
         "transcripts_curation": q_transcripts_curation,
+        "transcripts_packing": q_transcripts_packing,
         # --- never had a driver row (registry positions 51-67 in r3) ---
         "media_video_motion": q_media_video_motion,
         "ddsketch_events_cdf": q_events_cdf,
@@ -2128,6 +2151,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST((SELECT COUNT(*) FROM exact_reps) AS DOUBLE) AS after_exact_dedup, "
             "CAST((SELECT COUNT(*) FROM fuzzy_reps) AS DOUBLE) AS after_near_dup, "
             "CAST((SELECT COUNT(*) FROM quality) AS DOUBLE) AS after_quality"
+        ),
+        # greedy packing recurrence replayed as a list_reduce fold per
+        # conversation; the flat [win_0..win_k, running_acc] state encoding
+        # works around DuckDB v1.0's list-in-struct list_reduce collapse (a
+        # RECURSIVE-walk twin was correct too but ~15x slower — it advances
+        # every conversation one turn per iteration, depth = hottest conv)
+        "transcripts_packing": (
+            "WITH per AS (SELECT conv_id, "
+            "list(struct_pack(ti := turn_idx, "
+            "tok := CAST(len(string_split(text, ' ')) AS BIGINT)) "
+            f"ORDER BY turn_idx) AS ts FROM {tr_src} GROUP BY conv_id), "
+            "folded AS (SELECT conv_id, ts, "
+            "list_reduce(list_transform(ts, x -> [0::BIGINT, x.tok]), "
+            "(a, b) -> list_append(list_append("
+            "list_slice(a, 1, len(a) - 1), "
+            "CASE WHEN a[-1] + b[-1] > 512 THEN a[-2] + 1 ELSE a[-2] END), "
+            "CASE WHEN a[-1] + b[-1] > 512 THEN b[-1] ELSE a[-1] + b[-1] END)) AS st "
+            "FROM per), "
+            "turns AS (SELECT conv_id, ts[i].ti AS turn_idx, ts[i].tok AS tok, "
+            "st[i] AS win FROM folded, "
+            "LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g) "
+            "SELECT conv_id, CAST(win AS DOUBLE) AS window_id, "
+            "CAST(COUNT(*) AS DOUBLE) AS n_turns, CAST(SUM(tok) AS DOUBLE) AS n_tokens, "
+            "CAST(MIN(turn_idx) AS DOUBLE) AS first_turn, "
+            "CAST(MAX(turn_idx) AS DOUBLE) AS last_turn "
+            "FROM turns GROUP BY conv_id, win ORDER BY conv_id, win"
         ),
         "transcripts_conv_dedup": (
             "SELECT MIN(conv_id) AS conv_id, CAST(COUNT(*) AS DOUBLE) AS n_copies, "

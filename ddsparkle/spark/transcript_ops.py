@@ -42,6 +42,7 @@ __all__ = [
     "near_dup_conversations",
     "tool_transitions",
     "curate_conversations",
+    "pack_conversations",
 ]
 
 DEFAULT_QS = (0.5, 0.95, 0.99)
@@ -444,6 +445,58 @@ def tool_transitions(df):
         pairs.groupBy("tool", "next_tool")
         .agg(F.count("*").cast("double").alias("n"))
         .orderBy(F.desc("n"), "tool", "next_tool")
+    )
+
+
+def pack_conversations(df, max_tokens: int = 512, text_col: str = "text"):
+    """Greedy context-window packing — the SFT batching primitive: walk each
+    conversation's turns in ``turn_idx`` order and assign consecutive turns
+    to windows, opening a new window when adding the turn would push the
+    running whitespace-token total past ``max_tokens`` (a single turn larger
+    than the budget still gets its own window; windows never split a turn or
+    span conversations). Returns the turn-level assignment
+    [conv_id, turn_idx, window_id, n_tokens] — join it back to the input on
+    (conv_id, turn_idx) to materialize the packed text.
+
+    The fold is inherently sequential PER CONVERSATION but embarrassingly
+    parallel across conversations, so it runs entirely in Catalyst: token
+    counts in the scan projection, ONE map-side-combined ``collect_list``
+    exchange, then the ``aggregate`` lambda computes the greedy boundaries
+    row-locally — no Python, no window function, no second shuffle. The
+    lambda's array accumulator is O(turns²) element copies within one
+    conversation (Spark re-concats per step); fine up to ~10^4-turn
+    conversations — beyond that, segment first (``dataops.sessionize``).
+    """
+    from pyspark.sql import functions as F
+
+    tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    per = (
+        df.select("conv_id", "turn_idx", tok.alias("__tok"))
+        .groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list(F.struct("turn_idx", "__tok"))).alias("__ts"))
+    )
+    step_win = (
+        "CASE WHEN size(a.out) = 0 THEN 0 "
+        f"WHEN a.acc + x.__tok > {int(max_tokens)} THEN a.win + 1 "
+        "ELSE a.win END"
+    )
+    fold = (
+        "aggregate(__ts, "
+        "named_struct('win', 0, 'acc', CAST(0 AS BIGINT), "
+        "'out', CAST(array() AS array<struct<turn_idx: int, tok: bigint, win: int>>)), "
+        "(a, x) -> named_struct("
+        f"'win', {step_win}, "
+        f"'acc', CASE WHEN ({step_win}) = a.win AND size(a.out) > 0 "
+        "THEN a.acc + x.__tok ELSE x.__tok END, "
+        "'out', concat(a.out, array(named_struct("
+        f"'turn_idx', x.turn_idx, 'tok', x.__tok, 'win', {step_win})))), "
+        "a -> a.out)"
+    )
+    return per.select("conv_id", F.explode(F.expr(fold)).alias("__w")).select(
+        "conv_id",
+        F.col("__w.turn_idx").alias("turn_idx"),
+        F.col("__w.win").alias("window_id"),
+        F.col("__w.tok").alias("n_tokens"),
     )
 
 

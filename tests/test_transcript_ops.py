@@ -322,3 +322,36 @@ def test_curate_conversations_accounting(spark, tiny_df, tiny_pdf):
     assert stats["dropped_exact_dups"] + stats["dropped_near_dups"] + stats[
         "dropped_quality"
     ] == stats["input_convs"] - stats["after_quality"]
+
+
+def test_pack_conversations_greedy_exact(spark, tiny_df, tiny_pdf):
+    """Turn-level window assignment equals a local greedy walk for every
+    conversation (budget chosen so windows break mid-conversation), and an
+    oversized single turn still occupies its own window."""
+    from ddsparkle.spark.transcript_ops import pack_conversations
+
+    budget = 200
+    got = pack_conversations(tiny_df, max_tokens=budget).toPandas()
+    src = tiny_pdf.copy()
+    src["tok"] = src["text"].str.split(" ").map(len)
+    for conv, g in src.groupby("conv_id"):
+        win, acc, exp = 0, 0, []
+        for i, (ti, tk) in enumerate(zip(g["turn_idx"], g["tok"])):
+            if i == 0:
+                win, acc = 0, tk
+            elif acc + tk > budget:
+                win, acc = win + 1, tk
+            else:
+                acc += tk
+            exp.append((ti, win, tk))
+        mine = got[got["conv_id"] == conv].sort_values("turn_idx")
+        assert (
+            list(map(tuple, mine[["turn_idx", "window_id", "n_tokens"]].itertuples(index=False)))
+            == exp
+        ), conv
+    # windows never exceed the budget unless they hold a single oversized turn
+    agg = got.groupby(["conv_id", "window_id"]).agg(
+        n=("turn_idx", "size"), toks=("n_tokens", "sum")
+    )
+    over = agg[agg["toks"] > budget]
+    assert (over["n"] == 1).all()
