@@ -1743,6 +1743,62 @@ def q_transcripts_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transcripts_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-granularity deterministic sample gate: the bottom-50
+    md5(seed|conv_id) conversations with per-conversation turn counts —
+    digest-for-digest reproducible by the DuckDB twin (the dialogue-corpus
+    eval-split primitive; sampling turns independently would shear
+    conversations apart)."""
+    from ddsparkle.spark.transcript_ops import sample_conversations
+
+    out = sample_conversations(_transcripts(spark, sf_dir), k=50, seed=0)
+    return (
+        out.groupBy("conv_id", "sample_key")
+        .agg(F.count("*").cast("double").alias("n_turns"))
+        .orderBy("conv_id")
+    )
+
+
+def q_transcripts_rollup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-rollup layer over the NORTH-STAR table: hourly DDSketch
+    cells of per-turn text length by role, written to day-partitioned
+    parquet and queried for a half-day window by merging only the pruned
+    cells — must equal a direct sketch build over the window's raw turns
+    (merge exactness), which is what the oracle computes. This is the
+    north rule's 'sketch build + merge throughput over transcripts' shape
+    as a correctness gate: raw turns never shuffle, only cells merge."""
+    import shutil
+    import tempfile
+
+    from ddsparkle.spark.rollup import (
+        build_rollup,
+        read_rollup,
+        rollup_quantiles,
+        write_rollup,
+    )
+
+    df = _transcripts(spark, sf_dir).withColumn(
+        "text_len", F.length("text").cast("double")
+    )
+    tmp = tempfile.mkdtemp(prefix="ddsparkle-trollup-")
+    try:
+        roll = build_rollup(
+            df, "text_len", time_col="ts", granularity="hour",
+            by="role", config=_cfg(),
+        )
+        write_rollup(roll, f"{tmp}/t")
+        back = read_rollup(spark, f"{tmp}/t")
+        res = rollup_quantiles(
+            back, (0.5, 0.95, 0.99), by="role",
+            start="2023-11-15 06:00:00", end="2023-11-15 18:00:00",
+        )
+        out = _round_result(res, ["role"], ["q50", "q95", "q99"])
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_transcripts_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level exact dedup (identical ordered turn texts):
     hash-first — 32-byte per-turn digests shuffle, never text; fingerprint =
@@ -1783,6 +1839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_tool_transitions": q_transcripts_tool_transitions,
         "transcripts_curation": q_transcripts_curation,
         "transcripts_packing": q_transcripts_packing,
+        "transcripts_sample": q_transcripts_sample,
+        "transcripts_rollup_window": q_transcripts_rollup_window,
         # --- never had a driver row (registry positions 51-67 in r3) ---
         "media_video_motion": q_media_video_motion,
         "ddsketch_events_cdf": q_events_cdf,
@@ -2177,6 +2235,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(turn_idx) AS DOUBLE) AS first_turn, "
             "CAST(MAX(turn_idx) AS DOUBLE) AS last_turn "
             "FROM turns GROUP BY conv_id, win ORDER BY conv_id, win"
+        ),
+        "transcripts_sample": (
+            "WITH s AS (SELECT conv_id, md5('0|' || conv_id) AS sample_key "
+            f"FROM (SELECT DISTINCT conv_id FROM {tr_src}) "
+            "ORDER BY sample_key, conv_id LIMIT 50) "
+            "SELECT t.conv_id, s.sample_key, CAST(COUNT(*) AS DOUBLE) AS n_turns "
+            f"FROM {tr_src} t JOIN s USING (conv_id) "
+            "GROUP BY t.conv_id, s.sample_key ORDER BY t.conv_id"
+        ),
+        # merge exactness: the pruned-cell window merge must equal a direct
+        # sketch build over the window's raw turns — same twin family as
+        # rollup_timerange_quantiles, on the north-star table
+        "transcripts_rollup_window": ddsketch_quantile_sql(
+            f"(SELECT role, CAST(length(text) AS DOUBLE) AS text_len FROM {tr_src} "
+            "WHERE ts >= TIMESTAMP '2023-11-15 06:00:00' "
+            "AND ts < TIMESTAMP '2023-11-15 18:00:00')",
+            "text_len",
+            [0.5, 0.95, 0.99],
+            group_col="role",
         ),
         "transcripts_conv_dedup": (
             "SELECT MIN(conv_id) AS conv_id, CAST(COUNT(*) AS DOUBLE) AS n_copies, "

@@ -43,6 +43,7 @@ __all__ = [
     "tool_transitions",
     "curate_conversations",
     "pack_conversations",
+    "sample_conversations",
 ]
 
 DEFAULT_QS = (0.5, 0.95, 0.99)
@@ -446,6 +447,31 @@ def tool_transitions(df):
         .agg(F.count("*").cast("double").alias("n"))
         .orderBy(F.desc("n"), "tool", "next_tool")
     )
+
+
+def sample_conversations(df, k: int = 100, seed: int = 0):
+    """Deterministic CONVERSATION-granularity sample — the eval/holdout
+    split primitive for dialogue corpora (sampling turns independently
+    would shear conversations apart): the ``k`` conversations with the
+    smallest ``md5(seed|conv_id)``, ALL their turns retained, with the
+    ``sample_key`` digest appended. Same contract as
+    ``dataops.deterministic_sample``: independent of row order, partition
+    count, and cluster size; appending new conversations only churns the
+    sample where a new digest displaces a bottom-k member.
+
+    Scale shape: distinct conv_ids are a map-side-combined aggregate, the
+    bottom-k is TakeOrderedAndProject (per-task k-row heaps, no global
+    sort), and the k sampled ids broadcast back onto the turn scan — the
+    full corpus never shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    from .dataops import deterministic_sample
+
+    convs = deterministic_sample(
+        df.select("conv_id").distinct(), "conv_id", k=k, seed=seed
+    )
+    return df.join(F.broadcast(convs), "conv_id")
 
 
 def pack_conversations(df, max_tokens: int = 512, text_col: str = "text"):

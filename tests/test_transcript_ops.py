@@ -355,3 +355,25 @@ def test_pack_conversations_greedy_exact(spark, tiny_df, tiny_pdf):
     )
     over = agg[agg["toks"] > budget]
     assert (over["n"] == 1).all()
+
+
+def test_sample_conversations_deterministic(spark, tiny_df, tiny_pdf):
+    """Bottom-k digest sample at conversation granularity: whole
+    conversations, reproducible from a local recomputation, invariant to
+    repartitioning."""
+    import hashlib
+
+    from ddsparkle.spark.transcript_ops import sample_conversations
+
+    got = sample_conversations(tiny_df, k=20, seed=3).toPandas()
+    convs = sorted(tiny_pdf["conv_id"].unique())
+    keyed = sorted(
+        (hashlib.md5(f"3|{c}".encode()).hexdigest(), c) for c in convs
+    )[:20]
+    exp = {c for _, c in keyed}
+    assert set(got["conv_id"]) == exp
+    # every sampled conversation is complete
+    sizes = tiny_pdf.groupby("conv_id").size()
+    assert (got.groupby("conv_id").size() == sizes.loc[sorted(exp)]).all()
+    again = sample_conversations(tiny_df.repartition(7), k=20, seed=3).toPandas()
+    assert set(again["conv_id"]) == exp
