@@ -1810,16 +1810,84 @@ def q_transcripts_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_conversations(df)
 
 
+def q_transcripts_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-role q50/95/99 of per-turn BPE-ish TOKEN counts (the training-data
+    currency) — token counting is a Catalyst regexp in the scan projection
+    (dataops.BPE_ISH_PATTERN, Java/RE2-portable), sketch stage 1 is
+    scan-local, only (role, bucket) rows shuffle."""
+    from ddsparkle.spark.transcript_ops import token_quantiles_by_role
+
+    df = _transcripts(spark, sf_dir)
+    res = token_quantiles_by_role(df, kind="bpe_ish", config=_cfg())
+    return _round_result(res, ["role"], ["q50", "q95", "q99"])
+
+
+def q_transcripts_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(context, response) SFT pair extraction: for every assistant turn the
+    previous <=3 turns render 'role: text' newline-joined in turn order —
+    ONE bounded-frame window, context assembled row-locally (collect_list
+    preserves frame order). The gate md5s both strings so EVERY context is
+    byte-compared against DuckDB's windowed string_agg twin while only
+    32-byte digests reach the driver."""
+    from ddsparkle.spark.transcript_ops import sft_pairs
+
+    df = _transcripts(spark, sf_dir)
+    res = sft_pairs(df, context_turns=3)
+    return res.select(
+        "conv_id",
+        "turn_idx",
+        "n_context_turns",
+        F.md5("context").alias("context_md5"),
+        F.md5("response").alias("response_md5"),
+    ).orderBy("conv_id", "turn_idx")
+
+
+def q_transcripts_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination over conversations: eval = the deterministic
+    50-conversation sample (seed=1, disjoint from transcripts_sample's
+    seed=0 split), contamination = train conversations sharing >= 1 verbatim
+    turn text with any eval conversation. Eval turn digests BROADCAST onto
+    the train scan — no corpus-sized shuffle; the planted overlay twins
+    (FIXTURES.md section 1.1b) guarantee true positives whenever a sampled
+    base conversation's twin is in train."""
+    from ddsparkle.spark.transcript_ops import (
+        conversation_contamination,
+        sample_conversations,
+    )
+
+    df = _transcripts(spark, sf_dir)
+    eval_ids = sample_conversations(df, k=50, seed=1).select("conv_id").distinct()
+    return conversation_contamination(df, eval_ids)
+
+
+def q_transcripts_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool q50/95/99 of tool-call roundtrip latency (tool turn -> next
+    turn ts gap) via the skew-proof composite-key join; pushed NULL-tool
+    filter keeps the join at ~8% of turns."""
+    from ddsparkle.spark.transcript_ops import tool_latency_quantiles
+
+    df = _transcripts(spark, sf_dir)
+    res = tool_latency_quantiles(df, config=_cfg())
+    return _round_result(res, ["tool"], ["q50", "q95", "q99"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is evidence policy, not alphabetics: the driver
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json, so entries
     that have never had a driver row (or changed behavior this round) come
     first, then the rest rotate. Every entry is additionally replayed by
     tests/test_entry_harness.py regardless of position. r4 front-loads:
-    the 4 new transcript north-star queries, the 17 entries that grew past
-    the r3 snapshot window, and the two language-id-dependent queries whose
-    scorer changed this round (bounded prefix + NULL guard)."""
+    the 4 r4b training-pair/decontamination/token/tool-latency gates, the
+    transcript north-star + conversation-level queries, the 17 entries that
+    grew past the r3 snapshot window, and the two language-id-dependent
+    queries whose scorer changed this round (bounded prefix + NULL
+    guard)."""
     return {
+        # --- newest (r4b): transcript training-pair / decontamination ops ---
+        "transcripts_token_quantiles": q_transcripts_token_quantiles,
+        "transcripts_sft_pairs": q_transcripts_sft_pairs,
+        "transcripts_decontamination": q_transcripts_decontamination,
+        "transcripts_tool_latency": q_transcripts_tool_latency,
         # --- new this round: BASELINE.json north-star transcript queries ---
         "transcripts_text_len_by_role": q_transcripts_text_len,
         "transcripts_turn_latency": q_transcripts_latency,
@@ -1862,19 +1930,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- behavior changed this round (language scorer prefix bound) ---
         "doc_language_id": q_doc_language_id,
         "doc_curation_pipeline": q_doc_curation_pipeline,
-        # --- core sketch family (driver-green r1-r3, kept in-window) ---
+        # --- core sketch family (driver-green r1-r3; the first 8 stay in
+        # the 50-row window — ddsketch_events_cubic kept in-window because
+        # its only driver row is r3) ---
         "ddsketch_events_value": q_events_value,
         "ddsketch_events_by_type": q_events_by_type,
         "ddsketch_events_mixed_sign": q_events_mixed_sign,
         "ddsketch_events_collapsing_lowest": q_events_collapsing_lowest,
         "ddsketch_events_collapsing_highest": q_events_collapsing_highest,
         "ddsketch_lineitem_price_by_flag": q_lineitem_price_by_flag,
+        "ddsketch_events_cubic": q_ddsketch_events_cubic,
         "ddsketch_events_latency": q_events_latency,
         "ddsketch_orders_per_customer": q_orders_per_customer,
         "ddsketch_orders_price_by_cust_wide": q_orders_price_by_cust_wide,
         "ddsketch_lineitem_weighted": q_lineitem_weighted,
         "ddsketch_events_exact_stats": q_events_exact_stats,
-        "ddsketch_events_cubic": q_ddsketch_events_cubic,
         "ddsketch_by_type_collapsed_weighted": q_events_by_type_collapsed_weighted,
         "ddsketch_events_by_type_salted": q_events_by_type_salted,
         "ddsketch_orders_by_cust_shuffle_mode": q_orders_by_cust_shuffle_mode,
@@ -2261,6 +2331,50 @@ def oracle_sql() -> dict[str, str]:
             "md5(string_agg(md5(text), '|' ORDER BY turn_idx)) AS fp "
             f"FROM {tr_src} GROUP BY conv_id) "
             "GROUP BY fp, n_turns ORDER BY conv_id"
+        ),
+        # r4b transcript training-pipeline twins (same materialized files)
+        "transcripts_token_quantiles": ddsketch_quantile_sql(
+            f"(SELECT role, CAST(len(regexp_extract_all(text, "
+            f"'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS DOUBLE) AS n_tokens "
+            f"FROM {tr_src})",
+            "n_tokens",
+            [0.5, 0.95, 0.99],
+            group_col="role",
+        ),
+        # the windowed string_agg concatenates in window order (verified
+        # semantics), so ctx is byte-identical to Spark's frame-ordered
+        # collect_list + array_join
+        "transcripts_sft_pairs": (
+            "SELECT conv_id, turn_idx, CAST(n_ctx AS DOUBLE) AS n_context_turns, "
+            "md5(ctx) AS context_md5, md5(text) AS response_md5 "
+            "FROM (SELECT conv_id, turn_idx, role, text, "
+            "COUNT(*) OVER w AS n_ctx, "
+            "string_agg(role || ': ' || text, chr(10)) OVER w AS ctx "
+            f"FROM {tr_src} "
+            "WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx "
+            "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)) "
+            "WHERE role = 'assistant' AND turn_idx > 0 "
+            "ORDER BY conv_id, turn_idx"
+        ),
+        "transcripts_decontamination": (
+            "WITH ev AS (SELECT conv_id FROM "
+            f"(SELECT DISTINCT conv_id FROM {tr_src}) "
+            "ORDER BY md5('1|' || conv_id), conv_id LIMIT 50), "
+            "evh AS (SELECT DISTINCT md5(text) AS h FROM "
+            f"{tr_src} t JOIN ev USING (conv_id)), "
+            "tr AS (SELECT DISTINCT conv_id, md5(text) AS h FROM "
+            f"{tr_src} WHERE conv_id NOT IN (SELECT conv_id FROM ev)) "
+            "SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS n_shared_turns "
+            "FROM tr JOIN evh USING (h) GROUP BY conv_id ORDER BY conv_id"
+        ),
+        "transcripts_tool_latency": ddsketch_quantile_sql(
+            f"(SELECT tool, gap FROM (SELECT tool, "
+            f"(LEAD(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) "
+            f"- epoch_us(ts)) / 1e6 AS gap FROM {tr_src}) "
+            f"WHERE tool IS NOT NULL AND gap IS NOT NULL)",
+            "gap",
+            [0.5, 0.95, 0.99],
+            group_col="tool",
         ),
         "ddsketch_events_value": ddsketch_quantile_sql("events", "value", [0.5, 0.95, 0.99]),
         "ddsketch_events_by_type": ddsketch_quantile_sql(

@@ -44,6 +44,11 @@ __all__ = [
     "curate_conversations",
     "pack_conversations",
     "sample_conversations",
+    "token_quantiles_by_role",
+    "sft_pairs",
+    "conversation_contamination",
+    "decontaminate_conversations",
+    "tool_latency_quantiles",
 ]
 
 DEFAULT_QS = (0.5, 0.95, 0.99)
@@ -569,3 +574,154 @@ def dedup_conversations(df):
         .select("conv_id", "n_copies", "n_turns")
         .orderBy("conv_id")
     )
+
+
+def token_quantiles_by_role(df, kind="bpe_ish", qs=DEFAULT_QS, config=None):
+    """DDSketch quantiles of per-turn TOKEN counts, grouped by role — the
+    training-data currency (context budgets, cost, packing) rather than raw
+    characters. ``kind`` follows ``dataops.token_count_expr``: 'whitespace'
+    or 'bpe_ish' (letter/digit/punct pre-token regex, dialect-portable so
+    the DuckDB twin counts the identical tokens).
+
+    Plan shape is the north-star text-length query's: the token count is a
+    Catalyst expression in the scan projection, stage 1 of the sketch build
+    is scan-partition-local, and only (role, bucket) sketch rows shuffle —
+    per-row cost scales with turn text length, total cost with turn count.
+    """
+    from pyspark.sql import functions as F
+
+    from .dataops import token_count_expr
+
+    t = df.select(
+        "role", token_count_expr("text", kind).cast("double").alias("n_tokens")
+    )
+    return quantiles(t, "n_tokens", by="role", qs=qs, config=config)
+
+
+def sft_pairs(df, context_turns: int = 3, response_role: str = "assistant"):
+    """(context, response) training-pair extraction — the SFT primitive:
+    for every ``response_role`` turn (except a conversation's first turn),
+    the response is that turn's text and the context is the previous up-to-
+    ``context_turns`` turns rendered ``role: text`` and joined by newlines,
+    in turn order.
+
+    Runs as ONE window over (conv_id ORDER BY turn_idx) with a bounded ROWS
+    frame: ``collect_list`` over the frame preserves frame order, so the
+    context string is assembled row-locally from at most ``context_turns``
+    neighbor turns — no self-join, no per-row Python, and the state per row
+    is bounded by the frame, not the conversation (a 10^5-turn agent log
+    costs the same per row as a 5-turn chat). The single sort-exchange's
+    hot-conversation bound is the measured window leg
+    (BENCH/scaling_r3_skew.json, max-task ratio <= 1.16 at 20% skew).
+
+    Returns [conv_id, turn_idx, n_context_turns, context, response] ordered
+    by (conv_id, turn_idx).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-int(context_turns), -1)
+    )
+    rendered = F.concat_ws(": ", F.col("role"), F.col("text"))
+    out = (
+        df.select("conv_id", "turn_idx", "role", "text", rendered.alias("__r"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.size(F.collect_list("__r").over(w)).cast("double").alias(
+                "n_context_turns"
+            ),
+            F.array_join(F.collect_list("__r").over(w), "\n").alias("context"),
+            F.col("text").alias("response"),
+        )
+        .filter((F.col("role") == response_role) & (F.col("turn_idx") > 0))
+        .drop("role")
+    )
+    return out.orderBy("conv_id", "turn_idx")
+
+
+def conversation_contamination(df, eval_ids):
+    """Per-conversation eval-set contamination report: for every TRAIN
+    conversation (one not in ``eval_ids``), the number of its distinct turn
+    texts that also appear verbatim as a turn of some eval conversation —
+    the transcript analogue of ``dataops.cross_corpus_contamination`` with
+    whole turns playing the role of shingles (exact-turn leakage is the
+    signal SFT decontamination acts on; sub-turn fuzzy overlap belongs to
+    ``near_dup_conversations``).
+
+    Scale shape: turns reduce to md5 digests in the scan projection (text
+    never shuffles); the eval digest set — bounded by the eval split's turn
+    count, thousands of rows by construction — BROADCASTS onto the train
+    scan, so the corpus-side plan is scan → broadcast semi-probe → distinct
+    + count of only the MATCHED digest rows. No shuffle touches unmatched
+    turns; there is no corpus-sized exchange at all.
+
+    ``eval_ids``: DataFrame with a ``conv_id`` column (e.g. the output of
+    ``sample_conversations(...).select('conv_id').distinct()``).
+
+    Returns [conv_id, n_shared_turns] (train conversations with >= 1 shared
+    turn), ordered by conv_id.
+    """
+    from pyspark.sql import functions as F
+
+    eval_ids = eval_ids.select("conv_id").distinct()
+    eval_digests = (
+        df.join(eval_ids, "conv_id", "left_semi")
+        .select(F.md5(F.col("text")).alias("__h"))
+        .distinct()
+    )
+    train = df.join(eval_ids, "conv_id", "left_anti")
+    return (
+        train.select("conv_id", F.md5(F.col("text")).alias("__h"))
+        .join(F.broadcast(eval_digests), "__h", "left_semi")
+        .distinct()
+        .groupBy("conv_id")
+        .agg(F.count("*").cast("double").alias("n_shared_turns"))
+        .orderBy("conv_id")
+    )
+
+
+def decontaminate_conversations(df, eval_ids):
+    """Drop every train conversation flagged by
+    ``conversation_contamination`` (and the eval conversations themselves),
+    returning the clean training turns with the input schema. Composition:
+    contamination report → anti-join on conv_id — both sides of the
+    anti-join are conversation-id frames, never turn-level text."""
+    contaminated = conversation_contamination(df, eval_ids).select("conv_id")
+    eval_ids = eval_ids.select("conv_id").distinct()
+    return df.join(eval_ids, "conv_id", "left_anti").join(
+        contaminated, "conv_id", "left_anti"
+    )
+
+
+def tool_latency_quantiles(df, qs=DEFAULT_QS, config=None):
+    """Per-tool DDSketch quantiles of tool-call roundtrip latency: the ts
+    gap from each tool turn to the NEXT turn of its conversation (the time
+    the tool result took to produce, plus the next turn's generation lead) —
+    grouped by tool so slow tools surface directly.
+
+    Uses the skew-proof composite-key formulation: the next-turn side keys
+    by (conv_id, turn_idx) and the tool side by (conv_id, turn_idx + 1) —
+    every join key distinct, so a hot conversation spreads uniformly instead
+    of sorting in one task; the NULL-tool filter pushes into the parquet
+    scan so only tool rows (~8% in the fixture profiles) join. A tool turn
+    that ends its conversation has no next turn and is dropped by the inner
+    join (the LEAD twin's NULL-gap filter).
+    """
+    from pyspark.sql import functions as F
+
+    nxt = df.select("conv_id", "turn_idx", _micros("ts").alias("__us"))
+    cur = df.filter(F.col("tool").isNotNull()).select(
+        "conv_id",
+        (F.col("turn_idx") + 1).alias("turn_idx"),
+        "tool",
+        _micros("ts").alias("__prev_us"),
+    )
+    gaps = cur.join(nxt, ["conv_id", "turn_idx"]).select(
+        "tool", ((F.col("__us") - F.col("__prev_us")) / 1e6).alias("gap_s")
+    )
+    return quantiles(gaps, "gap_s", by="tool", qs=qs, config=config)

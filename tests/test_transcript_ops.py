@@ -377,3 +377,116 @@ def test_sample_conversations_deterministic(spark, tiny_df, tiny_pdf):
     assert (got.groupby("conv_id").size() == sizes.loc[sorted(exp)]).all()
     again = sample_conversations(tiny_df.repartition(7), k=20, seed=3).toPandas()
     assert set(again["conv_id"]) == exp
+
+
+def test_token_quantiles_by_role_accuracy(spark, tiny_df, tiny_pdf):
+    """Per-role token-count quantiles: counts from a local regex
+    recomputation, each returned quantile within alpha of the exact rank
+    interval for its role."""
+    import re
+
+    from ddsparkle.spark.dataops import BPE_ISH_PATTERN
+    from ddsparkle.spark.transcript_ops import token_quantiles_by_role
+
+    got = token_quantiles_by_role(tiny_df).toPandas().set_index("role")
+    pat = re.compile(BPE_ISH_PATTERN)
+    toks = tiny_pdf.assign(_n=[len(pat.findall(t)) for t in tiny_pdf["text"]])
+    for role, grp in toks.groupby("role"):
+        vals = np.sort(grp["_n"].to_numpy(np.float64))
+        row = got.loc[role]
+        assert row["count"] == len(vals)
+        for q, col in [(0.5, "q50"), (0.95, "q95"), (0.99, "q99")]:
+            assert rank_interval_error(vals, q, row[col]) <= ALPHA + EPS
+
+
+def test_sft_pairs_vs_pandas(spark, tiny_df, tiny_pdf):
+    """Every (context, response) pair byte-equal to a per-conversation
+    greedy walk: context = previous <=3 turns rendered 'role: text',
+    newline-joined, in turn order."""
+    from ddsparkle.spark.transcript_ops import sft_pairs
+
+    got = (
+        sft_pairs(tiny_df, context_turns=3)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    for conv, grp in tiny_pdf.groupby("conv_id"):
+        grp = grp.sort_values("turn_idx").reset_index(drop=True)
+        rendered = [f"{r}: {t}" for r, t in zip(grp["role"], grp["text"])]
+        for i in range(1, len(grp)):
+            if grp["role"][i] != "assistant":
+                continue
+            lo = max(0, i - 3)
+            exp_rows.append(
+                (conv, int(grp["turn_idx"][i]), float(i - lo),
+                 "\n".join(rendered[lo:i]), grp["text"][i])
+            )
+    exp = pd.DataFrame(
+        exp_rows,
+        columns=["conv_id", "turn_idx", "n_context_turns", "context", "response"],
+    )
+    assert len(got) == len(exp)
+    for col in exp.columns:
+        assert got[col].tolist() == exp[col].tolist(), col
+
+
+def test_conversation_contamination_vs_pandas(spark, tiny_df, tiny_pdf):
+    """Contamination = train conversations sharing >=1 verbatim turn text
+    with the eval split; decontaminate drops eval + contaminated and
+    nothing else."""
+    from ddsparkle.spark.transcript_ops import (
+        conversation_contamination,
+        decontaminate_conversations,
+    )
+
+    eval_ids_list = sorted(tiny_pdf["conv_id"].unique())[:10]
+    eval_ids = spark.createDataFrame(
+        [(c,) for c in eval_ids_list], ["conv_id"]
+    )
+    got = conversation_contamination(tiny_df, eval_ids).toPandas()
+    ev_texts = set(
+        tiny_pdf[tiny_pdf["conv_id"].isin(eval_ids_list)]["text"]
+    )
+    train = tiny_pdf[~tiny_pdf["conv_id"].isin(eval_ids_list)]
+    exp = {
+        conv: float(len(set(grp["text"]) & ev_texts))
+        for conv, grp in train.groupby("conv_id")
+        if set(grp["text"]) & ev_texts
+    }
+    assert dict(zip(got["conv_id"], got["n_shared_turns"])) == exp
+
+    clean = decontaminate_conversations(tiny_df, eval_ids)
+    clean_convs = {r["conv_id"] for r in clean.select("conv_id").distinct().collect()}
+    expected_clean = set(train["conv_id"].unique()) - set(exp)
+    assert clean_convs == expected_clean
+    # clean conversations keep all their turns with the input schema
+    assert clean.columns == tiny_df.columns
+    n_expected = int(train[train["conv_id"].isin(expected_clean)].shape[0])
+    assert clean.count() == n_expected
+
+
+def test_tool_latency_vs_pandas(spark, tiny_df, tiny_pdf):
+    """Per-tool roundtrip gaps (tool turn -> next turn) match a local
+    recomputation in count, and each quantile respects the rank bound."""
+    from ddsparkle.spark.transcript_ops import tool_latency_quantiles
+
+    got = tool_latency_quantiles(tiny_df).toPandas().set_index("tool")
+    gaps: dict[str, list[float]] = {}
+    for _, grp in tiny_pdf.groupby("conv_id"):
+        grp = grp.sort_values("turn_idx").reset_index(drop=True)
+        for i in range(len(grp) - 1):
+            tool = grp["tool"][i]
+            if pd.isna(tool):
+                continue
+            gaps.setdefault(tool, []).append(
+                (grp["ts"][i + 1] - grp["ts"][i]).total_seconds()
+            )
+    assert set(got.index) == set(gaps)
+    for tool, vals in gaps.items():
+        vals = np.sort(np.asarray(vals, np.float64))
+        row = got.loc[tool]
+        assert row["count"] == len(vals)
+        for q, col in [(0.5, "q50"), (0.95, "q95"), (0.99, "q99")]:
+            assert rank_interval_error(vals, q, row[col]) <= ALPHA + EPS
