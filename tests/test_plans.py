@@ -141,3 +141,57 @@ def test_chunking_plan_fuses_into_scan(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan
     assert "Generate" in plan  # the chunk-index explode
+
+
+@pytest.fixture(scope="module")
+def transcripts_parquet(spark, tmp_path_factory):
+    from ddsparkle.transcripts import transcripts_df
+
+    path = str(tmp_path_factory.mktemp("plans") / "tr")
+    transcripts_df(spark, n_convs=200, profile="tiny", seed=5).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def test_sft_pairs_single_window(spark, transcripts_parquet):
+    """The SFT pair extraction must stay ONE Window operator (both the
+    frame count and the frame join share one collect_list sort) — a second
+    Window would mean a second per-conversation sort of the corpus."""
+    import re
+
+    from ddsparkle.spark.transcript_ops import sft_pairs
+
+    df = spark.read.parquet(transcripts_parquet)
+    plan = plan_of(sft_pairs(df))
+    # formatted explain lists each operator once in the tree and once in the
+    # detail section — count the numbered detail markers
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    # one hash exchange for the window + the output sort's range exchange
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2
+
+
+def test_contamination_all_joins_broadcast(spark, transcripts_parquet):
+    """Eval-set contamination must never shuffle the corpus: every join
+    (eval semi-select, train anti-join, digest probe) broadcasts the small
+    side; no SortMergeJoin anywhere in the plan."""
+    from ddsparkle.spark.transcript_ops import (
+        conversation_contamination,
+        sample_conversations,
+    )
+
+    df = spark.read.parquet(transcripts_parquet)
+    eval_ids = sample_conversations(df, k=20, seed=1).select("conv_id").distinct()
+    plan = plan_of(conversation_contamination(df, eval_ids))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tool_latency_null_filter_pushed(spark, transcripts_parquet):
+    """The NULL-tool filter must reach the parquet scan so only tool rows
+    (~8% of turns) enter the self-join."""
+    from ddsparkle.spark.transcript_ops import tool_latency_quantiles
+
+    df = spark.read.parquet(transcripts_parquet)
+    plan = plan_of(tool_latency_quantiles(df))
+    assert "IsNotNull(tool)" in plan
