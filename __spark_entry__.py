@@ -1871,6 +1871,21 @@ def q_transcripts_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_result(res, ["tool"], ["q50", "q95", "q99"])
 
 
+def q_transcripts_per_conv_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation q50/q95 of turn latency — the HIGH-CARDINALITY
+    grouped sketch aggregation on the north-star table (one group per
+    conversation; at 10^12 turns that is 10^8-10^9 groups, the scale shape
+    agg.quantiles' mode routing exists for). Auto mode routes this log
+    config to the pure-SQL bucket-aggregate plan: no Python stage, buckets
+    partial-aggregate map-side, so a hot conversation's turns combine
+    before the exchange."""
+    from ddsparkle.spark.transcript_ops import per_conversation_latency_quantiles
+
+    df = _transcripts(spark, sf_dir)
+    res = per_conversation_latency_quantiles(df, qs=(0.5, 0.95), config=_cfg())
+    return _round_result(res, ["conv_id"], ["q50", "q95"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is evidence policy, not alphabetics: the driver
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json, so entries
@@ -1888,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_sft_pairs": q_transcripts_sft_pairs,
         "transcripts_decontamination": q_transcripts_decontamination,
         "transcripts_tool_latency": q_transcripts_tool_latency,
+        "transcripts_per_conv_latency": q_transcripts_per_conv_latency,
         # --- new this round: BASELINE.json north-star transcript queries ---
         "transcripts_text_len_by_role": q_transcripts_text_len,
         "transcripts_turn_latency": q_transcripts_latency,
@@ -1930,7 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- behavior changed this round (language scorer prefix bound) ---
         "doc_language_id": q_doc_language_id,
         "doc_curation_pipeline": q_doc_curation_pipeline,
-        # --- core sketch family (driver-green r1-r3; the first 8 stay in
+        # --- core sketch family (driver-green r1-r3; the first 7 stay in
         # the 50-row window — ddsketch_events_cubic kept in-window because
         # its only driver row is r3) ---
         "ddsketch_events_value": q_events_value,
@@ -2375,6 +2391,15 @@ def oracle_sql() -> dict[str, str]:
             "gap",
             [0.5, 0.95, 0.99],
             group_col="tool",
+        ),
+        "transcripts_per_conv_latency": ddsketch_quantile_sql(
+            f"(SELECT conv_id, lat FROM (SELECT conv_id, "
+            f"(epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+            f"(PARTITION BY conv_id ORDER BY turn_idx)) / 1e6 AS lat "
+            f"FROM {tr_src}) WHERE lat IS NOT NULL)",
+            "lat",
+            [0.5, 0.95],
+            group_col="conv_id",
         ),
         "ddsketch_events_value": ddsketch_quantile_sql("events", "value", [0.5, 0.95, 0.99]),
         "ddsketch_events_by_type": ddsketch_quantile_sql(

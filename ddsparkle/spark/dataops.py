@@ -491,47 +491,113 @@ def near_duplicates(
     jaccard_threshold: float = 0.7,
     max_bucket_size: Optional[int] = 1000,
 ):
-    """MinHash/LSH candidates verified by exact n-gram Jaccard: returns
-    (id_a, id_b, jaccard) pairs above threshold. Verification joins the two
-    texts per candidate pair (only candidate pairs shuffle text)."""
+    """MinHash/LSH candidates verified by exact Jaccard over the documents'
+    distinct HASHED shingle sets: returns (id_a, id_b, jaccard) pairs above
+    threshold.
+
+    The verify is entirely JVM-side and never ships document text — the
+    same size-prune + intersect-only discipline proven on the conversation
+    near-dup path (BENCH/AB_r04.md, 15.4x there):
+
+    - each candidate-touching document reduces ONCE to its distinct 8-byte
+      shingle-hash set via the SAME vectorized rolling word-hash the signer
+      uses (``_batch_shingle_hashes`` — one Arrow-batched numpy pass, never
+      materializing gram strings; a Catalyst ``transform``-lambda version
+      was measured 13x SLOWER on long documents because higher-order
+      functions evaluate interpretively and allocate every gram string);
+      the old verify re-shingled BOTH texts of every candidate pair, so a
+      document in p pairs was hashed p times and its full text shuffled p
+      times;
+    - before any shingle ARRAY moves, candidate pairs are pruned by the
+      lossless size bound J <= min(|A|,|B|)/max(|A|,|B|) over an 8-byte-
+      per-side sizes join — a hot document's multi-thousand-element array
+      only ships for pairs that could actually pass the threshold;
+    - J = |A∩B| / (|A|+|B|−|A∩B|) from one ``array_intersect`` plus the
+      precomputed sizes — no union materialized, no Python stage.
+
+    Collision contract: a 64-bit shingle-hash collision can only merge two
+    distinct shingles into one set element, perturbing J slightly (expected
+    colliding shingle pairs ~s²/2^65 per doc-pair universe) — the same
+    contract (and the same hash function) as the previous per-pair Python
+    verify, so J values are bit-identical to it. The doc fixtures' driver
+    gates compare against string-shingle DuckDB twins, so they double as
+    collision checks.
+
+    The per-document digest frame feeds the size prune AND both verify
+    sides, so it is persisted for the call and the (small) verified pair
+    frame is localCheckpoint-materialized before unpersisting."""
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
     cands = minhash_lsh_candidates(
         sigs, id_col, bands, num_perm=num_perm, max_bucket_size=max_bucket_size
+    ).localCheckpoint(eager=True)
+    # digest ONLY candidate-touching documents (unlike the conversation
+    # path, candidates here come from MinHash — not from the digest frame —
+    # so the semi-join is legal): a well-tuned LSH emits candidates for a
+    # small fraction of the corpus, and every untouched document skips the
+    # shingle+hash pass entirely. One id-only exchange buys it.
+    touched = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
-    texts = df.select(F.col(id_col), F.col(text_col))
-    paired = (
-        cands.join(texts.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "text_a"), "id_a")
-        .join(texts.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "text_b"), "id_b")
-    )
-    out_schema = T.StructType(
+    from pyspark.sql import types as T
+
+    digest_schema = T.StructType(
         [
-            paired.schema["id_a"],
-            paired.schema["id_b"],
-            T.StructField("jaccard", T.DoubleType()),
+            df.schema[id_col],
+            T.StructField("__hs", T.ArrayType(T.LongType())),
+            T.StructField("__sz", T.IntegerType()),
         ]
     )
 
-    def verify(batches):
+    def digest(batches):
         for pdf in batches:
-            # both text columns hash in one vectorized pass per batch; the
-            # per-pair remainder is two np.unique + one intersect (set
-            # semantics over the hash arrays, identical to per-doc hashing)
-            ha, sa, ca = _batch_shingle_hashes(pdf["text_a"].tolist(), shingle_n)
-            hb, sb, cb = _batch_shingle_hashes(pdf["text_b"].tolist(), shingle_n)
-            jac = np.empty(len(pdf), np.float64)
-            for i in range(len(pdf)):
-                a = np.unique(ha[sa[i] : sa[i] + ca[i]])
-                b = np.unique(hb[sb[i] : sb[i] + cb[i]])
-                inter = np.intersect1d(a, b, assume_unique=True).size
-                union = a.size + b.size - inter
-                jac[i] = inter / union if union else 1.0
-            yield pd.DataFrame({"id_a": pdf["id_a"], "id_b": pdf["id_b"], "jaccard": jac})
+            h, st, ct = _batch_shingle_hashes(pdf[text_col].tolist(), shingle_n)
+            hs = [
+                np.unique(h[st[i] : st[i] + ct[i]]).view(np.int64).tolist()
+                for i in range(len(pdf))
+            ]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "__hs": hs, "__sz": [len(x) for x in hs]}
+            )
 
-    verified = paired.mapInPandas(verify, schema=out_schema)
-    return verified.filter(F.col("jaccard") >= jaccard_threshold)
+    per = (
+        _ensure_parallelism(
+            df.join(touched, id_col, "left_semi").select(id_col, text_col)
+        )
+        .mapInPandas(digest, schema=digest_schema)
+        .persist()
+    )
+    sized = (
+        cands.join(
+            per.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__za")),
+            "id_a",
+        )
+        .join(
+            per.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__zb")),
+            "id_b",
+        )
+        .filter(
+            F.least("__za", "__zb").cast("double")
+            >= F.lit(jaccard_threshold) * F.greatest("__za", "__zb")
+        )
+    )
+    paired = sized.join(
+        per.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__sa")), "id_a"
+    ).join(
+        per.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__sb")), "id_b"
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    jac = inter / (F.col("__za") + F.col("__zb") - inter)
+    out = (
+        paired.filter(jac >= jaccard_threshold)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .localCheckpoint(eager=True)
+    )
+    per.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1311,9 +1377,10 @@ def ngram_jaccard_pairs(
             sh.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__sb")), "id_b"
         )
     )
-    jac = F.size(F.array_intersect("__sa", "__sb")).cast("double") / F.size(
-        F.array_distinct(F.concat("__sa", "__sb"))
-    )
+    # |A∪B| = |A|+|B|−|A∩B| (both arrays are distinct), so the union array
+    # is never materialized — one array_intersect per pair is the whole cost
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    jac = inter / (F.size("__sa") + F.size("__sb") - inter)
     return paired.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )

@@ -49,6 +49,7 @@ __all__ = [
     "conversation_contamination",
     "decontaminate_conversations",
     "tool_latency_quantiles",
+    "per_conversation_latency_quantiles",
 ]
 
 DEFAULT_QS = (0.5, 0.95, 0.99)
@@ -725,3 +726,23 @@ def tool_latency_quantiles(df, qs=DEFAULT_QS, config=None):
         "tool", ((F.col("__us") - F.col("__prev_us")) / 1e6).alias("gap_s")
     )
     return quantiles(gaps, "gap_s", by="tool", qs=qs, config=config)
+
+
+def per_conversation_latency_quantiles(df, qs=(0.5, 0.95), config=None):
+    """Per-conversation DDSketch quantiles of turn latency — the
+    HIGH-CARDINALITY grouped aggregation over the north-star table: one
+    group per conversation (10^8-10^9 groups at 10^12 turns), the shape
+    that routes ``agg.quantiles`` through its cardinality-aware physical
+    modes (pure-SQL plan for log configs: hash aggregate on (conv_id, sign,
+    bucket) with map-side combine — no Python stage, no per-group state).
+
+    Latencies come from the skew-proof composite-key join
+    (``_adjacent_pairs``), so a hot conversation neither straggles the pair
+    join nor the bucket aggregate (its buckets partial-aggregate map-side).
+    Single-turn conversations have no adjacent pair and are absent from the
+    output, matching the NULL-gap-filtered oracle.
+    """
+    from pyspark.sql import functions as F
+
+    pairs = _adjacent_pairs(df).select("conv_id", F.col("gap_s").alias("lat"))
+    return quantiles(pairs, "lat", by="conv_id", qs=qs, config=config)

@@ -490,3 +490,29 @@ def test_tool_latency_vs_pandas(spark, tiny_df, tiny_pdf):
         assert row["count"] == len(vals)
         for q, col in [(0.5, "q50"), (0.95, "q95"), (0.99, "q99")]:
             assert rank_interval_error(vals, q, row[col]) <= ALPHA + EPS
+
+
+def test_per_conversation_latency_quantiles(spark, tiny_df, tiny_pdf):
+    """High-cardinality grouped quantiles: one group per conversation,
+    counts exact, each quantile within the rank bound of that
+    conversation's own gap multiset; single-turn conversations absent."""
+    from ddsparkle.spark.transcript_ops import per_conversation_latency_quantiles
+
+    got = (
+        per_conversation_latency_quantiles(tiny_df)
+        .toPandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    gaps = {
+        conv: np.sort(np.diff(grp.sort_values("turn_idx")["ts"].to_numpy())
+                      .astype("timedelta64[us]").astype(np.int64) / 1e6)
+        for conv, grp in tiny_pdf.groupby("conv_id")
+        if len(grp) > 1
+    }
+    assert set(got.index) == set(gaps)
+    for conv, vals in gaps.items():
+        row = got.loc[conv]
+        assert row["count"] == len(vals)
+        for q, col in [(0.5, "q50"), (0.95, "q95")]:
+            assert rank_interval_error(vals, q, row[col]) <= ALPHA + EPS
