@@ -1886,6 +1886,90 @@ def q_transcripts_per_conv_latency(spark: SparkSession, sf_dir: str) -> DataFram
     return _round_result(res, ["conv_id"], ["q50", "q95"])
 
 
+def q_transcripts_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV corpus-overlap estimator on the transcript splits: distinct
+    turn-content (md5) sets of the eval split (the seed-1 50-conversation
+    sample — the same split the decontamination gate uses) vs the train
+    remainder, overlap estimated from two KB-scale sketches in two scans —
+    the cheap screening counterpart of the exact decontamination join.
+    k=8192 exceeds the fixture's distinct-content universe, so the KMV
+    estimates are EXACT here (union sketch unsaturated) and the gate bounds
+    are deterministic; at scale the same call degrades gracefully to the
+    rse-bounded estimate."""
+    from ddsparkle.spark.approx import set_overlap
+    from ddsparkle.spark.transcript_ops import sample_conversations
+
+    df = _transcripts(spark, sf_dir)
+    eval_ids = sample_conversations(df, k=50, seed=1).select("conv_id").distinct()
+    a_df = df.join(F.broadcast(eval_ids), "conv_id", "left_semi").select(
+        F.md5("text").alias("h")
+    )
+    b_df = df.join(F.broadcast(eval_ids), "conv_id", "left_anti").select(
+        F.md5("text").alias("h")
+    )
+    ov = set_overlap(a_df, "h", b_df, "h", k=8192)
+    ea = float(a_df.distinct().count())
+    eb = float(b_df.distinct().count())
+    ei = float(a_df.distinct().join(b_df.distinct(), "h").count())
+    tol = 4 * ov["rse"]
+    row = (
+        ea,
+        eb,
+        ei,
+        bool(abs(ov["distinct_a"] - ea) <= tol * ea),
+        bool(abs(ov["distinct_b"] - eb) <= tol * eb),
+        bool(abs(ov["intersection"] - ei) <= 0.1 * ei + 1.0),
+    )
+    return spark.createDataFrame(
+        [row],
+        "exact_a double, exact_b double, exact_inter double, "
+        "a_ok boolean, b_ok boolean, inter_ok boolean",
+    )
+
+
+def q_transcripts_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's streaming leg on the NORTH-STAR table: transcript
+    files flow as micro-batches through the replay-idempotent foreachBatch
+    rollup sink into hourly text-length cells by role; the half-day window
+    query over the streamed table must hash-match the direct raw-window
+    DDSketch build (same twin as transcripts_rollup_window — stream
+    ingest, partitioned cell storage, and pruned query-time merge verified
+    in one gate)."""
+    import shutil
+    import tempfile
+
+    from ddsparkle.spark.rollup import read_rollup, rollup_quantiles, stream_to_rollup
+
+    path = _transcripts_path(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    tmp = tempfile.mkdtemp(prefix="ddsparkle-tsroll-")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(path)
+        )
+        stream = stream.withColumn("text_len", F.length("text").cast("double"))
+        q = stream_to_rollup(
+            stream, f"{tmp}/t", "text_len", time_col="ts", granularity="hour",
+            by="role", config=_cfg(), checkpoint=f"{tmp}/ck",
+            trigger={"availableNow": True},
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("transcript rollup stream did not drain in 300 s")
+        back = read_rollup(spark, f"{tmp}/t")
+        res = rollup_quantiles(
+            back, (0.5, 0.95, 0.99), by="role",
+            start="2023-11-15 06:00:00", end="2023-11-15 18:00:00",
+        )
+        out = _round_result(res, ["role"], ["q50", "q95", "q99"])
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is evidence policy, not alphabetics: the driver
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json, so entries
@@ -1904,6 +1988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_decontamination": q_transcripts_decontamination,
         "transcripts_tool_latency": q_transcripts_tool_latency,
         "transcripts_per_conv_latency": q_transcripts_per_conv_latency,
+        "transcripts_overlap_kmv": q_transcripts_overlap_kmv,
+        "transcripts_streaming_rollup": q_transcripts_streaming_rollup,
         # --- new this round: BASELINE.json north-star transcript queries ---
         "transcripts_text_len_by_role": q_transcripts_text_len,
         "transcripts_turn_latency": q_transcripts_latency,
@@ -1946,16 +2032,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- behavior changed this round (language scorer prefix bound) ---
         "doc_language_id": q_doc_language_id,
         "doc_curation_pipeline": q_doc_curation_pipeline,
-        # --- core sketch family (driver-green r1-r3; the first 7 stay in
+        # --- core sketch family (driver-green r1-r3; the first 5 stay in
         # the 50-row window — ddsketch_events_cubic kept in-window because
         # its only driver row is r3) ---
         "ddsketch_events_value": q_events_value,
         "ddsketch_events_by_type": q_events_by_type,
+        "ddsketch_events_cubic": q_ddsketch_events_cubic,
         "ddsketch_events_mixed_sign": q_events_mixed_sign,
         "ddsketch_events_collapsing_lowest": q_events_collapsing_lowest,
         "ddsketch_events_collapsing_highest": q_events_collapsing_highest,
         "ddsketch_lineitem_price_by_flag": q_lineitem_price_by_flag,
-        "ddsketch_events_cubic": q_ddsketch_events_cubic,
         "ddsketch_events_latency": q_events_latency,
         "ddsketch_orders_per_customer": q_orders_per_customer,
         "ddsketch_orders_price_by_cust_wide": q_orders_price_by_cust_wide,
@@ -2400,6 +2486,34 @@ def oracle_sql() -> dict[str, str]:
             "lat",
             [0.5, 0.95],
             group_col="conv_id",
+        ),
+        # KMV overlap: exact parts recomputed in SQL, bound booleans
+        # asserted TRUE (k=8192 > the fixture's distinct-content universe,
+        # so the sketch estimates are exact here — same gate shape as
+        # kmv_orderkey_overlap)
+        "transcripts_overlap_kmv": (
+            "WITH ev AS (SELECT conv_id FROM "
+            f"(SELECT DISTINCT conv_id FROM {tr_src}) "
+            "ORDER BY md5('1|' || conv_id), conv_id LIMIT 50), "
+            "a AS (SELECT DISTINCT md5(text) AS h FROM "
+            f"{tr_src} JOIN ev USING (conv_id)), "
+            "b AS (SELECT DISTINCT md5(text) AS h FROM "
+            f"{tr_src} WHERE conv_id NOT IN (SELECT conv_id FROM ev)) "
+            "SELECT CAST((SELECT COUNT(*) FROM a) AS DOUBLE) AS exact_a, "
+            "CAST((SELECT COUNT(*) FROM b) AS DOUBLE) AS exact_b, "
+            "CAST((SELECT COUNT(*) FROM a JOIN b USING (h)) AS DOUBLE) AS exact_inter, "
+            "TRUE AS a_ok, TRUE AS b_ok, TRUE AS inter_ok"
+        ),
+        # streamed cells must merge to the identical window answer as the
+        # batch-built rollup and the direct raw-window build — one twin
+        # serves transcripts_rollup_window and this gate
+        "transcripts_streaming_rollup": ddsketch_quantile_sql(
+            f"(SELECT role, CAST(length(text) AS DOUBLE) AS text_len FROM {tr_src} "
+            "WHERE ts >= TIMESTAMP '2023-11-15 06:00:00' "
+            "AND ts < TIMESTAMP '2023-11-15 18:00:00')",
+            "text_len",
+            [0.5, 0.95, 0.99],
+            group_col="role",
         ),
         "ddsketch_events_value": ddsketch_quantile_sql("events", "value", [0.5, 0.95, 0.99]),
         "ddsketch_events_by_type": ddsketch_quantile_sql(
