@@ -1970,6 +1970,39 @@ def q_transcripts_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_transcripts_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session segmentation WITHIN conversations (2-minute
+    inactivity gap splits an agent log into episodes) + per-conversation
+    session accounting — dataops.sessionize on the north-star table: lag
+    and the running session counter share ONE (conv_id, turn_idx) sort, so
+    the whole segmentation is a single exchange; ties cannot occur
+    (turn_idx is the order key)."""
+    from ddsparkle.spark.dataops import session_stats
+
+    df = _transcripts(spark, sf_dir)
+    return session_stats(
+        df, "ts", "conv_id", gap_seconds=120.0, order_cols=("turn_idx",)
+    ).orderBy("conv_id")
+
+
+def q_transcripts_turn_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TURN text-quality features (chars, tokens, mean token length,
+    space ratio) — the dataops.quality_exprs family keyed by
+    (conv_id, turn_idx): pure Catalyst, row-local, fuses into the scan."""
+    from ddsparkle.spark.dataops import quality_exprs
+
+    df = _transcripts(spark, sf_dir)
+    ex = quality_exprs("text")
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        ex["n_chars"].alias("n_chars"),
+        ex["n_tokens"].alias("n_tokens"),
+        ex["mean_token_len"].alias("mean_token_len"),
+        F.round(ex["space_ratio"], 6).alias("space_ratio"),
+    ).orderBy("conv_id", "turn_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is evidence policy, not alphabetics: the driver
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json, so entries
@@ -1990,6 +2023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_per_conv_latency": q_transcripts_per_conv_latency,
         "transcripts_overlap_kmv": q_transcripts_overlap_kmv,
         "transcripts_streaming_rollup": q_transcripts_streaming_rollup,
+        "transcripts_sessionization": q_transcripts_sessionization,
+        "transcripts_turn_quality": q_transcripts_turn_quality,
         # --- new this round: BASELINE.json north-star transcript queries ---
         "transcripts_text_len_by_role": q_transcripts_text_len,
         "transcripts_turn_latency": q_transcripts_latency,
@@ -2032,9 +2067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- behavior changed this round (language scorer prefix bound) ---
         "doc_language_id": q_doc_language_id,
         "doc_curation_pipeline": q_doc_curation_pipeline,
-        # --- core sketch family (driver-green r1-r3; the first 5 stay in
-        # the 50-row window — ddsketch_events_cubic kept in-window because
-        # its only driver row is r3) ---
+        # --- core sketch family (driver-green r1-r3; the first 3 stay in
+        # the 50-row window — ddsketch_events_cubic kept as close to the
+        # window as the r4b additions allow: its only driver row is r3) ---
         "ddsketch_events_value": q_events_value,
         "ddsketch_events_by_type": q_events_by_type,
         "ddsketch_events_cubic": q_ddsketch_events_cubic,
@@ -2503,6 +2538,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST((SELECT COUNT(*) FROM b) AS DOUBLE) AS exact_b, "
             "CAST((SELECT COUNT(*) FROM a JOIN b USING (h)) AS DOUBLE) AS exact_inter, "
             "TRUE AS a_ok, TRUE AS b_ok, TRUE AS inter_ok"
+        ),
+        "transcripts_sessionization": (
+            "WITH s AS (SELECT conv_id, "
+            "SUM(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 120.0 "
+            "THEN 1 ELSE 0 END) OVER (PARTITION BY conv_id ORDER BY turn_idx "
+            "ROWS UNBOUNDED PRECEDING) AS session_id "
+            "FROM (SELECT conv_id, turn_idx, ts, "
+            "lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev "
+            f"FROM {tr_src})), "
+            "per AS (SELECT conv_id, session_id, COUNT(*) AS n FROM s GROUP BY 1, 2) "
+            "SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS n_sessions, "
+            "CAST(SUM(n) AS DOUBLE) AS n_events, "
+            "CAST(MAX(n) AS DOUBLE) AS max_session_events "
+            "FROM per GROUP BY conv_id ORDER BY conv_id"
+        ),
+        "transcripts_turn_quality": (
+            "SELECT conv_id, turn_idx, CAST(LENGTH(text) AS DOUBLE) AS n_chars, "
+            "CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS n_tokens, "
+            "(LENGTH(text) - (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))) "
+            "  / LEN(string_split(text, ' ')) AS mean_token_len, "
+            "ROUND((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) * 1.0 / LENGTH(text), 6) AS space_ratio "
+            f"FROM {tr_src} ORDER BY conv_id, turn_idx"
         ),
         # streamed cells must merge to the identical window answer as the
         # batch-built rollup and the direct raw-window build — one twin
