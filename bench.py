@@ -101,20 +101,28 @@ def main() -> None:
         and (t := _time(fn, spark, sf_dir, errors, name)) is not None
     }
 
+    # field ORDER is load-bearing: the driver records only the LAST ~2 KB
+    # of stdout, so the headline block (queries/metric/value) must sit at
+    # the END of the single JSON line — the extras, which have outgrown
+    # 2 KB, come first and truncate harmlessly (r3's headline was lost to
+    # exactly this)
     report = {
-        "metric": "ddsketch_query_suite_total_runtime",
-        "value": round(sum(timings.values()), 4),
-        "unit": "sec",
-        "queries": timings,
-        "extra_total": round(sum(extra.values()), 4),
         "extra_queries": extra,
+        "extra_total": round(sum(extra.values()), 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": timings,
+        "metric": "ddsketch_query_suite_total_runtime",
+        "unit": "sec",
+        "value": round(sum(timings.values()), 4),
     }
     if errors:
         report["errors"] = errors
         if any(name in HEADLINE for name in errors):
             # a partial headline total must never read as a speedup
             report["value_incomplete"] = True
+        # re-append the headline keys so they stay at the line's end even
+        # when errors are present
+        report["value"] = report.pop("value")
     print(json.dumps(report))
     spark.stop()
 
