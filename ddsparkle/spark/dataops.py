@@ -536,7 +536,12 @@ def near_duplicates(
     # path, candidates here come from MinHash — not from the digest frame —
     # so the semi-join is legal): a well-tuned LSH emits candidates for a
     # small fraction of the corpus, and every untouched document skips the
-    # shingle+hash pass entirely. One id-only exchange buys it.
+    # shingle+hash pass entirely. AQE converts this semi-join to a runtime
+    # BroadcastHashJoin whenever the touched-id set fits the broadcast
+    # threshold (the normal regime — verified on the final adaptive plan;
+    # the static plan prints SMJ because the checkpointed candidate RDD has
+    # no compile-time stats), so the corpus is NOT shuffled to find its
+    # touched rows; a pathological candidate set degrades to one exchange.
     touched = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))

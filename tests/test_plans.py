@@ -195,3 +195,29 @@ def test_tool_latency_null_filter_pushed(spark, transcripts_parquet):
     df = spark.read.parquet(transcripts_parquet)
     plan = plan_of(tool_latency_quantiles(df))
     assert "IsNotNull(tool)" in plan
+
+
+def test_near_dup_touched_semi_join_broadcasts_at_runtime(spark, sf_dir):
+    """The near_duplicates touched-docs semi-join must convert to a runtime
+    BroadcastHashJoin under AQE (the static plan prints SMJ because the
+    checkpointed candidate RDD has no compile-time stats) — otherwise the
+    corpus would shuffle just to find its candidate-touching rows."""
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.dataops import minhash_lsh_candidates, minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = minhash_signatures(docs, "text", "doc_id", 64, 3)
+    cands = minhash_lsh_candidates(sigs, "doc_id", 16, num_perm=64).localCheckpoint(
+        eager=True
+    )
+    touched = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    semi = docs.join(touched, "doc_id", "left_semi")
+    semi.collect()  # the FINAL adaptive plan exists only after execution
+    plan = semi._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan
