@@ -252,6 +252,10 @@ def main() -> None:
     curate_mins = {"A": float("inf"), "B": float("inf")}
     pair_counts = set()
     long_pair_counts = set()
+    # MEMBERSHIP equality, not just count equality: two legs could emit
+    # different pairs with equal counts (r4 ADVICE finding)
+    sets_equal = True
+    long_sets_equal = True
 
     orig_near_duplicates = dops.near_duplicates
 
@@ -266,6 +270,7 @@ def main() -> None:
 
     for r in range(args.rounds):
         rnd = {}
+        rnd_sets = {}
         for leg, fn in (("A", _verify_r3), ("B", _verify_r4)):
             t0 = time.monotonic()
             got = fn(docs, cands).select("id_a", "id_b").toPandas()
@@ -273,16 +278,23 @@ def main() -> None:
             rnd[f"verify_{leg}"] = round(dt, 3)
             verify_mins[leg] = min(verify_mins[leg], dt)
             pairs = set(map(tuple, got.itertuples(index=False)))
+            rnd_sets[leg] = pairs
             pair_counts.add((leg, len(pairs)))
             rnd[f"verify_{leg}_pairs"] = len(pairs)
+        sets_equal = sets_equal and (rnd_sets["A"] == rnd_sets["B"])
+        rnd["pair_sets_equal"] = rnd_sets["A"] == rnd_sets["B"]
+        long_sets = {}
         for leg, fn in (("A", _verify_r3), ("B", _verify_r4)):
             t0 = time.monotonic()
             got = fn(long_docs, lcands).select("id_a", "id_b").toPandas()
             dt = time.monotonic() - t0
             rnd[f"verify_long_{leg}"] = round(dt, 3)
             long_mins[leg] = min(long_mins[leg], dt)
+            long_sets[leg] = set(map(tuple, got.itertuples(index=False)))
             long_pair_counts.add((leg, len(got)))
             rnd[f"verify_long_{leg}_pairs"] = len(got)
+        long_sets_equal = long_sets_equal and (long_sets["A"] == long_sets["B"])
+        rnd["long_pair_sets_equal"] = long_sets["A"] == long_sets["B"]
         # end-to-end curate leg with the verify swapped
         for leg, nd in (("A", near_dup_r3), ("B", orig_near_duplicates)):
             dops.near_duplicates = nd
@@ -306,15 +318,15 @@ def main() -> None:
     results["verify_long_min_B"] = round(long_mins["B"], 3)
     results["verify_long_speedup"] = round(long_mins["A"] / long_mins["B"], 2)
     results["long_pair_counts"] = {leg: n for leg, n in long_pair_counts}
-    results["long_pairs_equal"] = len({n for _, n in long_pair_counts}) == 1
+    results["long_pairs_equal"] = long_sets_equal
     results["curate_min_A"] = round(curate_mins["A"], 3)
     results["curate_min_B"] = round(curate_mins["B"], 3)
     results["curate_speedup"] = round(curate_mins["A"] / curate_mins["B"], 2)
-    # pair-set equality across legs (per leg the count is stable; A vs B
-    # must agree — the rework is plan shape, not semantics)
+    # pair-SET equality across legs, every round (the rework is plan shape,
+    # not semantics); counts reported alongside for readability
     counts = {leg: n for leg, n in pair_counts}
     results["pair_counts"] = counts
-    results["pairs_equal"] = len({n for _, n in pair_counts}) == 1
+    results["pairs_equal"] = sets_equal
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps({k: v for k, v in results.items() if k != "rounds"}))

@@ -1585,7 +1585,9 @@ def q_transcripts_role_transitions(spark: SparkSession, sf_dir: str) -> DataFram
     from ddsparkle.spark.transcript_ops import role_transitions
 
     df = _transcripts(spark, sf_dir)
-    return role_transitions(df)
+    return role_transitions(df).orderBy(
+        F.desc("n_transitions"), "from_role", "to_role"
+    )
 
 
 def q_transcripts_tool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1688,7 +1690,7 @@ def q_transcripts_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return near_dup_conversations(
         _transcripts(spark, sf_dir), threshold=0.6, min_turns=2, max_digest_df=64
-    )
+    ).orderBy("conv_a", "conv_b")
 
 
 def q_transcripts_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1697,7 +1699,9 @@ def q_transcripts_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFram
     combined 16-cell count — exact vs the identical DuckDB LEAD twin."""
     from ddsparkle.spark.transcript_ops import tool_transitions
 
-    return tool_transitions(_transcripts(spark, sf_dir))
+    return tool_transitions(_transcripts(spark, sf_dir)).orderBy(
+        F.desc("n"), "tool", "next_tool"
+    )
 
 
 def q_transcripts_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1807,7 +1811,7 @@ def q_transcripts_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ddsparkle.spark.transcript_ops import dedup_conversations
 
     df = _transcripts(spark, sf_dir)
-    return dedup_conversations(df)
+    return dedup_conversations(df).orderBy("conv_id")
 
 
 def q_transcripts_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1857,7 +1861,7 @@ def q_transcripts_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
 
     df = _transcripts(spark, sf_dir)
     eval_ids = sample_conversations(df, k=50, seed=1).select("conv_id").distinct()
-    return conversation_contamination(df, eval_ids)
+    return conversation_contamination(df, eval_ids).orderBy("conv_id")
 
 
 def q_transcripts_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1975,13 +1979,16 @@ def q_transcripts_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     inactivity gap splits an agent log into episodes) + per-conversation
     session accounting — dataops.sessionize on the north-star table: lag
     and the running session counter share ONE (conv_id, turn_idx) sort, so
-    the whole segmentation is a single exchange; ties cannot occur
-    (turn_idx is the order key)."""
+    the whole segmentation is a single exchange. ``order_by=('turn_idx',)``
+    walks turns STRICTLY in turn_idx order — the twin's exact semantics —
+    so session boundaries agree even if ts were ever non-monotone within a
+    conversation (the default (ts, tiebreak) walk would re-order such turns
+    and silently diverge from the oracle)."""
     from ddsparkle.spark.dataops import session_stats
 
     df = _transcripts(spark, sf_dir)
     return session_stats(
-        df, "ts", "conv_id", gap_seconds=120.0, order_cols=("turn_idx",)
+        df, "ts", "conv_id", gap_seconds=120.0, order_by=("turn_idx",)
     ).orderBy("conv_id")
 
 

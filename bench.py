@@ -120,9 +120,13 @@ def main() -> None:
         if any(name in HEADLINE for name in errors):
             # a partial headline total must never read as a speedup
             report["value_incomplete"] = True
-        # re-append the headline keys so they stay at the line's end even
-        # when errors are present
-        report["value"] = report.pop("value")
+        # re-append the WHOLE headline block (queries/metric/unit/value, in
+        # that order) so it stays at the line's end even when errors are
+        # present — a many-query error dict (~300 chars each) can exceed
+        # the driver's ~2 KB stdout tail and must truncate extras/errors,
+        # never the headline
+        for key in ("queries", "metric", "unit", "value"):
+            report[key] = report.pop(key)
     print(json.dumps(report))
     spark.stop()
 

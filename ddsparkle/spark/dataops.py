@@ -525,7 +525,16 @@ def near_duplicates(
 
     The per-document digest frame feeds the size prune AND both verify
     sides, so it is persisted for the call and the (small) verified pair
-    frame is localCheckpoint-materialized before unpersisting."""
+    frame is localCheckpoint-materialized before unpersisting.
+
+    Materialization contract (behavior change vs the pre-r4b lazy verify):
+    the call EAGERLY executes candidate generation + verify at call time
+    (two eager localCheckpoints) and returns the already-materialized pair
+    frame. Reusing the result never recomputes the pipeline — but
+    checkpoint blocks live only on executors, so on executor loss (e.g.
+    preemptible workers) the frame is unrecoverable: re-run the call, not
+    the returned plan. Callers composing further pruning push it onto the
+    small pair frame, not into the verify."""
     from pyspark.sql import functions as F
 
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
@@ -1682,6 +1691,7 @@ def sessionize(
     gap_seconds: float = 1800.0,
     order_cols: Sequence[str] = (),
     session_col: str = "session_id",
+    order_by: Optional[Sequence[str]] = None,
 ):
     """Gap-based sessionization: within each ``by`` key (user, conversation,
     agent run), a row whose time since the PREVIOUS row exceeds
@@ -1694,11 +1704,24 @@ def sessionize(
     plans a single exchange + sort; no Python anywhere. ``order_cols``
     breaks timestamp ties deterministically (pass a unique id column when
     ts collisions are possible — nondeterministic tie order would make
-    session boundaries run-dependent)."""
+    session boundaries run-dependent).
+
+    Ordering semantics: by default rows are walked in (ts, *order_cols)
+    order — correct for event streams whose logical order IS time. For
+    sources with their own canonical sequence (transcript turn_idx,
+    log line numbers), pass ``order_by`` to walk STRICTLY in that order:
+    the gap is still measured on ``ts_col``, but an out-of-order timestamp
+    inside a conversation no longer reorders the walk (and can then yield a
+    negative gap, which never starts a session — only gaps > ``gap_seconds``
+    do). The transcript gate uses ``order_by=('turn_idx',)`` so session
+    boundaries match the turn_idx-ordered oracle even on non-monotone ts."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    if order_by is not None:
+        order = [F.col(c) for c in order_by]
+    else:
+        order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
     w = Window.partitionBy(by).orderBy(*order)
     prev = F.lag(F.col(ts_col)).over(w)
     # timestamp SUBTRACTION (day-time interval), not epoch casts: works for
@@ -1721,13 +1744,14 @@ def session_stats(
     by: str = "user_id",
     gap_seconds: float = 1800.0,
     order_cols: Sequence[str] = (),
+    order_by: Optional[Sequence[str]] = None,
 ):
     """Per-key session accounting over ``sessionize``: [by, n_sessions,
     n_events, max_session_events] — one window shuffle + one hash
-    aggregate."""
+    aggregate. ``order_by`` passes through (see ``sessionize``)."""
     from pyspark.sql import functions as F
 
-    sess = sessionize(df, ts_col, by, gap_seconds, order_cols)
+    sess = sessionize(df, ts_col, by, gap_seconds, order_cols, order_by=order_by)
     per_session = sess.groupBy(by, "session_id").agg(
         F.count("*").alias("__n")
     )

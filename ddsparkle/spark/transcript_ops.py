@@ -40,6 +40,7 @@ __all__ = [
     "tool_distinct_conversations",
     "dedup_conversations",
     "near_dup_conversations",
+    "digest_df_stats",
     "tool_transitions",
     "curate_conversations",
     "pack_conversations",
@@ -145,8 +146,10 @@ def _adjacent_pairs(df, extra_cols: Sequence[str] = ()):
 
 def role_transitions(df):
     """Count of (from_role -> to_role) adjacent-turn transitions across all
-    conversations — the role-transition matrix in long form, ordered by
-    count desc then lexicographic.
+    conversations — the role-transition matrix in long form, UNORDERED
+    (callers composing pipelines must not pay a global sort exchange they
+    never asked for; the driver gates add the deterministic orderBy the
+    oracle hashing needs).
 
     Both the pair join (distinct composite keys) and the final 16-cell
     groupBy are skew-immune; the count agg is map-side combined. Output:
@@ -158,7 +161,6 @@ def role_transitions(df):
         _adjacent_pairs(df)
         .groupBy("from_role", "to_role")
         .agg(F.count("*").cast("double").alias("n_transitions"))
-        .orderBy(F.desc("n_transitions"), "from_role", "to_role")
     )
 
 
@@ -266,7 +268,13 @@ def near_dup_conversations(
       acknowledgements — would otherwise create quadratic bucket blowup;
       they still count in the verify sets, so scores are unaffected; the
       guard is the document LSH joins' ``max_bucket_size`` in
-      digest-frequency form);
+      digest-frequency form). RECALL CONTRACT: a pair whose only shared
+      turns are such high-frequency digests never becomes a candidate and
+      is missed — pinned by tests/test_transcript_ops.py::
+      test_near_dup_boilerplate_recall_contract; monitor what a given cap
+      drops with :func:`digest_df_stats` (the ``lsh_bucket_stats``
+      counterpart), and raise the cap when boilerplate-only overlap
+      matters for the corpus;
     - the verify never computes a union: J = |A∩B| / (|A|+|B|−|A∩B|) from
       one JVM ``array_intersect`` plus precomputed set sizes — and before
       any digest ARRAY moves, candidate pairs are pruned by the size bound
@@ -282,7 +290,14 @@ def near_dup_conversations(
     ``min_turns`` drops shorter conversations before candidate generation
     (single-turn conversations with equal content are better served by
     ``dedup_conversations``). Returns [conv_a, conv_b, jaccard] with
-    conv_a < conv_b, jaccard rounded to 4 digits, ordered by the pair.
+    conv_a < conv_b and jaccard rounded to 4 digits, UNORDERED (gates add
+    the deterministic pair sort; pipeline callers don't pay it).
+
+    Materialization contract: the call EAGERLY executes the pair graph
+    (localCheckpoint) so the digest frame's cache can be released before
+    returning — the returned frame is small, already materialized on the
+    executors, and does NOT recompute on reuse, but like any checkpoint it
+    is unrecoverable after executor loss (re-run the call, not the plan).
     """
     from pyspark.sql import functions as F
 
@@ -342,11 +357,43 @@ def near_dup_conversations(
     out = (
         paired.filter(jac >= threshold)
         .select("conv_a", "conv_b", F.round(jac, 4).alias("jaccard"))
-        .orderBy("conv_a", "conv_b")
         .localCheckpoint(eager=True)
     )
     per.unpersist()
     return out
+
+
+def digest_df_stats(df, min_turns: int = 2, max_digest_df: int = 64):
+    """Monitoring companion to ``near_dup_conversations``'s digest-frequency
+    skew guard — the conversation-granularity analogue of
+    ``dataops.lsh_bucket_stats``: one row per turn digest whose
+    conversation-frequency EXCEEDS ``max_digest_df`` (so it is excluded from
+    candidate generation), with that frequency. Log/store this next to the
+    pair output so the dropped candidate mass is visible, not silent: a pair
+    whose ONLY shared turns are such boilerplate digests can never become a
+    candidate (pinned by tests/test_transcript_ops.py::
+    test_near_dup_boilerplate_recall_contract).
+
+    Uses the same digest (xxhash64), ``min_turns`` floor, and df definition
+    (conversations containing the digest, after the floor) as the candidate
+    generator, so what this reports is exactly what the guard drops.
+    Output: [digest long, df double], ordered by df desc then digest.
+    """
+    from pyspark.sql import functions as F
+
+    per = (
+        df.select("conv_id", F.xxhash64(F.col("text")).alias("__h"))
+        .groupBy("conv_id")
+        .agg(F.collect_set("__h").alias("__hs"), F.count("*").alias("__n"))
+        .filter(F.col("__n") >= min_turns)
+    )
+    return (
+        per.select(F.explode("__hs").alias("digest"))
+        .groupBy("digest")
+        .agg(F.count("*").cast("double").alias("df"))
+        .filter(F.col("df") > max_digest_df)
+        .orderBy(F.desc("df"), "digest")
+    )
 
 
 def curate_conversations(
@@ -356,6 +403,7 @@ def curate_conversations(
     jaccard_threshold: float = 0.6,
     max_digest_df: int = 64,
     cc_local_threshold: int = 100_000,
+    release_cache: bool = False,
 ):
     """Conversation-granularity curation for SFT corpora — the transcript
     analogue of ``dataprep.curate``: exact conversation dedup → near-dup
@@ -383,6 +431,18 @@ def curate_conversations(
     quality, so a cluster whose representative fails the gate is dropped
     whole — the same contract as ``dataprep.curate``. Stage counts are
     computed as actions (one job each), like ``curate``.
+
+    Cache discipline (the same as ``dataprep.curate``'s, which this
+    pipeline previously lacked — each stage frame is consumed 3-5 times and
+    every consumption would otherwise re-run the corpus scan plus the dedup
+    fingerprint groupBy, the dominant cost at 100 TB): ``exact_kept`` is
+    persisted for the near-dup candidate pass + CC node frame + stage count
+    + ``fuzzy_kept`` join, then released once ``fuzzy_kept``'s own cache
+    shields the lineage; ``fuzzy_kept`` feeds the quality aggregate, the
+    final semi-join, and the caller's downstream actions, so its cache is
+    kept alive backing the RETURNED frame — pass ``release_cache=True`` to
+    drop it before returning when only ``stats`` are consumed (a later
+    action on the returned frame then recomputes the pipeline).
     """
     from pyspark.sql import functions as F
 
@@ -392,7 +452,7 @@ def curate_conversations(
     stats["input_convs"] = int(df.select("conv_id").distinct().count())
 
     exact_reps = dedup_conversations(df).select("conv_id")
-    exact_kept = df.join(exact_reps, "conv_id", "left_semi")
+    exact_kept = df.join(exact_reps, "conv_id", "left_semi").persist()
     stats["after_exact_dedup"] = int(exact_reps.count())
 
     pairs = near_dup_conversations(
@@ -408,8 +468,9 @@ def curate_conversations(
         local_threshold=cc_local_threshold,
     )
     fuzzy_reps = comp.filter(F.col("conv_id") == F.col("component")).select("conv_id")
-    fuzzy_kept = exact_kept.join(fuzzy_reps, "conv_id", "left_semi")
+    fuzzy_kept = exact_kept.join(fuzzy_reps, "conv_id", "left_semi").persist()
     stats["after_near_dup"] = int(fuzzy_reps.count())
+    exact_kept.unpersist()  # fuzzy_kept's cache shields downstream lineage
 
     meta = fuzzy_kept.groupBy("conv_id").agg(
         F.count("*").alias("__n"), F.collect_set("role").alias("__roles")
@@ -420,6 +481,8 @@ def curate_conversations(
     good = good.select("conv_id")
     curated = fuzzy_kept.join(good, "conv_id", "left_semi")
     stats["after_quality"] = int(good.count())
+    if release_cache:
+        fuzzy_kept.unpersist()
 
     stats["dropped_exact_dups"] = stats["input_convs"] - stats["after_exact_dedup"]
     stats["dropped_near_dups"] = stats["after_exact_dedup"] - stats["after_near_dup"]
@@ -429,9 +492,9 @@ def curate_conversations(
 
 def tool_transitions(df):
     """Tool-call sequence bigrams: counts of (tool -> next tool called in
-    the SAME conversation), ordered by count desc then lexicographic — the
-    agent-behavior matrix ("which tool follows which") over the transcript
-    corpus. Output: [tool, next_tool, n].
+    the SAME conversation) — the agent-behavior matrix ("which tool follows
+    which") over the transcript corpus. Output: [tool, next_tool, n],
+    UNORDERED (the gate adds the deterministic sort).
 
     Plan shape: the NULL-tool filter pushes into the parquet scan, so the
     window sort runs over only the tool-call rows (~8% of turns in the
@@ -448,10 +511,8 @@ def tool_transitions(df):
     pairs = t.select(
         "tool", F.lead("tool").over(w).alias("next_tool")
     ).filter(F.col("next_tool").isNotNull())
-    return (
-        pairs.groupBy("tool", "next_tool")
-        .agg(F.count("*").cast("double").alias("n"))
-        .orderBy(F.desc("n"), "tool", "next_tool")
+    return pairs.groupBy("tool", "next_tool").agg(
+        F.count("*").cast("double").alias("n")
     )
 
 
@@ -536,7 +597,7 @@ def dedup_conversations(df):
     """Conversation-level exact dedup: two conversations are duplicates iff
     their ordered turn-text sequences are identical. Returns one row per
     distinct conversation content: [conv_id (min = representative),
-    n_copies, n_turns], ordered by conv_id.
+    n_copies, n_turns], UNORDERED (the gate adds the conv_id sort).
 
     Scale shape (hash-first, mirroring ``dataops.exact_dedup`` above its
     size threshold): each turn is reduced to md5(text) hex in the scan
@@ -573,7 +634,6 @@ def dedup_conversations(df):
             F.count("*").cast("double").alias("n_copies"),
         )
         .select("conv_id", "n_copies", "n_turns")
-        .orderBy("conv_id")
     )
 
 
@@ -615,8 +675,11 @@ def sft_pairs(df, context_turns: int = 3, response_role: str = "assistant"):
     hot-conversation bound is the measured window leg
     (BENCH/scaling_r3_skew.json, max-task ratio <= 1.16 at 20% skew).
 
-    Returns [conv_id, turn_idx, n_context_turns, context, response] ordered
-    by (conv_id, turn_idx).
+    Returns [conv_id, turn_idx, n_context_turns, context, response],
+    UNORDERED — composing callers (packing, sampling, a corpus write) must
+    not pay a global sort exchange; the driver gate adds the deterministic
+    (conv_id, turn_idx) sort the oracle hashing needs (plan-pinned sortless
+    in tests/test_plans.py).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -642,7 +705,7 @@ def sft_pairs(df, context_turns: int = 3, response_role: str = "assistant"):
         .filter((F.col("role") == response_role) & (F.col("turn_idx") > 0))
         .drop("role")
     )
-    return out.orderBy("conv_id", "turn_idx")
+    return out
 
 
 def conversation_contamination(df, eval_ids):
@@ -665,7 +728,9 @@ def conversation_contamination(df, eval_ids):
     ``sample_conversations(...).select('conv_id').distinct()``).
 
     Returns [conv_id, n_shared_turns] (train conversations with >= 1 shared
-    turn), ordered by conv_id.
+    turn), UNORDERED (``decontaminate_conversations`` consumes this frame
+    as a join side — a global sort there would be pure waste; the gate
+    orders).
     """
     from pyspark.sql import functions as F
 
@@ -682,7 +747,6 @@ def conversation_contamination(df, eval_ids):
         .distinct()
         .groupBy("conv_id")
         .agg(F.count("*").cast("double").alias("n_shared_turns"))
-        .orderBy("conv_id")
     )
 
 

@@ -157,7 +157,11 @@ def transcripts_parquet(spark, tmp_path_factory):
 def test_sft_pairs_single_window(spark, transcripts_parquet):
     """The SFT pair extraction must stay ONE Window operator (both the
     frame count and the frame join share one collect_list sort) — a second
-    Window would mean a second per-conversation sort of the corpus."""
+    Window would mean a second per-conversation sort of the corpus — and
+    (r5) the OPERATOR output must carry NO global sort: result ordering is
+    the gate's job, so pipeline callers never pay a range exchange they
+    didn't ask for. Exactly one exchange total: the window's hash
+    partitioning."""
     import re
 
     from ddsparkle.spark.transcript_ops import sft_pairs
@@ -167,8 +171,8 @@ def test_sft_pairs_single_window(spark, transcripts_parquet):
     # formatted explain lists each operator once in the tree and once in the
     # detail section — count the numbered detail markers
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
-    # one hash exchange for the window + the output sort's range exchange
-    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan  # no global sort
 
 
 def test_contamination_all_joins_broadcast(spark, transcripts_parquet):

@@ -244,7 +244,13 @@ def test_near_dup_conversations_exact_twin_is_j1(spark):
 def test_tool_transitions_vs_pandas(spark, tiny_df, tiny_pdf):
     from ddsparkle.spark.transcript_ops import tool_transitions
 
-    got = tool_transitions(tiny_df).toPandas()
+    # operators return unordered frames (r5); sort here like the gate does
+    got = (
+        tool_transitions(tiny_df)
+        .toPandas()
+        .sort_values(["n", "tool", "next_tool"], ascending=[False, True, True])
+        .reset_index(drop=True)
+    )
     t = tiny_pdf[tiny_pdf["tool"].notna()].sort_values(["conv_id", "turn_idx"])
     t = t.assign(next_tool=t.groupby("conv_id")["tool"].shift(-1))
     exp = (
@@ -516,3 +522,81 @@ def test_per_conversation_latency_quantiles(spark, tiny_df, tiny_pdf):
         assert row["count"] == len(vals)
         for q, col in [(0.5, "q50"), (0.95, "q95")]:
             assert rank_interval_error(vals, q, row[col]) <= ALPHA + EPS
+
+
+def _boilerplate_fixture(spark, n_filler=70):
+    """Corpus pinning the max_digest_df recall contract: 3 boilerplate turn
+    texts each shared by n_filler+4 conversations (> the default cap of 64),
+    one pair (pairX1, pairX2) sharing the boilerplate PLUS one rare turn,
+    and one pair (pairY1, pairY2) whose ONLY shared turns are boilerplate."""
+    boiler = ["ok", "ack", "thanks bye"]
+    rows = []
+
+    def conv(cid, texts):
+        rows.extend((cid, t) for t in texts)
+
+    conv("pairX1", boiler + ["rare shared escalation detail", "x1 unique turn"])
+    conv("pairX2", boiler + ["rare shared escalation detail", "x2 unique turn"])
+    conv("pairY1", boiler + ["y1 unique turn"])
+    conv("pairY2", boiler + ["y2 unique turn"])
+    for i in range(n_filler):
+        conv(f"fill{i:04d}", boiler + [f"filler {i} first", f"filler {i} second"])
+    return spark.createDataFrame(rows, ["conv_id", "text"])
+
+
+def test_near_dup_boilerplate_recall_contract(spark):
+    """Pins the documented max_digest_df recall contract (VERDICT r4 #3):
+    a pair sharing boilerplate (digest df > cap) plus ONE rare turn IS
+    found — the rare digest alone makes it a candidate and the excluded
+    boilerplate digests still count in the verify sets — while a pair whose
+    ONLY shared turns are boilerplate is MISSED even though its true
+    Jaccard clears the threshold; raising the cap (or disabling it) finds
+    it, proving the miss is the guard, not the verify."""
+    from ddsparkle.spark.transcript_ops import near_dup_conversations
+
+    df = _boilerplate_fixture(spark)
+
+    got = near_dup_conversations(df, threshold=0.6, min_turns=2, max_digest_df=64)
+    pairs = {(r["conv_a"], r["conv_b"]): r["jaccard"] for r in got.collect()}
+
+    # X pair found via its rare shared digest; J computed over the FULL
+    # sets (boilerplate included): |A∩B|=4, |A∪B|=6
+    assert pairs.get(("pairX1", "pairX2")) == round(4 / 6, 4)
+    # Y pair missed: its true J = 3/5 = 0.6 >= threshold, but every shared
+    # digest is over the cap so it never becomes a candidate
+    assert ("pairY1", "pairY2") not in pairs
+    # no filler pair sneaks in (fillers share only boilerplate; J=3/7 anyway)
+    assert all({a, b} <= {"pairX1", "pairX2"} for (a, b) in pairs)
+
+    # the miss is the guard's doing: with the cap lifted the Y pair appears
+    # with exactly its true Jaccard
+    uncapped = near_dup_conversations(
+        df, threshold=0.6, min_turns=2, max_digest_df=10**9
+    )
+    up = {(r["conv_a"], r["conv_b"]): r["jaccard"] for r in uncapped.collect()}
+    assert up.get(("pairY1", "pairY2")) == round(3 / 5, 4)
+    assert up.get(("pairX1", "pairX2")) == round(4 / 6, 4)
+
+
+def test_digest_df_stats_reports_exactly_the_guarded_digests(spark):
+    """digest_df_stats is the monitoring twin of the candidate guard: it
+    reports exactly the digests the cap excludes (the 3 boilerplate texts,
+    df = n_filler + 4 each, ordered df-desc) and nothing else; a permissive
+    cap reports nothing."""
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.transcript_ops import digest_df_stats
+
+    df = _boilerplate_fixture(spark)
+    stats = digest_df_stats(df, min_turns=2, max_digest_df=64).toPandas()
+    assert len(stats) == 3
+    assert set(stats["df"]) == {74.0}
+    expected = {
+        r["d"]
+        for r in df.filter(F.col("text").isin("ok", "ack", "thanks bye"))
+        .select(F.xxhash64("text").alias("d"))
+        .distinct()
+        .collect()
+    }
+    assert set(stats["digest"]) == expected
+    assert digest_df_stats(df, min_turns=2, max_digest_df=100).count() == 0
