@@ -2010,6 +2010,128 @@ def q_transcripts_turn_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id", "turn_idx")
 
 
+def _fake_image_media(docs, perturb_stride: int = 10) -> DataFrame:
+    """Deterministic 16x16 fake-image table from the documents fixture:
+    every doc's text bytes as payload, PLUS (every ``perturb_stride``-th
+    doc) a planted near-duplicate whose payload differs in exactly byte 0
+    ('X' + substr(text, 2), same length — the fake decoder tiles bytes, so
+    only pixels sampling byte offset 0 change: a small, non-zero Hamming
+    perturbation). Twin ids are base id + 1_000_000. Both constructions are
+    replayed verbatim by the DuckDB twin."""
+    def mk(df, id_expr, payload_expr):
+        return df.select(
+            id_expr.alias("media_id"),
+            F.lit("image").alias("modality"),
+            payload_expr.alias("payload"),
+            F.lit("image/fake").alias("mime"),
+            F.lit(16).alias("width"),
+            F.lit(16).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        )
+
+    base = mk(docs, F.col("doc_id"), F.encode("text", "UTF-8"))
+    pert = mk(
+        docs.filter(F.col("doc_id") % perturb_stride == 0),
+        F.col("doc_id") + 1_000_000,
+        F.encode(F.concat(F.lit("X"), F.expr("substring(text, 2)")), "UTF-8"),
+    )
+    return base.unionByName(pert)
+
+
+def q_media_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprints, hash-matched bit-for-bit: the fake
+    16x16 images (incl. the planted byte-0 perturbed twins) flow through the
+    real decode -> grayscale -> box-resize -> dHash mapInPandas path
+    (multimodal.image_dhash), and every 64-bit hash equals a DuckDB twin
+    replaying the byte tiling, the (8, 9) resize sampling grid, and the
+    row-major bit packing in SQL — so the full fingerprint arithmetic is
+    oracle-pinned, with only the codec stubbed (same contract as
+    media_image_features)."""
+    from ddsparkle.spark.multimodal import image_dhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return image_dhash(_fake_image_media(docs), fake=True).orderBy("media_id")
+
+
+def q_media_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs via the banded Hamming join
+    (multimodal.image_near_dup_pairs -> dataops.hamming_near_dup_pairs):
+    candidates from 8-bit band-equality buckets (pigeonhole-lossless for
+    hamming <= 6 < 8 bands), exact bit_count(xor) verify. The twin computes
+    the ALL-PAIRS Hamming graph at distance <= 6 — the banded join must
+    reproduce it exactly (recall proof, not just spot checks). The planted
+    byte-0 twins guarantee nonzero-distance positives; exact text dups give
+    distance-0 pairs. The bucket skew guard is disabled here so the
+    equality is unconditional (its drop behavior is pinned in pytest)."""
+    from ddsparkle.spark.multimodal import image_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = image_near_dup_pairs(
+        _fake_image_media(docs), max_hamming=6, bands=8, max_bucket_size=None
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+def q_doc_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (the r4-VERDICT missing curation stage):
+    fastText-style linear classifier over hashed 1-2-gram features
+    (quality_model.model_quality_score — md5-bucketed counts x deterministic
+    integer weights, one Arrow-batched numpy dot per row batch). The
+    integer dot makes the score EXACT, so the DuckDB twin replays the whole
+    model — tokenize, gram expansion, 60-bit md5 bucket, weight scramble,
+    dot, division — and the gate hash-matches scores END-TO-END, not just
+    bounds. ``keep`` applies the curation threshold (-0.05, the tail-drop
+    operating point the pipeline gate uses)."""
+    from ddsparkle.spark.quality_model import model_quality_score
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    out = model_quality_score(docs)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        F.round("model_score", 4).alias("model_score"),
+        (F.col("model_score") >= -0.05).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def q_doc_curation_model_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline WITH the model-quality stage enabled (six stage
+    counts): decontamination -> exact dedup -> fuzzy dedup -> heuristic
+    quality + language -> hashed-n-gram linear scorer at threshold -0.05 —
+    every count hash-matched against the from-scratch DuckDB replica
+    (_curation_sql with the model CTE appended). Pins the classifier-last
+    stage ORDER: the model pass sees only heuristic-gate survivors."""
+    from ddsparkle.spark.dataprep import curate
+
+    df = _t(spark, sf_dir, "documents")
+    corpus = df.filter(F.col("source") != "src0")
+    reference = df.filter(F.col("source") == "src0")
+    _curated, stats = curate(
+        corpus,
+        decontaminate_against=reference,
+        min_tokens=5,
+        max_mean_token_len=20.0,
+        languages=["en"],
+        jaccard_threshold=0.7,
+        num_perm=32,
+        bands=32,
+        max_bucket_size=None,
+        model_score_threshold=-0.05,
+        release_cache=True,  # only stats are consumed here
+    )
+    cols = [
+        "input_docs",
+        "after_decontamination",
+        "after_exact_dedup",
+        "after_fuzzy_dedup",
+        "after_quality_language",
+        "after_model_quality",
+    ]
+    return spark.createDataFrame(
+        [[float(stats[c]) for c in cols]], ", ".join(f"{c} double" for c in cols)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is evidence policy, not alphabetics: the driver
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json, so entries
@@ -2022,7 +2144,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries whose scorer changed this round (bounded prefix + NULL
     guard)."""
     return {
-        # --- newest (r4b): transcript training-pair / decontamination ops ---
+        # --- newest (r5): model-based quality scoring + image near-dup ---
+        "doc_model_quality": q_doc_model_quality,
+        "doc_curation_model_pipeline": q_doc_curation_model_pipeline,
+        "media_image_dhash": q_media_image_dhash,
+        "media_image_near_dup": q_media_image_near_dup,
+        # --- r4b: transcript training-pair / decontamination ops ---
         "transcripts_token_quantiles": q_transcripts_token_quantiles,
         "transcripts_sft_pairs": q_transcripts_sft_pairs,
         "transcripts_decontamination": q_transcripts_decontamination,
@@ -2176,19 +2303,97 @@ def _language_id_sql() -> str:
     )
 
 
-def _curation_sql() -> str:
+def _image_dhash_ctes(perturb_stride: int = 10) -> str:
+    """DuckDB CTE chain ending in 'h' (media_id, dhash BIGINT): the fake
+    16x16 image corpus of _fake_image_media (base docs + byte-0 perturbed
+    twins) pushed through the EXACT dHash arithmetic of
+    multimodal.image_dhash — byte tiling at flat index (3*pixel + channel)
+    mod len, the (8, 9) box-resize sampling grid (row r samples source row
+    2r, column c samples source column c*16//9), lum = mean of 3 channel
+    bytes, bit (r, c) = lum[r,c] > lum[r,c+1] packed at r*8 + c. The
+    HUGEINT accumulation converts to the int64 two's-complement view Spark
+    emits (bit 63 set reads negative)."""
+    flat = "((r.r*2)*16 + (c.c*16)//9)"
+    byte = lambda k: (  # noqa: E731 — local SQL snippet builder
+        f"ord(substr(text, ((3*{flat} + {k}) % length(text)) + 1, 1))"
+    )
+    return (
+        "media AS ("
+        "SELECT doc_id AS media_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 1000000, 'X' || substr(text, 2) "
+        f"FROM documents WHERE doc_id % {perturb_stride} = 0), "
+        "lum AS (SELECT media_id, r.r, c.c, "
+        f"({byte(0)} + {byte(1)} + {byte(2)}) / 3.0 AS lum "
+        "FROM media, (SELECT unnest(generate_series(0, 7)) AS r) r, "
+        "(SELECT unnest(generate_series(0, 8)) AS c) c), "
+        "bits AS (SELECT a.media_id, a.r, a.c, "
+        "CASE WHEN a.lum > b.lum THEN CAST(1 AS HUGEINT) ELSE 0 END AS bit "
+        "FROM lum a JOIN lum b ON a.media_id = b.media_id AND a.r = b.r "
+        "AND b.c = a.c + 1 WHERE a.c < 8), "
+        "hu AS (SELECT media_id, "
+        "SUM(bit * (CAST(1 AS HUGEINT) << (r*8 + c))) AS hu "
+        "FROM bits GROUP BY media_id), "
+        "h AS (SELECT media_id, CAST(CASE WHEN hu >= 9223372036854775808 "
+        "THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS dhash "
+        "FROM hu)"
+    )
+
+
+def _model_gram_ctes(src: str, prefix: str = "m") -> str:
+    """DuckDB CTEs '{prefix}t' (doc_id, single-space token list of non-NULL
+    text) and '{prefix}g' (doc_id, gram) — unigrams + bigrams WITH
+    multiplicity, the exact featurizer of quality_model._grams_of. The ONE
+    definition shared by the doc_model_quality twin and the curation-
+    pipeline model stage, so the twins can never drift apart."""
+    t, g = f"{prefix}t", f"{prefix}g"
+    return (
+        f"{t} AS (SELECT doc_id, string_split(text, ' ') AS t FROM {src} "
+        "WHERE text IS NOT NULL), "
+        f"{g} AS (SELECT doc_id, unnest(t) AS g FROM {t} "
+        "UNION ALL SELECT doc_id, unnest(list_transform("
+        "generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS g "
+        f"FROM {t})"
+    )
+
+
+#: per-gram integer weight — 60-bit md5 bucket mod 1024 through the affine
+#: scramble of quality_model.weight_table (same constants, same order)
+_MODEL_W_SQL = (
+    "((CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 1024) "
+    "* 2654435761 + 104729) % 2000001 - 1000000"
+)
+
+#: the exact score arithmetic of quality_model.model_quality_score: int64
+#: dot, ONE double division — bit-equal across engines by construction
+_MODEL_SCORE_SQL = "CAST(SUM(w) AS DOUBLE) / (COUNT(*) * 1000000.0)"
+
+
+def _curation_sql(model_threshold: float | None = None) -> str:
     """DuckDB replica of the full curate() pipeline over the harness corpus
     (non-src0 docs, decontaminated against src0): recomputes the five stage
     counts from scratch — 8-gram decontamination join, exact dedup (min-id
     per text), all-pairs 3-gram-Jaccard >= 0.7 connected components
     (recursive SQL), then the quality + 'en'-language gates with the SAME
-    stopword lists the Spark scorer uses."""
+    stopword lists the Spark scorer uses. ``model_threshold`` appends the
+    hashed-n-gram model-quality stage (classifier-last, over the heuristic
+    survivors) and a sixth ``after_model_quality`` count."""
     gram_list = _gram_list_sql
     scores, best, picks = _stopword_scores_parts()
     jac = (
         "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
         "/ len(list_distinct(list_concat(a.s, b.s)))"
     )
+    model_cte = model_count = ""
+    if model_threshold is not None:
+        model_cte = (
+            f", {_model_gram_ctes('final')}, "
+            f"mq AS (SELECT doc_id FROM (SELECT doc_id, {_MODEL_W_SQL} AS w "
+            "FROM mg) GROUP BY doc_id "
+            f"HAVING {_MODEL_SCORE_SQL} >= {model_threshold!r})"
+        )
+        model_count = (
+            ",\n  CAST((SELECT COUNT(*) FROM mq) AS DOUBLE) AS after_model_quality"
+        )
     return f"""
 WITH RECURSIVE
 docs AS (SELECT * FROM documents WHERE source != 'src0'),
@@ -2234,13 +2439,13 @@ final AS (
   WHERE n_toks >= 5
     AND CAST(n_letters AS DOUBLE) / n_toks <= 20.0
     AND (CASE WHEN {best} <= 0 THEN 'und' {picks} END) = 'en'
-)
+){model_cte}
 SELECT
   CAST((SELECT COUNT(*) FROM docs) AS DOUBLE) AS input_docs,
   CAST((SELECT COUNT(*) FROM clean) AS DOUBLE) AS after_decontamination,
   CAST((SELECT COUNT(*) FROM exact_kept) AS DOUBLE) AS after_exact_dedup,
   CAST((SELECT COUNT(*) FROM fuzzy_kept) AS DOUBLE) AS after_fuzzy_dedup,
-  CAST((SELECT COUNT(*) FROM final) AS DOUBLE) AS after_quality_language
+  CAST((SELECT COUNT(*) FROM final) AS DOUBLE) AS after_quality_language{model_count}
 """
 
 
@@ -2973,6 +3178,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id IS NOT NULL) WHERE rk <= 20"
         ),
         "doc_curation_pipeline": _curation_sql(),
+        "doc_curation_model_pipeline": _curation_sql(model_threshold=-0.05),
+        # full end-to-end replay of the hashed-n-gram linear scorer:
+        # tokenize -> unigram+bigram expansion (with multiplicity) -> 60-bit
+        # md5 bucket mod 1024 -> affine integer weight -> int64 dot -> one
+        # double division; bit-equal by construction (integer arithmetic)
+        "doc_model_quality": (
+            f"WITH {_model_gram_ctes('documents')}, "
+            f"wg AS (SELECT doc_id, {_MODEL_W_SQL} AS w FROM mg), "
+            "sc AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS n_grams, "
+            f"{_MODEL_SCORE_SQL} AS s FROM wg GROUP BY doc_id) "
+            "SELECT doc_id, n_grams, ROUND(s, 4) AS model_score, "
+            "s >= -0.05 AS keep FROM sc ORDER BY doc_id"
+        ),
+        "media_image_dhash": (
+            f"WITH {_image_dhash_ctes()} SELECT media_id, dhash FROM h "
+            "ORDER BY media_id"
+        ),
+        # ALL-PAIRS Hamming graph at distance <= 6 over the same dhash CTE:
+        # the Spark side's banded candidate join must reproduce it exactly
+        # (pigeonhole recall proof — 6 < 8 bands)
+        "media_image_near_dup": (
+            f"WITH {_image_dhash_ctes()} "
+            "SELECT a.media_id AS id_a, b.media_id AS id_b, "
+            "CAST(bit_count(xor(a.dhash, b.dhash)) AS DOUBLE) AS hamming "
+            "FROM h a JOIN h b ON a.media_id < b.media_id "
+            "WHERE bit_count(xor(a.dhash, b.dhash)) <= 6 "
+            "ORDER BY id_a, id_b"
+        ),
         "rollup_hll_window_distinct": (
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS exact_distinct, "
             "TRUE AS within_3rse FROM events "

@@ -36,6 +36,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "near_duplicates",
     "simhash64",
+    "hamming_near_dup_pairs",
     "embedding_lsh_candidates",
     "lsh_bucket_stats",
     "connected_components",
@@ -1324,6 +1325,78 @@ def simhash_candidates(
         ).alias("band", "bucket"),
     )
     return _bucket_pairs(exploded, id_col, max_bucket_size=max_bucket_size)
+
+
+def hamming_near_dup_pairs(
+    df,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    bands: int = 8,
+    max_bucket_size: Optional[int] = 1000,
+):
+    """Verified near-duplicate pairs over ANY 64-bit fingerprint column
+    (SimHash, image dHash/pHash, audio chromaprint chunks): candidates from
+    the banded bucket join (``simhash_candidates``' band split generalized
+    to a precomputed hash frame), then the EXACT Hamming distance
+    ``bit_count(xor)`` — both steps pure JVM.
+
+    Recall is pigeonhole-LOSSLESS when ``max_hamming < bands``: a pair
+    within Hamming distance d < bands has at least one of the ``bands``
+    bit-bands untouched, hence shares that band's bucket (a ValueError
+    enforces the invariant rather than silently losing recall; relax by
+    raising ``bands``, at one more exchange row per item per band).
+
+    Returns [id_a, id_b, hamming double] with id_a < id_b, unordered.
+    ``max_bucket_size`` is the standard LSH skew guard (``_bucket_pairs``):
+    a degenerate bucket (constant fingerprints) is exact-duplicate
+    territory, which the exact-dedup path already owns.
+    """
+    from pyspark.sql import functions as F
+
+    if not 1 <= bands <= 64 or 64 % bands:
+        raise ValueError("bands must divide 64")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands} loses pigeonhole "
+            "recall; raise bands"
+        )
+    width = 64 // bands
+    exploded = df.select(
+        id_col,
+        hash_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(hash_col), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1) if width < 64 else F.lit(-1)
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cands = _bucket_pairs(
+        exploded.drop(hash_col), id_col, max_bucket_size=max_bucket_size
+    )
+    hashes = df.select(id_col, hash_col)
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        cands.join(
+            hashes.select(
+                F.col(id_col).alias("id_a"), F.col(hash_col).alias("__ha")
+            ),
+            "id_a",
+        )
+        .join(
+            hashes.select(
+                F.col(id_col).alias("id_b"), F.col(hash_col).alias("__hb")
+            ),
+            "id_b",
+        )
+        .filter(ham <= max_hamming)
+        .select("id_a", "id_b", ham.cast("double").alias("hamming"))
+    )
 
 
 # ---------------------------------------------------------------------------

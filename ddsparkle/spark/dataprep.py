@@ -37,6 +37,7 @@ def curate(
     normalize_before_dedup: bool = False,
     decontaminate_against=None,
     decontam_shingle_n: int = 8,
+    model_score_threshold: Optional[float] = None,
     release_cache: bool = False,
 ):
     """Returns (curated DataFrame, stats dict). The curated frame keeps the
@@ -45,8 +46,13 @@ def curate(
     accounts for every drop. Optional stages: ``decontaminate_against``
     (a reference/benchmark DataFrame; docs sharing any
     ``decontam_shingle_n``-gram are dropped FIRST, via the 8-byte-hash
-    shingle join) and ``normalize_before_dedup`` (formatting-invariant
-    exact dedup). The intermediate dedup survivors are persisted so the
+    shingle join), ``normalize_before_dedup`` (formatting-invariant
+    exact dedup), and ``model_score_threshold`` (model-based quality: the
+    hashed-n-gram linear scorer of ``quality_model.model_quality_score``
+    runs LAST, over only the heuristic-gate survivors — the cheap
+    heuristics shrink the corpus before the model pass, the standard
+    classifier-last curation order; docs scoring below the threshold are
+    dropped, with an ``after_model_quality`` stage count). The intermediate dedup survivors are persisted so the
     per-stage counts and the caller's final write do not recompute the
     dedup lineage; the returned frame is backed by that cached stage.
     ``release_cache=True`` unpersists it before returning — use when only
@@ -125,6 +131,22 @@ def curate(
         gated = gated.filter(language_pred_expr(text_col).isin(list(languages)))
     curated = gated.select(*df.columns)  # exactly the input schema
     n_final = curated.count()
+
+    # 4. (optional) model-based quality: hashed-n-gram linear scorer over
+    # the heuristic survivors only — row-local mapInPandas appends the
+    # score, so the stage is filter-shaped (no join); backed by the same
+    # fuzzy_kept cache, so the count action does not re-run the dedup
+    n_model = n_final
+    if model_score_threshold is not None:
+        from pyspark.sql import functions as F  # noqa: F811 (local alias)
+
+        from .quality_model import model_quality_score
+
+        scored = model_quality_score(curated, text_col=text_col)
+        curated = scored.filter(
+            F.col("model_score") >= float(model_score_threshold)
+        ).select(*df.columns)
+        n_model = curated.count()
     if release_cache:
         fuzzy_kept.unpersist()
 
@@ -139,6 +161,9 @@ def curate(
         "dropped_fuzzy_dups": n_exact - n_fuzzy,
         "dropped_quality_language": n_fuzzy - n_final,
     }
+    if model_score_threshold is not None:
+        stats["after_model_quality"] = n_model
+        stats["dropped_model_quality"] = n_final - n_model
     return curated, stats
 
 

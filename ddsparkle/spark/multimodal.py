@@ -22,6 +22,8 @@ __all__ = [
     "image_features",
     "audio_features",
     "video_features",
+    "image_dhash",
+    "image_near_dup_pairs",
 ]
 
 
@@ -191,6 +193,90 @@ def audio_features(df, fake: bool = True, n_frames: int = 16):
 
     return df.filter("modality = 'audio'").select("media_id", "payload").mapInPandas(
         extract, schema=schema
+    )
+
+
+def image_dhash(df, fake: bool = True, hash_size: int = 8):
+    """64-bit difference hash (dHash) per image — the standard perceptual
+    near-dup fingerprint: decode -> grayscale -> box-resize to
+    (hash_size, hash_size + 1) -> bit (r, c) = lum[r, c] > lum[r, c + 1],
+    packed row-major into bit r*hash_size + c. Visually similar images land
+    within small Hamming distance; pair them at scale with
+    ``image_near_dup_pairs`` (banded bucket join, never all-pairs).
+
+    Returns [media_id, dhash long] (int64 view of the uint64 bit pattern —
+    bit 63 set reads negative, like ``dataops.simhash64``). Uses the same
+    stubbed/fake decode contract as ``image_features``: with the real codec
+    swapped in, nothing downstream changes.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+    n = int(hash_size)
+    if not 1 <= n * n <= 64:
+        raise ValueError("hash_size^2 must fit 64 bits")
+    bit_vals = (np.uint64(1) << np.arange(n * n, dtype=np.uint64)).reshape(n, n)
+
+    def extract(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for _, r in pdf.iterrows():
+                if r["payload"] is None:
+                    continue
+                img = decode_image(
+                    bytes(r["payload"]), int(r["width"]), int(r["height"]), fake=fake
+                )
+                lum = img.astype(np.float64).mean(axis=2)
+                h, w = lum.shape
+                ys = (np.arange(n) * h // n).clip(0, h - 1)
+                xs = (np.arange(n + 1) * w // (n + 1)).clip(0, w - 1)
+                grid = lum[np.ix_(ys, xs)]  # (n, n+1)
+                bits = grid[:, :-1] > grid[:, 1:]  # (n, n)
+                val = (bits * bit_vals).sum(dtype=np.uint64)
+                ids.append(r["media_id"])
+                # view, not cast: int64(uint64 with bit 63) raises on numpy>=2
+                hashes.append(int(np.uint64(val).view(np.int64)))
+            yield pd.DataFrame({"media_id": ids, "dhash": hashes})
+
+    return df.filter("modality = 'image'").select(
+        "media_id", "payload", "width", "height"
+    ).mapInPandas(extract, schema=schema)
+
+
+def image_near_dup_pairs(
+    df,
+    max_hamming: int = 6,
+    bands: int = 8,
+    fake: bool = True,
+    hash_size: int = 8,
+    max_bucket_size=1000,
+):
+    """Near-duplicate image pairs: dHash fingerprints paired by the banded
+    Hamming join (``dataops.hamming_near_dup_pairs`` — candidates from
+    bit-band equality buckets, pigeonhole-lossless for
+    ``max_hamming < bands``, exact ``bit_count(xor)`` verify). Returns
+    [id_a, id_b, hamming double] with id_a < id_b.
+
+    Scale shape: one fingerprint pass over payloads (each image decoded
+    once), then only 8-byte hashes move — the image-side twin of the text
+    SimHash pipeline, sharing its skew guard (``max_bucket_size``: a
+    degenerate band bucket — e.g. monochrome thumbnails — cannot go
+    quadratic)."""
+    from .dataops import hamming_near_dup_pairs
+
+    dh = image_dhash(df, fake=fake, hash_size=hash_size)
+    return hamming_near_dup_pairs(
+        dh,
+        hash_col="dhash",
+        id_col="media_id",
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
     )
 
 

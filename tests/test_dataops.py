@@ -767,3 +767,52 @@ def test_curate_with_decontamination_and_normalization(spark):
     assert stats["dropped_contaminated"] == 1
     assert stats["after_decontamination"] == 3
     assert stats["dropped_exact_dups"] == 1
+
+
+def test_hamming_near_dup_pairs_contract(spark):
+    """Generic 64-bit Hamming pairing: exact distances, pigeonhole recall at
+    d < bands (incl. sign-bit hashes), the bands/max_hamming invariant, and
+    the bucket skew guard."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.dataops import hamming_near_dup_pairs
+
+    h0 = int(np.uint64(0xDEADBEEFCAFEF00D).view(np.int64))  # sign bit set
+    rows = [
+        (0, h0),
+        (1, h0 ^ 0b1),                      # d=1
+        (2, h0 ^ (0b11 << 62)),             # d=2, top band (sign bit)
+        (3, h0 ^ 0x3F),                     # d=6 == max, single band
+        (4, h0 ^ 0x010101010101),           # d=6 spread over 6 bands
+        (5, h0 ^ 0x7F),                     # d=7 > max -> excluded vs 0
+        (6, ~h0),                           # d=64
+    ]
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_dup_pairs(
+            df, "h", id_col="id", max_hamming=6, bands=8
+        ).collect()
+    }
+    # every pair within d<=6 of id 0 (pigeonhole: d < 8 bands => found)
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == 2.0
+    assert got[(0, 3)] == 6.0
+    assert got[(0, 4)] == 6.0
+    assert (0, 5) not in got and (0, 6) not in got
+    # cross pairs among the variants that land within 6 bits of each other
+    assert got[(1, 2)] == 3.0  # (h^1) vs (h^(11<<62))
+    with pytest.raises(ValueError):
+        hamming_near_dup_pairs(df, "h", id_col="id", max_hamming=8, bands=8)
+    with pytest.raises(ValueError):
+        hamming_near_dup_pairs(df, "h", id_col="id", max_hamming=2, bands=7)
+    # skew guard: 30 identical hashes, cap 5 -> no pairs
+    many = spark.createDataFrame([(i, h0) for i in range(30)], "id long, h long")
+    assert (
+        hamming_near_dup_pairs(
+            many, "h", id_col="id", max_hamming=6, bands=8, max_bucket_size=5
+        ).count()
+        == 0
+    )

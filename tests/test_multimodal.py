@@ -94,3 +94,92 @@ def test_fake_video_decode_shape_and_determinism():
     assert np.array_equal(f1, f2)
     # consecutive fake frames differ (motion gradient for downstream tests)
     assert not np.array_equal(f1[0], f1[1])
+
+
+def _ref_dhash(payload, width, height, n=8):
+    """Independent dHash recomputation: fake-decode, grayscale, box-resize
+    to (n, n+1), row-major bit packing."""
+    from ddsparkle.spark.multimodal import decode_image
+
+    lum = decode_image(payload, width, height, fake=True).astype(np.float64).mean(
+        axis=2
+    )
+    h, w = lum.shape
+    ys = (np.arange(n) * h // n).clip(0, h - 1)
+    xs = (np.arange(n + 1) * w // (n + 1)).clip(0, w - 1)
+    g = lum[np.ix_(ys, xs)]
+    val = 0
+    for r in range(n):
+        for c in range(n):
+            if g[r, c] > g[r, c + 1]:
+                val |= 1 << (r * n + c)
+    return int(np.uint64(val).view(np.int64))
+
+
+def test_image_dhash_matches_reference(spark, media_df):
+    from ddsparkle.spark.multimodal import image_dhash
+
+    got = {
+        r["media_id"]: r["dhash"]
+        for r in image_dhash(media_df, fake=True).collect()
+    }
+    rows = media_df.filter("modality = 'image'").collect()
+    assert len(got) == 20
+    for r in rows:
+        assert got[r["media_id"]] == _ref_dhash(
+            bytes(r["payload"]), r["width"], r["height"]
+        )
+    # partitioning-independent
+    again = {
+        r["media_id"]: r["dhash"]
+        for r in image_dhash(media_df.repartition(5), fake=True).collect()
+    }
+    assert again == got
+
+
+def test_image_near_dup_pairs_planted_and_guarded(spark):
+    """A planted near-identical image (one payload byte changed) pairs with
+    its original at small nonzero Hamming distance; an exact copy pairs at
+    0; unrelated random images don't pair; the bucket skew guard drops
+    degenerate buckets (constant images) instead of going quadratic."""
+    from ddsparkle.spark.multimodal import image_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    # deterministic construction: a flat-gray image has all dHash bits 0
+    # (strict >); brightening exactly pixel 0's three bytes flips the grid
+    # comparisons that sample byte offsets 0-2 — a small, known perturbation
+    base = bytes([128] * 300)
+    near = bytes([255, 255, 255]) + base[3:]
+    rows = [
+        (0, "image", bytearray(base), "image/fake", 16, 16, None),
+        (1, "image", bytearray(near), "image/fake", 16, 16, None),
+        (2, "image", bytearray(base), "image/fake", 16, 16, None),  # exact copy
+    ]
+    for i in range(3, 23):
+        p = bytes(rng.integers(0, 256, 300, dtype=np.uint8).tolist())
+        rows.append((i, "image", bytearray(p), "image/fake", 16, 16, None))
+    df = spark.createDataFrame(rows, schema=media_schema())
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup_pairs(df, max_hamming=6, bands=8).collect()
+    }
+    assert got.get((0, 2)) == 0.0
+    assert (0, 1) in got and 0.0 < got[(0, 1)] <= 6.0
+    assert got.get((1, 2)) == got[(0, 1)]
+    assert all({a, b} <= {0, 1, 2} for a, b in got)
+
+    # skew guard: 40 identical (degenerate) images share every band bucket;
+    # a small cap drops the whole bucket from candidate generation
+    const_rows = [
+        (100 + i, "image", bytearray(base), "image/fake", 16, 16, None)
+        for i in range(40)
+    ]
+    cdf = spark.createDataFrame(const_rows, schema=media_schema())
+    assert (
+        image_near_dup_pairs(cdf, max_hamming=6, bands=8, max_bucket_size=10).count()
+        == 0
+    )
+    assert (
+        image_near_dup_pairs(cdf, max_hamming=6, bands=8, max_bucket_size=None).count()
+        == 40 * 39 // 2
+    )
