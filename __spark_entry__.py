@@ -2137,12 +2137,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json, so entries
     that have never had a driver row (or changed behavior this round) come
     first, then the rest rotate. Every entry is additionally replayed by
-    tests/test_entry_harness.py regardless of position. r4 front-loads:
-    the 4 r4b training-pair/decontamination/token/tool-latency gates, the
-    transcript north-star + conversation-level queries, the 17 entries that
-    grew past the r3 snapshot window, and the two language-id-dependent
-    queries whose scorer changed this round (bounded prefix + NULL
-    guard)."""
+    tests/test_entry_harness.py regardless of position. r5 front-loads:
+    the 4 brand-new r5 gates (model-quality scorer ×2, image dhash ×2 —
+    positions 1-4), then the r4-verified block stays inside the window so
+    the gates whose OPERATORS changed behavior this round (ordering moved
+    to gates: sft_pairs, role/tool_transitions, conv_dedup, near_dup,
+    decontamination, sessionization; persist fix: transcripts_curation)
+    all land in the driver's 50-row window again. Union of r1-r5 driver
+    rows still covers every entry; veterans outside the window rest on the
+    harness replay (all entries, both SFs recorded in BENCH/)."""
     return {
         # --- newest (r5): model-based quality scoring + image near-dup ---
         "doc_model_quality": q_doc_model_quality,

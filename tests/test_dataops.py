@@ -779,15 +779,21 @@ def test_hamming_near_dup_pairs_contract(spark):
 
     from ddsparkle.spark.dataops import hamming_near_dup_pairs
 
-    h0 = int(np.uint64(0xDEADBEEFCAFEF00D).view(np.int64))  # sign bit set
+    u0 = np.uint64(0xDEADBEEFCAFEF00D)  # sign bit set
+
+    def as64(x):
+        # XOR in uint64 space, emit the int64 two's-complement view (Python
+        # int XOR on mixed signs exceeds the long range)
+        return int((u0 ^ np.uint64(x)).view(np.int64))
+
     rows = [
-        (0, h0),
-        (1, h0 ^ 0b1),                      # d=1
-        (2, h0 ^ (0b11 << 62)),             # d=2, top band (sign bit)
-        (3, h0 ^ 0x3F),                     # d=6 == max, single band
-        (4, h0 ^ 0x010101010101),           # d=6 spread over 6 bands
-        (5, h0 ^ 0x7F),                     # d=7 > max -> excluded vs 0
-        (6, ~h0),                           # d=64
+        (0, as64(0)),
+        (1, as64(0b1)),                     # d=1
+        (2, as64(0b11 << 62)),              # d=2, top band (sign bit)
+        (3, as64(0x3F)),                    # d=6 == max, single band
+        (4, as64(0x010101010101)),          # d=6 spread over 6 bands
+        (5, as64(0x7F)),                    # d=7 > max -> excluded vs 0
+        (6, as64(0xFFFFFFFFFFFFFFFF)),      # d=64
     ]
     df = spark.createDataFrame(rows, "id long, h long")
     got = {
@@ -809,7 +815,9 @@ def test_hamming_near_dup_pairs_contract(spark):
     with pytest.raises(ValueError):
         hamming_near_dup_pairs(df, "h", id_col="id", max_hamming=2, bands=7)
     # skew guard: 30 identical hashes, cap 5 -> no pairs
-    many = spark.createDataFrame([(i, h0) for i in range(30)], "id long, h long")
+    many = spark.createDataFrame(
+        [(i, as64(0)) for i in range(30)], "id long, h long"
+    )
     assert (
         hamming_near_dup_pairs(
             many, "h", id_col="id", max_hamming=6, bands=8, max_bucket_size=5
