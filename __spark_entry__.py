@@ -1992,6 +1992,28 @@ def q_transcripts_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id")
 
 
+def q_transcripts_turn_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TURN model-based quality scores over the north-star table — the
+    conversation-granularity application of quality_model.model_quality_score
+    (the same Arrow-batched hashed-n-gram linear dot, keyed by
+    (conv_id, turn_idx) instead of doc_id; columns pass through row-locally
+    so no join touches the corpus). Turn-level on purpose: per-turn scores
+    are integer-dot exact, so the twin replays them bit-for-bit, while a
+    per-conversation MEAN of double scores would reintroduce the float
+    summation-order risk the integer design eliminates — aggregate the
+    integer parts upstream if a conversation-level score is needed."""
+    from ddsparkle.spark.transcript_ops import turn_model_quality
+
+    df = _transcripts(spark, sf_dir)
+    res = turn_model_quality(df)
+    return res.select(
+        "conv_id",
+        "turn_idx",
+        "n_grams",
+        F.round("model_score", 4).alias("model_score"),
+    ).orderBy("conv_id", "turn_idx")
+
+
 def q_transcripts_turn_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-TURN text-quality features (chars, tokens, mean token length,
     space ratio) — the dataops.quality_exprs family keyed by
@@ -2152,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curation_model_pipeline": q_doc_curation_model_pipeline,
         "media_image_dhash": q_media_image_dhash,
         "media_image_near_dup": q_media_image_near_dup,
+        "transcripts_turn_model_quality": q_transcripts_turn_model_quality,
         # --- r4b: transcript training-pair / decontamination ops ---
         "transcripts_token_quantiles": q_transcripts_token_quantiles,
         "transcripts_sft_pairs": q_transcripts_sft_pairs,
@@ -2342,18 +2365,19 @@ def _image_dhash_ctes(perturb_stride: int = 10) -> str:
     )
 
 
-def _model_gram_ctes(src: str, prefix: str = "m") -> str:
-    """DuckDB CTEs '{prefix}t' (doc_id, single-space token list of non-NULL
-    text) and '{prefix}g' (doc_id, gram) — unigrams + bigrams WITH
+def _model_gram_ctes(src: str, prefix: str = "m", keys: tuple = ("doc_id",)) -> str:
+    """DuckDB CTEs '{prefix}t' (keys, single-space token list of non-NULL
+    text) and '{prefix}g' (keys, gram) — unigrams + bigrams WITH
     multiplicity, the exact featurizer of quality_model._grams_of. The ONE
-    definition shared by the doc_model_quality twin and the curation-
-    pipeline model stage, so the twins can never drift apart."""
+    definition shared by every model-quality twin (documents, curation
+    stage, transcript turns), so the twins can never drift apart."""
     t, g = f"{prefix}t", f"{prefix}g"
+    k = ", ".join(keys)
     return (
-        f"{t} AS (SELECT doc_id, string_split(text, ' ') AS t FROM {src} "
+        f"{t} AS (SELECT {k}, string_split(text, ' ') AS t FROM {src} "
         "WHERE text IS NOT NULL), "
-        f"{g} AS (SELECT doc_id, unnest(t) AS g FROM {t} "
-        "UNION ALL SELECT doc_id, unnest(list_transform("
+        f"{g} AS (SELECT {k}, unnest(t) AS g FROM {t} "
+        f"UNION ALL SELECT {k}, unnest(list_transform("
         "generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS g "
         f"FROM {t})"
     )
@@ -2767,6 +2791,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(n) AS DOUBLE) AS n_events, "
             "CAST(MAX(n) AS DOUBLE) AS max_session_events "
             "FROM per GROUP BY conv_id ORDER BY conv_id"
+        ),
+        # full model replay per TURN (shared _model_gram_ctes featurizer
+        # keyed by (conv_id, turn_idx)); integer dot => bit-equal scores
+        "transcripts_turn_model_quality": (
+            f"WITH {_model_gram_ctes(tr_src, keys=('conv_id', 'turn_idx'))}, "
+            f"wg AS (SELECT conv_id, turn_idx, {_MODEL_W_SQL} AS w FROM mg) "
+            "SELECT conv_id, turn_idx, CAST(COUNT(*) AS DOUBLE) AS n_grams, "
+            f"ROUND({_MODEL_SCORE_SQL}, 4) AS model_score "
+            "FROM wg GROUP BY conv_id, turn_idx ORDER BY conv_id, turn_idx"
         ),
         "transcripts_turn_quality": (
             "SELECT conv_id, turn_idx, CAST(LENGTH(text) AS DOUBLE) AS n_chars, "

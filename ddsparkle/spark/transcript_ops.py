@@ -46,6 +46,7 @@ __all__ = [
     "pack_conversations",
     "sample_conversations",
     "token_quantiles_by_role",
+    "turn_model_quality",
     "sft_pairs",
     "conversation_contamination",
     "decontaminate_conversations",
@@ -635,6 +636,23 @@ def dedup_conversations(df):
         )
         .select("conv_id", "n_copies", "n_turns")
     )
+
+
+def turn_model_quality(df, score_col: str = "model_score"):
+    """Per-turn model-based quality scores — the conversation-granularity
+    application of :func:`quality_model.model_quality_score` (hashed
+    1-2-gram linear classifier, Arrow-batched integer dot): appends
+    [n_grams, model_score] to every turn row-locally, so downstream gates
+    filter or aggregate with no join. NULL turn text scores NULL.
+
+    Scale shape is the scorer's: one mapInPandas pass, per-batch gram
+    dedup, text never shuffles (the score replaces it downstream). For a
+    conversation-level signal, aggregate per conv_id AFTER this pass
+    (e.g. mean score weighted by n_grams) — the per-turn frame is the
+    reusable primitive."""
+    from .quality_model import model_quality_score
+
+    return model_quality_score(df, text_col="text", score_col=score_col)
 
 
 def token_quantiles_by_role(df, kind="bpe_ish", qs=DEFAULT_QS, config=None):

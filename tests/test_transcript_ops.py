@@ -600,3 +600,29 @@ def test_digest_df_stats_reports_exactly_the_guarded_digests(spark):
     }
     assert set(stats["digest"]) == expected
     assert digest_df_stats(df, min_turns=2, max_digest_df=100).count() == 0
+
+
+def test_turn_model_quality_matches_doc_scorer(spark, tiny_df, tiny_pdf):
+    """The transcript wrapper is the document scorer keyed by
+    (conv_id, turn_idx): same text -> same score, pass-through columns,
+    NULL-text contract inherited."""
+    from ddsparkle.spark.quality_model import model_quality_score
+    from ddsparkle.spark.transcript_ops import turn_model_quality
+
+    got = turn_model_quality(tiny_df).select(
+        "conv_id", "turn_idx", "n_grams", "model_score"
+    )
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in got.collect()}
+    assert len(rows) == len(tiny_pdf)
+    # cross-check a sample of turns against the document-path scorer
+    sample = tiny_pdf.head(25)
+    doc_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(sample["text"])], "doc_id long, text string"
+    )
+    doc_scores = {
+        r["doc_id"]: (r["n_grams"], r["model_score"])
+        for r in model_quality_score(doc_df).collect()
+    }
+    for i, (_, row) in enumerate(sample.iterrows()):
+        key = (row["conv_id"], row["turn_idx"])
+        assert (rows[key]["n_grams"], rows[key]["model_score"]) == doc_scores[i]
