@@ -2106,8 +2106,11 @@ def q_doc_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     operating point the pipeline gate uses)."""
     from ddsparkle.spark.quality_model import model_quality_score
 
+    # project BEFORE the scorer: mapInPandas pass-through fixes its schema,
+    # so Catalyst cannot prune columns through it — the select here is what
+    # keeps the scan at struct<doc_id,text> (plan-pinned in test_plans.py)
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    out = model_quality_score(docs)
+    out = model_quality_score(docs.select("doc_id", "text"))
     return out.select(
         "doc_id",
         "n_grams",

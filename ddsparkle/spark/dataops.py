@@ -1351,6 +1351,14 @@ def hamming_near_dup_pairs(
     ``max_bucket_size`` is the standard LSH skew guard (``_bucket_pairs``):
     a degenerate bucket (constant fingerprints) is exact-duplicate
     territory, which the exact-dedup path already owns.
+
+    Materialization contract (like ``near_duplicates``): the fingerprint
+    frame feeds THREE consumers (the band explode and both verify sides) —
+    when fingerprinting is expensive (image decode, SimHash signing) an
+    unpersisted plan would run it three times — so ``df`` is persisted for
+    the call and the (small) verified pair frame is EAGERLY
+    localCheckpoint-materialized before unpersisting; re-run the call, not
+    the returned plan, after executor loss.
     """
     from pyspark.sql import functions as F
 
@@ -1362,9 +1370,9 @@ def hamming_near_dup_pairs(
             "recall; raise bands"
         )
     width = 64 // bands
-    exploded = df.select(
+    hashes = df.select(id_col, hash_col).persist()
+    exploded = hashes.select(
         id_col,
-        hash_col,
         F.posexplode(
             F.array(
                 *[
@@ -1376,12 +1384,9 @@ def hamming_near_dup_pairs(
             )
         ).alias("band", "bucket"),
     )
-    cands = _bucket_pairs(
-        exploded.drop(hash_col), id_col, max_bucket_size=max_bucket_size
-    )
-    hashes = df.select(id_col, hash_col)
+    cands = _bucket_pairs(exploded, id_col, max_bucket_size=max_bucket_size)
     ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
-    return (
+    out = (
         cands.join(
             hashes.select(
                 F.col(id_col).alias("id_a"), F.col(hash_col).alias("__ha")
@@ -1396,7 +1401,10 @@ def hamming_near_dup_pairs(
         )
         .filter(ham <= max_hamming)
         .select("id_a", "id_b", ham.cast("double").alias("hamming"))
+        .localCheckpoint(eager=True)
     )
+    hashes.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

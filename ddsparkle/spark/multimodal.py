@@ -262,11 +262,13 @@ def image_near_dup_pairs(
     ``max_hamming < bands``, exact ``bit_count(xor)`` verify). Returns
     [id_a, id_b, hamming double] with id_a < id_b.
 
-    Scale shape: one fingerprint pass over payloads (each image decoded
-    once), then only 8-byte hashes move — the image-side twin of the text
-    SimHash pipeline, sharing its skew guard (``max_bucket_size``: a
-    degenerate band bucket — e.g. monochrome thumbnails — cannot go
-    quadratic)."""
+    Scale shape: one fingerprint pass over payloads — each image decoded
+    ONCE: the hash frame feeds three join sides, so
+    ``hamming_near_dup_pairs`` persists it for the call (eager result,
+    see its materialization contract) — then only 8-byte hashes move; the
+    image-side twin of the text SimHash pipeline, sharing its skew guard
+    (``max_bucket_size``: a degenerate band bucket — e.g. monochrome
+    thumbnails — cannot go quadratic)."""
     from .dataops import hamming_near_dup_pairs
 
     dh = image_dhash(df, fake=fake, hash_size=hash_size)

@@ -225,3 +225,25 @@ def test_near_dup_touched_semi_join_broadcasts_at_runtime(spark, sf_dir):
     plan = semi._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_model_quality_scan_pruned_and_filter_pushed(spark, sf_dir):
+    """The gate-shaped model-quality pipeline must read ONLY (doc_id, text)
+    — mapInPandas pass-through blocks pruning, so the projection must
+    happen upstream — and push the NOT NULL text filter into the scan."""
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.quality_model import model_quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = model_quality_score(
+        docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    )
+    plan = plan_of(out)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+    assert "IsNotNull(text)" in plan
+    # row-local: no keyed shuffle anywhere (the only allowed exchange is
+    # _ensure_parallelism's round-robin split of small single-split files,
+    # a structural no-op at scale)
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "rangepartitioning" not in plan.lower(), plan
