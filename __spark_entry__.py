@@ -2014,6 +2014,22 @@ def q_transcripts_turn_model_quality(spark: SparkSession, sf_dir: str) -> DataFr
     ).orderBy("conv_id", "turn_idx")
 
 
+def q_transcripts_conv_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation model quality (gram-weighted mean of turn scores):
+    exact-by-construction via the integer-numerator aggregation hook — the
+    per-turn int64 dots and gram counts sum map-side-combined, one double
+    division at the end — hash-matched against a twin that aggregates the
+    same gram weights grouped by conv_id directly. The conversation-level
+    threshold signal an SFT curation gate consumes."""
+    from ddsparkle.spark.transcript_ops import conversation_model_quality
+
+    df = _transcripts(spark, sf_dir)
+    res = conversation_model_quality(df)
+    return res.select(
+        "conv_id", "n_grams", F.round("conv_score", 4).alias("conv_score")
+    ).orderBy("conv_id")
+
+
 def q_transcripts_turn_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-TURN text-quality features (chars, tokens, mean token length,
     space ratio) — the dataops.quality_exprs family keyed by
@@ -2178,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_dhash": q_media_image_dhash,
         "media_image_near_dup": q_media_image_near_dup,
         "transcripts_turn_model_quality": q_transcripts_turn_model_quality,
+        "transcripts_conv_model_quality": q_transcripts_conv_model_quality,
         # --- r4b: transcript training-pair / decontamination ops ---
         "transcripts_token_quantiles": q_transcripts_token_quantiles,
         "transcripts_sft_pairs": q_transcripts_sft_pairs,
@@ -2803,6 +2820,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, CAST(COUNT(*) AS DOUBLE) AS n_grams, "
             f"ROUND({_MODEL_SCORE_SQL}, 4) AS model_score "
             "FROM wg GROUP BY conv_id, turn_idx ORDER BY conv_id, turn_idx"
+        ),
+        # conversation granularity: the twin aggregates the SAME gram
+        # weights grouped by conv_id directly — equal to the Spark side's
+        # per-turn integer-numerator rollup because int64 sums are
+        # order-free (the reason the operator exposes int_score_col)
+        "transcripts_conv_model_quality": (
+            f"WITH {_model_gram_ctes(tr_src, keys=('conv_id',))}, "
+            f"wg AS (SELECT conv_id, {_MODEL_W_SQL} AS w FROM mg) "
+            "SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS n_grams, "
+            f"ROUND({_MODEL_SCORE_SQL}, 4) AS conv_score "
+            "FROM wg GROUP BY conv_id ORDER BY conv_id"
         ),
         "transcripts_turn_quality": (
             "SELECT conv_id, turn_idx, CAST(LENGTH(text) AS DOUBLE) AS n_chars, "

@@ -100,6 +100,7 @@ def model_quality_score(
     hasher: str = "md5",
     score_col: str = "model_score",
     ngrams_col: str = "n_grams",
+    int_score_col: Optional[str] = None,
 ):
     """Append [``ngrams_col`` double, ``score_col`` double] to ``df``:
     the hashed-n-gram linear quality score of ``text_col``, row-local (all
@@ -111,6 +112,14 @@ def model_quality_score(
     driver gate replays in DuckDB; ``'fast'`` swaps the vectorized
     murmur-based ``hash64`` (sketches/hashing.py) for hot-path throughput —
     identical contract, different buckets, no SQL twin.
+
+    ``int_score_col`` additionally emits the raw INT64 dot (the score's
+    numerator; score = int_score / (n_grams * 1e6)) — the exact-aggregation
+    hook: summing per-row DOUBLE scores across rows is summation-order-
+    dependent and cannot be hash-gated, while integer numerators/counts sum
+    exactly in any order, so group-level scores (per conversation, per
+    source) stay bit-equal to a SQL twin (see
+    ``transcript_ops.conversation_model_quality``).
     """
     from pyspark.sql import types as T
 
@@ -129,6 +138,11 @@ def model_quality_score(
             T.StructField(ngrams_col, T.DoubleType()),
             T.StructField(score_col, T.DoubleType()),
         ]
+        + (
+            [T.StructField(int_score_col, T.LongType())]
+            if int_score_col is not None
+            else []
+        )
     )
     denom = float(_W_HALF)
 
@@ -171,6 +185,8 @@ def model_quality_score(
             out = pdf.copy()
             out[ngrams_col] = counts.astype(np.float64)
             out[score_col] = pd.Series(scores).where(counts > 0, None)
+            if int_score_col is not None:
+                out[int_score_col] = pd.Series(sums).where(counts > 0, None)
             yield out
 
     return _ensure_parallelism(df).mapInPandas(score, schema=schema)

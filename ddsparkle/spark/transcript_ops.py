@@ -47,6 +47,7 @@ __all__ = [
     "sample_conversations",
     "token_quantiles_by_role",
     "turn_model_quality",
+    "conversation_model_quality",
     "sft_pairs",
     "conversation_contamination",
     "decontaminate_conversations",
@@ -638,7 +639,7 @@ def dedup_conversations(df):
     )
 
 
-def turn_model_quality(df, score_col: str = "model_score"):
+def turn_model_quality(df, score_col: str = "model_score", int_score_col=None):
     """Per-turn model-based quality scores — the conversation-granularity
     application of :func:`quality_model.model_quality_score` (hashed
     1-2-gram linear classifier, Arrow-batched integer dot): appends
@@ -652,7 +653,40 @@ def turn_model_quality(df, score_col: str = "model_score"):
     reusable primitive."""
     from .quality_model import model_quality_score
 
-    return model_quality_score(df, text_col="text", score_col=score_col)
+    return model_quality_score(
+        df, text_col="text", score_col=score_col, int_score_col=int_score_col
+    )
+
+
+def conversation_model_quality(df):
+    """Per-CONVERSATION model quality: the gram-weighted mean model score
+    over all the conversation's (non-NULL) turn texts — the signal a
+    curation gate thresholds at conversation granularity. EXACT by
+    construction: per-turn INTEGER score numerators and gram counts sum in
+    any order (the ``int_score_col`` hook of
+    :func:`quality_model.model_quality_score`), with ONE double division at
+    the end — so the result is bit-equal to a DuckDB twin aggregating the
+    same gram weights directly, which a mean of per-turn double scores
+    could never be.
+
+    Scale shape: scorer pass is row-local (text never shuffles — the score
+    replaces it), then one map-side-combined groupBy of two int64 columns.
+    Output: [conv_id, n_grams double, conv_score double], UNORDERED.
+    """
+    from pyspark.sql import functions as F
+
+    scored = turn_model_quality(df, int_score_col="__sn")
+    return (
+        scored.select("conv_id", F.col("n_grams").cast("long").alias("__ng"), "__sn")
+        .groupBy("conv_id")
+        .agg(
+            F.sum("__ng").cast("double").alias("n_grams"),
+            (
+                F.sum("__sn").cast("double")
+                / (F.sum("__ng").cast("double") * F.lit(1e6))
+            ).alias("conv_score"),
+        )
+    )
 
 
 def token_quantiles_by_role(df, kind="bpe_ish", qs=DEFAULT_QS, config=None):

@@ -626,3 +626,34 @@ def test_turn_model_quality_matches_doc_scorer(spark, tiny_df, tiny_pdf):
     for i, (_, row) in enumerate(sample.iterrows()):
         key = (row["conv_id"], row["turn_idx"])
         assert (rows[key]["n_grams"], rows[key]["model_score"]) == doc_scores[i]
+
+
+def test_conversation_model_quality_exact_aggregation(spark, tiny_df, tiny_pdf):
+    """conv_score is the gram-weighted mean of turn scores, recomputed
+    locally from the same md5-bucket integer weights — bit-equal (one
+    double division), n_grams conserved."""
+    import hashlib
+
+    from ddsparkle.spark.quality_model import MODEL_QUALITY_DIM, weight_table
+    from ddsparkle.spark.transcript_ops import conversation_model_quality
+
+    got = {
+        r["conv_id"]: (r["n_grams"], r["conv_score"])
+        for r in conversation_model_quality(tiny_df).collect()
+    }
+    w = weight_table()
+    want = {}
+    for conv, grp in tiny_pdf.groupby("conv_id"):
+        num = 0
+        ng = 0
+        for t in grp["text"]:
+            if t is None:
+                continue
+            toks = t.split(" ")
+            grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            for g in grams:
+                i = int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % MODEL_QUALITY_DIM
+                num += int(w[i])
+            ng += len(grams)
+        want[conv] = (float(ng), num / (ng * 1e6))
+    assert got == want
