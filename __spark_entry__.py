@@ -2516,15 +2516,32 @@ def _shingle_cte(n: int = 3) -> str:
     return f"sh AS (SELECT doc_id, {_gram_list_sql(n)} AS s FROM documents)"
 
 
+def _cand_cte(sh: str = "sh") -> str:
+    """DuckDB CTE 'cand' (ia < ib): pairs sharing AT LEAST ONE shingle —
+    the lossless candidate prefilter for any positive Jaccard threshold
+    (J > 0 requires a shared shingle). CLAUDE.md rule: a DuckDB all-pairs
+    list_intersect join blows up at sf0.1 (~12.5M pairs x list ops, >25 min
+    measured on the fuzzy-reps twin in r5); the equality join on exploded
+    shingles yields the identical pair graph in seconds. The ONE definition
+    shared by every Jaccard twin (_curation_sql inlines the same shape)."""
+    return (
+        f"cand AS (SELECT DISTINCT c1.doc_id AS ia, c2.doc_id AS ib "
+        f"FROM (SELECT doc_id, unnest(s) AS sg FROM {sh}) c1 "
+        f"JOIN (SELECT doc_id, unnest(s) AS sg FROM {sh}) c2 "
+        "ON c1.sg = c2.sg AND c1.doc_id < c2.doc_id)"
+    )
+
+
 def _ngram_pairs_sql(threshold: float) -> str:
     jac = (
         "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
         "/ len(list_distinct(list_concat(a.s, b.s)))"
     )
     return (
-        f"WITH {_shingle_cte(3)} "
+        f"WITH {_shingle_cte(3)}, {_cand_cte()} "
         f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, ROUND({jac}, 4) AS jaccard "
-        f"FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE {jac} >= {threshold}"
+        "FROM cand JOIN sh a ON a.doc_id = cand.ia "
+        f"JOIN sh b ON b.doc_id = cand.ib WHERE {jac} >= {threshold}"
     )
 
 
@@ -3005,9 +3022,10 @@ def oracle_sql() -> dict[str, str]:
             "      i -> concat_ws(' ', string_split(text, ' ')[i],"
             "        string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))"
             "  END AS s FROM documents"
-            "), pairs AS ("
-            "  SELECT a.doc_id AS ia, b.doc_id AS ib"
-            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+            f"), {_cand_cte()}"
+            ", pairs AS ("
+            "  SELECT ia, ib FROM cand"
+            "  JOIN sh a ON a.doc_id = ia JOIN sh b ON b.doc_id = ib"
             "  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
             "        / len(list_distinct(list_concat(a.s, b.s))) >= 0.7"
             "), edges AS ("
@@ -3062,9 +3080,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, ROUND(cos, 4) AS cosine FROM pairs WHERE cos >= 0.9"
         ),
         "simhash_dup_coverage": (
-            f"WITH {_shingle_cte(3)} "
+            f"WITH {_shingle_cte(3)}, {_cand_cte()} "
             "SELECT CAST(COUNT(*) AS DOUBLE) AS n_pairs, TRUE AS covered_all "
-            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "FROM cand JOIN sh a ON a.doc_id = cand.ia "
+            "JOIN sh b ON b.doc_id = cand.ib "
             "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
             "/ len(list_distinct(list_concat(a.s, b.s))) >= 0.8"
         ),
