@@ -180,6 +180,7 @@ def run_dataprep(args) -> dict:
         min_tokens=args.min_tokens,
         languages=args.languages.split(",") if args.languages else None,
         jaccard_threshold=args.jaccard_threshold,
+        model_score_threshold=args.model_score_threshold,
     )
     curated.write.mode("overwrite").parquet(args.output)
     stats["output_rows"] = spark.read.parquet(args.output).count()
@@ -201,6 +202,10 @@ def _parser() -> argparse.ArgumentParser:
     p.add_argument("--min-tokens", type=int, default=5)
     p.add_argument("--languages", default=None, help="comma list, e.g. en,de")
     p.add_argument("--jaccard-threshold", type=float, default=0.7)
+    p.add_argument(
+        "--model-score-threshold", type=float, default=None,
+        help="enable the classifier-last hashed-n-gram model-quality stage",
+    )
     return p
 
 
