@@ -30,10 +30,15 @@ Scale shape (the ``_batch_shingle_hashes`` chassis, dataops.py):
   ``np.add.reduceat`` over the weight-mapped gram array;
 - the portable hash is md5 (identical in Spark/DuckDB/Python, which is
   what lets the driver gate hash-match the scorer END-TO-END, not just
-  bound-check it); ``hasher='fast'`` swaps in the vectorized murmur-based
-  ``sketches.hashing.hash64`` for the 100-TB path — same featurizer, same
-  weights, same dot, different bucket assignment, NOT oracle-replicable
-  (tested for contract equivalence, not value equality).
+  bound-check it), with a cross-batch gram -> bucket memo exploiting the
+  Zipfian gram distribution (same-epoch A/B: BENCH/ab_r05_scorer.json);
+  ``hasher='fast'`` (murmur-based ``sketches.hashing.hash64``) exists as
+  the non-portable alternative but no longer earns its portability loss:
+  1.78x vs uncached md5 yet 0.94x vs md5+memo on per-leg minima
+  (``hash_pandas_object`` over object-dtype strings is not C-vectorized,
+  so murmur's only real edge was avoiding per-gram Python calls — which
+  the memo avoids too; BENCH/AB_r05.md section 3) — md5+memo is the
+  recommended hot path.
 
 No case folding: Python ``str.lower``, Java ``lower`` and DuckDB ``lower``
 disagree on a handful of non-ASCII codepoints (e.g. dotted-I), which would
@@ -72,14 +77,35 @@ def weight_table(dim: int = MODEL_QUALITY_DIM) -> np.ndarray:
     return (i * _W_MULT + _W_ADD) % _W_MOD - _W_HALF
 
 
-def _md5_bucket(grams: np.ndarray, dim: int) -> np.ndarray:
+#: cross-batch gram -> bucket memo, keyed by dim, per Python worker
+#: process. Natural-language gram frequencies are Zipfian, so the distinct
+#: grams of each Arrow batch heavily overlap the previous batches' — a dict
+#: hit (~50 ns) replaces an md5 (~1 us) for the whole head of the
+#: distribution. Capped so a pathological corpus (all-unique grams) cannot
+#: grow it unboundedly; ~500k entries is ~60 MB per worker.
+_BUCKET_CACHE: dict = {}
+_BUCKET_CACHE_MAX = 500_000
+
+
+def _md5_bucket(grams: np.ndarray, dim: int, use_cache: bool = True) -> np.ndarray:
     """Bucket index per gram: int(md5(utf8)[:15 hex], 16) mod dim — 60 bits
     of md5, parseable as BIGINT by both engines (Spark ``conv(substring(
     md5(g),1,15),16,10)``, DuckDB ``('0x' || substr(md5(g),1,15))::BIGINT``).
+    The memo only skips recomputation — bucket values are identical with it
+    on or off (pytest-pinned).
     """
     out = np.empty(len(grams), np.int64)
+    cache = _BUCKET_CACHE.setdefault(dim, {}) if use_cache else None
     for j, g in enumerate(grams):
-        out[j] = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) % dim
+        if cache is not None:
+            v = cache.get(g)
+            if v is None:
+                v = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) % dim
+                if len(cache) < _BUCKET_CACHE_MAX:
+                    cache[g] = v
+            out[j] = v
+        else:
+            out[j] = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) % dim
     return out
 
 
@@ -101,6 +127,7 @@ def model_quality_score(
     score_col: str = "model_score",
     ngrams_col: str = "n_grams",
     int_score_col: Optional[str] = None,
+    cache_buckets: bool = True,
 ):
     """Append [``ngrams_col`` double, ``score_col`` double] to ``df``:
     the hashed-n-gram linear quality score of ``text_col``, row-local (all
@@ -109,9 +136,12 @@ def model_quality_score(
     dataops.py).
 
     ``hasher='md5'`` (default) is the cross-engine-portable bucket hash the
-    driver gate replays in DuckDB; ``'fast'`` swaps the vectorized
-    murmur-based ``hash64`` (sketches/hashing.py) for hot-path throughput —
-    identical contract, different buckets, no SQL twin.
+    driver gate replays in DuckDB; ``cache_buckets`` memoizes gram->bucket
+    across batches (identical results, speed only; 1.89x on per-leg
+    minima). ``'fast'`` swaps the murmur-based ``hash64`` — identical
+    contract, different buckets, no SQL twin, and with the memo on it is
+    no longer faster (0.94x vs md5+memo, BENCH/ab_r05_scorer.json): keep
+    md5 unless an engine without md5 needs the scores.
 
     ``int_score_col`` additionally emits the raw INT64 dot (the score's
     numerator; score = int_score / (n_grams * 1e6)) — the exact-aggregation
@@ -161,7 +191,7 @@ def model_quality_score(
             if flat:
                 uniq, inv = np.unique(np.array(flat, object), return_inverse=True)
                 if hasher == "md5":
-                    buckets = _md5_bucket(uniq, dim)
+                    buckets = _md5_bucket(uniq, dim, use_cache=cache_buckets)
                 else:
                     buckets = (hash64(pd.Series(uniq)) % np.uint64(dim)).astype(
                         np.int64

@@ -71,10 +71,11 @@ def test_columns_pass_through_row_locally(spark):
 
 
 def test_fast_hasher_same_contract_different_buckets(spark):
-    """hasher='fast' (vectorized murmur) keeps the featurizer and weight
-    table — same gram counts, same score range — but assigns different
-    buckets, so scores may differ from the md5 path (documented: the
-    100-TB path trades oracle replicability for hash throughput)."""
+    """hasher='fast' (murmur) keeps the featurizer and weight table — same
+    gram counts, same score range — but assigns different buckets, so
+    scores may differ from the md5 path. (Measured 0.94x vs md5+memo — kept
+    as the non-portable alternative, not a throughput path; see
+    BENCH/ab_r05_scorer.json.)"""
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
     )
@@ -125,3 +126,17 @@ def test_curate_model_stage_accounting(spark, sf_dir):
     # without the flag the stage (and its keys) are absent
     _, base_stats = curate(docs, min_tokens=5)
     assert "after_model_quality" not in base_stats
+
+
+def test_bucket_cache_is_speed_only(spark):
+    """cache_buckets memoizes gram->bucket across batches — scores must be
+    IDENTICAL with it on or off (and across repeated scoring of overlapping
+    gram sets, exercising cache hits)."""
+    rows = [(i, t) for i, t in enumerate(TEXTS * 3)]  # repeats -> cache hits
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    on = {r["doc_id"]: r["model_score"] for r in model_quality_score(df).collect()}
+    off = {
+        r["doc_id"]: r["model_score"]
+        for r in model_quality_score(df, cache_buckets=False).collect()
+    }
+    assert on == off
