@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ddsparkle.config import SketchConfig
 from ddsparkle.oracle import ddsketch_cdf_sql, ddsketch_quantile_sql
 from ddsparkle.spark.agg import quantiles
+from ddsparkle.spark.dataops import PII_PATTERNS as _PII
 
 ALPHA = 0.01
 
@@ -2173,6 +2174,95 @@ def q_doc_curation_model_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _pii_augmented_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic PII-bearing corpus for the redaction gate: the synthetic
+    documents carry no PII (word-salad text), so — the media-gate pattern —
+    the gate INJECTS constructed PII derived from doc_id, identically
+    replayed by the DuckDB twin: doc_id%3==0 gets an email + an IPv4,
+    %3==1 gets an SSN-shaped id + a phone-shaped number, %3==2 stays clean
+    (pinning the no-op path), and %5==0 additionally gets a 16-digit
+    card-shaped run (so some docs mix categories)."""
+    did = F.col("doc_id")
+
+    def s(e):
+        return e.cast("string")
+
+    email_ip = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        s(did),
+        F.lit("@example.com from 10.0."),
+        s(did % 256),
+        F.lit("."),
+        s((did * 7) % 256),
+    )
+    ssn_phone = F.concat(
+        F.col("text"),
+        F.lit(" ssn 123-45-"),
+        F.lpad(s(did % 10000), 4, "0"),
+        F.lit(" call 555-010-"),
+        F.lpad(s(did % 10000), 4, "0"),
+    )
+    base = (
+        F.when(did % 3 == 0, email_ip)
+        .when(did % 3 == 1, ssn_phone)
+        .otherwise(F.col("text"))
+    )
+    card = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" card 4111111111111"), F.lpad(s(did % 1000), 3, "0")),
+    ).otherwise(F.lit(""))
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.concat(base, card).alias("text")
+    )
+
+
+def q_doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (dataops.redact_pii) — the standard pre-training
+    redaction stage, hash-matched END-TO-END: per-doc category counts plus
+    the md5 of the redacted text must equal a DuckDB twin replaying the
+    SAME ordered regexp_replace chain (PII_PATTERNS is restricted to the
+    Java/RE2-identical regex subset precisely so this gate can exist).
+    Pure Catalyst in the scan projection — row-local, zero shuffle."""
+    from ddsparkle.spark.dataops import redact_pii
+
+    docs = _pii_augmented_docs(_t(spark, sf_dir, "documents"))
+    out = redact_pii(docs)
+    return out.select(
+        "doc_id",
+        *[F.col(f"n_{name}").cast("long").alias(f"n_{name}") for name, _, _ in _PII],
+        F.md5("text_redacted").alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-line removal (dataops.remove_repeated_lines,
+    the Gopher/MassiveText repetition filter at line granularity): the gate
+    builds 4-line documents from deterministic text slices — line 4 always
+    repeats line 2, line 3 repeats line 1 on even doc_ids — and the
+    first-occurrence-preserving dedup (Spark array_distinct) must
+    hash-match a DuckDB twin replaying it with a min-ordinality window over
+    a LATERAL generate_series unnest. Counts + dup fraction + md5 of the
+    deduplicated text, all exact."""
+    from ddsparkle.spark.dataops import remove_repeated_lines
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    l1 = F.substring("text", 1, 40)
+    l2 = F.substring("text", 41, 40)
+    l3 = F.when(F.col("doc_id") % 2 == 0, l1).otherwise(F.substring("text", 81, 40))
+    structured = docs.select(
+        "doc_id", F.concat_ws("\n", l1, l2, l3, l2).alias("text")
+    )
+    out = remove_repeated_lines(structured)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_distinct_lines").cast("long").alias("n_distinct_lines"),
+        F.round("dup_line_fraction", 4).alias("dup_line_fraction"),
+        F.md5("text_dedup").alias("dedup_md5"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is evidence policy, not alphabetics: the driver
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json, so entries
@@ -2186,9 +2276,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     decontamination, sessionization; persist fix: transcripts_curation)
     all land in the driver's 50-row window again. Union of r1-r5 driver
     rows still covers every entry; veterans outside the window rest on the
-    harness replay (all entries, both SFs recorded in BENCH/)."""
+    harness replay (all entries, both SFs recorded in BENCH/). The late-r5
+    PII-redaction + line-dedup gates take positions 1-2, rotating the two
+    r4-green veterans topk_users_per_type / doc_chunks past the window."""
     return {
-        # --- newest (r5): model-based quality scoring + image near-dup ---
+        # --- newest (late r5): PII redaction + intra-doc line dedup ---
+        "doc_pii_redaction": q_doc_pii_redaction,
+        "doc_line_dedup": q_doc_line_dedup,
+        # --- r5: model-based quality scoring + image near-dup ---
         "doc_model_quality": q_doc_model_quality,
         "doc_curation_model_pipeline": q_doc_curation_model_pipeline,
         "media_image_dhash": q_media_image_dhash,
@@ -2542,6 +2637,67 @@ def _ngram_pairs_sql(threshold: float) -> str:
         f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, ROUND({jac}, 4) AS jaccard "
         "FROM cand JOIN sh a ON a.doc_id = cand.ia "
         f"JOIN sh b ON b.doc_id = cand.ib WHERE {jac} >= {threshold}"
+    )
+
+
+def _pii_aug_sql() -> str:
+    """DuckDB CTE 'aug': the deterministic PII injection of
+    ``_pii_augmented_docs``, replayed with || concatenation (bigint
+    auto-casts to VARCHAR in DuckDB; the Spark side casts explicitly)."""
+    return (
+        "aug AS (SELECT doc_id, "
+        "(CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || doc_id "
+        "|| '@example.com from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) "
+        "WHEN doc_id % 3 = 1 THEN text || ' ssn 123-45-' "
+        "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' call 555-010-' "
+        "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE text END) "
+        "|| (CASE WHEN doc_id % 5 = 0 THEN ' card 4111111111111' "
+        "|| lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ELSE '' END) AS text "
+        "FROM documents WHERE text IS NOT NULL)"
+    )
+
+
+def _pii_sql() -> str:
+    """The redaction twin: counts = len(regexp_extract_all) per pattern on
+    the raw text; redacted text = the SAME ordered rule chain as
+    dataops.PII_PATTERNS (single source of truth — the chain is GENERATED
+    from it), each with DuckDB's 'g' flag (Spark replaces all by default)."""
+    red = "text"
+    for _, pat, repl in _PII:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}" for name, pat, _ in _PII
+    )
+    return (
+        f"WITH {_pii_aug_sql()} "
+        f"SELECT doc_id, {counts}, md5({red}) AS redacted_md5 "
+        "FROM aug ORDER BY doc_id"
+    )
+
+
+def _line_dedup_sql() -> str:
+    """The repeated-line-removal twin: rebuild the gate's 4-line documents
+    (line 4 = line 2; line 3 = line 1 on even doc_ids), then replay Spark's
+    first-occurrence-preserving array_distinct as a min-ordinality window
+    over a LATERAL generate_series unnest (the repo's per-chunk pattern) —
+    keep rows where i = first_i, string_agg back in ordinal order."""
+    return (
+        "WITH src AS (SELECT doc_id, substr(text, 1, 40) AS l1, "
+        "substr(text, 41, 40) AS l2, CASE WHEN doc_id % 2 = 0 "
+        "THEN substr(text, 1, 40) ELSE substr(text, 81, 40) END AS l3 "
+        "FROM documents WHERE text IS NOT NULL), "
+        "built AS (SELECT doc_id, l1 || chr(10) || l2 || chr(10) || l3 "
+        "|| chr(10) || l2 AS text FROM src), "
+        "ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM built), "
+        "ex AS (SELECT doc_id, i, l[i] AS line, "
+        "min(i) OVER (PARTITION BY doc_id, l[i]) AS first_i "
+        "FROM ls, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) g) "
+        "SELECT doc_id, count(*) AS n_lines, "
+        "count(*) FILTER (i = first_i) AS n_distinct_lines, "
+        "ROUND((count(*) - count(*) FILTER (i = first_i)) "
+        "/ CAST(count(*) AS DOUBLE), 4) AS dup_line_fraction, "
+        "md5(string_agg(line, chr(10) ORDER BY i) FILTER (i = first_i)) "
+        "AS dedup_md5 FROM ex GROUP BY doc_id ORDER BY doc_id"
     )
 
 
@@ -3269,6 +3425,8 @@ def oracle_sql() -> dict[str, str]:
         # tokenize -> unigram+bigram expansion (with multiplicity) -> 60-bit
         # md5 bucket mod 1024 -> affine integer weight -> int64 dot -> one
         # double division; bit-equal by construction (integer arithmetic)
+        "doc_pii_redaction": _pii_sql(),
+        "doc_line_dedup": _line_dedup_sql(),
         "doc_model_quality": (
             f"WITH {_model_gram_ctes('documents')}, "
             f"wg AS (SELECT doc_id, {_MODEL_W_SQL} AS w FROM mg), "

@@ -51,6 +51,12 @@ __all__ = [
     "session_stats",
     "deterministic_stratified_sample",
     "chunk_documents",
+    "PII_PATTERNS",
+    "pii_count_exprs",
+    "redact_pii_expr",
+    "redact_pii",
+    "repeated_line_exprs",
+    "remove_repeated_lines",
 ]
 
 _WORD_SEED = 0x7E57DA7A
@@ -1937,3 +1943,112 @@ def token_count_expr(text_col: str = "text", kind: str = "whitespace"):
         # the count is the same integer (the language scorer's fix, reused)
         return F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
     raise ValueError(f"unknown token kind {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + intra-document repeated-line removal
+# ---------------------------------------------------------------------------
+
+#: Ordered (category, pattern, replacement) redaction rules. Patterns are
+#: deliberately restricted to the regex subset where Java (Spark) and RE2
+#: (DuckDB) agree exactly — character classes, bounded repetition, ASCII
+#: ``\b``, NO lookaround/backreferences — so the DuckDB twin can replay the
+#: identical rule chain and the driver gate hash-matches redacted text
+#: end-to-end. Order matters and is part of the contract: EMAIL first (so a
+#: digit-bearing local part is never half-eaten by the number rules), then
+#: IP, SSN, PHONE, and the 13-19-digit run (card-ish) last.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9][A-Za-z0-9.-]*\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+    ("longnum", r"\b\d{13,19}\b", "<LONGNUM>"),
+)
+
+
+def pii_count_exprs(text_col: str = "text") -> dict:
+    """Per-category PII match counts of the ORIGINAL text as Catalyst
+    Columns (``regexp_count`` — counting allocates nothing; the language
+    scorer's measured fix, reused). Counts are independent per pattern —
+    each rule is counted against the raw text, not the partially-redacted
+    text — which is also exactly what the DuckDB twin computes."""
+    from pyspark.sql import functions as F
+
+    return {
+        f"n_{name}": F.regexp_count(F.col(text_col), F.lit(pat))
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii_expr(text_col: str = "text"):
+    """The redacted text as ONE Catalyst Column: the ``PII_PATTERNS`` rules
+    applied as a sequential ``regexp_replace`` chain (each replaces ALL
+    occurrences, Spark's default — the twin passes DuckDB's 'g' flag)."""
+    from pyspark.sql import functions as F
+
+    out = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redact_pii(df, text_col: str = "text", counts: bool = True):
+    """PII scrubbing — the standard pre-training redaction stage (emails,
+    IPv4s, SSN-shaped ids, phone-shaped numbers, 13-19-digit runs →
+    placeholder tokens). Pure Catalyst ``regexp_replace``/``regexp_count``
+    in the scan projection: row-local, zero shuffle, linear in corpus
+    bytes — the same cost class as token counting (regex engine time IS the
+    cost; BENCH/AB_r04.md r4b). Beyond-reference, brief-driven (the
+    reference has no text surface): a real deployment swaps in its own
+    vetted rule pack; the operator's contract is the cross-engine-exact
+    rule-chain semantics, which the driver gate pins end-to-end.
+
+    Appends ``text_redacted`` (all other columns pass through row-locally);
+    ``counts=True`` additionally appends one ``n_<category>`` column per
+    rule, counted on the original text."""
+    out = df.withColumn("text_redacted", redact_pii_expr(text_col))
+    if counts:
+        for name, expr in pii_count_exprs(text_col).items():
+            out = out.withColumn(name, expr)
+    return out
+
+
+def repeated_line_exprs(text_col: str = "text", sep: str = "\n") -> dict:
+    """Intra-document repetition features + the deduplicated text, as
+    Catalyst Columns (Gopher/MassiveText-style repetition filtering at line
+    granularity). ``array_distinct`` preserves FIRST-occurrence order in
+    Spark, so ``text_dedup`` keeps each distinct line where it first
+    appeared — the DuckDB twin replays this with a min-ordinality window
+    over a LATERAL ``generate_series`` unnest (the repo's per-chunk unnest
+    pattern). ``sep`` is a LITERAL separator: it is regex-quoted
+    (``\\Q...\\E``) before feeding ``F.split``, so ``'|'`` or ``'. '``
+    split on those exact characters (a ``sep`` containing ``\\E`` is the
+    one unsupported case)."""
+    from pyspark.sql import functions as F
+
+    lines = F.split(F.col(text_col), "\\Q" + sep + "\\E")
+    distinct = F.array_distinct(lines)
+    n = F.size(lines)
+    nd = F.size(distinct)
+    return {
+        "n_lines": n,
+        "n_distinct_lines": nd,
+        "dup_line_fraction": (n - nd).cast("double") / n,
+        "text_dedup": F.array_join(distinct, sep),
+    }
+
+
+def remove_repeated_lines(df, text_col: str = "text", sep: str = "\n"):
+    """Remove exact-duplicate lines/paragraphs WITHIN each document (keep
+    the first occurrence, preserve order) and report the duplicate-line
+    fraction — the intra-document counterpart of corpus-level exact dedup.
+    Pure Catalyst (split → array_distinct → array_join), row-local in the
+    scan projection, zero shuffle; per-row cost is linear in the line count
+    (array_distinct is a single hash pass, not the O(n²) HOF-lambda shape
+    the repo's A/Bs flag for long arrays)."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for name, expr in repeated_line_exprs(text_col, sep).items():
+        out = out.withColumn(name, expr)
+    return out

@@ -824,3 +824,77 @@ def test_hamming_near_dup_pairs_contract(spark):
         ).count()
         == 0
     )
+
+
+def test_redact_pii_reference_parity(spark):
+    """Every PII_PATTERNS rule, the chain ORDER (email first: a dotted-quad
+    local part must become <EMAIL>, never half-eaten by the IP rule), the
+    independent-count contract, NULL pass-through, and the no-match
+    identity — all against a pure-Python re reference."""
+    import re
+
+    from ddsparkle.spark.dataops import PII_PATTERNS, redact_pii
+
+    texts = [
+        "mail bob.smith+x@example.co.uk and 1.2.3.4@example.io please",
+        "server 10.0.255.3 and 999.1.2.3 edge",
+        "ssn 123-45-6789 phone 555-010-1234 also 555 010 1234",
+        "card 4111111111111111 short 123456789012 long 12345678901234567890",
+        "no pii here at all",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    rows = {r["id"]: r for r in redact_pii(df).collect()}
+    for i, t in enumerate(texts):
+        r = rows[i]
+        if t is None:
+            assert r["text_redacted"] is None
+            assert all(r[f"n_{name}"] is None for name, _, _ in PII_PATTERNS)
+            continue
+        red = t
+        for name, pat, repl in PII_PATTERNS:
+            assert r[f"n_{name}"] == len(re.findall(pat, t)), (i, name)
+            red = re.sub(pat, repl, red)
+        assert r["text_redacted"] == red, i
+    # order pin: the dotted-quad local part went to <EMAIL>; the IP count
+    # (on the raw text) still saw it — counts are independent by contract
+    assert rows[0]["text_redacted"].count("<EMAIL>") == 2
+    assert "<IP>" not in rows[0]["text_redacted"]
+    assert rows[0]["n_ip"] == 1
+    # no-match identity
+    assert rows[4]["text_redacted"] == texts[4]
+
+
+def test_remove_repeated_lines_first_occurrence_order(spark):
+    """array_distinct keeps FIRST occurrences in original order (the twin's
+    min-ordinality semantics); empty lines dedup like any other; custom
+    separators work; dup_line_fraction is exact."""
+    from ddsparkle.spark.dataops import remove_repeated_lines
+
+    texts = ["a\nb\na\nc\nb", "x", "", "dup\ndup\ndup", "p1\n\np1\n\np2"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    rows = {r["id"]: r for r in remove_repeated_lines(df).collect()}
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        seen, kept = set(), []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        r = rows[i]
+        assert r["text_dedup"] == "\n".join(kept), i
+        assert r["n_lines"] == len(lines)
+        assert r["n_distinct_lines"] == len(seen)
+        assert abs(r["dup_line_fraction"] - (len(lines) - len(seen)) / len(lines)) < 1e-12
+    sep = {
+        r["id"]: r["text_dedup"]
+        for r in remove_repeated_lines(
+            spark.createDataFrame([(0, "u|v|u")], "id long, text string"), sep="|"
+        ).collect()
+    }
+    assert sep[0] == "u|v"
