@@ -2263,6 +2263,105 @@ def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_doc_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document line dedup (dataops.corpus_line_dedup) — the CCNet
+    boilerplate-removal stage: the gate builds 4-line documents with a
+    corpus-wide boilerplate line on even doc_ids (df ~ n/2, stripped
+    everywhere by max_df=10), a per-triple 'pair-<doc_id DIV 3>' line
+    (df<=3, keep-first within the triple), an empty line (min_len-exempt,
+    kept everywhere), and a unique-ish text slice. key='md5' is the
+    engine-portable 60-bit hash, so the DuckDB twin replays keying,
+    df-counting, first-occurrence selection (row_number over (doc_id, pos))
+    and reassembly end-to-end; counts + md5(text_dedup) hash-exact."""
+    from ddsparkle.spark.dataops import corpus_line_dedup
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    did = F.col("doc_id")
+    l1 = F.when(did % 2 == 0, F.lit("BOILERPLATE COOKIE NOTICE")).otherwise(
+        F.substring("text", 1, 40)
+    )
+    l2 = F.concat(F.lit("pair-"), F.expr("doc_id DIV 3").cast("string"))
+    l4 = F.substring("text", 41, 40)
+    structured = docs.select(
+        "doc_id", F.concat_ws("\n", l1, l2, F.lit(""), l4).alias("text")
+    )
+    out = corpus_line_dedup(structured, key="md5", max_df=10)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_dropped_lines").cast("long").alias("n_dropped_lines"),
+        F.md5("text_dedup").alias("dedup_md5"),
+    ).orderBy("doc_id")
+
+
+def q_doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (dataops.assign_split, 98/1/1):
+    the assignment is a pure integer function of md5('split:'||doc_id), so
+    the DuckDB twin recomputes every membership bit-exactly — the
+    portability IS the contract (ids never migrate between splits across
+    engines, re-runs, or corpus growth). Row-local, zero shuffle."""
+    from ddsparkle.spark.dataops import assign_split
+
+    return assign_split(_t(spark, sf_dir, "documents").select("doc_id")).orderBy(
+        "doc_id"
+    )
+
+
+def _corrupted_transcripts(df: DataFrame) -> DataFrame:
+    """Deterministic contract violations for the validation gate (the
+    PII/media injection pattern — the synthetic transcripts are all VALID,
+    so the gate plants failures derived from the numeric conv id, replayed
+    identically by the twin): cid%5==0 blanks turn 1's text, cid%7==0 gives
+    turn 2 an off-contract role, cid%11==0 pulls turn 3's ts 2h backward
+    (> the 600 s max generator gap, so exactly one regression), cid%13==0
+    puts a tool on a non-tool turn 1, cid%17==0 DELETES turn 1 (an idx
+    gap). Overlay twins ('...d' suffix) share the base's cid — substring
+    (5,10) skips the suffix — so both copies corrupt identically."""
+    cid = F.substring("conv_id", 5, 10).cast("bigint")
+    t = F.col("turn_idx")
+    text = F.when((cid % 5 == 0) & (t == 1), F.lit("")).otherwise(F.col("text"))
+    role = F.when((cid % 7 == 0) & (t == 2), F.lit("bot")).otherwise(F.col("role"))
+    ts = F.when(
+        (cid % 11 == 0) & (t == 3), F.col("ts") - F.expr("INTERVAL 2 HOURS")
+    ).otherwise(F.col("ts"))
+    tool = F.when(
+        (cid % 13 == 0) & (t == 1) & (F.col("role") != "tool"), F.lit("search")
+    ).otherwise(F.col("tool"))
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        ts.alias("ts"),
+    ).filter(~((cid % 17 == 0) & (t == 1)))
+
+
+def q_transcripts_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation schema/flow validation (transcript_ops.
+    validate_conversations) — the SFT-ingest gatekeeper over the north-star
+    table, run on a deterministically corrupted copy so every checker fires:
+    per-conversation counters for empty text, off-contract roles, tool/role
+    mismatches, ts regressions, plus idx-density and first-role booleans,
+    all hash-matched against a DuckDB twin replaying the same corruption,
+    groupBy, and composite-key adjacency self-join."""
+    from ddsparkle.spark.transcript_ops import validate_conversations
+
+    out = validate_conversations(_corrupted_transcripts(_transcripts(spark, sf_dir)))
+    return out.select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        "idx_dense",
+        "first_role_ok",
+        F.col("n_bad_roles").cast("long").alias("n_bad_roles"),
+        F.col("n_empty_text").cast("long").alias("n_empty_text"),
+        F.col("n_tool_mismatch").cast("long").alias("n_tool_mismatch"),
+        F.col("n_ts_regressions").cast("long").alias("n_ts_regressions"),
+        F.col("n_same_role_adj").cast("long").alias("n_same_role_adj"),
+        "is_valid",
+    ).orderBy("conv_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is evidence policy, not alphabetics: the driver
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json, so entries
@@ -2277,10 +2376,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all land in the driver's 50-row window again. Union of r1-r5 driver
     rows still covers every entry; veterans outside the window rest on the
     harness replay (all entries, both SFs recorded in BENCH/). The late-r5
-    PII-redaction + line-dedup gates take positions 1-2, rotating the two
-    r4-green veterans topk_users_per_type / doc_chunks past the window."""
+    gates take the front positions — corpus-line-dedup / split /
+    conversation-validation (1-3), then PII-redaction / line-dedup (4-5) —
+    rotating five r4-green veterans past the window."""
     return {
-        # --- newest (late r5): PII redaction + intra-doc line dedup ---
+        # --- newest (late r5): corpus line dedup, split, validation ---
+        "doc_corpus_line_dedup": q_doc_corpus_line_dedup,
+        "doc_split_assignment": q_doc_split_assignment,
+        "transcripts_validation": q_transcripts_validation,
+        # --- late r5: PII redaction + intra-doc line dedup ---
         "doc_pii_redaction": q_doc_pii_redaction,
         "doc_line_dedup": q_doc_line_dedup,
         # --- r5: model-based quality scoring + image near-dup ---
@@ -2698,6 +2802,96 @@ def _line_dedup_sql() -> str:
         "/ CAST(count(*) AS DOUBLE), 4) AS dup_line_fraction, "
         "md5(string_agg(line, chr(10) ORDER BY i) FILTER (i = first_i)) "
         "AS dedup_md5 FROM ex GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+def _corpus_line_dedup_sql() -> str:
+    """The cross-doc line-dedup twin: rebuild the gate's 4-line documents,
+    key each non-empty line with the portable 60-bit md5, then replay the
+    operator's decisions relationally — df = count over key, first
+    occurrence = row_number over (doc_id, pos), drop = (df>1 AND not first)
+    OR df>10 — and reassemble with an ordinal-ordered string_agg. DuckDB's
+    1-based ordinality maps monotonically onto Spark's 0-based posexplode,
+    so 'rn = 1' and 'min (id,pos) struct' select the same occurrence."""
+    return (
+        "WITH src AS (SELECT doc_id, "
+        "CASE WHEN doc_id % 2 = 0 THEN 'BOILERPLATE COOKIE NOTICE' "
+        "ELSE substr(text, 1, 40) END AS l1, "
+        "'pair-' || (doc_id // 3) AS l2, substr(text, 41, 40) AS l4 "
+        "FROM documents WHERE text IS NOT NULL), "
+        "built AS (SELECT doc_id, l1 || chr(10) || l2 || chr(10) || '' "
+        "|| chr(10) || l4 AS text FROM src), "
+        "ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM built), "
+        "ex AS (SELECT doc_id, i, l[i] AS line FROM ls, "
+        "LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) g), "
+        "st AS (SELECT doc_id, i, "
+        "count(*) OVER (PARTITION BY ('0x' || substr(md5(line), 1, 15))::BIGINT) AS df, "
+        "row_number() OVER (PARTITION BY ('0x' || substr(md5(line), 1, 15))::BIGINT "
+        "ORDER BY doc_id, i) AS rn FROM ex WHERE length(line) >= 1), "
+        "dr AS (SELECT doc_id, i FROM st WHERE (df > 1 AND rn > 1) OR df > 10), "
+        "fin AS (SELECT e.doc_id, e.i, e.line, (d.i IS NOT NULL) AS dropped "
+        "FROM ex e LEFT JOIN dr d ON e.doc_id = d.doc_id AND e.i = d.i) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+        "CAST(count(*) FILTER (dropped) AS BIGINT) AS n_dropped_lines, "
+        "md5(coalesce(string_agg(line, chr(10) ORDER BY i) FILTER (NOT dropped), '')) "
+        "AS dedup_md5 FROM fin GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+def _split_sql() -> str:
+    """The split twin: the identical 60-bit md5 of 'split:'||doc_id mod 100
+    against the same cumulative 98/1/1 thresholds (pure integer — bit-equal
+    by construction)."""
+    return (
+        "SELECT doc_id, CASE WHEN h < 98 THEN 'train' WHEN h < 99 THEN 'val' "
+        "ELSE 'test' END AS split FROM (SELECT doc_id, "
+        "('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 AS h "
+        "FROM documents) ORDER BY doc_id"
+    )
+
+
+def _validation_sql(tr_src: str) -> str:
+    """The validation twin: replay the gate's deterministic corruption
+    (same cid-residue rules, same turn deletion), then the checks — one
+    GROUP BY for the row-local counters (+ count(DISTINCT turn_idx) and
+    arg_min for density/first-role), a turn_idx+1 self-join for adjacency
+    (NOT lag: the validator's documented only-pairs-that-exist semantics),
+    LEFT JOIN + coalesce for single-turn conversations."""
+    return (
+        f"WITH raw AS (SELECT *, CAST(substr(conv_id, 5, 10) AS BIGINT) AS cid "
+        f"FROM {tr_src}), "
+        "cr AS (SELECT conv_id, turn_idx, "
+        "CASE WHEN cid % 7 = 0 AND turn_idx = 2 THEN 'bot' ELSE role END AS role, "
+        "CASE WHEN cid % 5 = 0 AND turn_idx = 1 THEN '' ELSE text END AS text, "
+        "CASE WHEN cid % 13 = 0 AND turn_idx = 1 AND role <> 'tool' "
+        "THEN 'search' ELSE tool END AS tool, "
+        "CASE WHEN cid % 11 = 0 AND turn_idx = 3 THEN ts - INTERVAL 2 HOUR "
+        "ELSE ts END AS ts "
+        "FROM raw WHERE NOT (cid % 17 = 0 AND turn_idx = 1)), "
+        "g AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
+        "min(turn_idx) AS mi, max(turn_idx) AS ma, "
+        "count(DISTINCT turn_idx) AS nd, arg_min(role, turn_idx) AS fr, "
+        "CAST(sum(CASE WHEN role NOT IN ('user','assistant','system','tool') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_roles, "
+        "CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_empty_text, "
+        "CAST(sum(CASE WHEN (role = 'tool') <> (tool IS NOT NULL) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_tool_mismatch FROM cr GROUP BY conv_id), "
+        "adj AS (SELECT a.conv_id, "
+        "CAST(sum(CASE WHEN a.ts < b.ts THEN 1 ELSE 0 END) AS BIGINT) AS n_reg, "
+        "CAST(sum(CASE WHEN a.role = b.role THEN 1 ELSE 0 END) AS BIGINT) AS n_same "
+        "FROM cr a JOIN cr b ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx + 1 "
+        "GROUP BY a.conv_id) "
+        "SELECT g.conv_id, n_turns, "
+        "(mi = 0 AND ma = n_turns - 1 AND nd = n_turns) AS idx_dense, "
+        "fr IN ('user', 'system') AS first_role_ok, "
+        "n_bad_roles, n_empty_text, n_tool_mismatch, "
+        "coalesce(n_reg, 0) AS n_ts_regressions, "
+        "coalesce(n_same, 0) AS n_same_role_adj, "
+        "((mi = 0 AND ma = n_turns - 1 AND nd = n_turns) "
+        "AND fr IN ('user', 'system') AND n_bad_roles = 0 AND n_empty_text = 0 "
+        "AND n_tool_mismatch = 0 AND coalesce(n_reg, 0) = 0) AS is_valid "
+        "FROM g LEFT JOIN adj ON g.conv_id = adj.conv_id ORDER BY g.conv_id"
     )
 
 
@@ -3425,6 +3619,9 @@ def oracle_sql() -> dict[str, str]:
         # tokenize -> unigram+bigram expansion (with multiplicity) -> 60-bit
         # md5 bucket mod 1024 -> affine integer weight -> int64 dot -> one
         # double division; bit-equal by construction (integer arithmetic)
+        "doc_corpus_line_dedup": _corpus_line_dedup_sql(),
+        "doc_split_assignment": _split_sql(),
+        "transcripts_validation": _validation_sql(tr_src),
         "doc_pii_redaction": _pii_sql(),
         "doc_line_dedup": _line_dedup_sql(),
         "doc_model_quality": (

@@ -57,6 +57,8 @@ __all__ = [
     "redact_pii",
     "repeated_line_exprs",
     "remove_repeated_lines",
+    "corpus_line_dedup",
+    "assign_split",
 ]
 
 _WORD_SEED = 0x7E57DA7A
@@ -2052,3 +2054,146 @@ def remove_repeated_lines(df, text_col: str = "text", sep: str = "\n"):
     for name, expr in repeated_line_exprs(text_col, sep).items():
         out = out.withColumn(name, expr)
     return out
+
+
+def _portable_line_key(col):
+    """60-bit engine-portable line key: Spark ``conv(substring(md5(x),1,15),
+    16,10)::bigint`` == DuckDB ``('0x'||substr(md5(x),1,15))::BIGINT`` (the
+    cross-engine hash the model scorer established; quality_model.py)."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def corpus_line_dedup(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_len: int = 1,
+    max_df: Optional[int] = None,
+    key: str = "xxhash64",
+):
+    """CCNet-style CROSS-document line/paragraph dedup: every line keeps its
+    corpus-wide FIRST occurrence (min ``(id, pos)`` — deterministic and
+    order-free under any partitioning) and later occurrences are removed;
+    with ``max_df=k`` lines shared by more than ``k`` occurrences are
+    boilerplate-stripped everywhere, first included. The cross-corpus
+    counterpart of ``remove_repeated_lines`` (intra-doc) and the line-level
+    counterpart of ``exact_dedup`` (whole-doc). Beyond-reference,
+    brief-driven — the reference has no text surface.
+
+    Scale shape (the 100-TB accounting):
+      1. lines explode ROW-LOCALLY in the scan stage; only ``(key 8B, id,
+         pos int)`` rows enter the corpus-wide groupBy. The struct-typed
+         ``min`` buffer plans as SortAggregate (each task sorts ITS slice
+         by key), but the partial still combines map-side — a
+         billion-occurrence boilerplate line is one ``(count, min-struct)``
+         partial per task, never a buffered partition: skew-proof by
+         construction;
+      2. only keys with ``df > 1`` (the duplicate minority) join back to
+         the occurrence stream to emit DROP positions — unique lines never
+         re-shuffle;
+      3. drop positions group per document (small int arrays) and join onto
+         the original frame — the ONE exchange that moves document text
+         (AQE broadcasts it when the drop set is small); the rebuild is a
+         row-local indexed ``filter`` HOF, O(lines x drops_in_doc) per doc.
+    The occurrence stream is derived twice (steps 1 and 2 recompute the
+    scan+split+hash) — the same recompute-over-persist trade
+    ``exact_dedup(strategy='hash')`` makes: at corpus scale the 24 B/line
+    stream dwarfs executor storage, and split+hash is cheap next to a
+    second full-text shuffle. Callers holding a cached input pay nothing.
+
+    Semantics: intra-document repeats beyond the first are duplicates too
+    (``df`` counts occurrences, not documents). Lines shorter than
+    ``min_len`` chars (default 1: empty lines) are exempt — always kept,
+    never counted. NULL text passes through NULL. ``key='xxhash64'`` (prod
+    default, JVM-side) treats 64-bit-collision lines as equal — odds ~n^2 /
+    2^65, the quantified trade streaming hash-only dedup documents;
+    ``key='md5'`` is the engine-portable 60-bit variant the driver gate
+    pins end-to-end.
+
+    Appends ``text_dedup`` (NULL-safe), ``n_lines``, ``n_dropped_lines``.
+    """
+    from pyspark.sql import functions as F
+
+    lines = F.split(F.col(text_col), "\\Q" + sep + "\\E")
+    base = df.withColumn("__lines", lines)
+    occ = base.select(
+        F.col(id_col).alias("__id"), F.posexplode("__lines").alias("__pos", "__line")
+    ).filter(F.length("__line") >= min_len)
+    if key == "xxhash64":
+        kx = F.xxhash64("__line")
+    elif key == "md5":
+        kx = _portable_line_key(F.col("__line"))
+    else:
+        raise ValueError(f"unknown key {key!r} (xxhash64 or md5)")
+    keyed = occ.select("__id", "__pos", kx.alias("__k"))
+    stats = keyed.groupBy("__k").agg(
+        F.count("*").alias("__df"),
+        F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__first"),
+    )
+    dups = stats.filter(F.col("__df") > 1)
+    dec = keyed.join(dups, "__k")
+    is_first = (F.col("__id") == F.col("__first.__id")) & (
+        F.col("__pos") == F.col("__first.__pos")
+    )
+    drop_cond = ~is_first
+    if max_df is not None:
+        drop_cond = drop_cond | (F.col("__df") > max_df)
+    drops = (
+        dec.filter(drop_cond)
+        .groupBy("__id")
+        .agg(F.collect_list("__pos").alias("__drops"))
+        .withColumnRenamed("__id", id_col)
+    )
+    joined = base.join(drops, id_col, "left")
+    dropset = F.coalesce(F.col("__drops"), F.expr("CAST(array() AS array<int>)"))
+    kept = F.filter("__lines", lambda x, i: ~F.array_contains(dropset, i))
+    nn = F.col(text_col).isNotNull()
+    return joined.select(
+        *df.columns,
+        F.when(nn, F.array_join(kept, sep)).alias("text_dedup"),
+        F.when(nn, F.size("__lines")).alias("n_lines"),
+        F.when(nn, F.size(dropset)).otherwise(F.lit(None)).alias("n_dropped_lines"),
+    )
+
+
+def assign_split(
+    df,
+    id_col: str = "doc_id",
+    weights=(("train", 98), ("val", 1), ("test", 1)),
+    salt: str = "split",
+    split_col: str = "split",
+):
+    """Deterministic train/val/test assignment: ``split = weights-bucket of
+    (60-bit md5 of 'salt:id') mod total_weight``. Pure integer arithmetic on
+    the portable md5 key, so the assignment is identical in Spark, DuckDB,
+    and any re-run — documents never migrate between splits when the corpus
+    grows (membership depends only on the id), the property random-split
+    cannot give. Row-local in the scan projection, zero shuffle; ``salt``
+    namespaces independent splits of the same corpus. ``weights`` is an
+    ordered (name, integer_weight) sequence; buckets are assigned in order
+    (hash < cumulative weight), remainder to the last name."""
+    from pyspark.sql import functions as F
+
+    names = [n for n, _ in weights]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate split names")
+    ws = [int(w) for _, w in weights]
+    if any(w <= 0 for w in ws):
+        raise ValueError("weights must be positive integers")
+    total = sum(ws)
+    h = (
+        _portable_line_key(
+            F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+        )
+        % total
+    )
+    acc = None
+    cum = 0
+    for name, w in zip(names[:-1], ws[:-1]):
+        cum += w
+        acc = F.when(h < cum, name) if acc is None else acc.when(h < cum, name)
+    col = acc.otherwise(names[-1]) if acc is not None else F.lit(names[-1])
+    return df.withColumn(split_col, col)

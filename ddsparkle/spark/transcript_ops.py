@@ -53,6 +53,7 @@ __all__ = [
     "decontaminate_conversations",
     "tool_latency_quantiles",
     "per_conversation_latency_quantiles",
+    "validate_conversations",
 ]
 
 DEFAULT_QS = (0.5, 0.95, 0.99)
@@ -862,3 +863,98 @@ def per_conversation_latency_quantiles(df, qs=(0.5, 0.95), config=None):
 
     pairs = _adjacent_pairs(df).select("conv_id", F.col("gap_s").alias("lat"))
     return quantiles(pairs, "lat", by="conv_id", qs=qs, config=config)
+
+
+def validate_conversations(df, allowed_roles=("user", "assistant", "system", "tool")):
+    """Per-conversation schema/flow validation — the SFT-ingest gatekeeper
+    stage: before a transcript corpus trains anything, every conversation is
+    checked against the north-star contract (BASELINE.json ``input_hint``)
+    and failures are COUNTED per check so the pipeline reports WHY a
+    conversation was rejected, not just that it was.
+
+    Checks (one column each):
+      - ``idx_dense``        turn_idx is exactly 0..n-1 (min/max/distinct)
+      - ``first_role_ok``    the turn_idx-minimal role is user or system
+      - ``n_bad_roles``      roles outside ``allowed_roles``
+      - ``n_empty_text``     NULL or zero-length text turns
+      - ``n_tool_mismatch``  turns where (role=='tool') != (tool IS NOT NULL)
+      - ``n_ts_regressions`` adjacent pairs with ts going BACKWARD
+      - ``n_same_role_adj``  adjacent same-role pairs (signal only — tool
+        interleaving legitimately breaks alternation, so this does NOT gate
+        ``is_valid``)
+    ``is_valid`` = idx_dense AND first_role_ok AND all gating counters zero.
+
+    Shuffle shape: one map-side-combined groupBy for the row-local checks; a
+    ``(conv_id, turn_idx)``-distinct count for density (its partial keys on
+    the composite pair, so a hot conversation spreads — the skew-PROOF shape
+    here, the opposite call from conversation_stats' collect_set(role) whose
+    cardinality is 4); adjacency via the composite-key self-join
+    (``_adjacent_pairs``). Adjacency deliberately checks only consecutive
+    turn_idx pairs that EXIST — a validator must not assume the dense
+    numbering it is itself validating, and the missing pairs are exactly
+    what ``idx_dense`` reports. Text never shuffles (only its emptiness bit
+    leaves the scan).
+    """
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        (F.col("text").isNull() | (F.length("text") == 0))
+        .cast("long")
+        .alias("__empty"),
+        (~F.col("role").isin(*allowed_roles)).cast("long").alias("__badrole"),
+        ((F.col("role") == "tool") != F.col("tool").isNotNull())
+        .cast("long")
+        .alias("__toolmm"),
+    )
+    g = base.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.min("turn_idx").alias("__min_idx"),
+        F.max("turn_idx").alias("__max_idx"),
+        F.min_by("role", "turn_idx").alias("__first_role"),
+        F.sum("__badrole").alias("n_bad_roles"),
+        F.sum("__empty").alias("n_empty_text"),
+        F.sum("__toolmm").alias("n_tool_mismatch"),
+    )
+    d = (
+        df.select("conv_id", "turn_idx")
+        .distinct()
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("__n_distinct_idx"))
+    )
+    adj = _adjacent_pairs(df).groupBy("conv_id").agg(
+        F.sum((F.col("gap_s") < 0).cast("long")).alias("n_ts_regressions"),
+        F.sum((F.col("from_role") == F.col("to_role")).cast("long")).alias(
+            "n_same_role_adj"
+        ),
+    )
+    j = g.join(d, "conv_id").join(adj, "conv_id", "left")
+    idx_dense = (
+        (F.col("__min_idx") == 0)
+        & (F.col("__max_idx") == F.col("n_turns") - 1)
+        & (F.col("__n_distinct_idx") == F.col("n_turns"))
+    )
+    first_ok = F.col("__first_role").isin("user", "system")
+    n_reg = F.coalesce(F.col("n_ts_regressions"), F.lit(0))
+    n_same = F.coalesce(F.col("n_same_role_adj"), F.lit(0))
+    return j.select(
+        "conv_id",
+        "n_turns",
+        idx_dense.alias("idx_dense"),
+        first_ok.alias("first_role_ok"),
+        "n_bad_roles",
+        "n_empty_text",
+        "n_tool_mismatch",
+        n_reg.alias("n_ts_regressions"),
+        n_same.alias("n_same_role_adj"),
+        (
+            idx_dense
+            & first_ok
+            & (F.col("n_bad_roles") == 0)
+            & (F.col("n_empty_text") == 0)
+            & (F.col("n_tool_mismatch") == 0)
+            & (n_reg == 0)
+        ).alias("is_valid"),
+    )

@@ -898,3 +898,109 @@ def test_remove_repeated_lines_first_occurrence_order(spark):
         ).collect()
     }
     assert sep[0] == "u|v"
+
+
+def test_corpus_line_dedup_reference_parity(spark):
+    """Cross-doc keep-first semantics, intra-doc repeats, the min_len
+    exemption (empty lines survive everywhere), max_df boilerplate strip,
+    NULL pass-through, custom separator, and md5/xxhash64 key agreement —
+    all against a pure-Python reference of the documented contract."""
+    from ddsparkle.spark.dataops import corpus_line_dedup
+
+    docs = [
+        (0, "boiler\nalpha\n\nshared"),
+        (1, "beta\nboiler\n\nshared"),
+        (2, "boiler\nboiler\ngamma"),
+        (3, None),
+        (4, "delta"),
+    ]
+
+    def ref(rows, min_len=1, max_df=None, sep="\n"):
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for i, t in rows:
+            if t is None:
+                continue
+            for p, ln in enumerate(t.split(sep)):
+                if len(ln) >= min_len:
+                    groups[ln].append((i, p))
+        drops = set()
+        for occs in groups.values():
+            first = min(occs)
+            if max_df is not None and len(occs) > max_df:
+                drops.update(occs)
+            elif len(occs) > 1:
+                drops.update(o for o in occs if o != first)
+        out = {}
+        for i, t in rows:
+            if t is None:
+                out[i] = (None, None, None)
+                continue
+            lines = t.split(sep)
+            kept = [ln for p, ln in enumerate(lines) if (i, p) not in drops]
+            out[i] = (sep.join(kept), len(lines), len(lines) - len(kept))
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for key in ("xxhash64", "md5"):
+        for max_df in (None, 2):
+            want = ref(docs, max_df=max_df)
+            got = {
+                r["doc_id"]: (r["text_dedup"], r["n_lines"], r["n_dropped_lines"])
+                for r in corpus_line_dedup(df, max_df=max_df, key=key).collect()
+            }
+            assert got == want, (key, max_df)
+    # keep-first detail: doc 0 keeps 'boiler' (global first) and 'shared';
+    # doc 2's intra-doc repeat is dropped; empty lines survive in BOTH docs
+    got = {
+        r["doc_id"]: r["text_dedup"]
+        for r in corpus_line_dedup(df).collect()
+    }
+    assert got[0] == "boiler\nalpha\n\nshared"
+    assert got[1] == "beta\n"
+    assert got[2] == "gamma"
+    # custom separator, regex-quoted
+    got_pipe = {
+        r["doc_id"]: r["text_dedup"]
+        for r in corpus_line_dedup(
+            spark.createDataFrame([(0, "a|b|a"), (1, "b|c")], "doc_id long, text string"),
+            sep="|",
+        ).collect()
+    }
+    # 'b' first occurs in doc 0 (min (id, pos) wins), so doc 1 loses it
+    assert got_pipe == {0: "a|b", 1: "c"}
+
+
+def test_assign_split_portable_and_deterministic(spark):
+    """The split is the documented pure function of (salt, id): replayed
+    bit-exactly by hashlib md5; proportions track the weights; a different
+    salt reshuffles membership; bad weights raise."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from ddsparkle.spark.dataops import assign_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: r["split"] for r in assign_split(df).collect()
+    }
+
+    def ref(i, salt="split", total=100):
+        h = int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:15], 16) % total
+        return "train" if h < 98 else ("val" if h < 99 else "test")
+
+    assert got == {i: ref(i) for i in range(2000)}
+    n_train = sum(1 for v in got.values() if v == "train")
+    assert 1900 <= n_train <= 2000 and len(set(got.values())) == 3
+    other = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(df, salt="fold2").collect()
+    }
+    assert other == {i: ref(i, salt="fold2") for i in range(2000)}
+    assert other != got
+    with _pytest.raises(ValueError):
+        assign_split(df, weights=(("a", 1), ("a", 1)))
+    with _pytest.raises(ValueError):
+        assign_split(df, weights=(("a", 0), ("b", 1)))

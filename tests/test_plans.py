@@ -247,3 +247,27 @@ def test_model_quality_scan_pruned_and_filter_pushed(spark, sf_dir):
     # a structural no-op at scale)
     assert "hashpartitioning" not in plan.lower(), plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_corpus_line_dedup_plan_jvm_side(spark, sf_dir):
+    """Cross-doc line dedup must stay entirely JVM-side (no Python stages
+    anywhere — the rebuild is a Catalyst HOF, the keying a builtin hash),
+    the line explode must fuse into the scan stage (Generate, no exchange
+    before it), and the key groupBy must partial-aggregate map-side (a
+    partial SortAggregate BEFORE the key exchange — the skew bound: a hot
+    boilerplate line is one partial per task, never a buffered partition)."""
+    import re
+
+    from ddsparkle.spark.dataops import corpus_line_dedup
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    plan = plan_of(corpus_line_dedup(df, max_df=10))
+    assert "Python" not in plan and "BatchEval" not in plan
+    assert re.search(r"\(\d+\) Generate\b", plan)  # explode present
+    # partial aggregate precedes the key exchange: the detail section lists
+    # the partial (child) SortAggregate at a higher operator id than the
+    # final one, with an Exchange between them in the tree
+    aggs = re.findall(r"\(\d+\) SortAggregate\b", plan)
+    assert len(aggs) >= 2, plan  # partial + final == map-side combine exists

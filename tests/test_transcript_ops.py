@@ -657,3 +657,60 @@ def test_conversation_model_quality_exact_aggregation(spark, tiny_df, tiny_pdf):
             ng += len(grams)
         want[conv] = (float(ng), num / (ng * 1e6))
     assert got == want
+
+
+def test_validate_conversations_all_checks(spark):
+    """One conversation per failure mode plus a clean one; every counter and
+    boolean hand-computed. Adjacency checks only the consecutive-idx pairs
+    that exist (the validator must not assume the density it validates)."""
+    import datetime as dt
+
+    from ddsparkle.spark.transcript_ops import validate_conversations
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def turn(cid, idx, role, text="hello", tool=None, off_s=None):
+        return (cid, idx, role, text, tool, t0 + dt.timedelta(seconds=10 * idx if off_s is None else off_s))
+
+    rows = [
+        # clean: user/assistant alternating, one consistent tool turn
+        turn("ok", 0, "user"),
+        turn("ok", 1, "assistant"),
+        turn("ok", 2, "tool", tool="search"),
+        # idx gap (no turn 1) + starts with assistant
+        turn("gap", 0, "assistant"),
+        turn("gap", 2, "user"),
+        # duplicate idx (dense by min/max/count but not distinct)
+        turn("dupidx", 0, "user"),
+        turn("dupidx", 1, "assistant"),
+        turn("dupidx", 1, "assistant"),
+        # bad role + empty and NULL text + tool on a non-tool turn
+        turn("bad", 0, "user", text=""),
+        turn("bad", 1, "bot", text=None, tool="code"),
+        # ts regression + same-role adjacency
+        turn("ts", 0, "user", off_s=100),
+        turn("ts", 1, "user", off_s=50),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {r["conv_id"]: r.asDict() for r in validate_conversations(df).collect()}
+    assert got["ok"] == {
+        "conv_id": "ok", "n_turns": 3, "idx_dense": True, "first_role_ok": True,
+        "n_bad_roles": 0, "n_empty_text": 0, "n_tool_mismatch": 0,
+        "n_ts_regressions": 0, "n_same_role_adj": 0, "is_valid": True,
+    }
+    g = got["gap"]
+    assert (g["idx_dense"], g["first_role_ok"], g["is_valid"]) == (False, False, False)
+    assert g["n_ts_regressions"] == 0 and g["n_same_role_adj"] == 0  # no adjacent pair exists
+    d = got["dupidx"]
+    assert (d["idx_dense"], d["is_valid"]) == (False, False)
+    # the duplicated idx 1 pairs with idx 0 TWICE (user->assistant both
+    # times): the join multiplies on duplicate keys, the density check is
+    # what flags the conversation
+    assert d["n_same_role_adj"] == 0
+    b = got["bad"]
+    assert (b["n_bad_roles"], b["n_empty_text"], b["n_tool_mismatch"]) == (1, 2, 1)
+    assert b["is_valid"] is False
+    t = got["ts"]
+    assert (t["n_ts_regressions"], t["n_same_role_adj"], t["is_valid"]) == (1, 1, False)
