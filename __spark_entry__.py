@@ -2263,6 +2263,46 @@ def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_REP_TOP_NS = (2, 3, 4)
+_REP_DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
+def q_doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition signals (repetition.repetition_signals):
+    top-{2,3,4}-gram and dup-{5..10}-gram token-coverage fractions. The
+    word-salad corpus has no planted repetition, so the gate appends
+    deterministic repeated phrases on doc_id residues (2-5 copies of a
+    4-word phrase on %3==0 — 5-grams recur from 3 copies up — and 8 'spam'
+    tokens on %5==0), replayed identically by the twin; the remaining docs
+    pin the near-zero path. Every fraction is one int/int double division
+    over md5-60bit n-gram identity (min-key modal tie break), so the DuckDB
+    twin — list_slice n-grams, windowed counts, QUALIFY-style modal pick,
+    generate_series interval union — hash-matches all nine columns."""
+    from ddsparkle.spark.repetition import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.expr("repeat(' buy cheap pills now', 2 + CAST(doc_id % 4 AS INT))"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.expr("repeat(' spam spam', 4)")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = repetition_signals(planted, top_ns=_REP_TOP_NS, dup_ns=_REP_DUP_NS)
+    cols = [f"top_{n}gram_frac" for n in _REP_TOP_NS] + [
+        f"dup_{n}gram_frac" for n in _REP_DUP_NS
+    ]
+    return out.select(
+        "doc_id", *[F.round(c, 4).alias(c) for c in cols]
+    ).orderBy("doc_id")
+
+
 def q_doc_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-document line dedup (dataops.corpus_line_dedup) — the CCNet
     boilerplate-removal stage: the gate builds 4-line documents with a
@@ -2376,11 +2416,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all land in the driver's 50-row window again. Union of r1-r5 driver
     rows still covers every entry; veterans outside the window rest on the
     harness replay (all entries, both SFs recorded in BENCH/). The late-r5
-    gates take the front positions — corpus-line-dedup / split /
-    conversation-validation (1-3), then PII-redaction / line-dedup (4-5) —
-    rotating five r4-green veterans past the window."""
+    gates take the front positions — repetition-signals /
+    corpus-line-dedup / split / conversation-validation (1-4), then
+    PII-redaction / line-dedup (5-6) — rotating six r4-green veterans past
+    the window."""
     return {
-        # --- newest (late r5): corpus line dedup, split, validation ---
+        # --- newest (late r5): repetition signals, line dedup, split, validation ---
+        "doc_repetition_signals": q_doc_repetition_signals,
         "doc_corpus_line_dedup": q_doc_corpus_line_dedup,
         "doc_split_assignment": q_doc_split_assignment,
         "transcripts_validation": q_transcripts_validation,
@@ -2802,6 +2844,69 @@ def _line_dedup_sql() -> str:
         "/ CAST(count(*) AS DOUBLE), 4) AS dup_line_fraction, "
         "md5(string_agg(line, chr(10) ORDER BY i) FILTER (i = first_i)) "
         "AS dedup_md5 FROM ex GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+def _repetition_sql() -> str:
+    """The repetition-signal twin: per n, n-grams via 1-based inclusive
+    list_slice, md5-60bit keys, occurrence counts as a window, the modal
+    key as row_number over (count DESC, key ASC), and token-coverage as a
+    count(DISTINCT position) over a LATERAL generate_series expansion —
+    each fraction the same single int/int double division the numpy kernel
+    performs, rounded to 4 on both sides."""
+    src = (
+        "src AS (SELECT doc_id, text || "
+        "(CASE WHEN doc_id % 3 = 0 THEN repeat(' buy cheap pills now', "
+        "2 + CAST(doc_id % 4 AS INT)) ELSE '' END) || "
+        "(CASE WHEN doc_id % 5 = 0 THEN repeat(' spam spam', 4) ELSE '' END) "
+        "AS text FROM documents WHERE text IS NOT NULL)"
+    )
+    parts = [
+        src,
+        "tok AS (SELECT doc_id, string_split(text, ' ') AS t, "
+        "len(string_split(text, ' ')) AS nt FROM src)",
+    ]
+    sels, joins = [], []
+    for n in sorted(set(_REP_TOP_NS) | set(_REP_DUP_NS)):
+        parts.append(
+            f"oc{n} AS (SELECT doc_id, nt, i, k, "
+            f"count(*) OVER (PARTITION BY doc_id, k) AS c FROM "
+            f"(SELECT doc_id, nt, i, ('0x' || substr(md5(array_to_string("
+            f"list_slice(t, i, i + {n - 1}), ' ')), 1, 15))::BIGINT AS k "
+            f"FROM tok, LATERAL (SELECT unnest(generate_series(1, nt - {n} + 1)) "
+            f"AS i) g WHERE nt >= {n}))"
+        )
+        if n in _REP_TOP_NS:
+            parts.append(
+                f"md{n} AS (SELECT doc_id, k FROM (SELECT doc_id, k, row_number() "
+                f"OVER (PARTITION BY doc_id ORDER BY c DESC, k ASC) AS rn "
+                f"FROM oc{n}) WHERE rn = 1)"
+            )
+            parts.append(
+                f"tc{n} AS (SELECT o.doc_id, count(DISTINCT j) AS cov "
+                f"FROM oc{n} o JOIN md{n} m ON o.doc_id = m.doc_id AND o.k = m.k, "
+                f"LATERAL (SELECT unnest(generate_series(o.i, o.i + {n - 1})) AS j) g "
+                f"GROUP BY o.doc_id)"
+            )
+            joins.append(f"LEFT JOIN tc{n} ON tok.doc_id = tc{n}.doc_id")
+            sels.append(
+                f"ROUND(CAST(coalesce(tc{n}.cov, 0) AS DOUBLE) / tok.nt, 4) "
+                f"AS top_{n}gram_frac"
+            )
+        if n in _REP_DUP_NS:
+            parts.append(
+                f"dc{n} AS (SELECT doc_id, count(DISTINCT j) AS cov FROM oc{n}, "
+                f"LATERAL (SELECT unnest(generate_series(i, i + {n - 1})) AS j) g "
+                f"WHERE c >= 2 GROUP BY doc_id)"
+            )
+            joins.append(f"LEFT JOIN dc{n} ON tok.doc_id = dc{n}.doc_id")
+            sels.append(
+                f"ROUND(CAST(coalesce(dc{n}.cov, 0) AS DOUBLE) / tok.nt, 4) "
+                f"AS dup_{n}gram_frac"
+            )
+    return (
+        "WITH " + ", ".join(parts) + " SELECT tok.doc_id, " + ", ".join(sels)
+        + " FROM tok " + " ".join(joins) + " ORDER BY tok.doc_id"
     )
 
 
@@ -3619,6 +3724,7 @@ def oracle_sql() -> dict[str, str]:
         # tokenize -> unigram+bigram expansion (with multiplicity) -> 60-bit
         # md5 bucket mod 1024 -> affine integer weight -> int64 dot -> one
         # double division; bit-equal by construction (integer arithmetic)
+        "doc_repetition_signals": _repetition_sql(),
         "doc_corpus_line_dedup": _corpus_line_dedup_sql(),
         "doc_split_assignment": _split_sql(),
         "transcripts_validation": _validation_sql(tr_src),
