@@ -37,6 +37,7 @@ def curate(
     normalize_before_dedup: bool = False,
     decontaminate_against=None,
     decontam_shingle_n: int = 8,
+    repetition_thresholds: Optional[dict] = None,
     model_score_threshold: Optional[float] = None,
     release_cache: bool = False,
 ):
@@ -47,7 +48,10 @@ def curate(
     (a reference/benchmark DataFrame; docs sharing any
     ``decontam_shingle_n``-gram are dropped FIRST, via the 8-byte-hash
     shingle join), ``normalize_before_dedup`` (formatting-invariant
-    exact dedup), and ``model_score_threshold`` (model-based quality: the
+    exact dedup), ``repetition_thresholds`` (Gopher repetition gates: a
+    {signal: max} dict over ``repetition.repetition_signals`` columns,
+    e.g. {"dup_5gram_frac": 0.3}; runs after the Catalyst gates, before
+    the model stage), and ``model_score_threshold`` (model-based quality: the
     hashed-n-gram linear scorer of ``quality_model.model_quality_score``
     runs LAST, over only the heuristic-gate survivors — the cheap
     heuristics shrink the corpus before the model pass, the standard
@@ -132,11 +136,38 @@ def curate(
     curated = gated.select(*df.columns)  # exactly the input schema
     n_final = curated.count()
 
+    # 3b. (optional) Gopher repetition gates: numpy mapInPandas over the
+    # CATALYST-gate survivors only (cheap row-local expressions shrink the
+    # corpus before the costlier Arrow pass — the same cheap-to-expensive
+    # ordering as the model stage); only the n values the thresholds name
+    # are computed. Filter-shaped, no join, backed by the fuzzy_kept cache.
+    n_rep = n_final
+    if repetition_thresholds:
+        import re
+
+        from .repetition import repetition_signals
+
+        top_ns, dup_ns = [], []
+        for k in repetition_thresholds:
+            m = re.fullmatch(r"(top|dup)_(\d+)gram_frac", k)
+            if not m:
+                raise ValueError(f"unknown repetition signal {k!r}")
+            (top_ns if m.group(1) == "top" else dup_ns).append(int(m.group(2)))
+        sig = repetition_signals(
+            curated, text_col=text_col, top_ns=sorted(top_ns), dup_ns=sorted(dup_ns)
+        )
+        cond = None
+        for k, v in repetition_thresholds.items():
+            c = F.col(k) <= float(v)
+            cond = c if cond is None else (cond & c)
+        curated = sig.filter(cond).select(*df.columns)
+        n_rep = curated.count()
+
     # 4. (optional) model-based quality: hashed-n-gram linear scorer over
     # the heuristic survivors only — row-local mapInPandas appends the
     # score, so the stage is filter-shaped (no join); backed by the same
     # fuzzy_kept cache, so the count action does not re-run the dedup
-    n_model = n_final
+    n_model = n_rep
     if model_score_threshold is not None:
         from pyspark.sql import functions as F  # noqa: F811 (local alias)
 
@@ -161,9 +192,12 @@ def curate(
         "dropped_fuzzy_dups": n_exact - n_fuzzy,
         "dropped_quality_language": n_fuzzy - n_final,
     }
+    if repetition_thresholds:
+        stats["after_repetition"] = n_rep
+        stats["dropped_repetition"] = n_final - n_rep
     if model_score_threshold is not None:
         stats["after_model_quality"] = n_model
-        stats["dropped_model_quality"] = n_final - n_model
+        stats["dropped_model_quality"] = n_rep - n_model
     return curated, stats
 
 
@@ -180,6 +214,11 @@ def run_dataprep(args) -> dict:
         min_tokens=args.min_tokens,
         languages=args.languages.split(",") if args.languages else None,
         jaccard_threshold=args.jaccard_threshold,
+        repetition_thresholds=(
+            {"dup_5gram_frac": args.max_dup_5gram_frac}
+            if args.max_dup_5gram_frac is not None
+            else None
+        ),
         model_score_threshold=args.model_score_threshold,
     )
     curated.write.mode("overwrite").parquet(args.output)
@@ -202,6 +241,10 @@ def _parser() -> argparse.ArgumentParser:
     p.add_argument("--min-tokens", type=int, default=5)
     p.add_argument("--languages", default=None, help="comma list, e.g. en,de")
     p.add_argument("--jaccard-threshold", type=float, default=0.7)
+    p.add_argument(
+        "--max-dup-5gram-frac", type=float, default=None,
+        help="enable the Gopher repetition gate on the dup-5-gram fraction",
+    )
     p.add_argument(
         "--model-score-threshold", type=float, default=None,
         help="enable the classifier-last hashed-n-gram model-quality stage",

@@ -98,3 +98,44 @@ def test_repetition_signals_bad_n(spark):
     df = spark.createDataFrame([(0, "x")], "id long, text string")
     with pytest.raises(ValueError):
         repetition_signals(df, top_ns=(0,))
+
+
+def test_curate_repetition_stage_accounting(spark):
+    """repetition_thresholds adds a filter-shaped stage between the Catalyst
+    gates and the model stage: counts reconcile, only the named n values
+    are computed, survivors are exactly the docs under every threshold, and
+    unknown signal names raise."""
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.dataprep import curate
+    from ddsparkle.spark.repetition import repetition_signals
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{base} doc {i} " + ("spam " * 12 if i % 4 == 0 else "") + "end")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    thresholds = {"dup_5gram_frac": 0.2, "top_2gram_frac": 0.5}
+    curated, stats = curate(
+        docs, min_tokens=3, repetition_thresholds=thresholds
+    )
+    assert curated.columns == docs.columns
+    assert stats["after_repetition"] <= stats["after_quality_language"]
+    assert (
+        stats["dropped_repetition"]
+        == stats["after_quality_language"] - stats["after_repetition"]
+    )
+    assert curated.count() == stats["after_repetition"]
+    # survivors re-scored: every signal under its threshold
+    sig = repetition_signals(curated, top_ns=(2,), dup_ns=(5,))
+    assert sig.filter(
+        (F.col("dup_5gram_frac") > 0.2) | (F.col("top_2gram_frac") > 0.5)
+    ).count() == 0
+    # the spam docs were really dropped by this stage
+    assert stats["dropped_repetition"] > 0
+    # without the flag the stage keys are absent
+    _, base_stats = curate(docs, min_tokens=3)
+    assert "after_repetition" not in base_stats
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curate(docs, repetition_thresholds={"nope_frac": 0.5})
