@@ -2303,6 +2303,24 @@ def q_doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_MIX_FRACTIONS = {f"src{i}": (i % 5 + 1) / 10 for i in range(20)}
+
+
+def q_doc_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing (dataops.hash_sample_by_group) — deterministic
+    per-source Bernoulli sampling at literal fractions (0.1..0.5 cycling
+    over the 20 sources): membership is md5-60bit('mix:'||doc_id) mod 2^20
+    under an integer per-group threshold, so the DuckDB twin replays every
+    bit (same hash, same CASE thresholds generated from the same dict).
+    Zero shuffle, zero joins — the when-chain inlines in the scan. The
+    tau-waterfilling wrapper (temperature_mix) is pytest-covered; this
+    gate pins the row-selection layer both engines share."""
+    from ddsparkle.spark.dataops import hash_sample_by_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return hash_sample_by_group(docs, "source", _MIX_FRACTIONS).orderBy("doc_id")
+
+
 def q_doc_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-document line dedup (dataops.corpus_line_dedup) — the CCNet
     boilerplate-removal stage: the gate builds 4-line documents with a
@@ -2416,12 +2434,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all land in the driver's 50-row window again. Union of r1-r5 driver
     rows still covers every entry; veterans outside the window rest on the
     harness replay (all entries, both SFs recorded in BENCH/). The late-r5
-    gates take the front positions — repetition-signals /
-    corpus-line-dedup / split / conversation-validation (1-4), then
-    PII-redaction / line-dedup (5-6) — rotating six r4-green veterans past
-    the window."""
+    gates take the front positions — domain-mix / repetition-signals /
+    corpus-line-dedup / split / conversation-validation (1-5), then
+    PII-redaction / line-dedup (6-7) — rotating seven r4-green veterans
+    past the window."""
     return {
         # --- newest (late r5): repetition signals, line dedup, split, validation ---
+        "doc_domain_mix": q_doc_domain_mix,
         "doc_repetition_signals": q_doc_repetition_signals,
         "doc_corpus_line_dedup": q_doc_corpus_line_dedup,
         "doc_split_assignment": q_doc_split_assignment,
@@ -2907,6 +2926,21 @@ def _repetition_sql() -> str:
     return (
         "WITH " + ", ".join(parts) + " SELECT tok.doc_id, " + ", ".join(sels)
         + " FROM tok " + " ".join(joins) + " ORDER BY tok.doc_id"
+    )
+
+
+def _mix_sql() -> str:
+    """The mixing twin: identical 60-bit md5, identical integer thresholds
+    (generated from the SAME _MIX_FRACTIONS dict as the Spark when-chain)."""
+    res = 1 << 20
+    cases = " ".join(
+        f"WHEN source = '{g}' THEN {int(min(max(float(f), 0.0), 1.0) * res)}"
+        for g, f in _MIX_FRACTIONS.items()
+    )
+    return (
+        "SELECT doc_id, source FROM (SELECT doc_id, source, "
+        f"('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT % {res} AS h "
+        f"FROM documents) WHERE h < (CASE {cases} ELSE 0 END) ORDER BY doc_id"
     )
 
 
@@ -3724,6 +3758,7 @@ def oracle_sql() -> dict[str, str]:
         # tokenize -> unigram+bigram expansion (with multiplicity) -> 60-bit
         # md5 bucket mod 1024 -> affine integer weight -> int64 dot -> one
         # double division; bit-equal by construction (integer arithmetic)
+        "doc_domain_mix": _mix_sql(),
         "doc_repetition_signals": _repetition_sql(),
         "doc_corpus_line_dedup": _corpus_line_dedup_sql(),
         "doc_split_assignment": _split_sql(),

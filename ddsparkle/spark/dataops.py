@@ -59,6 +59,8 @@ __all__ = [
     "remove_repeated_lines",
     "corpus_line_dedup",
     "assign_split",
+    "hash_sample_by_group",
+    "temperature_mix",
 ]
 
 _WORD_SEED = 0x7E57DA7A
@@ -2197,3 +2199,98 @@ def assign_split(
         acc = F.when(h < cum, name) if acc is None else acc.when(h < cum, name)
     col = acc.otherwise(names[-1]) if acc is not None else F.lit(names[-1])
     return df.withColumn(split_col, col)
+
+
+def hash_sample_by_group(
+    df,
+    group_col: str = "source",
+    fractions: dict | None = None,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    resolution: int = 1 << 20,
+):
+    """Deterministic per-group Bernoulli sampling — the mixing primitive:
+    a row of group g survives iff ``md5-60bit('salt:id') mod resolution <
+    floor(fractions[g] * resolution)``. Membership is a pure function of
+    (salt, id): stable under corpus growth and re-runs, engine-portable
+    (integer threshold comparison — the driver gate replays every bit), and
+    UNIFORM within each group because the hash is independent of the group.
+    Groups absent from ``fractions`` are dropped (mixing is an explicit
+    contract). Zero shuffle, zero joins: the thresholds inline as a
+    when-chain in the scan projection — ``fractions`` is assumed
+    domain-cardinality-small (tens to thousands of sources), the standard
+    mixing shape. Note the count realized per group is binomial around
+    ``frac * n_g``, not exact-k (``deterministic_stratified_sample`` is the
+    exact-k primitive); the expectation is what mixing recipes specify."""
+    from pyspark.sql import functions as F
+
+    if not fractions:
+        raise ValueError("fractions must map group -> sampling fraction")
+    h = (
+        _portable_line_key(
+            F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+        )
+        % int(resolution)
+    )
+    acc = None
+    for g, f in fractions.items():
+        thr = int(min(max(float(f), 0.0), 1.0) * resolution)
+        cond = F.col(group_col).eqNullSafe(F.lit(g))
+        acc = F.when(cond, thr) if acc is None else acc.when(cond, thr)
+    return df.filter(h < acc.otherwise(F.lit(0)))
+
+
+def temperature_mix(
+    df,
+    group_col: str = "source",
+    tau: float = 0.7,
+    target_rows: int | None = None,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+):
+    """Temperature-based domain mixing (the multilingual/multi-source
+    rebalancing recipe): group g's target share is ``n_g^tau / sum(n^tau)``
+    — tau=1 keeps natural proportions, tau=0 equalizes domains, 0<tau<1
+    up-weights the tail. Returns ``(sampled_df, fractions)``.
+
+    Driver-side math is ONE small groupBy().count() collect (bounded by
+    domain cardinality — the one collect a mixing operator genuinely needs)
+    plus deterministic waterfilling: groups whose target exceeds their size
+    cap at fraction 1.0 and the excess redistributes over the rest (without
+    it, capped groups silently shrink the output below ``target_rows``).
+    Row selection then delegates to ``hash_sample_by_group`` — zero
+    shuffle, stable membership. Realized counts are binomial around the
+    targets (documented there)."""
+    counts = {
+        r[0]: r[1] for r in df.groupBy(group_col).count().collect()
+    }
+    if not counts:
+        return hash_sample_by_group(df, group_col, {"__none__": 0.0}, id_col, salt), {}
+    total = sum(counts.values())
+    t = int(target_rows) if target_rows is not None else total
+    if t <= 0:
+        raise ValueError("target_rows must be positive")
+    t = min(t, total)
+    fractions: dict = {}
+    active = dict(counts)
+    remaining = float(t)
+    while active:
+        z = sum(n ** tau for n in active.values())
+        want = {g: remaining * (n ** tau) / z for g, n in active.items()}
+        capped = {g for g, wv in want.items() if wv >= active[g]}
+        if not capped:
+            for g, wv in want.items():
+                fractions[g] = wv / active[g]
+            break
+        for g in capped:
+            fractions[g] = 1.0
+            remaining -= active[g]
+        active = {g: n for g, n in active.items() if g not in capped}
+        if remaining <= 0:
+            for g in active:
+                fractions[g] = 0.0
+            break
+    return (
+        hash_sample_by_group(df, group_col, fractions, id_col, salt),
+        fractions,
+    )

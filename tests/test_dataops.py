@@ -1004,3 +1004,64 @@ def test_assign_split_portable_and_deterministic(spark):
         assign_split(df, weights=(("a", 1), ("a", 1)))
     with _pytest.raises(ValueError):
         assign_split(df, weights=(("a", 0), ("b", 1)))
+
+
+def test_hash_sample_by_group_portable(spark):
+    """Membership is the documented pure function of (salt, id) — replayed
+    by hashlib — uniform-hash independent of group; absent groups drop;
+    fraction 0/1 edges exact."""
+    import hashlib
+
+    from ddsparkle.spark.dataops import hash_sample_by_group
+
+    rows = [(i, f"src{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    fr = {"src0": 0.5, "src1": 1.0}  # src2 absent -> dropped
+    got = {
+        r["doc_id"]
+        for r in hash_sample_by_group(df, "source", fr).collect()
+    }
+    res = 1 << 20
+
+    def h(i, salt="mix"):
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:15], 16) % res
+
+    want = {
+        i
+        for i, src in rows
+        if src in fr and h(i) < int(fr[src] * res)
+    }
+    assert got == want
+    assert all(i % 3 != 2 for i in got)
+    assert {i for i, s in rows if s == "src1"} <= got  # fraction 1.0 keeps all
+
+
+def test_temperature_mix_waterfilling(spark):
+    """tau=0 equalizes shares (small groups cap at 1.0, excess
+    redistributes); tau=1 returns natural fractions; realized counts sit
+    near frac*n_g; fractions dict reconciles with target_rows."""
+    from ddsparkle.spark.dataops import temperature_mix
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(1000 + i, "mid") for i in range(90)]
+        + [(2000 + i, "tiny") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out, fr = temperature_mix(df, tau=0.0, target_rows=300)
+    # equal thirds of 300 = 100 each, but tiny (10) and mid (90) cap at 1.0
+    # and their excess redistributes onto big
+    assert fr["tiny"] == 1.0 and fr["mid"] == 1.0
+    assert abs(fr["big"] * 900 - 200) < 1e-6
+    got = out.groupBy("source").count().collect()
+    by = {r[0]: r[1] for r in got}
+    assert by["tiny"] == 10 and by["mid"] == 90
+    assert 150 <= by["big"] <= 250  # binomial around 200
+    # tau=1: natural proportions -> every fraction == target/total
+    _, fr1 = temperature_mix(df, tau=1.0, target_rows=500)
+    for g in ("big", "mid", "tiny"):
+        assert abs(fr1[g] - 0.5) < 1e-9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_mix(df, target_rows=0)
