@@ -1932,6 +1932,41 @@ def q_transcripts_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transcripts_selfjoin_size_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war F2 sketch on the north-star table's conv_id: F2 of a
+    join key IS the size of the self-equijoin on it, so this prices the
+    adjacency self-join (the shape every transcript operator leans on)
+    from ONE scan plus a 2 KB counter-vector reduce — no groupBy on
+    conv_id, no raw-row exchange, the zero-shuffle skew probe. The sketch
+    is integer end-to-end (parity of a degree-3 Horner polynomial over the
+    Mersenne field 2^61-1 on the portable 60-bit md5 key; int64 counters;
+    sum-of-squares numerator), so the twin replays the ENTIRE sketch in
+    HUGEINT SQL and ``f2_est_num`` must match bit-for-bit — a stronger
+    gate than the family's bound-boolean pattern, which is still asserted:
+    |est - F2| <= 91/256 * F2 is the integer form of the 4-sigma Chebyshev
+    bound 4*sqrt(2/c) with c=256 counters (exact F2 recomputed exactly by
+    both engines for the check)."""
+    from ddsparkle.spark.approx import ams_f2_sketch
+
+    df = _transcripts(spark, sf_dir)
+    keyed = df.select(
+        F.conv(F.substring(F.md5("conv_id"), 1, 15), 16, 10).cast("long").alias("k")
+    )
+    sk = ams_f2_sketch(keyed, "k", n_counters=256, seed=0)
+    exact = int(
+        df.groupBy("conv_id")
+        .count()
+        .agg(F.sum(F.col("count") * F.col("count")).alias("f2"))
+        .collect()[0]["f2"]
+    )
+    num = sk.f2_numerator()
+    within = abs(num - sk.n_counters * exact) <= 91 * exact
+    return spark.createDataFrame(
+        [(sk.n_counters, exact, num, bool(within))],
+        "n_counters int, f2_exact bigint, f2_est_num bigint, within_bound boolean",
+    )
+
+
 def q_transcripts_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north rule's streaming leg on the NORTH-STAR table: transcript
     files flow as micro-batches through the replay-idempotent foreachBatch
@@ -2439,6 +2474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     PII-redaction / line-dedup (6-7) — rotating seven r4-green veterans
     past the window."""
     return {
+        # --- newest (late r5): AMS F2 / self-join-size sketch ---
+        "transcripts_selfjoin_size_ams": q_transcripts_selfjoin_size_ams,
         # --- newest (late r5): repetition signals, line dedup, split, validation ---
         "doc_domain_mix": q_doc_domain_mix,
         "doc_repetition_signals": q_doc_repetition_signals,
@@ -3286,6 +3323,34 @@ def oracle_sql() -> dict[str, str]:
             "lat",
             [0.5, 0.95],
             group_col="conv_id",
+        ),
+        # AMS F2: the twin replays the FULL sketch — the same 60-bit md5
+        # key, the same md5-derived coefficient table, the same degree-3
+        # Horner parity mod 2^61-1 (HUGEINT arithmetic is exact), the same
+        # int64 counters — so f2_est_num is bit-equal, not just bounded;
+        # the 91/256 integer bound (= 4*sqrt(2/256), Chebyshev 4-sigma) is
+        # additionally computed from each engine's own exact F2
+        "transcripts_selfjoin_size_ams": (
+            "WITH keyed AS (SELECT ('0x' || substr(md5(conv_id), 1, 15))"
+            "::BIGINT::HUGEINT AS x, COUNT(*)::HUGEINT AS cnt "
+            f"FROM {tr_src} GROUP BY conv_id), "
+            "coeff AS (SELECT j, "
+            "('0x' || substr(md5('ams:0:' || j || ':3'), 1, 15))::BIGINT::HUGEINT AS a3, "
+            "('0x' || substr(md5('ams:0:' || j || ':2'), 1, 15))::BIGINT::HUGEINT AS a2, "
+            "('0x' || substr(md5('ams:0:' || j || ':1'), 1, 15))::BIGINT::HUGEINT AS a1, "
+            "('0x' || substr(md5('ams:0:' || j || ':0'), 1, 15))::BIGINT::HUGEINT AS a0 "
+            "FROM generate_series(0, 255) AS t(j)), "
+            "sgn AS (SELECT j, cnt, "
+            "((((a3 * x % 2305843009213693951 + a2) * x % 2305843009213693951 "
+            "+ a1) * x % 2305843009213693951 + a0) % 2305843009213693951) % 2 AS par "
+            "FROM keyed CROSS JOIN coeff), "
+            "counters AS (SELECT j, SUM(CASE WHEN par = 1 THEN cnt ELSE -cnt END) "
+            "AS cj FROM sgn GROUP BY j), "
+            "est AS (SELECT SUM(cj * cj)::BIGINT AS f2_est_num FROM counters), "
+            "ex AS (SELECT SUM(cnt * cnt)::BIGINT AS f2_exact FROM keyed) "
+            "SELECT 256 AS n_counters, f2_exact, f2_est_num, "
+            "abs(f2_est_num - 256 * f2_exact) <= 91 * f2_exact AS within_bound "
+            "FROM est, ex"
         ),
         # KMV overlap: exact parts recomputed in SQL, bound booleans
         # asserted TRUE (k=8192 > the fixture's distinct-content universe,

@@ -17,5 +17,6 @@ from .hll import HyperLogLog
 from .misra_gries import MisraGries
 from .kmv import KMVSketch
 from .reservoir import ReservoirSample
+from .ams import AMSSketch
 
-__all__ = ["HyperLogLog", "CountMinSketch", "BloomFilter", "KLLSketch", "TDigest", "MisraGries", "ReservoirSample", "KMVSketch"]
+__all__ = ["HyperLogLog", "CountMinSketch", "BloomFilter", "KLLSketch", "TDigest", "MisraGries", "ReservoirSample", "KMVSketch", "AMSSketch"]

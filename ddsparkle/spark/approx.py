@@ -12,7 +12,7 @@ import pandas as pd
 
 from ..sketches import BloomFilter, CountMinSketch, HyperLogLog
 
-__all__ = ["hll_distinct", "cms_frequencies", "bloom_membership", "kmv_distinct_sketch", "set_overlap"]
+__all__ = ["hll_distinct", "cms_frequencies", "bloom_membership", "kmv_distinct_sketch", "set_overlap", "ams_f2_sketch"]
 
 
 def _payload_schema(df, key_cols: Sequence[str]):
@@ -348,6 +348,37 @@ def set_overlap(df_a, col_a, df_b, col_b, k: int = 4096, seed: int = 0) -> dict:
         "jaccard": ov["jaccard"],
         "rse": a.relative_standard_error,
     }
+
+
+def ams_f2_sketch(df, key_col: str, n_counters: int = 256, seed: int = 0):
+    """Second frequency moment (= self-equijoin size = the skew hazard) of
+    ``key_col`` via the AMS tug-of-war sketch: the usual chassis
+    (mapInPandas per-task partials -> salted payload reduce), but the state
+    is just ``n_counters`` int64 counters, so the WHOLE job is one scan plus
+    a KB-scale vector reduce — no groupBy on the key, no raw-row exchange.
+    That is the point: it prices "what would the conv_id self-join cost?"
+    without paying for a shuffle of the rows.
+
+    ``key_col`` must already hold the portable 60-bit key
+    (``conv(substring(md5(v),1,15),16,10)`` — the repo-wide cross-engine
+    hash), computed JVM-side in the scan projection; the sketch itself is
+    then integer-exact and replayable bit-for-bit by a SQL engine
+    (see the ``transcripts_selfjoin_size_ams`` gate twin).
+
+    Returns the merged :class:`~ddsparkle.sketches.ams.AMSSketch`.
+    """
+    from ..sketches.ams import AMSSketch
+
+    partials = _build_payload_partials(
+        df.select(key_col),
+        key_col,
+        [],
+        make=lambda: AMSSketch(n_counters=n_counters, seed=seed),
+        update=lambda sk, v: sk.update(v.to_numpy(np.int64)),
+    )
+    return _reduce_payloads(partials, AMSSketch.from_bytes) or AMSSketch(
+        n_counters=n_counters, seed=seed
+    )
 
 
 def heavy_hitters(df, value_col: str, k: int = 10, mg_k: int = 256, exact_counts: bool = True):
