@@ -2400,6 +2400,43 @@ def q_doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic size-targeted output sharding (dataops.assign_shards):
+    the corpus laid on the canonical md5('shard:'||id) line and cut every
+    8192 chars; Spark computes it with the DISTRIBUTED prefix sum (bucketed
+    per-bucket windows + broadcast offsets — no global single-partition
+    window), the twin with one ordinary SUM() OVER — their equality is the
+    gate. Per-shard doc counts, unit mass, and the md5 of the in-shard
+    id sequence (canonical order) must all hash-match, pinning every
+    document's shard assignment AND position."""
+    from ddsparkle.spark.dataops import assign_shards
+
+    sh = assign_shards(_t(spark, sf_dir, "documents"), target_units=8192)
+    hx = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("shard"), F.col("doc_id"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        sh.withColumn("hx", hx)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("units").alias("units"),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(hx, doc_id))), "
+                        "s -> cast(s.doc_id as string))"
+                    ),
+                    "|",
+                )
+            ).alias("ids_md5"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 def _corrupted_transcripts(df: DataFrame) -> DataFrame:
     """Deterministic contract violations for the validation gate (the
     PII/media injection pattern — the synthetic transcripts are all VALID,
@@ -2474,8 +2511,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     PII-redaction / line-dedup (6-7) — rotating seven r4-green veterans
     past the window."""
     return {
-        # --- newest (late r5): AMS F2 / self-join-size sketch ---
+        # --- newest (late r5): AMS F2 sketch + deterministic output sharding ---
         "transcripts_selfjoin_size_ams": q_transcripts_selfjoin_size_ams,
+        "doc_shard_packing": q_doc_shard_packing,
         # --- newest (late r5): repetition signals, line dedup, split, validation ---
         "doc_domain_mix": q_doc_domain_mix,
         "doc_repetition_signals": q_doc_repetition_signals,
@@ -3827,6 +3865,23 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_signals": _repetition_sql(),
         "doc_corpus_line_dedup": _corpus_line_dedup_sql(),
         "doc_split_assignment": _split_sql(),
+        # sharding: the twin's ONE global SUM() OVER replays the Spark
+        # side's bucketed distributed prefix sum (top-bit buckets follow
+        # the hash order, so the compositions must agree bit-for-bit);
+        # ids_md5 pins per-document assignment and in-shard position
+        "doc_shard_packing": (
+            "WITH h AS (SELECT doc_id, coalesce(length(text), 0)::BIGINT AS units, "
+            "('0x' || substr(md5('shard:' || doc_id), 1, 15))::BIGINT AS hx "
+            "FROM documents), "
+            "c AS (SELECT *, SUM(units) OVER (ORDER BY hx, doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS cum FROM h), "
+            "a AS (SELECT doc_id, units, hx, "
+            "((cum - units) // 8192)::BIGINT AS shard_id FROM c) "
+            "SELECT shard_id, COUNT(*)::BIGINT AS n_docs, "
+            "SUM(units)::BIGINT AS units, "
+            "md5(string_agg(doc_id::VARCHAR, '|' ORDER BY hx, doc_id)) AS ids_md5 "
+            "FROM a GROUP BY shard_id ORDER BY shard_id"
+        ),
         "transcripts_validation": _validation_sql(tr_src),
         "doc_pii_redaction": _pii_sql(),
         "doc_line_dedup": _line_dedup_sql(),

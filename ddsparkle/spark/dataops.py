@@ -2201,6 +2201,87 @@ def assign_split(
     return df.withColumn(split_col, col)
 
 
+def assign_shards(
+    df,
+    id_col: str = "doc_id",
+    units_col=None,
+    target_units: int = 1 << 26,
+    salt: str = "shard",
+    bucket_bits: int = 10,
+    text_col: str = "text",
+):
+    """Deterministic size-targeted output sharding — the training-data
+    write stage: lay the corpus on a canonical hash-shuffled line (order by
+    the portable 60-bit md5 of ``'salt:id'``, ties by id) and cut it every
+    ``target_units`` units (tokens/chars/bytes — ``units_col``, default
+    ``length(text_col)``); ``shard_id`` = the bin a document's FIRST unit
+    falls in, so shards are contiguous runs of the canonical order with
+    near-equal unit mass and a hash-uniform (i.e. content-agnostic,
+    dedup/source-independent) document mix per shard. Assignment is a pure
+    function of (salt, ids, sizes) — identical across engines and re-runs.
+
+    The running total is a DISTRIBUTED prefix sum, never a global
+    single-partition window (the naive ``SUM() OVER (ORDER BY h)`` puts
+    100 TB through ONE task): rows land in ``2^bucket_bits`` buckets by
+    their hash's top bits (deterministic, so bucket boundaries respect the
+    global order), each bucket windows its own cumsum after one narrow
+    (id, units, hash) exchange — text never moves — and the per-bucket
+    totals (a 2^bucket_bits-row frame) prefix-sum driver-side and
+    broadcast-join back as offsets. Raise ``bucket_bits`` with corpus size
+    to keep per-bucket sorts in memory.
+
+    Returns (id_col, units bigint, shard_id bigint). NULL text/units count
+    as 0 (the document still occupies a slot). The DuckDB twin replays the
+    whole assignment with one ordinary ``SUM() OVER`` — equality with the
+    bucketed plan is exactly what the gate checks."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if target_units <= 0:
+        raise ValueError("target_units must be positive")
+    if not 1 <= bucket_bits <= 20:
+        raise ValueError("bucket_bits must be in [1, 20]")
+    units = (
+        F.col(units_col) if units_col is not None else F.length(F.col(text_col))
+    )
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(units.cast("bigint"), F.lit(0)).alias("__units"),
+        _portable_line_key(
+            F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+        ).alias("__hx"),
+    )
+    # top bits of the 60-bit key: bucketing follows the global hash order,
+    # so per-bucket cumsums + bucket offsets compose to the global prefix
+    base = base.withColumn(
+        "__b", F.shiftright(F.col("__hx"), 60 - bucket_bits).cast("int")
+    )
+    w = Window.partitionBy("__b").orderBy("__hx", id_col)
+    local = base.withColumn("__cum", F.sum("__units").over(w))
+    totals = {
+        r["__b"]: r["t"]
+        for r in base.groupBy("__b").agg(F.sum("__units").alias("t")).collect()
+    }
+    off, acc = {}, 0
+    for b in sorted(totals):
+        off[b] = acc
+        acc += int(totals[b])
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(b, o) for b, o in off.items()] or [(0, 0)], "__b int, __off bigint"
+    )
+    return (
+        local.join(F.broadcast(off_df), "__b", "left")
+        .select(
+            F.col(id_col),
+            F.col("__units").alias("units"),
+            F.expr(
+                f"(__cum + coalesce(__off, 0L) - __units) div {int(target_units)}"
+            ).alias("shard_id"),
+        )
+    )
+
+
 def hash_sample_by_group(
     df,
     group_col: str = "source",

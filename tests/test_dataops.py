@@ -1065,3 +1065,60 @@ def test_temperature_mix_waterfilling(spark):
 
     with _pytest.raises(ValueError):
         temperature_mix(df, target_rows=0)
+
+
+def test_assign_shards_matches_python_prefix_sum(spark):
+    """assign_shards == the naive hashlib + global-cumsum replay, including
+    NULL text (0 units), a mega-doc straddling several targets (start-bin
+    rule), and invariance to input partitioning and bucket_bits."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.dataops import assign_shards
+
+    rows = [(i, "x" * ((i * 37) % 400 + 1)) for i in range(200)]
+    rows[7] = (7, None)  # NULL text -> 0 units, still occupies a slot
+    rows[50] = (50, "y" * 5000)  # straddles multiple 1k bins
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def replay(target):
+        keyed = []
+        for i, t in rows:
+            h = int(hashlib.md5(f"shard:{i}".encode()).hexdigest()[:15], 16)
+            keyed.append((h, i, len(t) if t is not None else 0))
+        keyed.sort()
+        cum, out = 0, {}
+        for h, i, u in keyed:
+            out[i] = cum // target
+            cum += u
+        return out
+
+    for target, bits in ((1000, 10), (1000, 2), (250, 4)):
+        got = {
+            r["doc_id"]: r["shard_id"]
+            for r in assign_shards(
+                df.repartition(7), target_units=target, bucket_bits=bits
+            ).collect()
+        }
+        assert got == replay(target), (target, bits)
+    # units column override
+    dfu = df.withColumn("n", (F.col("doc_id") % 5 + 1).cast("long"))
+    got = assign_shards(dfu, units_col="n", target_units=17).collect()
+    assert all(r["units"] == r["doc_id"] % 5 + 1 for r in got)
+    # contiguity: shards partition the canonical hash order into runs
+    out = assign_shards(df, target_units=1000).collect()
+    byshard = {}
+    for r in out:
+        h = int(hashlib.md5(f"shard:{r['doc_id']}".encode()).hexdigest()[:15], 16)
+        byshard.setdefault(r["shard_id"], []).append(h)
+    sids = sorted(byshard)
+    for a, b in zip(sids, sids[1:]):
+        assert max(byshard[a]) < min(byshard[b])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        assign_shards(df, target_units=0)
+    with _pytest.raises(ValueError):
+        assign_shards(df, bucket_bits=0)
+    assert assign_shards(df.filter(F.lit(False)), target_units=10).count() == 0
