@@ -271,3 +271,25 @@ def test_corpus_line_dedup_plan_jvm_side(spark, sf_dir):
     # final one, with an Exchange between them in the tree
     aggs = re.findall(r"\(\d+\) SortAggregate\b", plan)
     assert len(aggs) >= 2, plan  # partial + final == map-side combine exists
+
+
+def test_assign_shards_no_global_window(spark, sf_dir):
+    """The sharding prefix sum must be DISTRIBUTED: the window partitions by
+    the hash-top-bits bucket (hashpartitioning exchange), never a
+    SinglePartition exchange (the naive global SUM() OVER that would pull
+    100 TB through one task); the offset join must broadcast; the whole
+    plan stays JVM-side and the scan reads only (doc_id, text)."""
+    from ddsparkle.spark.dataops import assign_shards
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(assign_shards(df, target_units=8192))
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(__b" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # no Python stage over DATA — the only Python artifact allowed is the
+    # 2^bucket_bits-row driver-local offsets frame (applySchemaToPythonRDD)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "MapInPandas" not in plan
+    assert "ReadSchema" in plan
+    sched = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert all(("lang" not in ln and "source" not in ln) for ln in sched), sched
