@@ -2437,6 +2437,33 @@ def q_doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical bigram-LM quality scoring (ngram_lm): the LM is trained
+    AND scored inside the gate — top-20 unigram / top-500 bigram caps both
+    BIND on this corpus (31 distinct unigrams, ~916 bigrams), so the
+    deterministic (count DESC, key) cap ordering is itself under test. Each
+    transition's add-one surprisal is quantized to INTEGER bits
+    (bitlen(c1+V) - bitlen(c2+1), bitlen == length(bin(x)) in both
+    engines), bits_total is an order-free int64 sum, and the one float
+    division happens at the end — so the twin retrains the same LM and
+    replays every score hash-exactly. Scale: train state is K-bounded and
+    broadcast; scoring is one row-local Arrow pass, zero joins."""
+    from ddsparkle.spark.ngram_lm import lm_quality_score, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs, top_unigrams=20, top_bigrams=500)
+    return (
+        lm_quality_score(docs, lm)
+        .select(
+            "doc_id",
+            "n_transitions",
+            "bits_total",
+            F.round("bits_per_token", 4).alias("bits_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _corrupted_transcripts(df: DataFrame) -> DataFrame:
     """Deterministic contract violations for the validation gate (the
     PII/media injection pattern — the synthetic transcripts are all VALID,
@@ -2514,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- newest (late r5): AMS F2 sketch + deterministic output sharding ---
         "transcripts_selfjoin_size_ams": q_transcripts_selfjoin_size_ams,
         "doc_shard_packing": q_doc_shard_packing,
+        "doc_lm_quality": q_doc_lm_quality,
         # --- newest (late r5): repetition signals, line dedup, split, validation ---
         "doc_domain_mix": q_doc_domain_mix,
         "doc_repetition_signals": q_doc_repetition_signals,
@@ -3865,6 +3893,41 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_signals": _repetition_sql(),
         "doc_corpus_line_dedup": _corpus_line_dedup_sql(),
         "doc_split_assignment": _split_sql(),
+        # bigram-LM quality: the twin RETRAINS the LM (same single-space
+        # tokens, 60-bit keys, count-DESC/key top-K caps, vocab size) and
+        # replays every integer-bits score; the only float is the final
+        # per-doc division, ROUND(4) on both sides
+        "doc_lm_quality": (
+            "WITH lt AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents WHERE text IS NOT NULL), "
+            "u AS (SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT AS k, "
+            "COUNT(*)::BIGINT AS c FROM (SELECT unnest(t) AS w FROM lt) "
+            "GROUP BY 1), "
+            "topu AS (SELECT k, c FROM u ORDER BY c DESC, k LIMIT 20), "
+            "b AS (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT AS k, "
+            "COUNT(*)::BIGINT AS c FROM (SELECT unnest(list_transform("
+            "generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS g "
+            "FROM lt) GROUP BY 1), "
+            "topb AS (SELECT k, c FROM b ORDER BY c DESC, k LIMIT 500), "
+            "tr AS (SELECT doc_id, "
+            "unnest(list_transform(generate_series(1, len(t) - 1), "
+            "i -> ('0x' || substr(md5(t[i]), 1, 15))::BIGINT)) AS k1, "
+            "unnest(list_transform(generate_series(1, len(t) - 1), "
+            "i -> ('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15))::BIGINT)) AS k12 "
+            "FROM lt), "
+            "pen AS (SELECT doc_id, length(bin(coalesce(tu.c, 0) + "
+            "(SELECT COUNT(*) FROM u))) - length(bin(coalesce(tb.c, 0) + 1)) AS p "
+            "FROM tr LEFT JOIN topu tu ON tr.k1 = tu.k "
+            "LEFT JOIN topb tb ON tr.k12 = tb.k), "
+            "sc AS (SELECT doc_id, COUNT(*)::BIGINT AS n_transitions, "
+            "SUM(p)::BIGINT AS bits_total FROM pen GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(sc.n_transitions, 0)::BIGINT AS n_transitions, "
+            "coalesce(sc.bits_total, 0)::BIGINT AS bits_total, "
+            "ROUND(CASE WHEN sc.n_transitions > 0 "
+            "THEN sc.bits_total::DOUBLE / sc.n_transitions END, 4) AS bits_per_token "
+            "FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d "
+            "LEFT JOIN sc USING (doc_id) ORDER BY doc_id"
+        ),
         # sharding: the twin's ONE global SUM() OVER replays the Spark
         # side's bucketed distributed prefix sum (top-bit buckets follow
         # the hash order, so the compositions must agree bit-for-bit);
