@@ -2209,6 +2209,52 @@ def q_doc_curation_model_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_doc_curation_lm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline with BOTH statistical stages enabled (seven
+    stage counts): decontamination -> exact dedup -> fuzzy dedup ->
+    heuristic quality + language -> bigram-LM gate (bits/transition <= 5.0
+    under the LM trained on the FULL documents table; the threshold BINDS
+    at both SFs) -> hashed-n-gram classifier at -0.05 — every count
+    hash-matched against the from-scratch DuckDB replica (_curation_sql
+    with the shared _lm_ctes retrain appended). Pins the stage ORDER
+    cheap-to-expensive: repetition-free heuristics first, LM over their
+    survivors, classifier LAST over the LM survivors."""
+    from ddsparkle.spark.dataprep import curate
+    from ddsparkle.spark.ngram_lm import train_bigram_lm
+
+    df = _t(spark, sf_dir, "documents")
+    lm = train_bigram_lm(df, top_unigrams=20, top_bigrams=500)
+    corpus = df.filter(F.col("source") != "src0")
+    reference = df.filter(F.col("source") == "src0")
+    _curated, stats = curate(
+        corpus,
+        decontaminate_against=reference,
+        min_tokens=5,
+        max_mean_token_len=20.0,
+        languages=["en"],
+        jaccard_threshold=0.7,
+        num_perm=32,
+        bands=32,
+        max_bucket_size=None,
+        lm_model=lm,
+        lm_bits_threshold=5.0,
+        model_score_threshold=-0.05,
+        release_cache=True,  # only stats are consumed here
+    )
+    cols = [
+        "input_docs",
+        "after_decontamination",
+        "after_exact_dedup",
+        "after_fuzzy_dedup",
+        "after_quality_language",
+        "after_lm_quality",
+        "after_model_quality",
+    ]
+    return spark.createDataFrame(
+        [[float(stats[c]) for c in cols]], ", ".join(f"{c} double" for c in cols)
+    )
+
+
 def _pii_augmented_docs(docs: DataFrame) -> DataFrame:
     """Deterministic PII-bearing corpus for the redaction gate: the synthetic
     documents carry no PII (word-salad text), so — the media-gate pattern —
@@ -2453,7 +2499,7 @@ def q_doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     lm = train_bigram_lm(docs, top_unigrams=20, top_bigrams=500)
     return (
-        lm_quality_score(docs, lm)
+        lm_quality_score(docs.filter(F.col("text").isNotNull()), lm)
         .select(
             "doc_id",
             "n_transitions",
@@ -2542,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_selfjoin_size_ams": q_transcripts_selfjoin_size_ams,
         "doc_shard_packing": q_doc_shard_packing,
         "doc_lm_quality": q_doc_lm_quality,
+        "doc_curation_lm_pipeline": q_doc_curation_lm_pipeline,
         # --- newest (late r5): repetition signals, line dedup, split, validation ---
         "doc_domain_mix": q_doc_domain_mix,
         "doc_repetition_signals": q_doc_repetition_signals,
@@ -2778,25 +2825,87 @@ _MODEL_W_SQL = (
 _MODEL_SCORE_SQL = "CAST(SUM(w) AS DOUBLE) / (COUNT(*) * 1000000.0)"
 
 
-def _curation_sql(model_threshold: float | None = None) -> str:
+def _lm_ctes(
+    train_src: str,
+    score_src: str,
+    top_unigrams: int,
+    top_bigrams: int,
+) -> str:
+    """DuckDB CTEs retraining the bigram LM of ngram_lm.train_bigram_lm on
+    ``train_src`` (a table/subquery with a ``text`` column; NULL text
+    ignored) and scoring ``score_src`` (doc_id, text): ends with
+    ``lmsc(doc_id, n_transitions, bits_total)`` — only docs with >= 1
+    transition appear; callers coalesce. The ONE definition shared by the
+    standalone doc_lm_quality twin and the curation-pipeline twin, so they
+    can never drift. Same single-space tokens, 60-bit md5 keys,
+    (count DESC, key) top-K caps, pre-cap vocab size V, and integer
+    bitlen(c1+V)-bitlen(c2+1) penalty as the Spark side."""
+    key = lambda e: f"('0x' || substr(md5({e}), 1, 15))::BIGINT"
+    return (
+        f"lmt AS (SELECT string_split(text, ' ') AS t FROM {train_src} "
+        "WHERE text IS NOT NULL), "
+        f"lmu AS (SELECT {key('w')} AS k, COUNT(*)::BIGINT AS c "
+        "FROM (SELECT unnest(t) AS w FROM lmt) GROUP BY 1), "
+        f"lmtopu AS (SELECT k, c FROM lmu ORDER BY c DESC, k LIMIT {top_unigrams}), "
+        f"lmb AS (SELECT {key('g')} AS k, COUNT(*)::BIGINT AS c "
+        "FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1), "
+        "i -> t[i] || ' ' || t[i+1])) AS g FROM lmt) GROUP BY 1), "
+        f"lmtopb AS (SELECT k, c FROM lmb ORDER BY c DESC, k LIMIT {top_bigrams}), "
+        f"lmst AS (SELECT doc_id, string_split(text, ' ') AS t FROM {score_src}), "
+        "lmtr AS (SELECT doc_id, "
+        "unnest(list_transform(generate_series(1, len(t) - 1), "
+        f"i -> {key('t[i]')})) AS k1, "
+        "unnest(list_transform(generate_series(1, len(t) - 1), "
+        f"""i -> {key("t[i] || ' ' || t[i+1]")})) AS k12 """
+        "FROM lmst), "
+        "lmpen AS (SELECT doc_id, length(bin(coalesce(tu.c, 0) + "
+        "(SELECT COUNT(*) FROM lmu))) - length(bin(coalesce(tb.c, 0) + 1)) AS p "
+        "FROM lmtr LEFT JOIN lmtopu tu ON lmtr.k1 = tu.k "
+        "LEFT JOIN lmtopb tb ON lmtr.k12 = tb.k), "
+        "lmsc AS (SELECT doc_id, COUNT(*)::BIGINT AS n_transitions, "
+        "SUM(p)::BIGINT AS bits_total FROM lmpen GROUP BY doc_id)"
+    )
+
+
+def _curation_sql(
+    model_threshold: float | None = None,
+    lm_bits_threshold: float | None = None,
+) -> str:
     """DuckDB replica of the full curate() pipeline over the harness corpus
     (non-src0 docs, decontaminated against src0): recomputes the five stage
     counts from scratch — 8-gram decontamination join, exact dedup (min-id
     per text), all-pairs 3-gram-Jaccard >= 0.7 connected components
     (recursive SQL), then the quality + 'en'-language gates with the SAME
-    stopword lists the Spark scorer uses. ``model_threshold`` appends the
-    hashed-n-gram model-quality stage (classifier-last, over the heuristic
-    survivors) and a sixth ``after_model_quality`` count."""
+    stopword lists the Spark scorer uses. ``lm_bits_threshold`` appends the
+    bigram-LM gate (the shared _lm_ctes retrain, model trained on the FULL
+    documents table like the gate's train_bigram_lm call, scored over the
+    heuristic survivors) and an ``after_lm_quality`` count;
+    ``model_threshold`` appends the hashed-n-gram model-quality stage
+    (classifier-LAST — over the LM survivors when the LM stage is on) and
+    an ``after_model_quality`` count."""
     gram_list = _gram_list_sql
     scores, best, picks = _stopword_scores_parts()
     jac = (
         "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
         "/ len(list_distinct(list_concat(a.s, b.s)))"
     )
+    lm_cte = lm_count = ""
+    model_src = "final"
+    if lm_bits_threshold is not None:
+        lm_cte = (
+            ", "
+            + _lm_ctes("documents", "(SELECT doc_id, text FROM final)", 20, 500)
+            + ", lmq AS (SELECT f.* FROM final f JOIN lmsc s USING (doc_id) "
+            f"WHERE s.bits_total::DOUBLE / s.n_transitions <= {lm_bits_threshold!r})"
+        )
+        lm_count = (
+            ",\n  CAST((SELECT COUNT(*) FROM lmq) AS DOUBLE) AS after_lm_quality"
+        )
+        model_src = "lmq"
     model_cte = model_count = ""
     if model_threshold is not None:
         model_cte = (
-            f", {_model_gram_ctes('final')}, "
+            f", {_model_gram_ctes(model_src)}, "
             f"mq AS (SELECT doc_id FROM (SELECT doc_id, {_MODEL_W_SQL} AS w "
             "FROM mg) GROUP BY doc_id "
             f"HAVING {_MODEL_SCORE_SQL} >= {model_threshold!r})"
@@ -2849,13 +2958,13 @@ final AS (
   WHERE n_toks >= 5
     AND CAST(n_letters AS DOUBLE) / n_toks <= 20.0
     AND (CASE WHEN {best} <= 0 THEN 'und' {picks} END) = 'en'
-){model_cte}
+){lm_cte}{model_cte}
 SELECT
   CAST((SELECT COUNT(*) FROM docs) AS DOUBLE) AS input_docs,
   CAST((SELECT COUNT(*) FROM clean) AS DOUBLE) AS after_decontamination,
   CAST((SELECT COUNT(*) FROM exact_kept) AS DOUBLE) AS after_exact_dedup,
   CAST((SELECT COUNT(*) FROM fuzzy_kept) AS DOUBLE) AS after_fuzzy_dedup,
-  CAST((SELECT COUNT(*) FROM final) AS DOUBLE) AS after_quality_language{model_count}
+  CAST((SELECT COUNT(*) FROM final) AS DOUBLE) AS after_quality_language{lm_count}{model_count}
 """
 
 
@@ -3893,40 +4002,29 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_signals": _repetition_sql(),
         "doc_corpus_line_dedup": _corpus_line_dedup_sql(),
         "doc_split_assignment": _split_sql(),
+        # full pipeline + LM + classifier: seven stage counts, LM retrained
+        # by the shared _lm_ctes inside the recursive-CC replica
+        "doc_curation_lm_pipeline": _curation_sql(
+            model_threshold=-0.05, lm_bits_threshold=5.0
+        ),
         # bigram-LM quality: the twin RETRAINS the LM (same single-space
         # tokens, 60-bit keys, count-DESC/key top-K caps, vocab size) and
         # replays every integer-bits score; the only float is the final
         # per-doc division, ROUND(4) on both sides
         "doc_lm_quality": (
-            "WITH lt AS (SELECT doc_id, string_split(text, ' ') AS t "
-            "FROM documents WHERE text IS NOT NULL), "
-            "u AS (SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT AS k, "
-            "COUNT(*)::BIGINT AS c FROM (SELECT unnest(t) AS w FROM lt) "
-            "GROUP BY 1), "
-            "topu AS (SELECT k, c FROM u ORDER BY c DESC, k LIMIT 20), "
-            "b AS (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT AS k, "
-            "COUNT(*)::BIGINT AS c FROM (SELECT unnest(list_transform("
-            "generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS g "
-            "FROM lt) GROUP BY 1), "
-            "topb AS (SELECT k, c FROM b ORDER BY c DESC, k LIMIT 500), "
-            "tr AS (SELECT doc_id, "
-            "unnest(list_transform(generate_series(1, len(t) - 1), "
-            "i -> ('0x' || substr(md5(t[i]), 1, 15))::BIGINT)) AS k1, "
-            "unnest(list_transform(generate_series(1, len(t) - 1), "
-            "i -> ('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15))::BIGINT)) AS k12 "
-            "FROM lt), "
-            "pen AS (SELECT doc_id, length(bin(coalesce(tu.c, 0) + "
-            "(SELECT COUNT(*) FROM u))) - length(bin(coalesce(tb.c, 0) + 1)) AS p "
-            "FROM tr LEFT JOIN topu tu ON tr.k1 = tu.k "
-            "LEFT JOIN topb tb ON tr.k12 = tb.k), "
-            "sc AS (SELECT doc_id, COUNT(*)::BIGINT AS n_transitions, "
-            "SUM(p)::BIGINT AS bits_total FROM pen GROUP BY doc_id) "
-            "SELECT d.doc_id, coalesce(sc.n_transitions, 0)::BIGINT AS n_transitions, "
+            "WITH "
+            + _lm_ctes(
+                "documents",
+                "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)",
+                20,
+                500,
+            )
+            + " SELECT d.doc_id, coalesce(sc.n_transitions, 0)::BIGINT AS n_transitions, "
             "coalesce(sc.bits_total, 0)::BIGINT AS bits_total, "
             "ROUND(CASE WHEN sc.n_transitions > 0 "
             "THEN sc.bits_total::DOUBLE / sc.n_transitions END, 4) AS bits_per_token "
             "FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d "
-            "LEFT JOIN sc USING (doc_id) ORDER BY doc_id"
+            "LEFT JOIN lmsc sc USING (doc_id) ORDER BY d.doc_id"
         ),
         # sharding: the twin's ONE global SUM() OVER replays the Spark
         # side's bucketed distributed prefix sum (top-bit buckets follow

@@ -38,6 +38,8 @@ def curate(
     decontaminate_against=None,
     decontam_shingle_n: int = 8,
     repetition_thresholds: Optional[dict] = None,
+    lm_model=None,
+    lm_bits_threshold: Optional[float] = None,
     model_score_threshold: Optional[float] = None,
     release_cache: bool = False,
 ):
@@ -51,7 +53,11 @@ def curate(
     exact dedup), ``repetition_thresholds`` (Gopher repetition gates: a
     {signal: max} dict over ``repetition.repetition_signals`` columns,
     e.g. {"dup_5gram_frac": 0.3}; runs after the Catalyst gates, before
-    the model stage), and ``model_score_threshold`` (model-based quality: the
+    the model stage), ``lm_model`` + ``lm_bits_threshold`` (statistical
+    bigram-LM gate: drop documents whose integer-bits surprisal per
+    transition under the PRE-TRAINED ``ngram_lm.NGramLM`` exceeds the
+    threshold — train the model on an explicit reference corpus first;
+    runs between the repetition gates and the classifier), and ``model_score_threshold`` (model-based quality: the
     hashed-n-gram linear scorer of ``quality_model.model_quality_score``
     runs LAST, over only the heuristic-gate survivors — the cheap
     heuristics shrink the corpus before the model pass, the standard
@@ -163,11 +169,31 @@ def curate(
         curated = sig.filter(cond).select(*df.columns)
         n_rep = curated.count()
 
+    # 3c. (optional) statistical LM gate: integer-bits bigram surprisal
+    # under a PRE-TRAINED model (``lm_model``, ngram_lm.train_bigram_lm —
+    # trained outside the pipeline so the reference corpus is the caller's
+    # explicit choice, e.g. the train split or a trusted seed corpus).
+    # Row-local pass-through scoring, filter-shaped; runs after the cheap
+    # gates and before the classifier (cheap-to-expensive ordering).
+    n_lm = n_rep
+    if lm_bits_threshold is not None:
+        if lm_model is None:
+            raise ValueError(
+                "lm_bits_threshold requires lm_model (a trained NGramLM)"
+            )
+        from .ngram_lm import lm_quality_score
+
+        lscored = lm_quality_score(curated, lm_model, text_col=text_col)
+        curated = lscored.filter(
+            F.col("bits_per_token") <= float(lm_bits_threshold)
+        ).select(*df.columns)
+        n_lm = curated.count()
+
     # 4. (optional) model-based quality: hashed-n-gram linear scorer over
     # the heuristic survivors only — row-local mapInPandas appends the
     # score, so the stage is filter-shaped (no join); backed by the same
     # fuzzy_kept cache, so the count action does not re-run the dedup
-    n_model = n_rep
+    n_model = n_lm
     if model_score_threshold is not None:
         from pyspark.sql import functions as F  # noqa: F811 (local alias)
 
@@ -195,9 +221,12 @@ def curate(
     if repetition_thresholds:
         stats["after_repetition"] = n_rep
         stats["dropped_repetition"] = n_final - n_rep
+    if lm_bits_threshold is not None:
+        stats["after_lm_quality"] = n_lm
+        stats["dropped_lm_quality"] = n_rep - n_lm
     if model_score_threshold is not None:
         stats["after_model_quality"] = n_model
-        stats["dropped_model_quality"] = n_rep - n_model
+        stats["dropped_model_quality"] = n_lm - n_model
     return curated, stats
 
 

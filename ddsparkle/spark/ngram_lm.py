@@ -173,16 +173,19 @@ def train_bigram_lm(
 def lm_quality_score(
     df,
     lm: NGramLM,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ):
-    """Score documents under the trained LM: (id_col, n_transitions,
-    bits_total, bits_per_token) — ``bits_per_token`` NULL for documents
-    with fewer than 2 tokens, NULL-text rows excluded (the model-gate
-    contract). The LM dicts ride one SparkContext.broadcast; per-row work
-    is row-local Python over Arrow batches (linear in tokens)."""
-    from pyspark.sql import functions as F
+    """Append [n_transitions long, bits_total long, bits_per_token double]
+    to ``df`` — ALL input columns pass through (the model scorer's
+    filter-shaped contract: gate on the score with no join). Documents
+    with fewer than 2 tokens score (0, 0, NULL); NULL text likewise keeps
+    its row with a NULL score (the NULL contract of
+    quality_model.model_quality_score). The LM dicts ride one
+    SparkContext.broadcast; per-row work is row-local Python over Arrow
+    batches, linear in corpus tokens."""
     from pyspark.sql import types as T
+
+    from .dataops import _ensure_parallelism
 
     if lm.vocab_size <= 0:
         raise ValueError("LM has an empty vocabulary (trained on no text?)")
@@ -190,8 +193,8 @@ def lm_quality_score(
         (lm.unigrams, lm.bigrams, lm.vocab_size)
     )
     schema = T.StructType(
-        [
-            df.schema[id_col],
+        list(df.schema)
+        + [
             T.StructField("n_transitions", T.LongType()),
             T.StructField("bits_total", T.LongType()),
             T.StructField("bits_per_token", T.DoubleType()),
@@ -202,22 +205,21 @@ def lm_quality_score(
         model = NGramLM(*bc.value)
         cache = _key_cache
         for pdf in batches:
-            ids, ns, bits, bpt = [], [], [], []
-            for rid, text in zip(pdf[id_col], pdf[text_col]):
+            ns, bits, bpt = [], [], []
+            for text in pdf[text_col]:
                 if text is None or (isinstance(text, float) and pd.isna(text)):
+                    ns.append(0)
+                    bits.append(0)
+                    bpt.append(None)
                     continue
                 n, total = model.doc_bits(text, cache)
-                ids.append(rid)
                 ns.append(n)
                 bits.append(total)
                 bpt.append(total / n if n > 0 else None)
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "n_transitions": pd.array(ns, dtype="int64"),
-                    "bits_total": pd.array(bits, dtype="int64"),
-                    "bits_per_token": pd.array(bpt, dtype="float64"),
-                }
-            )
+            out = pdf.copy()
+            out["n_transitions"] = pd.array(ns, dtype="int64")
+            out["bits_total"] = pd.array(bits, dtype="int64")
+            out["bits_per_token"] = pd.array(bpt, dtype="float64")
+            yield out
 
-    return df.select(id_col, text_col).mapInPandas(score, schema=schema)
+    return _ensure_parallelism(df).mapInPandas(score, schema=schema)

@@ -65,7 +65,9 @@ def test_spark_train_and_score_match_python_replay(spark):
         assert lm.unigrams == ref.unigrams, (top_u, top_b)
         assert lm.bigrams == ref.bigrams
         got = {r["doc_id"]: r for r in lm_quality_score(df, lm).collect()}
-        assert 7 not in got  # NULL text excluded
+        # NULL text keeps its row (pass-through contract) with a NULL score
+        assert got[7]["n_transitions"] == 0 and got[7]["bits_per_token"] is None
+        assert got[7]["text"] is None  # input columns pass through
         for i, t in _DOCS:
             if t is None:
                 continue
@@ -100,3 +102,36 @@ def test_validation_errors(spark):
     # empty corpus trains an empty-vocab model
     lm = train_bigram_lm(df.filter("doc_id < 0"))
     assert lm.vocab_size == 0 and lm.unigrams == {} and lm.bigrams == {}
+
+
+def test_curate_lm_stage_accounting(spark):
+    """curate() with the LM gate: stage counts reconcile, survivors all
+    score <= threshold, the classifier stage sees only LM survivors, and
+    the threshold without a model raises."""
+    from ddsparkle.spark.dataprep import curate
+
+    rows = [(i, f"common words appear here often number {i % 5}") for i in range(30)]
+    rows += [(100 + i, f"zx{i} qv{i} jj{i} wq{i} pf{i} xx{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # top_bigrams=8 BINDS: the gibberish bigrams (count 1) fall out of the
+    # cap, so their transitions score the full unseen penalty
+    lm = train_bigram_lm(df, top_unigrams=15, top_bigrams=8)
+    curated, stats = curate(
+        df, min_tokens=2, max_mean_token_len=30.0, lm_model=lm,
+        lm_bits_threshold=4.0, num_perm=16, bands=16,
+    )
+    assert stats["after_lm_quality"] == curated.count()
+    assert (
+        stats["dropped_lm_quality"]
+        == stats["after_quality_language"] - stats["after_lm_quality"]
+    )
+    got = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    scored = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in lm_quality_score(df, lm).collect()
+    }
+    # every survivor scores at or under the bar; the gibberish block is cut
+    assert all(scored[i] <= 4.0 for i in got)
+    assert not any(i >= 100 for i in got)
+    with pytest.raises(ValueError):
+        curate(df, lm_bits_threshold=4.0)
