@@ -2579,10 +2579,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all land in the driver's 50-row window again. Union of r1-r5 driver
     rows still covers every entry; veterans outside the window rest on the
     harness replay (all entries, both SFs recorded in BENCH/). The late-r5
-    gates take the front positions — domain-mix / repetition-signals /
-    corpus-line-dedup / split / conversation-validation (1-5), then
-    PII-redaction / line-dedup (6-7) — rotating seven r4-green veterans
-    past the window."""
+    gates take the front positions — AMS F2 sketch / shard packing /
+    LM quality / LM curation pipeline (1-4), then domain-mix /
+    repetition-signals / corpus-line-dedup / split /
+    conversation-validation, then PII-redaction / line-dedup — rotating
+    r4-green veterans past the window."""
     return {
         # --- newest (late r5): AMS F2 sketch + deterministic output sharding ---
         "transcripts_selfjoin_size_ams": q_transcripts_selfjoin_size_ams,
