@@ -104,10 +104,14 @@ def train_bigram_lm(
     text_col: str = "text",
     top_unigrams: int = 50_000,
     top_bigrams: int = 200_000,
+    flush_at: int = 2_000_000,
 ) -> NGramLM:
     """Fit the K-bounded bigram LM on a reference corpus (typically the
     train split — compose with ``dataops.assign_split``). NULL text rows
-    are ignored. See module docstring for the distributed shape."""
+    are ignored. ``flush_at`` bounds each task's partial-dict memory
+    LOSSLESSLY (flushed partials are extra shuffle rows the groupBy folds —
+    pinned identical by test_train_flush_bound_is_lossless). See module
+    docstring for the distributed shape."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -122,7 +126,22 @@ def train_bigram_lm(
         ]
     )
 
+    def emit(uni: dict, bi: dict) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "kind": [0] * len(uni) + [1] * len(bi),
+                "k": list(uni.keys()) + list(bi.keys()),
+                "c": list(uni.values()) + list(bi.values()),
+            }
+        ).astype({"kind": "int8", "k": "int64", "c": "int64"})
+
     def partials(batches):
+        # flush_at is captured BY VALUE into the pickled closure (a module
+        # global would re-resolve to the default on re-imported workers)
+        # LOSSLESS memory bound: when the partial dicts outgrow the cap,
+        # flush them as extra partial rows and reset — the downstream
+        # groupBy folds duplicates, so a task whose distinct-gram universe
+        # exceeds memory degrades to more shuffle rows, never an OOM
         uni: dict = {}
         bi: dict = {}
         cache = _key_cache
@@ -137,13 +156,10 @@ def train_bigram_lm(
                 for i in range(len(toks) - 1):
                     k = _gram_key(toks[i] + " " + toks[i + 1], cache)
                     bi[k] = bi.get(k, 0) + 1
-        yield pd.DataFrame(
-            {
-                "kind": [0] * len(uni) + [1] * len(bi),
-                "k": list(uni.keys()) + list(bi.keys()),
-                "c": list(uni.values()) + list(bi.values()),
-            }
-        ).astype({"kind": "int8", "k": "int64", "c": "int64"})
+            if len(uni) + len(bi) > flush_at:
+                yield emit(uni, bi)
+                uni, bi = {}, {}
+        yield emit(uni, bi)
 
     counts = (
         df.select(text_col)

@@ -135,3 +135,16 @@ def test_curate_lm_stage_accounting(spark):
     assert not any(i >= 100 for i in got)
     with pytest.raises(ValueError):
         curate(df, lm_bits_threshold=4.0)
+
+
+def test_train_flush_bound_is_lossless(spark):
+    """Partial-dict flushing changes shuffle-row counts, never the model:
+    a flush cap smaller than any batch's gram universe must yield the
+    identical LM (flush_at is a closure-captured parameter precisely so it
+    reaches the workers — a module global would not)."""
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string").repartition(3)
+    base = train_bigram_lm(df, top_unigrams=12, top_bigrams=9)
+    flushed = train_bigram_lm(df, top_unigrams=12, top_bigrams=9, flush_at=1)
+    assert flushed.vocab_size == base.vocab_size
+    assert flushed.unigrams == base.unigrams
+    assert flushed.bigrams == base.bigrams
