@@ -2010,6 +2010,61 @@ def q_transcripts_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_transcripts_streaming_f2_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AMS sketch's STREAMING leg: transcript files flow as
+    micro-batches, each batch builds its own counter vector (the same
+    ams_f2_sketch chassis) and merges into a driver accumulator by vector
+    ADDITION — the mergeable-UDAF property under arbitrary batch slicing.
+    Because the merge is exact integer math, the drained stream's sketch
+    must equal the one-shot batch build BIT-FOR-BIT, so this gate shares
+    the batch gate's twin SQL verbatim (same f2_est_num, same exact F2,
+    same bound boolean). At scale this is incremental self-join-size/skew
+    monitoring: 2 KB of state per stream, no raw-row shuffle anywhere."""
+    import tempfile
+
+    from ddsparkle.sketches.ams import AMSSketch
+    from ddsparkle.spark.approx import ams_f2_sketch
+
+    path = _transcripts_path(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    acc = AMSSketch(n_counters=256, seed=0)
+
+    def sink(batch_df, _batch_id):
+        keyed = batch_df.select(
+            F.conv(F.substring(F.md5("conv_id"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("k")
+        )
+        acc.merge(ams_f2_sketch(keyed, "k", n_counters=256, seed=0))
+
+    with tempfile.TemporaryDirectory(prefix="ddsparkle-amsstream-") as tmp:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(path)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("AMS stream did not drain in 300 s")
+    df = _transcripts(spark, sf_dir)
+    exact = int(
+        df.groupBy("conv_id")
+        .count()
+        .agg(F.sum(F.col("count") * F.col("count")).alias("f2"))
+        .collect()[0]["f2"]
+    )
+    num = acc.f2_numerator()
+    within = abs(num - acc.n_counters * exact) <= 91 * exact
+    return spark.createDataFrame(
+        [(acc.n_counters, exact, num, bool(within))],
+        "n_counters int, f2_exact bigint, f2_est_num bigint, within_bound boolean",
+    )
+
+
 def q_transcripts_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session segmentation WITHIN conversations (2-minute
     inactivity gap splits an agent log into episodes) + per-conversation
@@ -2587,6 +2642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest (late r5): AMS F2 sketch + deterministic output sharding ---
         "transcripts_selfjoin_size_ams": q_transcripts_selfjoin_size_ams,
+        "transcripts_streaming_f2_ams": q_transcripts_streaming_f2_ams,
         "doc_shard_packing": q_doc_shard_packing,
         "doc_lm_quality": q_doc_lm_quality,
         "doc_curation_lm_pipeline": q_doc_curation_lm_pipeline,
@@ -3270,6 +3326,30 @@ def oracle_sql() -> dict[str, str]:
         f"(SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM {tr_src} GROUP BY conv_id)"
     )
     tr_lat_sql = ddsketch_quantile_sql(tr_lat_src, "lat", [0.5, 0.95, 0.99])
+    # shared by the batch AND streaming AMS gates: the streamed sketch must
+    # be bit-equal to the batch build (integer vector merges), so one twin
+    ams_sql = (
+        "WITH keyed AS (SELECT ('0x' || substr(md5(conv_id), 1, 15))"
+        "::BIGINT::HUGEINT AS x, COUNT(*)::HUGEINT AS cnt "
+        f"FROM {tr_src} GROUP BY conv_id), "
+        "coeff AS (SELECT j, "
+        "('0x' || substr(md5('ams:0:' || j || ':3'), 1, 15))::BIGINT::HUGEINT AS a3, "
+        "('0x' || substr(md5('ams:0:' || j || ':2'), 1, 15))::BIGINT::HUGEINT AS a2, "
+        "('0x' || substr(md5('ams:0:' || j || ':1'), 1, 15))::BIGINT::HUGEINT AS a1, "
+        "('0x' || substr(md5('ams:0:' || j || ':0'), 1, 15))::BIGINT::HUGEINT AS a0 "
+        "FROM generate_series(0, 255) AS t(j)), "
+        "sgn AS (SELECT j, cnt, "
+        "((((a3 * x % 2305843009213693951 + a2) * x % 2305843009213693951 "
+        "+ a1) * x % 2305843009213693951 + a0) % 2305843009213693951) % 2 AS par "
+        "FROM keyed CROSS JOIN coeff), "
+        "counters AS (SELECT j, SUM(CASE WHEN par = 1 THEN cnt ELSE -cnt END) "
+        "AS cj FROM sgn GROUP BY j), "
+        "est AS (SELECT SUM(cj * cj)::BIGINT AS f2_est_num FROM counters), "
+        "ex AS (SELECT SUM(cnt * cnt)::BIGINT AS f2_exact FROM keyed) "
+        "SELECT 256 AS n_counters, f2_exact, f2_est_num, "
+        "abs(f2_est_num - 256 * f2_exact) <= 91 * f2_exact AS within_bound "
+        "FROM est, ex"
+    )
     return {
         "transcripts_text_len_by_role": ddsketch_quantile_sql(
             tr_len_src, "text_len", [0.5, 0.95, 0.99], group_col="role"
@@ -3506,28 +3586,8 @@ def oracle_sql() -> dict[str, str]:
         # int64 counters — so f2_est_num is bit-equal, not just bounded;
         # the 91/256 integer bound (= 4*sqrt(2/256), Chebyshev 4-sigma) is
         # additionally computed from each engine's own exact F2
-        "transcripts_selfjoin_size_ams": (
-            "WITH keyed AS (SELECT ('0x' || substr(md5(conv_id), 1, 15))"
-            "::BIGINT::HUGEINT AS x, COUNT(*)::HUGEINT AS cnt "
-            f"FROM {tr_src} GROUP BY conv_id), "
-            "coeff AS (SELECT j, "
-            "('0x' || substr(md5('ams:0:' || j || ':3'), 1, 15))::BIGINT::HUGEINT AS a3, "
-            "('0x' || substr(md5('ams:0:' || j || ':2'), 1, 15))::BIGINT::HUGEINT AS a2, "
-            "('0x' || substr(md5('ams:0:' || j || ':1'), 1, 15))::BIGINT::HUGEINT AS a1, "
-            "('0x' || substr(md5('ams:0:' || j || ':0'), 1, 15))::BIGINT::HUGEINT AS a0 "
-            "FROM generate_series(0, 255) AS t(j)), "
-            "sgn AS (SELECT j, cnt, "
-            "((((a3 * x % 2305843009213693951 + a2) * x % 2305843009213693951 "
-            "+ a1) * x % 2305843009213693951 + a0) % 2305843009213693951) % 2 AS par "
-            "FROM keyed CROSS JOIN coeff), "
-            "counters AS (SELECT j, SUM(CASE WHEN par = 1 THEN cnt ELSE -cnt END) "
-            "AS cj FROM sgn GROUP BY j), "
-            "est AS (SELECT SUM(cj * cj)::BIGINT AS f2_est_num FROM counters), "
-            "ex AS (SELECT SUM(cnt * cnt)::BIGINT AS f2_exact FROM keyed) "
-            "SELECT 256 AS n_counters, f2_exact, f2_est_num, "
-            "abs(f2_est_num - 256 * f2_exact) <= 91 * f2_exact AS within_bound "
-            "FROM est, ex"
-        ),
+        "transcripts_selfjoin_size_ams": ams_sql,
+        "transcripts_streaming_f2_ams": ams_sql,
         # KMV overlap: exact parts recomputed in SQL, bound booleans
         # asserted TRUE (k=8192 > the fixture's distinct-content universe,
         # so the sketch estimates are exact here — same gate shape as
