@@ -2065,6 +2065,46 @@ def q_transcripts_streaming_f2_ams(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_transcripts_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output sharding at CONVERSATION granularity (a conversation must
+    never straddle training shards): per-conv char mass from one map-side-
+    combined groupBy, then the same dataops.assign_shards distributed
+    prefix sum cuts the canonical md5('shard:'||conv_id) line every 64 KiB.
+    Gate pins per-shard conv counts, unit mass, and the md5 of the in-shard
+    conv_id sequence against the twin's sequential SUM() OVER definition —
+    every conversation's shard and position."""
+    from ddsparkle.spark.dataops import assign_shards
+
+    df = _transcripts(spark, sf_dir)
+    convs = df.groupBy("conv_id").agg(F.sum(F.length("text")).alias("chars"))
+    sh = assign_shards(
+        convs, id_col="conv_id", units_col="chars", target_units=65536
+    )
+    hx = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("shard"), F.col("conv_id"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        sh.withColumn("hx", hx)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_convs"),
+            F.sum("units").alias("units"),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(hx, conv_id))), "
+                        "s -> s.conv_id)"
+                    ),
+                    "|",
+                )
+            ).alias("ids_md5"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 def q_transcripts_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session segmentation WITHIN conversations (2-minute
     inactivity gap splits an agent log into episodes) + per-conversation
@@ -2643,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- newest (late r5): AMS F2 sketch + deterministic output sharding ---
         "transcripts_selfjoin_size_ams": q_transcripts_selfjoin_size_ams,
         "transcripts_streaming_f2_ams": q_transcripts_streaming_f2_ams,
+        "transcripts_shard_packing": q_transcripts_shard_packing,
         "doc_shard_packing": q_doc_shard_packing,
         "doc_lm_quality": q_doc_lm_quality,
         "doc_curation_lm_pipeline": q_doc_curation_lm_pipeline,
@@ -3588,6 +3629,22 @@ def oracle_sql() -> dict[str, str]:
         # additionally computed from each engine's own exact F2
         "transcripts_selfjoin_size_ams": ams_sql,
         "transcripts_streaming_f2_ams": ams_sql,
+        # conversation-granularity sharding: twin replays the canonical-line
+        # cut with one sequential SUM() OVER against Spark's bucketed
+        # distributed prefix sum (same contract as doc_shard_packing)
+        "transcripts_shard_packing": (
+            "WITH h AS (SELECT conv_id, coalesce(SUM(length(text)), 0)::BIGINT "
+            "AS units, ('0x' || substr(md5('shard:' || conv_id), 1, 15))::BIGINT AS hx "
+            f"FROM {tr_src} GROUP BY conv_id), "
+            "c AS (SELECT *, SUM(units) OVER (ORDER BY hx, conv_id "
+            "ROWS UNBOUNDED PRECEDING) AS cum FROM h), "
+            "a AS (SELECT conv_id, units, hx, "
+            "((cum - units) // 65536)::BIGINT AS shard_id FROM c) "
+            "SELECT shard_id, COUNT(*)::BIGINT AS n_convs, "
+            "SUM(units)::BIGINT AS units, "
+            "md5(string_agg(conv_id, '|' ORDER BY hx, conv_id)) AS ids_md5 "
+            "FROM a GROUP BY shard_id ORDER BY shard_id"
+        ),
         # KMV overlap: exact parts recomputed in SQL, bound booleans
         # asserted TRUE (k=8192 > the fixture's distinct-content universe,
         # so the sketch estimates are exact here — same gate shape as
