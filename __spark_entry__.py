@@ -2350,6 +2350,32 @@ def q_doc_curation_lm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap MATRIX over all 20 sources (190 unordered pairs):
+    one grouped KMV pass + driver-side pairwise crossing — the curation
+    diagnostic that answers "which sources share content?" without a
+    distinct self-join per pair. k=1024 exceeds every pair's distinct
+    union here, so the sketch matrix is EXACT (the unsaturated regime) and
+    every distinct/intersection count hash-matches the twin's exact SQL set
+    arithmetic; at scale the same call degrades to rse-bounded estimates."""
+    from ddsparkle.spark.approx import kmv_overlap_matrix
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("h")
+    )
+    m = kmv_overlap_matrix(docs, "h", "source", k=1024)
+    return (
+        m.select(
+            F.col("group_a").alias("src_a"),
+            F.col("group_b").alias("src_b"),
+            F.col("distinct_a").cast("long").alias("distinct_a"),
+            F.col("distinct_b").cast("long").alias("distinct_b"),
+            F.col("intersection").cast("long").alias("intersection"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 def _pii_augmented_docs(docs: DataFrame) -> DataFrame:
     """Deterministic PII-bearing corpus for the redaction gate: the synthetic
     documents carry no PII (word-salad text), so — the media-gate pattern —
@@ -2687,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shard_packing": q_doc_shard_packing,
         "doc_lm_quality": q_doc_lm_quality,
         "doc_curation_lm_pipeline": q_doc_curation_lm_pipeline,
+        "doc_source_overlap_matrix": q_doc_source_overlap_matrix,
         # --- newest (late r5): repetition signals, line dedup, split, validation ---
         "doc_domain_mix": q_doc_domain_mix,
         "doc_repetition_signals": q_doc_repetition_signals,
@@ -4120,6 +4147,23 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_signals": _repetition_sql(),
         "doc_corpus_line_dedup": _corpus_line_dedup_sql(),
         "doc_split_assignment": _split_sql(),
+        # overlap matrix: unsaturated KMV == exact set arithmetic, so the
+        # twin computes the pairwise distinct intersections directly
+        "doc_source_overlap_matrix": (
+            "WITH s AS (SELECT DISTINCT source, md5(text) AS h FROM documents), "
+            "d AS (SELECT source, COUNT(*)::BIGINT AS c FROM s GROUP BY source), "
+            "p AS (SELECT x.source AS src_a, y.source AS src_b, "
+            "COUNT(*)::BIGINT AS inter FROM s x JOIN s y "
+            "ON x.h = y.h AND x.source < y.source GROUP BY 1, 2), "
+            "pairs AS (SELECT a.source AS src_a, b.source AS src_b "
+            "FROM d a JOIN d b ON a.source < b.source) "
+            "SELECT pr.src_a, pr.src_b, da.c AS distinct_a, db.c AS distinct_b, "
+            "coalesce(p.inter, 0)::BIGINT AS intersection "
+            "FROM pairs pr JOIN d da ON da.source = pr.src_a "
+            "JOIN d db ON db.source = pr.src_b "
+            "LEFT JOIN p ON p.src_a = pr.src_a AND p.src_b = pr.src_b "
+            "ORDER BY pr.src_a, pr.src_b"
+        ),
         # full pipeline + LM + classifier: seven stage counts, LM retrained
         # by the shared _lm_ctes inside the recursive-CC replica
         "doc_curation_lm_pipeline": _curation_sql(

@@ -97,9 +97,18 @@ class KMVSketch:
             return {"union": 0.0, "jaccard": 1.0, "intersection": 0.0}
         in_a = np.isin(u.hashes, self.hashes, assume_unique=True)
         in_b = np.isin(u.hashes, other.hashes, assume_unique=True)
-        j = float(np.count_nonzero(in_a & in_b) / u.hashes.size)
+        n_both = int(np.count_nonzero(in_a & in_b))
+        j = float(n_both / u.hashes.size)
         u_est = u.distinct_estimate()
-        return {"union": u_est, "jaccard": j, "intersection": j * u_est}
+        # (count * u_est) / size, NOT j * u_est: in the unsaturated regime
+        # u_est == size exactly, so this order is integer-exact in floats
+        # ((1 * 499.0) / 499 == 1.0) while (1/499) * 499 rounds to 0.999…,
+        # which an integer cast would truncate to a wrong exact count
+        return {
+            "union": u_est,
+            "jaccard": j,
+            "intersection": (n_both * u_est) / u.hashes.size,
+        }
 
     def jaccard(self, other: "KMVSketch") -> float:
         return self.overlap_stats(other)["jaccard"]

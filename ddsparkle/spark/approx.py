@@ -12,7 +12,7 @@ import pandas as pd
 
 from ..sketches import BloomFilter, CountMinSketch, HyperLogLog
 
-__all__ = ["hll_distinct", "cms_frequencies", "bloom_membership", "kmv_distinct_sketch", "set_overlap", "ams_f2_sketch"]
+__all__ = ["hll_distinct", "cms_frequencies", "bloom_membership", "kmv_distinct_sketch", "set_overlap", "ams_f2_sketch", "kmv_overlap_matrix"]
 
 
 def _payload_schema(df, key_cols: Sequence[str]):
@@ -348,6 +348,84 @@ def set_overlap(df_a, col_a, df_b, col_b, k: int = 4096, seed: int = 0) -> dict:
         "jaccard": ov["jaccard"],
         "rse": a.relative_standard_error,
     }
+
+
+def kmv_overlap_matrix(df, value_col: str, group_col: str, k: int = 4096, seed: int = 0):
+    """Pairwise distinct-value overlap between every pair of groups (the
+    corpus-overlap MATRIX: which sources/splits/domains share content?) —
+    the curation diagnostic that would otherwise cost a distinct self-join
+    per pair. One grouped pass builds a KMV sketch per group (the usual
+    payload chassis, one per (task, group) partial, folded per group), the
+    driver crosses the G sketches pairwise: O(G^2) work on KB-scale state,
+    ZERO pairwise scans. ``group_col`` is assumed domain-cardinality-small
+    (tens to thousands — the mixing contract); at k >= each pair's distinct
+    UNION the estimates are exact, else rse ~ 1/sqrt(k-2)
+    (``KMVSketch.overlap_stats``).
+
+    Returns a DataFrame [group_a, group_b, distinct_a double,
+    distinct_b double, intersection double, jaccard double, rse double],
+    one row per unordered pair (group_a < group_b), built driver-side."""
+    from pyspark.sql import types as T
+
+    from ..sketches.kmv import KMVSketch
+
+    partials = _build_payload_partials(
+        df.select(group_col, value_col),
+        value_col,
+        [group_col],
+        make=lambda: KMVSketch(k=k, seed=seed),
+        update=lambda sk, v: sk.update(v),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = None
+        for payload in pdf["payload"]:
+            cur = KMVSketch.from_bytes(bytes(payload), seed=seed)
+            sk = cur if sk is None else (sk.merge(cur) or sk)
+        return pd.DataFrame(
+            {group_col: [pdf[group_col].iloc[0]], "payload": [sk.to_bytes()]}
+        )
+
+    folded = partials.groupBy(group_col).applyInPandas(
+        fold,
+        T.StructType(
+            [partials.schema[group_col], T.StructField("payload", T.BinaryType())]
+        ),
+    )
+    sketches = {
+        r[group_col]: KMVSketch.from_bytes(bytes(r["payload"]), seed=seed)
+        for r in folded.collect()
+    }
+    rows = []
+    for ga in sorted(sketches):
+        for gb in sorted(sketches):
+            if not ga < gb:
+                continue
+            a, b = sketches[ga], sketches[gb]
+            ov = a.overlap_stats(b)
+            rows.append(
+                (
+                    ga,
+                    gb,
+                    float(a.distinct_estimate()),
+                    float(b.distinct_estimate()),
+                    float(ov["intersection"]),
+                    float(ov["jaccard"]),
+                    float(a.relative_standard_error),
+                )
+            )
+    schema = T.StructType(
+        [
+            T.StructField("group_a", df.schema[group_col].dataType),
+            T.StructField("group_b", df.schema[group_col].dataType),
+            T.StructField("distinct_a", T.DoubleType()),
+            T.StructField("distinct_b", T.DoubleType()),
+            T.StructField("intersection", T.DoubleType()),
+            T.StructField("jaccard", T.DoubleType()),
+            T.StructField("rse", T.DoubleType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(rows, schema)
 
 
 def ams_f2_sketch(df, key_col: str, n_counters: int = 256, seed: int = 0):

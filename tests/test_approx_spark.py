@@ -122,3 +122,37 @@ def test_validate_quantiles_self_check(spark, sf_dir):
     )
     for col, e in errs.items():
         assert e <= 0.01 + 0.05, (col, e)  # alpha + generous sampling slack
+
+
+def test_kmv_overlap_matrix_exact_when_unsaturated(spark):
+    """Grouped KMV overlap matrix vs exact pairwise set arithmetic: with
+    k >= every pair's distinct union the matrix is EXACT (the regime the
+    driver gate pins); all unordered pairs appear, including
+    zero-intersection ones."""
+    from ddsparkle.spark.approx import kmv_overlap_matrix
+
+    rows = (
+        [("a", f"v{i}") for i in range(40)]  # a: v0..v39
+        + [("b", f"v{i}") for i in range(20, 70)]  # b: v20..v69 (|a&b|=20)
+        + [("c", f"w{i}") for i in range(10)]  # c: disjoint
+        + [("a", "v0"), ("b", "v20")]  # duplicates must not count twice
+    )
+    df = spark.createDataFrame(rows, "g string, v string").repartition(5)
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in kmv_overlap_matrix(df, "v", "g", k=256).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert (ab["distinct_a"], ab["distinct_b"], ab["intersection"]) == (40, 50, 20)
+    assert ab["jaccard"] == 20 / 70
+    ac = out[("a", "c")]
+    assert (ac["intersection"], ac["jaccard"]) == (0.0, 0.0)
+    # saturated regime: still within the documented rse bound
+    big = spark.createDataFrame(
+        [("x", f"u{i}") for i in range(3000)] + [("y", f"u{i}") for i in range(1500, 4500)],
+        "g string, v string",
+    )
+    m = kmv_overlap_matrix(big, "v", "g", k=64).collect()[0]
+    assert abs(m["distinct_a"] - 3000) <= 4 * m["rse"] * 3000
+    assert abs(m["intersection"] - 1500) <= 0.5 * 1500 + 64  # coarse sanity
