@@ -236,6 +236,18 @@ def run_dataprep(args) -> dict:
     spark = get_spark("ddsparkle-dataprep")
     spark.sparkContext.setLogLevel("WARN")
     df = spark.read.parquet(args.source)
+    lm = None
+    if args.lm_bits_threshold is not None:
+        # reference corpus for the LM: an explicit trusted corpus when
+        # given, else self-trained on the source (filters its own outliers)
+        from .ngram_lm import train_bigram_lm
+
+        lm_src = (
+            spark.read.parquet(args.lm_train_source)
+            if args.lm_train_source
+            else df
+        )
+        lm = train_bigram_lm(lm_src, text_col=args.text_col)
     curated, stats = curate(
         df,
         text_col=args.text_col,
@@ -248,6 +260,8 @@ def run_dataprep(args) -> dict:
             if args.max_dup_5gram_frac is not None
             else None
         ),
+        lm_model=lm,
+        lm_bits_threshold=args.lm_bits_threshold,
         model_score_threshold=args.model_score_threshold,
     )
     curated.write.mode("overwrite").parquet(args.output)
@@ -277,6 +291,16 @@ def _parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--model-score-threshold", type=float, default=None,
         help="enable the classifier-last hashed-n-gram model-quality stage",
+    )
+    p.add_argument(
+        "--lm-bits-threshold", type=float, default=None,
+        help="enable the bigram-LM quality gate (max integer-surprisal "
+        "bits per transition)",
+    )
+    p.add_argument(
+        "--lm-train-source", default=None,
+        help="parquet reference corpus to train the LM on (default: the "
+        "--source corpus itself)",
     )
     return p
 
