@@ -2700,8 +2700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all land in the driver's 50-row window again. Union of r1-r5 driver
     rows still covers every entry; veterans outside the window rest on the
     harness replay (all entries, both SFs recorded in BENCH/). The late-r5
-    gates take the front positions — AMS F2 sketch / shard packing /
-    LM quality / LM curation pipeline (1-4), then domain-mix /
+    gates take the front positions — AMS F2 sketch (batch + streaming) /
+    shard packing (doc + conversation) / LM quality + LM curation
+    pipeline / source overlap matrix (1-8), then domain-mix /
     repetition-signals / corpus-line-dedup / split /
     conversation-validation, then PII-redaction / line-dedup — rotating
     r4-green veterans past the window."""
