@@ -1122,3 +1122,124 @@ def test_assign_shards_matches_python_prefix_sum(spark):
     with _pytest.raises(ValueError):
         assign_shards(df, bucket_bits=0)
     assert assign_shards(df.filter(F.lit(False)), target_units=10).count() == 0
+
+
+def test_duplicated_spans_planted(spark):
+    """Hand-planted spans: a 10-token run shared by two docs becomes ONE
+    merged span [1,10] (3 overlapping k=8 windows) in each; a within-doc
+    repeat counts as occurrences (df counts locations, not documents) and
+    yields two spans in the same doc; runs shorter than k are invisible;
+    raising min_occurrences past the plant removes everything."""
+    from ddsparkle.spark.dataops import duplicated_spans
+
+    run10 = " ".join(f"r{i}" for i in range(10))
+    rep8 = " ".join(f"w{i}" for i in range(8))
+    rows = [
+        (0, run10 + " " + " ".join(f"a{i}" for i in range(6))),
+        (1, run10 + " " + " ".join(f"b{i}" for i in range(6))),
+        # within-doc repeat: tokens 1-8 and 14-21
+        (2, rep8 + " f0 f1 f2 f3 f4 " + rep8),
+        # whole-doc duplicate pair BELOW k: no windows, no spans
+        (3, "s0 s1 s2 s3 s4"),
+        (4, "s0 s1 s2 s3 s4"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"]): (
+            r["span_tokens"],
+            r["n_windows"],
+        )
+        for r in duplicated_spans(df, k=8).collect()
+    }
+    assert got == {
+        (0, 1, 10): (10, 3),
+        (1, 1, 10): (10, 3),
+        (2, 1, 8): (8, 1),
+        (2, 14, 21): (8, 1),
+    }
+    assert duplicated_spans(df, k=8, min_occurrences=3).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        duplicated_spans(df, k=1)
+    with _pytest.raises(ValueError):
+        duplicated_spans(df, min_occurrences=1)
+
+
+def test_strip_duplicated_spans_planted(spark):
+    """Strip removes EVERY occurrence of a covered token (the published
+    deduplicate-text-datasets behavior): both copies of the shared run go,
+    the within-doc repeat leaves only the filler, sub-k duplicates
+    survive untouched, NULL text passes through NULL, and a fully
+    duplicated doc strips to the empty string."""
+    from ddsparkle.spark.dataops import strip_duplicated_spans
+
+    run10 = " ".join(f"r{i}" for i in range(10))
+    rep8 = " ".join(f"w{i}" for i in range(8))
+    tail0 = " ".join(f"a{i}" for i in range(6))
+    rows = [
+        (0, run10 + " " + tail0),
+        (1, run10),  # fully duplicated -> ''
+        (2, rep8 + " f0 f1 f2 f3 f4 " + rep8),
+        (3, "s0 s1 s2 s3 s4"),
+        (4, "s0 s1 s2 s3 s4"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_stripped"], r["n_tokens"], r["n_dropped_tokens"])
+        for r in strip_duplicated_spans(df, k=8).collect()
+    }
+    assert got[0] == (tail0, 16, 10)
+    assert got[1] == ("", 10, 10)
+    assert got[2] == ("f0 f1 f2 f3 f4", 21, 16)
+    assert got[3] == ("s0 s1 s2 s3 s4", 5, 0)
+    assert got[4] == ("s0 s1 s2 s3 s4", 5, 0)
+    assert got[5] == (None, None, None)
+
+
+def test_duplicated_spans_brute_force(spark):
+    """duplicated_spans == a pure-Python occurrence-count + island-merge
+    replay on a random small-vocab corpus (seeded), across two k values
+    and both min_occurrences regimes."""
+    import random
+
+    from ddsparkle.spark.dataops import duplicated_spans
+
+    rng = random.Random(42)
+    vocab = [f"t{i}" for i in range(7)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def replay(k, mo):
+        occ = {}
+        for i, t in rows:
+            toks = t.split(" ")
+            for p in range(len(toks) - k + 1):
+                occ.setdefault(tuple(toks[p : p + k]), []).append((i, p + 1))
+        dup = {}
+        for g, locs in occ.items():
+            if len(locs) >= mo:
+                for i, p in locs:
+                    dup.setdefault(i, set()).add(p)
+        out = set()
+        for i, ps in dup.items():
+            run = []
+            for p in sorted(ps):
+                if run and p > run[-1] + k:
+                    out.add((i, run[0], run[-1] + k - 1, len(run)))
+                    run = []
+                run.append(p)
+            out.add((i, run[0], run[-1] + k - 1, len(run)))
+        return out
+
+    for k, mo in ((3, 2), (5, 2), (3, 4)):
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+            for r in duplicated_spans(df, k=k, min_occurrences=mo).collect()
+        }
+        assert got == replay(k, mo), (k, mo)

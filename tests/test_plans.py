@@ -293,3 +293,30 @@ def test_assign_shards_no_global_window(spark, sf_dir):
     assert "ReadSchema" in plan
     sched = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert all(("lang" not in ln and "source" not in ln) for ln in sched), sched
+
+
+def test_duplicated_spans_plan_jvm_side(spark, sf_dir):
+    """Substring dedup must stay entirely JVM-side: the window explode
+    fuses into the scan stage (Generate present, no Python anywhere), the
+    key groupBy partial-aggregates map-side BEFORE the key exchange (the
+    skew bound — a boilerplate window's count is one partial per task),
+    the scan reads only (doc_id, text) with the NOT NULL filter pushed,
+    and the island window sorts only within doc partitions (no
+    SinglePartition exchange)."""
+    import re
+
+    from ddsparkle.spark.dataops import duplicated_spans
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    plan = plan_of(duplicated_spans(df, k=8))
+    assert "Python" not in plan and "BatchEval" not in plan
+    assert re.search(r"\(\d+\) Generate\b", plan), plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+    assert "IsNotNull(text)" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    # map-side combine on the window-key count: partial + final HashAggregate
+    # pair around the key exchange
+    aggs = re.findall(r"\(\d+\) HashAggregate\b", plan)
+    assert len(aggs) >= 2, plan
