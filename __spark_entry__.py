@@ -2686,6 +2686,25 @@ def q_transcripts_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id")
 
 
+def q_transcripts_boilerplate_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-conversation canned-response detection (transcript_ops.
+    boilerplate_turns): a turn is boilerplate when its exact text appears
+    in >= 5 distinct conversations — the bench transcript generator reuses
+    templated turn texts heavily (~2.8k distinct texts over ~29k turns),
+    so the flag fires on real generator boilerplate, no planting needed.
+    The DuckDB twin replays the portable 60-bit md5 keying, the distinct-
+    conversation df, and the threshold join per turn, hash-exact."""
+    from ddsparkle.spark.transcript_ops import boilerplate_turns
+
+    out = boilerplate_turns(_transcripts(spark, sf_dir), min_convs=5)
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "is_boilerplate",
+        "text_conv_df",
+    ).orderBy("conv_id", "turn_idx")
+
+
 def _dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared input for the duplicated-span gates: the raw corpus (which
     carries planted near-dup documents, i.e. real cross-doc duplicated
@@ -2759,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- newest (r5 part 2): exact substring dedup (Lee et al. 2021) ---
         "doc_dup_spans": q_doc_dup_spans,
         "doc_dup_span_strip": q_doc_dup_span_strip,
+        "transcripts_boilerplate_turns": q_transcripts_boilerplate_turns,
         # --- newest (late r5): AMS F2 sketch + deterministic output sharding ---
         "transcripts_selfjoin_size_ams": q_transcripts_selfjoin_size_ams,
         "transcripts_streaming_f2_ams": q_transcripts_streaming_f2_ams,
@@ -4322,6 +4342,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM a GROUP BY shard_id ORDER BY shard_id"
         ),
         "transcripts_validation": _validation_sql(tr_src),
+        # boilerplate turns: same portable md5 key, distinct-conversation
+        # df, threshold join — NULL text keys to NULL (never matches, never
+        # boilerplate) in both engines
+        "transcripts_boilerplate_turns": (
+            f"WITH t AS (SELECT conv_id, turn_idx, text, "
+            f"('0x' || substr(md5(text), 1, 15))::BIGINT AS k FROM {tr_src}), "
+            "f AS (SELECT k, CAST(count(DISTINCT conv_id) AS BIGINT) AS df "
+            "FROM t WHERE text IS NOT NULL GROUP BY k "
+            "HAVING count(DISTINCT conv_id) >= 5) "
+            "SELECT t.conv_id, CAST(t.turn_idx AS BIGINT) AS turn_idx, "
+            "(f.df IS NOT NULL) AS is_boilerplate, "
+            "CASE WHEN t.text IS NULL THEN NULL ELSE coalesce(f.df, 0) END "
+            "AS text_conv_df "
+            "FROM t LEFT JOIN f ON t.k = f.k ORDER BY conv_id, turn_idx"
+        ),
         "doc_pii_redaction": _pii_sql(),
         "doc_line_dedup": _line_dedup_sql(),
         "doc_model_quality": (

@@ -54,6 +54,7 @@ __all__ = [
     "tool_latency_quantiles",
     "per_conversation_latency_quantiles",
     "validate_conversations",
+    "boilerplate_turns",
 ]
 
 DEFAULT_QS = (0.5, 0.95, 0.99)
@@ -957,4 +958,48 @@ def validate_conversations(df, allowed_roles=("user", "assistant", "system", "to
             & (F.col("n_tool_mismatch") == 0)
             & (n_reg == 0)
         ).alias("is_valid"),
+    )
+
+
+def boilerplate_turns(df, min_convs: int = 5, count_col: str = "text_conv_df"):
+    """Cross-conversation canned-response detection: a turn's text is
+    *boilerplate* when the identical text appears in >= ``min_convs``
+    DISTINCT conversations (templated greetings, canned tool prompts,
+    scripted system turns). Appends ``is_boilerplate`` plus the text's
+    distinct-conversation frequency (``count_col``, NULL for NULL text) to
+    every turn — the transcript-side counterpart of
+    ``dataops.corpus_line_dedup``'s ``max_df`` boilerplate strip, at turn
+    granularity with conversation-level df (occurrence df would overcount
+    a loop inside ONE conversation). Beyond-reference, brief-driven.
+
+    Scale shape: the portable 60-bit md5 text key is computed in the scan
+    projection, so only ``(key 8B, conv_id)`` rows reach the distinct
+    (map-side-combined on the composite key — a canned text repeated a
+    billion times is one partial per task per conversation it touches) and
+    only ``(key, df)`` rows reach the count; the flagged-key minority then
+    joins back onto the turn stream (AQE broadcasts it when small). The
+    turn text itself never shuffles. NULL text is never boilerplate.
+    """
+    from pyspark.sql import functions as F
+
+    from .dataops import _portable_line_key
+
+    if min_convs < 2:
+        raise ValueError("min_convs must be >= 2")
+    keyed = df.withColumn("__k", _portable_line_key(F.col("text")))
+    freq = (
+        keyed.filter(F.col("text").isNotNull())
+        .select("__k", "conv_id")
+        .distinct()
+        .groupBy("__k")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= min_convs)
+    )
+    out = keyed.join(freq, "__k", "left")
+    return out.select(
+        *df.columns,
+        F.col("__df").isNotNull().alias("is_boilerplate"),
+        F.when(F.col("text").isNotNull(), F.coalesce(F.col("__df"), F.lit(0)))
+        .cast("long")
+        .alias(count_col),
     )

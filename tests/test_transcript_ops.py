@@ -714,3 +714,42 @@ def test_validate_conversations_all_checks(spark):
     assert b["is_valid"] is False
     t = got["ts"]
     assert (t["n_ts_regressions"], t["n_same_role_adj"], t["is_valid"]) == (1, 1, False)
+
+
+def test_boilerplate_turns_distinct_conv_df(spark):
+    """Boilerplate df counts DISTINCT conversations, not occurrences: a
+    text looping 10x inside ONE conversation stays df=1 (not flagged), a
+    text in 3 distinct convs has df=3 (flagged at min_convs=3, not at 4),
+    NULL text is never boilerplate and reports NULL df."""
+    import pytest as _pytest
+
+    from ddsparkle.spark.transcript_ops import boilerplate_turns
+
+    rows = []
+    for i in range(10):  # intra-conv loop: df must stay 1
+        rows.append(("loop", i, "user", "again please", None))
+    for c in range(3):  # cross-conv canned reply: df = 3
+        rows.append((f"c{c}", 0, "assistant", "canned hello", None))
+        rows.append((f"c{c}", 1, "user", f"unique {c}", None))
+    rows.append(("n", 0, "user", None, None))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["is_boilerplate"], r["text_conv_df"])
+        for r in boilerplate_turns(df, min_convs=3).collect()
+    }
+    assert got[("loop", 0)] == (False, 0) and got[("loop", 9)] == (False, 0)
+    for c in range(3):
+        assert got[(f"c{c}", 0)] == (True, 3)
+        assert got[(f"c{c}", 1)] == (False, 0)
+    assert got[("n", 0)] == (False, None)
+    flagged = {
+        k for k, (b, _) in {
+            (r["conv_id"], r["turn_idx"]): (r["is_boilerplate"], 0)
+            for r in boilerplate_turns(df, min_convs=4).collect()
+        }.items() if b
+    }
+    assert flagged == set()
+    with _pytest.raises(ValueError):
+        boilerplate_turns(df, min_convs=1)
