@@ -2686,6 +2686,39 @@ def q_transcripts_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id")
 
 
+def q_doc_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style KMV set algebra (approx.set_overlap): distinct-text
+    union / intersection / jaccard / BOTH A-not-B differences between two
+    corpus slices from one union sample — A = src0, B = src1 plus every
+    third src0 document (planted overlap: the natural sources share no
+    exact text). k=8192 exceeds the union universe at both SFs, so every
+    estimate is integer-exact (the (count*u_est)/size order — KMV r5 fix)
+    and the twin recomputes the same values with exact SQL set algebra."""
+    from ddsparkle.spark.approx import set_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    a_df = docs.filter(F.col("source") == "src0")
+    b_df = docs.filter(
+        (F.col("source") == "src1")
+        | ((F.col("source") == "src0") & (F.col("doc_id") % 3 == 0))
+    )
+    ov = set_overlap(a_df, "text", b_df, "text", k=8192)
+    row = (
+        int(ov["distinct_a"]),
+        int(ov["distinct_b"]),
+        int(ov["union"]),
+        int(ov["intersection"]),
+        int(ov["a_not_b"]),
+        int(ov["b_not_a"]),
+        round(float(ov["jaccard"]), 4),
+    )
+    return spark.createDataFrame(
+        [row],
+        "distinct_a long, distinct_b long, union_est long, inter_est long, "
+        "a_not_b long, b_not_a long, jaccard double",
+    )
+
+
 def q_transcripts_boilerplate_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-conversation canned-response detection (transcript_ops.
     boilerplate_turns): a turn is boilerplate when its exact text appears
@@ -2779,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_spans": q_doc_dup_spans,
         "doc_dup_span_strip": q_doc_dup_span_strip,
         "transcripts_boilerplate_turns": q_transcripts_boilerplate_turns,
+        "doc_kmv_set_algebra": q_doc_kmv_set_algebra,
         # --- newest (late r5): AMS F2 sketch + deterministic output sharding ---
         "transcripts_selfjoin_size_ams": q_transcripts_selfjoin_size_ams,
         "transcripts_streaming_f2_ams": q_transcripts_streaming_f2_ams,
@@ -4281,6 +4315,26 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_signals": _repetition_sql(),
         "doc_dup_spans": _dup_spans_sql(),
         "doc_dup_span_strip": _dup_span_strip_sql(),
+        # KMV set algebra: exact regime (k > union universe), so the twin
+        # IS plain exact set algebra — union/intersect/except counts plus
+        # the same jaccard division, rounded identically
+        "doc_kmv_set_algebra": (
+            "WITH a AS (SELECT DISTINCT text FROM documents WHERE source = 'src0'), "
+            "b AS (SELECT DISTINCT text FROM documents WHERE source = 'src1' "
+            "OR (source = 'src0' AND doc_id % 3 = 0)), "
+            "u AS (SELECT text FROM a UNION SELECT text FROM b), "
+            "i AS (SELECT text FROM a INTERSECT SELECT text FROM b), "
+            "ab AS (SELECT text FROM a EXCEPT SELECT text FROM b), "
+            "ba AS (SELECT text FROM b EXCEPT SELECT text FROM a) "
+            "SELECT (SELECT count(*) FROM a)::BIGINT AS distinct_a, "
+            "(SELECT count(*) FROM b)::BIGINT AS distinct_b, "
+            "(SELECT count(*) FROM u)::BIGINT AS union_est, "
+            "(SELECT count(*) FROM i)::BIGINT AS inter_est, "
+            "(SELECT count(*) FROM ab)::BIGINT AS a_not_b, "
+            "(SELECT count(*) FROM ba)::BIGINT AS b_not_a, "
+            "ROUND((SELECT count(*) FROM i)::DOUBLE / (SELECT count(*) FROM u), 4) "
+            "AS jaccard"
+        ),
         "doc_corpus_line_dedup": _corpus_line_dedup_sql(),
         "doc_split_assignment": _split_sql(),
         # overlap matrix: unsaturated KMV == exact set arithmetic, so the

@@ -86,18 +86,30 @@ class KMVSketch:
         return out
 
     def overlap_stats(self, other: "KMVSketch") -> dict:
-        """One union construction -> {union, jaccard, intersection}.
+        """One union construction -> {union, jaccard, intersection,
+        a_not_b, b_not_a} (the full theta-sketch set algebra: union,
+        intersect, and both A-not-B differences from ONE k-min sample).
 
         J(A, B) is membership counting over the union's k-min sample: every
         sample hash is <= both inputs' k-th minima (the union's k smallest
         of A∪B are bounded by either side's k-th smallest alone), so 'in A'
-        is decidable exactly from A's retained set."""
+        is decidable exactly from A's retained set — and therefore so are
+        'in A only' / 'in B only', giving the difference cardinalities from
+        the same membership pass."""
         u = self.union_(other)
         if u.hashes.size == 0:
-            return {"union": 0.0, "jaccard": 1.0, "intersection": 0.0}
+            return {
+                "union": 0.0,
+                "jaccard": 1.0,
+                "intersection": 0.0,
+                "a_not_b": 0.0,
+                "b_not_a": 0.0,
+            }
         in_a = np.isin(u.hashes, self.hashes, assume_unique=True)
         in_b = np.isin(u.hashes, other.hashes, assume_unique=True)
         n_both = int(np.count_nonzero(in_a & in_b))
+        n_a_only = int(np.count_nonzero(in_a & ~in_b))
+        n_b_only = int(np.count_nonzero(in_b & ~in_a))
         j = float(n_both / u.hashes.size)
         u_est = u.distinct_estimate()
         # (count * u_est) / size, NOT j * u_est: in the unsaturated regime
@@ -108,6 +120,8 @@ class KMVSketch:
             "union": u_est,
             "jaccard": j,
             "intersection": (n_both * u_est) / u.hashes.size,
+            "a_not_b": (n_a_only * u_est) / u.hashes.size,
+            "b_not_a": (n_b_only * u_est) / u.hashes.size,
         }
 
     def jaccard(self, other: "KMVSketch") -> float:

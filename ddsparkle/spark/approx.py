@@ -334,7 +334,8 @@ def set_overlap(df_a, col_a, df_b, col_b, k: int = 4096, seed: int = 0) -> dict:
     overlap estimator (how many training documents/users/keys do two tables
     share?) that needs only two scans and KB-scale state, vs an exact
     distinct join. Returns dict with distinct_a/b, union, intersection,
-    jaccard estimates — exact whenever the UNION's distinct universe fits
+    jaccard, and the theta-style difference estimates a_not_b / b_not_a
+    (all from one union sample) — exact whenever the UNION's distinct universe fits
     in k (each side fitting individually is not enough: the union sketch is
     the one that saturates first)."""
     a = kmv_distinct_sketch(df_a, col_a, k=k, seed=seed)
@@ -346,6 +347,8 @@ def set_overlap(df_a, col_a, df_b, col_b, k: int = 4096, seed: int = 0) -> dict:
         "union": ov["union"],
         "intersection": ov["intersection"],
         "jaccard": ov["jaccard"],
+        "a_not_b": ov["a_not_b"],
+        "b_not_a": ov["b_not_a"],
         "rse": a.relative_standard_error,
     }
 

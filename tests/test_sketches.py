@@ -479,6 +479,27 @@ class TestKMV:
         assert a.jaccard(b) == 500 / 2500
         assert a.intersection_estimate(b) == 500.0
         assert a.union_(b).distinct_estimate() == 2500.0
+        ov = a.overlap_stats(b)
+        # theta-style differences, integer-exact in the unsaturated regime
+        assert ov["a_not_b"] == 1000.0 and ov["b_not_a"] == 1000.0
+        # identities: A = (A∩B) + (A\B); U = inter + both diffs
+        assert ov["intersection"] + ov["a_not_b"] == 1500.0
+        assert ov["intersection"] + ov["a_not_b"] + ov["b_not_a"] == ov["union"]
+
+    def test_difference_estimates_saturated(self):
+        from ddsparkle.sketches.kmv import KMVSketch
+
+        a = KMVSketch(k=2048)
+        b = KMVSketch(k=2048)
+        # |A\B| = 40k, |B\A| = 40k, inter = 20k
+        a.update(np.arange(0, 60_000))
+        b.update(np.arange(40_000, 100_000))
+        ov = a.overlap_stats(b)
+        assert abs(ov["a_not_b"] - 40_000) / 40_000 < 0.2, ov
+        assert abs(ov["b_not_a"] - 40_000) / 40_000 < 0.2, ov
+        # partition identity holds exactly by construction
+        s = ov["intersection"] + ov["a_not_b"] + ov["b_not_a"]
+        assert abs(s - ov["union"]) < 1e-6 * ov["union"]
 
     def test_serde_roundtrip(self):
         from ddsparkle.sketches.kmv import KMVSketch
