@@ -2686,6 +2686,36 @@ def q_transcripts_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id")
 
 
+def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (dataops.semdedup): hash-seeded medoid clusters over the
+    embedding corpus augmented with the standard planted perturbed copies
+    (first component x1.5, cosine ~0.99 to source), then the within-cluster
+    dominated keep rule at threshold 0.9. The DuckDB twin replays seeds,
+    max-cosine assignment (sequential-fold dot products are bit-equal
+    across engines — the emb_near_dup_pairs precedent), pairs, and the
+    keep rule end-to-end; at sf0.01, 454 of the 500 planted dups land in
+    their source's cluster and drop — the remainder split across clusters,
+    SemDeDup's documented miss mode, identically in both engines."""
+    from ddsparkle.spark.dataops import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    planted = d.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("e", 1) * F.lit(1.5)),
+            F.slice("e", F.lit(2), F.size("e") - F.lit(1)),
+        ).alias("e"),
+    )
+    un = d.unionByName(planted)
+    out = semdedup(un, emb_col="e", n_clusters=16, threshold=0.9)
+    return out.select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster"), "is_kept"
+    ).orderBy("vec_id")
+
+
 def q_doc_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-style KMV set algebra (approx.set_overlap): distinct-text
     union / intersection / jaccard / BOTH A-not-B differences between two
@@ -2813,6 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_span_strip": q_doc_dup_span_strip,
         "transcripts_boilerplate_turns": q_transcripts_boilerplate_turns,
         "doc_kmv_set_algebra": q_doc_kmv_set_algebra,
+        "emb_semdedup": q_emb_semdedup,
         # --- newest (late r5): AMS F2 sketch + deterministic output sharding ---
         "transcripts_selfjoin_size_ams": q_transcripts_selfjoin_size_ams,
         "transcripts_streaming_f2_ams": q_transcripts_streaming_f2_ams,
@@ -4315,6 +4346,39 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_signals": _repetition_sql(),
         "doc_dup_spans": _dup_spans_sql(),
         "doc_dup_span_strip": _dup_span_strip_sql(),
+        # SemDeDup: full end-to-end replay — hash-order seeds, max-cosine
+        # assignment with smaller-seed-id tie-break (row_number mirrors the
+        # Spark argmax struct's negid), within-cluster pairs, dominated
+        # keep rule; sequential-fold dot products are bit-equal across
+        # engines (emb_near_dup_pairs precedent)
+        "emb_semdedup": (
+            "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+            "FROM embeddings), "
+            "un AS (SELECT * FROM base UNION ALL "
+            "SELECT vec_id + 1000000, list_concat([e[1] * 1.5], e[2:len(e)]) "
+            "FROM base), "
+            "sd AS (SELECT vec_id, e, "
+            "('0x' || substr(md5('semdedup:' || vec_id), 1, 15))::BIGINT AS h "
+            "FROM un), "
+            "seeds AS (SELECT vec_id AS sid, e AS se FROM "
+            "(SELECT *, row_number() OVER (ORDER BY h, vec_id) AS rk FROM sd) "
+            "WHERE rk <= 16), "
+            "sims AS (SELECT u.vec_id, s.sid, list_dot_product(u.e, s.se) / "
+            "(sqrt(list_dot_product(u.e, u.e)) * sqrt(list_dot_product(s.se, s.se))) "
+            "AS sim FROM un u CROSS JOIN seeds s), "
+            "asg AS (SELECT vec_id, sid AS cluster FROM "
+            "(SELECT vec_id, sid, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY sim DESC, sid) AS rn FROM sims) WHERE rn = 1), "
+            "pairs AS (SELECT jx.vec_id AS ia, jy.vec_id AS ib FROM asg jx "
+            "JOIN asg jy ON jx.cluster = jy.cluster AND jx.vec_id < jy.vec_id "
+            "JOIN un x ON x.vec_id = jx.vec_id JOIN un y ON y.vec_id = jy.vec_id "
+            "WHERE list_dot_product(x.e, y.e) / (sqrt(list_dot_product(x.e, x.e)) * "
+            "sqrt(list_dot_product(y.e, y.e))) >= 0.9), "
+            "dropped AS (SELECT DISTINCT ib FROM pairs) "
+            "SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster, "
+            "(d.ib IS NULL) AS is_kept FROM asg a "
+            "LEFT JOIN dropped d ON a.vec_id = d.ib ORDER BY a.vec_id"
+        ),
         # KMV set algebra: exact regime (k > union universe), so the twin
         # IS plain exact set algebra — union/intersect/except counts plus
         # the same jaccard division, rounded identically

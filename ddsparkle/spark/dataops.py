@@ -60,6 +60,7 @@ __all__ = [
     "corpus_line_dedup",
     "duplicated_spans",
     "strip_duplicated_spans",
+    "semdedup",
     "assign_split",
     "hash_sample_by_group",
     "temperature_mix",
@@ -2314,6 +2315,103 @@ def strip_duplicated_spans(
         F.when(nn, F.size("__toks") - F.size(kept))
         .cast("int")
         .alias("n_dropped_tokens"),
+    )
+
+
+def semdedup(
+    df,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    salt: str = "semdedup",
+):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    space, then drop near-identical vectors WITHIN each cluster —
+    semantic-level dedup where MinHash/exact dedup see different bytes.
+    Returns (id_col, cluster, is_kept): cluster = the chosen seed's id,
+    is_kept = False iff the vector has a same-cluster neighbor with
+    cosine >= ``threshold`` and a smaller id (the order-free "dominated"
+    keep rule — an anti-chain variant of the paper's keep-one-per-group;
+    the paper's keep-farthest-from-centroid rule needs a cross-row float
+    mean, which the repo's cross-engine-exactness policy forbids in
+    hash-gated paths).
+
+    Clustering is hash-seeded medoids, not k-means (documented deviation):
+    seeds are the ``n_clusters`` rows with the smallest portable 60-bit
+    md5 of ``'salt:id'`` — a deterministic uniform sample of the corpus —
+    and every vector joins its max-cosine seed (ties to the smaller seed
+    id). That keeps the WHOLE operator engine-replicable (a DuckDB twin
+    replays seeds, assignment, pairs, and the keep rule bit-for-bit);
+    callers wanting k-means quality can cluster with ``ivf_index`` and
+    apply the same within-cluster rule. Known SemDeDup failure mode
+    (shared with the paper): a duplicate pair split across two clusters
+    is never compared.
+
+    Scale shape: seeds collect driver-side (n_clusters rows) and embed as
+    literal arrays, so assignment is one scan with JVM-side sequential
+    folds (the ``_cosine_fold`` chassis — interpretive per element, fine
+    at gate dims; swap the ``ivf_index`` mapInPandas numpy pass at
+    production dims); the within-cluster self-join is the paper's own
+    cost model — pairs per cluster ~ (n/K)^2, so K must grow with n
+    (the paper uses K ~ sqrt(n·avg_cluster); cluster-size skew shows up
+    in the assignment counts and is the operator's natural monitor)."""
+    from pyspark.sql import functions as F
+
+    if n_clusters < 2:
+        raise ValueError("n_clusters must be >= 2")
+    seeds = (
+        df.select(id_col, emb_col)
+        .withColumn(
+            "__h",
+            _portable_line_key(
+                F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+            ),
+        )
+        .orderBy("__h", id_col)
+        .limit(n_clusters)
+        .collect()
+    )
+    # sorted by seed id so the argmax struct's tie-break (max of -id)
+    # picks the SMALLEST seed id among bit-equal cosines
+    seeds = sorted((r[0], list(r[1])) for r in seeds)
+    scored = df.select(
+        id_col,
+        emb_col,
+        F.array(
+            *[
+                F.struct(
+                    _cosine_fold(
+                        F.col(emb_col),
+                        F.array(*[F.lit(float(v)) for v in vec]),
+                    ).alias("s"),
+                    F.lit(-int(sid)).alias("negid"),
+                )
+                for sid, vec in seeds
+            ]
+        ).alias("__sc"),
+    )
+    asg = scored.select(
+        id_col, emb_col, (-F.array_max("__sc")["negid"]).cast("long").alias("cluster")
+    )
+    a = asg.select(
+        F.col(id_col).alias("__ia"), F.col(emb_col).alias("__ea"), "cluster"
+    )
+    b = asg.select(
+        F.col(id_col).alias("__ib"), F.col(emb_col).alias("__eb"), "cluster"
+    )
+    pairs = a.join(b, "cluster").filter(F.col("__ia") < F.col("__ib"))
+    dropped = (
+        pairs.filter(_cosine_fold(F.col("__ea"), F.col("__eb")) >= threshold)
+        .select(F.col("__ib").alias(id_col))
+        .distinct()
+    )
+    flagged = asg.join(
+        dropped.withColumn("__drop", F.lit(True)), id_col, "left"
+    )
+    return flagged.select(
+        id_col, "cluster", F.col("__drop").isNull().alias("is_kept")
     )
 
 

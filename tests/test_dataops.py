@@ -1243,3 +1243,43 @@ def test_duplicated_spans_brute_force(spark):
             for r in duplicated_spans(df, k=k, min_occurrences=mo).collect()
         }
         assert got == replay(k, mo), (k, mo)
+
+
+def test_semdedup_dominated_rule(spark):
+    """Identical-direction vectors (cosine 1.0) always share a cluster
+    (same argmax scores), so the dominated rule keeps exactly the smallest
+    id of each duplicate group; an isolated orthogonal vector is kept;
+    scaling a vector never changes its fate (cosine is scale-free)."""
+    import pytest as _pytest
+
+    from ddsparkle.spark.dataops import semdedup
+
+    dim = 8
+
+    def axis(i, scale=1.0):
+        v = [0.0] * dim
+        v[i] = scale
+        return v
+
+    rows = [
+        (0, axis(0)),
+        (1, axis(0, 2.0)),   # same direction, scaled -> dup of 0
+        (2, axis(0, 0.5)),   # dup of 0
+        (10, axis(1)),
+        (11, axis(1, 3.0)),  # dup of 10
+        (20, axis(2)),       # isolated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    got = {
+        r["vec_id"]: r["is_kept"]
+        for r in semdedup(df, emb_col="e", n_clusters=2, threshold=0.99).collect()
+    }
+    assert got == {0: True, 1: False, 2: False, 10: True, 11: False, 20: True}
+    # cluster column: dup groups share their cluster id
+    cl = {
+        r["vec_id"]: r["cluster"]
+        for r in semdedup(df, emb_col="e", n_clusters=2, threshold=0.99).collect()
+    }
+    assert cl[0] == cl[1] == cl[2] and cl[10] == cl[11]
+    with _pytest.raises(ValueError):
+        semdedup(df, emb_col="e", n_clusters=1)
