@@ -2816,6 +2816,50 @@ def q_doc_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_doc_curation_spanstrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline with the Lee et al. 2021 substring-dedup
+    stage wired in (dataprep.curate strip_spans_k=8): decontaminate,
+    exact-dedup, STRIP every duplicated 8-token span from every exact-dedup
+    survivor, then fuzzy dedup + quality/language gates over the CLEANED
+    text — so boilerplate spans neither keep near-dups apart nor glue
+    unrelated docs together. Seven stage counts (the five standard ones
+    plus span_stripped_tokens / docs_with_dup_spans) must hash-match a
+    DuckDB replica that recomputes the whole pipeline from scratch with
+    the span stage inlined between exact and fuzzy dedup
+    (_curation_sql(strip_spans_k=8)). Pins the stage ORDER and the
+    stripped-text handoff, not just strip_duplicated_spans alone."""
+    from ddsparkle.spark.dataprep import curate
+
+    df = _t(spark, sf_dir, "documents")
+    corpus = df.filter(F.col("source") != "src0")
+    reference = df.filter(F.col("source") == "src0")
+    _curated, stats = curate(
+        corpus,
+        decontaminate_against=reference,
+        min_tokens=5,
+        max_mean_token_len=20.0,
+        languages=["en"],
+        jaccard_threshold=0.7,
+        num_perm=32,
+        bands=32,
+        max_bucket_size=None,
+        strip_spans_k=8,
+        release_cache=True,  # only stats are consumed here
+    )
+    cols = [
+        "input_docs",
+        "after_decontamination",
+        "after_exact_dedup",
+        "span_stripped_tokens",
+        "docs_with_dup_spans",
+        "after_fuzzy_dedup",
+        "after_quality_language",
+    ]
+    return spark.createDataFrame(
+        [[float(stats[c]) for c in cols]], ", ".join(f"{c} double" for c in cols)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is evidence policy, not alphabetics: the driver
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json, so entries
@@ -2829,15 +2873,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     decontamination, sessionization; persist fix: transcripts_curation)
     all land in the driver's 50-row window again. Union of r1-r5 driver
     rows still covers every entry; veterans outside the window rest on the
-    harness replay (all entries, both SFs recorded in BENCH/). r5 part 2
-    puts the two substring-dedup gates (duplicated spans + strip) at
-    positions 1-2; then the late-r5 gates — AMS F2 sketch (batch + streaming) /
+    harness replay (all entries, both SFs recorded in BENCH/). r5 part 3
+    puts the curation-with-span-strip composition gate at position 1; r5
+    part 2 puts the two substring-dedup gates (duplicated spans + strip)
+    next; then the late-r5 gates — AMS F2 sketch (batch + streaming) /
     shard packing (doc + conversation) / LM quality + LM curation
     pipeline / source overlap matrix (1-8), then domain-mix /
     repetition-signals / corpus-line-dedup / split /
     conversation-validation, then PII-redaction / line-dedup — rotating
     r4-green veterans past the window."""
     return {
+        # --- newest (r5 part 3): substring dedup wired into curation ---
+        "doc_curation_spanstrip": q_doc_curation_spanstrip,
         # --- newest (r5 part 2): exact substring dedup (Lee et al. 2021) ---
         "doc_dup_spans": q_doc_dup_spans,
         "doc_dup_span_strip": q_doc_dup_span_strip,
@@ -3133,6 +3180,7 @@ def _lm_ctes(
 def _curation_sql(
     model_threshold: float | None = None,
     lm_bits_threshold: float | None = None,
+    strip_spans_k: int | None = None,
 ) -> str:
     """DuckDB replica of the full curate() pipeline over the harness corpus
     (non-src0 docs, decontaminated against src0): recomputes the five stage
@@ -3145,13 +3193,54 @@ def _curation_sql(
     heuristic survivors) and an ``after_lm_quality`` count;
     ``model_threshold`` appends the hashed-n-gram model-quality stage
     (classifier-LAST — over the LM survivors when the LM stage is on) and
-    an ``after_model_quality`` count."""
+    an ``after_model_quality`` count. ``strip_spans_k`` inserts the Lee et
+    al. 2021 substring-dedup stage between exact and fuzzy dedup — the
+    exact replay of the _dup_span_cte chain (windows keyed by the portable
+    60-bit md5, df >= 2 corpus-wide over the exact-dedup survivors,
+    gaps-and-islands merge, every covered token removed from EVERY
+    occurrence) — so fuzzy dedup and the quality gates downstream see the
+    STRIPPED text, plus ``span_stripped_tokens`` / ``docs_with_dup_spans``
+    count columns."""
     gram_list = _gram_list_sql
     scores, best, picks = _stopword_scores_parts()
     jac = (
         "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
         "/ len(list_distinct(list_concat(a.s, b.s)))"
     )
+    strip_ctes = strip_counts = ""
+    fsrc = "exact_kept"
+    if strip_spans_k is not None:
+        k = int(strip_spans_k)
+        # exact replay of _dup_span_cte over the exact-dedup survivors:
+        # windows keyed by the portable 60-bit md5 (list_slice is 1-based
+        # INCLUSIVE == Spark slice(t, i, k)), occurrence df >= 2 window,
+        # lag/island merge, covered positions anti-joined off the token
+        # ordinals, ordinal-ordered string_agg rebuild (NULL when all
+        # tokens were duplicated -> coalesce '', matching array_join)
+        strip_ctes = f""",
+lsx AS (SELECT doc_id, string_split(text, ' ') AS t FROM exact_kept WHERE text IS NOT NULL),
+wx AS (SELECT doc_id, i, ('0x' || substr(md5(array_to_string(list_slice(t, i, i + {k - 1}), ' ')), 1, 15))::BIGINT AS kx
+  FROM lsx, LATERAL (SELECT unnest(generate_series(1, len(t) - {k - 1})) AS i) g WHERE len(t) >= {k}),
+dx AS (SELECT doc_id, i FROM (SELECT doc_id, i, count(*) OVER (PARTITION BY kx) AS df FROM wx) WHERE df >= 2),
+lgx AS (SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS li FROM dx),
+islx AS (SELECT doc_id, i, SUM(CASE WHEN i > li + {k} THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM lgx),
+spansx AS (SELECT doc_id, min(i) AS ss, max(i) + {k - 1} AS se FROM islx GROUP BY doc_id, grp),
+covx AS (SELECT doc_id, unnest(generate_series(ss, se)) AS p FROM spansx),
+tokx AS (SELECT doc_id, i, t[i] AS tk FROM lsx, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+stripx AS (SELECT tokx.doc_id,
+  coalesce(string_agg(tk, ' ' ORDER BY i) FILTER (covx.p IS NULL), '') AS stext,
+  count(*) FILTER (covx.p IS NOT NULL) AS nd
+  FROM tokx LEFT JOIN covx ON tokx.doc_id = covx.doc_id AND tokx.i = covx.p
+  GROUP BY tokx.doc_id),
+stripped AS (SELECT e.* REPLACE (CASE WHEN e.text IS NULL THEN NULL ELSE s.stext END AS text)
+  FROM exact_kept e LEFT JOIN stripx s USING (doc_id))"""
+        strip_counts = (
+            ",\n  CAST((SELECT coalesce(SUM(nd), 0) FROM stripx) AS DOUBLE)"
+            " AS span_stripped_tokens"
+            ",\n  CAST((SELECT COUNT(*) FROM stripx WHERE nd > 0) AS DOUBLE)"
+            " AS docs_with_dup_spans"
+        )
+        fsrc = "stripped"
     lm_cte = lm_count = ""
     model_src = "final"
     if lm_bits_threshold is not None:
@@ -3186,8 +3275,8 @@ contaminated AS (
 ),
 clean AS (SELECT * FROM docs WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
 reps AS (SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY text),
-exact_kept AS (SELECT c.* FROM clean c JOIN reps USING (doc_id)),
-sh3 AS (SELECT doc_id, {gram_list(3)} AS s FROM exact_kept),
+exact_kept AS (SELECT c.* FROM clean c JOIN reps USING (doc_id)){strip_ctes},
+sh3 AS (SELECT doc_id, {gram_list(3)} AS s FROM {fsrc}),
 cand AS (
   -- exact candidate prefilter, no recall loss: any pair with Jaccard > 0
   -- shares at least one shingle, so verifying only shingle-sharing pairs
@@ -3209,7 +3298,7 @@ walk(id, reach) AS (
   SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach
 ),
 fuzzy_reps AS (SELECT id AS doc_id FROM walk GROUP BY id HAVING id = MIN(reach)),
-fuzzy_kept AS (SELECT e.* FROM exact_kept e JOIN fuzzy_reps USING (doc_id)),
+fuzzy_kept AS (SELECT e.* FROM {fsrc} e JOIN fuzzy_reps USING (doc_id)),
 scored AS (
   SELECT *, len(string_split(text, ' ')) AS n_toks,
          length(replace(text, ' ', '')) AS n_letters,
@@ -3225,7 +3314,7 @@ final AS (
 SELECT
   CAST((SELECT COUNT(*) FROM docs) AS DOUBLE) AS input_docs,
   CAST((SELECT COUNT(*) FROM clean) AS DOUBLE) AS after_decontamination,
-  CAST((SELECT COUNT(*) FROM exact_kept) AS DOUBLE) AS after_exact_dedup,
+  CAST((SELECT COUNT(*) FROM exact_kept) AS DOUBLE) AS after_exact_dedup{strip_counts},
   CAST((SELECT COUNT(*) FROM fuzzy_kept) AS DOUBLE) AS after_fuzzy_dedup,
   CAST((SELECT COUNT(*) FROM final) AS DOUBLE) AS after_quality_language{lm_count}{model_count}
 """
@@ -4337,6 +4426,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id IS NOT NULL) WHERE rk <= 20"
         ),
         "doc_curation_pipeline": _curation_sql(),
+        "doc_curation_spanstrip": _curation_sql(strip_spans_k=8),
         "doc_curation_model_pipeline": _curation_sql(model_threshold=-0.05),
         # full end-to-end replay of the hashed-n-gram linear scorer:
         # tokenize -> unigram+bigram expansion (with multiplicity) -> 60-bit

@@ -41,6 +41,8 @@ def curate(
     lm_model=None,
     lm_bits_threshold: Optional[float] = None,
     model_score_threshold: Optional[float] = None,
+    strip_spans_k: Optional[int] = None,
+    strip_spans_min_occurrences: int = 2,
     release_cache: bool = False,
 ):
     """Returns (curated DataFrame, stats dict). The curated frame keeps the
@@ -62,7 +64,14 @@ def curate(
     runs LAST, over only the heuristic-gate survivors — the cheap
     heuristics shrink the corpus before the model pass, the standard
     classifier-last curation order; docs scoring below the threshold are
-    dropped, with an ``after_model_quality`` stage count). The intermediate dedup survivors are persisted so the
+    dropped, with an ``after_model_quality`` stage count), and
+    ``strip_spans_k`` (Lee et al. 2021 substring dedup: every token run
+    covered by a duplicated ``strip_spans_k``-token window is REMOVED from
+    the text of every exact-dedup survivor — all occurrences, the
+    published-tool behavior — BEFORE fuzzy dedup, so boilerplate spans
+    neither keep near-dups apart nor glue unrelated docs together;
+    hollowed-out documents then fall to the ``min_tokens`` gate, and
+    ``span_stripped_tokens`` / ``docs_with_dup_spans`` join the stats). The intermediate dedup survivors are persisted so the
     per-stage counts and the caller's final write do not recompute the
     dedup lineage; the returned frame is backed by that cached stage.
     ``release_cache=True`` unpersists it before returning — use when only
@@ -108,6 +117,38 @@ def curate(
         # exact_kept's cache now shields downstream lineage
         decontam_cached.unpersist()
 
+    # 1.5 (optional) duplicated-span strip: corpus-wide substring dedup
+    # over the exact-dedup survivors (running it after whole-doc dedup
+    # avoids re-discovering every exact duplicate as one giant span). The
+    # strip frame derives from the CACHED exact_kept, is persisted itself
+    # (it feeds the stats action, fuzzy dedup, and the final plan), and
+    # replaces exact_kept downstream so later stages see the cleaned text.
+    span_tokens = n_span_docs = None
+    stripped_cached = None
+    if strip_spans_k is not None:
+        from .dataops import strip_duplicated_spans
+
+        stripped_cached = strip_duplicated_spans(
+            exact_kept,
+            text_col=text_col,
+            id_col=id_col,
+            k=strip_spans_k,
+            min_occurrences=strip_spans_min_occurrences,
+        ).persist()
+        srow = stripped_cached.agg(
+            F.sum("n_dropped_tokens").alias("t"),
+            F.count(F.when(F.col("n_dropped_tokens") > 0, 1)).alias("d"),
+        ).collect()[0]
+        span_tokens, n_span_docs = int(srow["t"] or 0), int(srow["d"])
+        replaced = stripped_cached.select(
+            *[
+                F.col("text_stripped").alias(text_col) if c == text_col else F.col(c)
+                for c in df.columns
+            ]
+        )
+        exact_kept.unpersist()  # stripped_cached shields the lineage now
+        exact_kept = replaced
+
     # 2. fuzzy dedup on the exact-deduped survivors
     clusters = near_dup_clusters(
         exact_kept,
@@ -123,7 +164,12 @@ def curate(
         clusters.filter(F.col("keep")).select(id_col), id_col
     ).persist()
     n_fuzzy = fuzzy_kept.count()
-    exact_kept.unpersist()  # fuzzy_kept's cache shields downstream lineage
+    # fuzzy_kept's cache shields downstream lineage (when the span stage
+    # ran, exact_kept is a plain projection of stripped_cached and the
+    # unpersist below is the one that matters)
+    exact_kept.unpersist()
+    if stripped_cached is not None:
+        stripped_cached.unpersist()
 
     # 3. quality + language gates: row-local Catalyst expressions inlined
     # with filter (no joins, no extra evaluation of the dedup pipeline); at
@@ -218,6 +264,9 @@ def curate(
         "dropped_fuzzy_dups": n_exact - n_fuzzy,
         "dropped_quality_language": n_fuzzy - n_final,
     }
+    if strip_spans_k is not None:
+        stats["span_stripped_tokens"] = span_tokens
+        stats["docs_with_dup_spans"] = n_span_docs
     if repetition_thresholds:
         stats["after_repetition"] = n_rep
         stats["dropped_repetition"] = n_final - n_rep

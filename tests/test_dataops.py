@@ -1199,6 +1199,52 @@ def test_strip_duplicated_spans_planted(spark):
     assert got[5] == (None, None, None)
 
 
+def test_curate_strip_spans_stage(spark):
+    """curate(strip_spans_k=8): the substring-dedup stage runs BETWEEN
+    exact and fuzzy dedup, so (a) a shared boilerplate span no longer
+    glues unrelated docs into one fuzzy cluster, (b) a doc whose text is
+    entirely duplicated windows hollows out and falls to the min_tokens
+    gate, (c) the returned frame carries the STRIPPED text, and (d) the
+    two span stats account exactly. The control run (no strip) merges the
+    boilerplate-glued docs instead — pinning that the stage actually
+    changes downstream dedup, not just the stats."""
+    from ddsparkle.spark.dataprep import curate
+
+    boil = " ".join(f"b{i}" for i in range(14))
+    rows = [
+        (0, " ".join(f"u{i}" for i in range(6)) + " " + boil),
+        (1, " ".join(f"v{i}" for i in range(6)) + " " + boil),
+        (2, " ".join(f"w{i}" for i in range(12))),
+        (3, " ".join(f"w{i}" for i in range(12))),  # exact dup of 2
+        (4, boil + " " + boil),  # fully duplicated -> strips to ''
+    ] + [(i, " ".join(f"f{i}x{j}" for j in range(10))) for i in range(5, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(
+        jaccard_threshold=0.35, min_tokens=5, num_perm=32, bands=32,
+        max_bucket_size=None,
+    )
+
+    curated, stats = curate(df, strip_spans_k=8, **kw)
+    # d3 exact-dups away; spans: 14 tokens in each of d0/d1, all 28 in d4
+    assert stats["input_docs"] == 10
+    assert stats["after_exact_dedup"] == 9
+    assert stats["span_stripped_tokens"] == 14 + 14 + 28
+    assert stats["docs_with_dup_spans"] == 3
+    # boilerplate stripped -> d0/d1 share nothing -> no fuzzy merge; the
+    # hollowed d4 ('' -> 1 token) falls to the min_tokens gate
+    assert stats["after_fuzzy_dedup"] == 9
+    assert stats["after_quality_language"] == 8
+    got = {r["doc_id"]: r["text"] for r in curated.collect()}
+    assert set(got) == {0, 1, 2, 5, 6, 7, 8, 9}
+    assert got[0] == "u0 u1 u2 u3 u4 u5"  # the returned text is stripped
+
+    _, control = curate(df, **kw)
+    # without the strip, the boilerplate glues {0, 1, 4} into one cluster
+    assert control["after_fuzzy_dedup"] == 7
+    assert control["after_quality_language"] == 7
+    assert "span_stripped_tokens" not in control
+
+
 def test_duplicated_spans_brute_force(spark):
     """duplicated_spans == a pure-Python occurrence-count + island-merge
     replay on a random small-vocab corpus (seeded), across two k values
