@@ -1967,6 +1967,43 @@ def q_transcripts_selfjoin_size_ams(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_transcripts_conv_freq_countsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch point-frequency probes on the north-star table: "how
+    many turns does THIS conversation have", answered from one scan plus a
+    (7 x 4096) int64 counter-matrix reduce — no groupBy on conv_id, no
+    raw-row exchange. Complements CMS (biased up: collisions only add)
+    with sign-cancelling UNBIASED estimates; the sketch is integer
+    end-to-end (degree-3 Horner parity signs + pairwise bucket hash over
+    the Mersenne field on the portable 60-bit md5 key, odd-depth median =
+    an order statistic), so the twin replays the ENTIRE sketch in HUGEINT
+    SQL and every probe's ``cs_est`` must match bit-for-bit. The 4-sigma
+    Chebyshev/median bound is asserted in integer form
+    (err^2 * width <= 16 * F2, exact F2 recomputed by both engines). The
+    two SFs exercise both regimes: at sf0.01 (~1.8k convs in 4096 buckets)
+    most probes are collision-free and exact; at sf0.1 (~18k convs) every
+    bucket is loaded and the sign-cancellation does the work."""
+    from ddsparkle.spark.approx import count_sketch
+
+    df = _transcripts(spark, sf_dir)
+    keyed = df.select(
+        F.conv(F.substring(F.md5("conv_id"), 1, 15), 16, 10).cast("long").alias("k")
+    )
+    sk = count_sketch(keyed, "k", depth=7, width=4096, seed=0)
+    exact = keyed.groupBy("k").agg(F.count("*").alias("cnt"))
+    probes = exact.orderBy("k").limit(8).collect()  # deterministic 8 smallest keys
+    f2 = int(
+        exact.agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f2")).collect()[0]["f2"]
+    )
+    rows = []
+    for r in probes:
+        est = sk.estimate(int(r["k"]))
+        err = est - int(r["cnt"])
+        rows.append((int(r["k"]), int(r["cnt"]), est, bool(err * err * 4096 <= 16 * f2)))
+    return spark.createDataFrame(
+        rows, "k bigint, exact_cnt bigint, cs_est bigint, within_bound boolean"
+    )
+
+
 def q_transcripts_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north rule's streaming leg on the NORTH-STAR table: transcript
     files flow as micro-batches through the replay-idempotent foreachBatch
@@ -2873,8 +2910,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     decontamination, sessionization; persist fix: transcripts_curation)
     all land in the driver's 50-row window again. Union of r1-r5 driver
     rows still covers every entry; veterans outside the window rest on the
-    harness replay (all entries, both SFs recorded in BENCH/). r5 part 3
-    puts the curation-with-span-strip composition gate at position 1; r5
+    harness replay (all entries, both SFs recorded in BENCH/). r5 part 4
+    puts the Count-Sketch gate at position 1; r5 part 3
+    puts the curation-with-span-strip composition gate next; r5
     part 2 puts the two substring-dedup gates (duplicated spans + strip)
     next; then the late-r5 gates — AMS F2 sketch (batch + streaming) /
     shard packing (doc + conversation) / LM quality + LM curation
@@ -2883,6 +2921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     conversation-validation, then PII-redaction / line-dedup — rotating
     r4-green veterans past the window."""
     return {
+        # --- newest (r5 part 4): Count-Sketch point-frequency probes ---
+        "transcripts_conv_freq_countsketch": q_transcripts_conv_freq_countsketch,
         # --- newest (r5 part 3): substring dedup wired into curation ---
         "doc_curation_spanstrip": q_doc_curation_spanstrip,
         # --- newest (r5 part 2): exact substring dedup (Lee et al. 2021) ---
@@ -3706,7 +3746,45 @@ def oracle_sql() -> dict[str, str]:
         "abs(f2_est_num - 256 * f2_exact) <= 91 * f2_exact AS within_bound "
         "FROM est, ex"
     )
+    # Count-Sketch twin: replays the ENTIRE sketch (coefficient derivation,
+    # Horner parity signs, pairwise buckets, signed counters, odd-median =
+    # 4th-smallest of 7) in HUGEINT SQL; cs_est is bit-exact, within_bound
+    # is the integer 4-sigma form err^2 * width <= 16 * F2.
+    _p61 = "2305843009213693951"
+    csk_sql = (
+        "WITH keyed AS (SELECT ('0x' || substr(md5(conv_id), 1, 15))"
+        "::BIGINT::HUGEINT AS x, COUNT(*)::HUGEINT AS cnt "
+        f"FROM {tr_src} GROUP BY conv_id), "
+        "coeff AS (SELECT j, "
+        "('0x' || substr(md5('csk:0:' || j || ':s3'), 1, 15))::BIGINT::HUGEINT AS s3, "
+        "('0x' || substr(md5('csk:0:' || j || ':s2'), 1, 15))::BIGINT::HUGEINT AS s2, "
+        "('0x' || substr(md5('csk:0:' || j || ':s1'), 1, 15))::BIGINT::HUGEINT AS s1, "
+        "('0x' || substr(md5('csk:0:' || j || ':s0'), 1, 15))::BIGINT::HUGEINT AS s0, "
+        "('0x' || substr(md5('csk:0:' || j || ':b1'), 1, 15))::BIGINT::HUGEINT AS b1, "
+        "('0x' || substr(md5('csk:0:' || j || ':b0'), 1, 15))::BIGINT::HUGEINT AS b0 "
+        "FROM generate_series(0, 6) AS t(j)), "
+        "hs AS (SELECT j, x, cnt, "
+        f"((((s3 * x % {_p61} + s2) * x % {_p61} + s1) * x % {_p61} + s0) "
+        f"% {_p61}) % 2 AS par, "
+        f"((b1 * x % {_p61} + b0) % {_p61}) % 4096 AS bkt "
+        "FROM keyed CROSS JOIN coeff), "
+        "counters AS (SELECT j, bkt, "
+        "SUM(CASE WHEN par = 1 THEN cnt ELSE -cnt END) AS cj FROM hs GROUP BY j, bkt), "
+        "probes AS (SELECT x, cnt FROM keyed ORDER BY x LIMIT 8), "
+        "pe AS (SELECT h.x, h.cnt, "
+        "(CASE WHEN h.par = 1 THEN c.cj ELSE -c.cj END) AS est_j "
+        "FROM hs h JOIN probes p ON h.x = p.x "
+        "JOIN counters c ON c.j = h.j AND c.bkt = h.bkt), "
+        "pe2 AS (SELECT x, cnt, est_j, "
+        "row_number() OVER (PARTITION BY x ORDER BY est_j) AS rn FROM pe), "
+        "est AS (SELECT x, cnt, est_j AS e FROM pe2 WHERE rn = 4), "
+        "f2 AS (SELECT SUM(cnt * cnt) AS f2x FROM keyed) "
+        "SELECT x::BIGINT AS k, cnt::BIGINT AS exact_cnt, e::BIGINT AS cs_est, "
+        "((e - cnt) * (e - cnt) * 4096 <= 16 * f2x) AS within_bound "
+        "FROM est CROSS JOIN f2 ORDER BY k"
+    )
     return {
+        "transcripts_conv_freq_countsketch": csk_sql,
         "transcripts_text_len_by_role": ddsketch_quantile_sql(
             tr_len_src, "text_len", [0.5, 0.95, 0.99], group_col="role"
         ),

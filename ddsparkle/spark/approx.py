@@ -12,7 +12,7 @@ import pandas as pd
 
 from ..sketches import BloomFilter, CountMinSketch, HyperLogLog
 
-__all__ = ["hll_distinct", "cms_frequencies", "bloom_membership", "kmv_distinct_sketch", "set_overlap", "ams_f2_sketch", "kmv_overlap_matrix"]
+__all__ = ["hll_distinct", "cms_frequencies", "bloom_membership", "kmv_distinct_sketch", "set_overlap", "ams_f2_sketch", "kmv_overlap_matrix", "count_sketch"]
 
 
 def _payload_schema(df, key_cols: Sequence[str]):
@@ -459,6 +459,39 @@ def ams_f2_sketch(df, key_col: str, n_counters: int = 256, seed: int = 0):
     )
     return _reduce_payloads(partials, AMSSketch.from_bytes) or AMSSketch(
         n_counters=n_counters, seed=seed
+    )
+
+
+def count_sketch(df, key_col: str, depth: int = 7, width: int = 64, seed: int = 0):
+    """Sign-unbiased point-frequency sketch of ``key_col`` (Count-Sketch,
+    Charikar et al. 2002) on the shared chassis: mapInPandas per-task
+    partials -> salted payload reduce; the state is a (depth x width)
+    int64 counter matrix, so the whole job is one scan plus a KB-scale
+    matrix-addition reduce — no groupBy on the key, no raw-row exchange.
+    Where :func:`cms_frequencies` answers "at most how frequent" (biased
+    up), this answers "how frequent, unbiased" — the probe for a SINGLE
+    conversation's turn count or a single boilerplate line's occurrence
+    count without paying for the 10^12-row aggregation.
+
+    ``key_col`` must already hold the portable 60-bit key
+    (``conv(substring(md5(v),1,15),16,10)``), computed JVM-side in the
+    scan projection; the sketch is then integer-exact and replayable
+    bit-for-bit by a SQL engine (see the
+    ``transcripts_conv_freq_countsketch`` gate twin).
+
+    Returns the merged :class:`~ddsparkle.sketches.countsketch.CountSketch`.
+    """
+    from ..sketches.countsketch import CountSketch
+
+    partials = _build_payload_partials(
+        df.select(key_col),
+        key_col,
+        [],
+        make=lambda: CountSketch(depth=depth, width=width, seed=seed),
+        update=lambda sk, v: sk.update(v.to_numpy(np.int64)),
+    )
+    return _reduce_payloads(partials, CountSketch.from_bytes) or CountSketch(
+        depth=depth, width=width, seed=seed
     )
 
 
