@@ -1169,6 +1169,29 @@ def q_doc_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): 200 documents sampled
+    proportional to char length with unbiased Horvitz-Thompson weight
+    estimates (est_weight = max(w, tau), E[sum] = total corpus weight).
+    Membership, priorities, tau, and est_weight are all BIT-EQUAL to the
+    DuckDB twin because every float is per-row and single-rounded
+    (double(w) * 2^60 is an exact exponent shift; the one division is one
+    IEEE op — never a cross-row float sum). The importance-sampling
+    primitive for size-proportional eval sets over a growing corpus."""
+    from ddsparkle.spark.dataops import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "weight", F.length("text").cast("long")
+    )
+    out = weighted_sample(docs, "weight", id_col="doc_id", k=200, salt="wsample")
+    return out.select(
+        "doc_id",
+        "weight",
+        F.round("priority", 4).alias("priority"),
+        F.round("est_weight", 4).alias("est_weight"),
+    ).orderBy("doc_id")
+
+
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline, driver-verified end-to-end: documents' text
     bytes become deterministic fake image payloads (media_schema shape),
@@ -2921,8 +2944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     conversation-validation, then PII-redaction / line-dedup — rotating
     r4-green veterans past the window."""
     return {
-        # --- newest (r5 part 4): Count-Sketch point-frequency probes ---
+        # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
         "transcripts_conv_freq_countsketch": q_transcripts_conv_freq_countsketch,
+        "doc_weighted_sample": q_doc_weighted_sample,
         # --- newest (r5 part 3): substring dedup wired into curation ---
         "doc_curation_spanstrip": q_doc_curation_spanstrip,
         # --- newest (r5 part 2): exact substring dedup (Lee et al. 2021) ---
@@ -4354,6 +4378,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, md5('0|' || CAST(doc_id AS VARCHAR)) AS sample_key "
             "FROM documents WHERE doc_id IS NOT NULL "
             "ORDER BY sample_key, doc_id LIMIT 50"
+        ),
+        # priority-sampling twin: q = double(w) * 2^60 / double(h+1) is
+        # bit-equal cross-engine (exact exponent-shift multiply + one
+        # correctly-rounded division per row); tau = the 201st priority
+        "doc_weighted_sample": (
+            "WITH w AS (SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS weight, "
+            "(('0x' || substr(md5('wsample:' || doc_id), 1, 15))::BIGINT + 1) AS h1 "
+            "FROM documents WHERE doc_id IS NOT NULL AND LENGTH(text) > 0), "
+            "pri AS (SELECT doc_id, weight, "
+            "(weight::DOUBLE * 1152921504606846976.0) / h1::DOUBLE AS q FROM w), "
+            "ordered AS (SELECT doc_id, weight, q, "
+            "row_number() OVER (ORDER BY q DESC, doc_id) AS rn FROM pri), "
+            "tau AS (SELECT coalesce(max(CASE WHEN rn = 201 THEN q END), 0.0) AS t "
+            "FROM ordered) "
+            "SELECT doc_id, weight, ROUND(q, 4) AS priority, "
+            "ROUND(GREATEST(weight::DOUBLE, t), 4) AS est_weight "
+            "FROM ordered CROSS JOIN tau WHERE rn <= 200 ORDER BY doc_id"
         ),
         # replay of the fake image decoder's byte tiling: pixel p reads bytes
         # (3p, 3p+1, 3p+2) mod len(text) of the UTF-8 payload (ASCII corpus,

@@ -1922,6 +1922,83 @@ def deterministic_stratified_sample(
     )
 
 
+def weighted_sample(
+    df,
+    weight_col: str,
+    id_col: str = "doc_id",
+    k: int = 100,
+    salt: str = "wsample",
+):
+    """Deterministic weight-proportional ``k``-row sample with unbiased
+    total-weight estimation (priority sampling, Duffield-Lund-Thorup,
+    JACM 2007): each row gets priority ``q = w / u`` where ``u`` is the
+    hash-uniform ``(h+1) / 2^60`` of ``md5(salt:id)``; the ``k`` largest
+    priorities are the sample, and with ``tau`` = the (k+1)-th priority,
+    ``est_weight = max(w, tau)`` satisfies ``E[sum(est_weight)] =
+    sum(w)`` exactly — the importance-sampling primitive for "pick eval
+    docs proportional to size and still estimate corpus token mass
+    unbiasedly". Like :func:`deterministic_sample`, membership is a pure
+    function of (salt, id, weight): independent of row order, partition
+    count, retries, and engine.
+
+    Cross-engine exactness (the hash-gate rule): ``q`` is computed as
+    ``double(w) * 2^60 / double(h+1)`` — the multiply by a power of two is
+    an exact exponent shift and the int->double casts and the single
+    division are each one correctly-rounded IEEE op, so Spark, DuckDB, and
+    the pure-Python replay produce BIT-EQUAL doubles (never a cross-row
+    float sum; the only float is per-row). Ties (measure-zero double
+    collisions) break by id.
+
+    Scale shape: priorities ride the scan projection; the top-(k+1) runs
+    on a NARROW (id, weight, priority) frame via orderBy+limit =
+    TakeOrderedAndProject (per-task k-row heaps + a k-row driver fold —
+    no global sort, no shuffle of payload columns), and the k winning ids
+    broadcast back onto the scan for the full rows (the
+    deterministic-sample pattern). The k+1 driver-side rows are the only
+    collect — bounded by construction.
+
+    Rows with NULL id or NULL/non-positive weight are excluded (no stable
+    identity / zero inclusion probability). Returns the sampled rows plus
+    ``priority``, ``threshold`` (tau, constant), and ``est_weight``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    base = df.filter(
+        F.col(id_col).isNotNull() & (F.col(weight_col).cast("double") > 0)
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    pri = (F.col(weight_col).cast("double") * F.lit(float(1 << 60))) / (
+        h + F.lit(1)
+    ).cast("double")
+    narrow = base.select(
+        F.col(id_col).alias("__id"), pri.alias("priority")
+    ).orderBy(F.desc("priority"), "__id")
+    top = narrow.limit(int(k) + 1).collect()  # bounded: k+1 narrow rows
+    tau = float(top[k]["priority"]) if len(top) > int(k) else 0.0
+    ids = [(r["__id"], float(r["priority"])) for r in top[: int(k)]]
+    spark = df.sparkSession
+    sample = spark.createDataFrame(
+        ids,
+        T.StructType(
+            [
+                T.StructField("__id", df.schema[id_col].dataType),
+                T.StructField("priority", T.DoubleType()),
+            ]
+        ),
+    )
+    out = base.join(
+        F.broadcast(sample), F.col(id_col) == F.col("__id"), "inner"
+    ).drop("__id")
+    return out.withColumn("threshold", F.lit(tau)).withColumn(
+        "est_weight", F.greatest(F.col(weight_col).cast("double"), F.lit(tau))
+    )
+
+
 # ---------------------------------------------------------------------------
 # token counting
 # ---------------------------------------------------------------------------

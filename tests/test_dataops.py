@@ -1329,3 +1329,50 @@ def test_semdedup_dominated_rule(spark):
     assert cl[0] == cl[1] == cl[2] and cl[10] == cl[11]
     with _pytest.raises(ValueError):
         semdedup(df, emb_col="e", n_clusters=1)
+
+
+def test_weighted_sample_matches_python_priority_replay(spark):
+    """Membership, priorities, tau, and est_weight all bit-equal a pure
+    hashlib+IEEE-double replay (the cross-engine exactness contract);
+    NULL-id / NULL-weight / non-positive-weight rows are excluded."""
+    import hashlib
+
+    from ddsparkle.spark.dataops import weighted_sample
+
+    rows = [(f"d{i}", (i * 37) % 500 + 1) for i in range(400)]
+    bad = [("dnullw", None), (None, 50), ("dzero", 0), ("dneg", -3)]
+    df = spark.createDataFrame(rows + bad, "doc_id string, w long").repartition(7)
+    out = weighted_sample(df, "w", id_col="doc_id", k=50, salt="t").collect()
+
+    pri = {}
+    for did, w in rows:
+        h = int(hashlib.md5(f"t:{did}".encode()).hexdigest()[:15], 16)
+        pri[did] = (float(w) * float(1 << 60)) / float(h + 1)
+    ordered = sorted(pri.items(), key=lambda kv: (-kv[1], kv[0]))
+    want_ids = {d for d, _ in ordered[:50]}
+    tau = ordered[50][1]
+
+    got = {r["doc_id"]: r for r in out}
+    assert set(got) == want_ids
+    for d, r in got.items():
+        assert r["priority"] == pri[d]  # bit-equal double
+        assert r["threshold"] == tau
+        assert r["est_weight"] == max(float(r["w"]), tau)
+    # priority sampling is weight-proportional-ish: the sampled mean weight
+    # must exceed the population mean (heavier rows have larger priorities)
+    assert np.mean([r["w"] for r in out]) > np.mean([w for _, w in rows])
+
+
+def test_weighted_sample_k_at_least_n_is_exhaustive(spark):
+    """k >= n: every positive-weight row sampled, tau = 0, est_weight = w
+    exactly (the estimator degenerates to the exact total)."""
+    from ddsparkle.spark.dataops import weighted_sample
+
+    df = spark.createDataFrame(
+        [("a", 3.5), ("b", 1.0), ("c", 2.25)], "doc_id string, w double"
+    )
+    out = weighted_sample(df, "w", id_col="doc_id", k=10, salt="s").collect()
+    assert {r["doc_id"] for r in out} == {"a", "b", "c"}
+    for r in out:
+        assert r["threshold"] == 0.0
+        assert r["est_weight"] == r["w"]
