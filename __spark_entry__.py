@@ -1192,6 +1192,57 @@ def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _corrupt_props(ev: DataFrame) -> DataFrame:
+    """The generator's props are all well-formed '{"k": n}', so both gates
+    inject deterministic event_id-residue corruption (the PII/media-gate
+    pattern; twin replays the same CASE chain): %7==0 malformed, %11==0
+    missing key, %13==0 non-numeric k. Clean rows pin the no-op path."""
+    return ev.withColumn(
+        "props",
+        F.when(F.col("event_id") % 7 == 0, F.lit("not json"))
+        .when(F.col("event_id") % 11 == 0, F.lit('{"v": 1}'))
+        .when(F.col("event_id") % 13 == 0, F.lit('{"k": "abc"}'))
+        .otherwise(F.col("props")),
+    )
+
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection of the events feed: props.k extracted as
+    a typed column in the scan projection (JVM get_json_object + try_cast,
+    zero Python, zero shuffle), then per-type integer aggregates — with
+    all five NULL modes (malformed JSON, NULL input, missing key, JSON
+    null, failed cast) planted by _corrupt_props and accounted via the
+    valid_object flag. Counts/sums are integers, so the gate hash-matches
+    DuckDB's json_valid/json_extract_string/TRY_CAST replay exactly."""
+    from ddsparkle.spark.dataops import parse_json_fields
+
+    ev = _corrupt_props(_t(spark, sf_dir, "events"))
+    x = parse_json_fields(ev, "props", {"k": ("$.k", "long")})
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(~F.col("valid_object"), 1).otherwise(0)).alias("n_invalid"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-frequency profile of the (corruption-planted) props column —
+    the schema-drift monitor: one row per distinct top-level key with its
+    row count; malformed/NULL rows contribute nothing. Exact counts,
+    hash-matched against DuckDB's json_keys unnest."""
+    from ddsparkle.spark.dataops import json_key_profile
+
+    ev = _corrupt_props(_t(spark, sf_dir, "events"))
+    return json_key_profile(ev, "props").orderBy("key")
+
+
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline, driver-verified end-to-end: documents' text
     bytes become deterministic fake image payloads (media_schema shape),
@@ -2947,6 +2998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
         "transcripts_conv_freq_countsketch": q_transcripts_conv_freq_countsketch,
         "doc_weighted_sample": q_doc_weighted_sample,
+        "events_json_extract": q_events_json_extract,
+        "events_json_key_profile": q_events_json_key_profile,
         # --- newest (r5 part 3): substring dedup wired into curation ---
         "doc_curation_spanstrip": q_doc_curation_spanstrip,
         # --- newest (r5 part 2): exact substring dedup (Lee et al. 2021) ---
@@ -4378,6 +4431,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, md5('0|' || CAST(doc_id AS VARCHAR)) AS sample_key "
             "FROM documents WHERE doc_id IS NOT NULL "
             "ORDER BY sample_key, doc_id LIMIT 50"
+        ),
+        # JSON twins: same event_id-residue corruption CASE chain as
+        # _corrupt_props; NULL modes replayed via json_valid guard +
+        # json_extract_string + TRY_CAST (pinned equal to Spark's
+        # get_json_object/try_cast in tests/test_dataops.py)
+        "events_json_extract": (
+            "WITH ev AS (SELECT event_type, "
+            "CASE WHEN event_id % 7 = 0 THEN 'not json' "
+            "WHEN event_id % 11 = 0 THEN '{\"v\": 1}' "
+            "WHEN event_id % 13 = 0 THEN '{\"k\": \"abc\"}' "
+            "ELSE props END AS props FROM events), "
+            "x AS (SELECT event_type, "
+            "TRY_CAST(CASE WHEN json_valid(props) THEN "
+            "json_extract_string(props, '$.k') END AS BIGINT) AS k, "
+            "coalesce(CASE WHEN json_valid(props) THEN json_type(props) = 'OBJECT' "
+            "ELSE FALSE END, FALSE) AS valid_object FROM ev) "
+            "SELECT event_type, COUNT(*)::BIGINT AS n_events, "
+            "COUNT(k)::BIGINT AS n_k, CAST(SUM(k) AS BIGINT) AS sum_k, "
+            "MIN(k)::BIGINT AS min_k, MAX(k)::BIGINT AS max_k, "
+            "SUM(CASE WHEN NOT valid_object THEN 1 ELSE 0 END)::BIGINT AS n_invalid "
+            "FROM x GROUP BY event_type ORDER BY event_type"
+        ),
+        "events_json_key_profile": (
+            "WITH ev AS (SELECT CASE WHEN event_id % 7 = 0 THEN 'not json' "
+            "WHEN event_id % 11 = 0 THEN '{\"v\": 1}' "
+            "WHEN event_id % 13 = 0 THEN '{\"k\": \"abc\"}' "
+            "ELSE props END AS props FROM events) "
+            "SELECT u.key AS key, COUNT(*)::BIGINT AS n_rows FROM ev, "
+            "unnest(CASE WHEN json_valid(props) THEN json_keys(props) "
+            "ELSE [] END) AS u(key) GROUP BY u.key ORDER BY key"
         ),
         # priority-sampling twin: q = double(w) * 2^60 / double(h+1) is
         # bit-equal cross-engine (exact exponent-shift multiply + one

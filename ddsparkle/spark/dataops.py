@@ -2000,6 +2000,67 @@ def weighted_sample(
 
 
 # ---------------------------------------------------------------------------
+# semi-structured (JSON) columns
+# ---------------------------------------------------------------------------
+
+
+def parse_json_fields(df, json_col: str, fields: dict):
+    """Scan-fused extraction of typed fields from a JSON string column —
+    the semi-structured projection every 100-TB event/metadata feed needs
+    (``props``-style columns whose schema is not worth a full table
+    migration). ``fields`` maps output name -> (json_path, cast_type or
+    None for raw string), e.g. ``{"k": ("$.k", "long")}``.
+
+    Everything is JVM-side (`get_json_object` + `try_cast` in the scan
+    projection — no Python, no shuffle, linear in corpus bytes). NULL
+    semantics are pinned CROSS-ENGINE (pytest + the ``events_json_extract``
+    twin): malformed JSON, NULL input, missing key, JSON ``null``, and a
+    failed cast all yield NULL — exactly DuckDB's
+    ``TRY_CAST(CASE WHEN json_valid(p) THEN json_extract_string(p, path)
+    END AS t)``. A ``valid_object`` boolean is appended (false for
+    malformed/NULL/non-object JSON: Spark ``json_object_keys IS NOT
+    NULL``, DuckDB ``json_valid AND json_type = 'OBJECT'``) so pipelines
+    can account for corrupt rows without a second pass.
+    """
+    from pyspark.sql import functions as F
+
+    cols = [df[c] for c in df.columns]
+    for name, (path, typ) in fields.items():
+        c = F.get_json_object(F.col(json_col), path)
+        if typ is not None:
+            c = c.try_cast(typ)
+        cols.append(c.alias(name))
+    cols.append(
+        F.coalesce(F.json_object_keys(json_col).isNotNull(), F.lit(False)).alias(
+            "valid_object"
+        )
+    )
+    return df.select(*cols)
+
+
+def json_key_profile(df, json_col: str):
+    """Key-frequency profile of a JSON object column: one row per distinct
+    top-level key with the number of rows carrying it — the schema-drift
+    monitor for heterogeneous feeds (a key that appears in 0.1% of rows is
+    a producer bug or a schema migration in flight). Malformed/NULL/
+    non-object rows contribute nothing (their key array is NULL and the
+    explode drops them — same as the twin's json_valid guard).
+
+    Scale shape: ``explode(json_object_keys(...))`` rides the scan; the
+    groupBy is map-side-combined over the key cardinality (bounded by the
+    producer's schema, not the corpus), so a billion-row feed moves one
+    partial per task per key.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(F.explode(F.json_object_keys(json_col)).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # token counting
 # ---------------------------------------------------------------------------
 

@@ -1376,3 +1376,49 @@ def test_weighted_sample_k_at_least_n_is_exhaustive(spark):
     for r in out:
         assert r["threshold"] == 0.0
         assert r["est_weight"] == r["w"]
+
+
+def test_parse_json_fields_null_semantics(spark):
+    """All five NULL modes (malformed, NULL input, missing key, JSON null,
+    failed cast) and the valid_object flag, pinned against the documented
+    DuckDB-equivalent semantics."""
+    from ddsparkle.spark.dataops import parse_json_fields
+
+    rows = [
+        ("a", '{"k": 69}'),
+        ("b", '{"x": 1}'),
+        ("c", "not json"),
+        ("d", '{"k": "abc"}'),
+        ("e", None),
+        ("f", '{"k": null}'),
+        ("g", '{"k": 7, "m": "z"}'),
+        ("h", "5"),  # valid JSON, not an object
+    ]
+    df = spark.createDataFrame(rows, "id string, props string")
+    out = {
+        r["id"]: r
+        for r in parse_json_fields(
+            df, "props", {"k": ("$.k", "long"), "k_raw": ("$.k", None)}
+        ).collect()
+    }
+    assert [out[i]["k"] for i in "abcdefgh"] == [69, None, None, None, None, None, 7, None]
+    assert [out[i]["k_raw"] for i in "abcdefgh"] == [
+        "69", None, None, "abc", None, None, "7", None,
+    ]
+    assert [out[i]["valid_object"] for i in "abcdefgh"] == [
+        True, True, False, True, False, True, True, False,
+    ]
+    # input columns pass through untouched
+    assert out["a"]["props"] == '{"k": 69}'
+
+
+def test_json_key_profile_counts(spark):
+    from ddsparkle.spark.dataops import json_key_profile
+
+    rows = [
+        ('{"k": 69}',), ('{"x": 1}',), ("not json",), ('{"k": "abc"}',),
+        (None,), ('{"k": null}',), ('{"k": 7, "m": "z"}',), ("5",),
+    ]
+    df = spark.createDataFrame(rows, "props string")
+    got = {r["key"]: r["n_rows"] for r in json_key_profile(df, "props").collect()}
+    assert got == {"k": 4, "x": 1, "m": 1}
