@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ddsparkle.config import SketchConfig
-from ddsparkle.oracle import ddsketch_cdf_sql, ddsketch_quantile_sql
+from ddsparkle.oracle import ddsketch_cdf_sql, ddsketch_quantile_sql, ddsketch_row_rank_sql
 from ddsparkle.spark.agg import quantiles
 from ddsparkle.spark.dataops import PII_PATTERNS as _PII
 
@@ -1241,6 +1241,25 @@ def q_events_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _corrupt_props(_t(spark, sf_dir, "events"))
     return json_key_profile(ev, "props").orderBy("key")
+
+
+def q_events_value_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ROW percentile scoring: each event's value ranked within its
+    event_type via the broadcast group sketch — the window-free
+    percent_rank. A window formulation shuffles and SORTS the whole corpus
+    per group (at 10^12 rows the sort IS the job); this is two KB-scale
+    sketch stages + one row-local Arrow scoring pass, raw rows never
+    shuffle, with the mapping's relative-accuracy contract on the value
+    axis. The twin replays the bucket walk and resolves every row with an
+    ASOF join on the representative values (the kernel's searchsorted as
+    SQL), hash-exact at round-4."""
+    from ddsparkle.spark.agg import percentile_rank_scores
+
+    df = _t(spark, sf_dir, "events")
+    res = percentile_rank_scores(df, "value", by="event_type", config=_cfg())
+    return res.select(
+        "event_id", "event_type", F.round("pct_rank", 4).alias("pct_rank")
+    ).orderBy("event_id")
 
 
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3000,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_weighted_sample": q_doc_weighted_sample,
         "events_json_extract": q_events_json_extract,
         "events_json_key_profile": q_events_json_key_profile,
+        "events_value_percentile": q_events_value_percentile,
         # --- newest (r5 part 3): substring dedup wired into curation ---
         "doc_curation_spanstrip": q_doc_curation_spanstrip,
         # --- newest (r5 part 2): exact substring dedup (Lee et al. 2021) ---
@@ -4432,6 +4452,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id IS NOT NULL "
             "ORDER BY sample_key, doc_id LIMIT 50"
         ),
+        "events_value_percentile": ddsketch_row_rank_sql(
+            "events", "value", ["event_id"], group_col="event_type"
+        )
+        + " ORDER BY event_id",
         # JSON twins: same event_id-residue corruption CASE chain as
         # _corrupt_props; NULL modes replayed via json_valid guard +
         # json_extract_string + TRY_CAST (pinned equal to Spark's

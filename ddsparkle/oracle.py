@@ -31,6 +31,7 @@ __all__ = [
     "log_mapping_constants",
     "ddsketch_quantile_sql",
     "ddsketch_cdf_sql",
+    "ddsketch_row_rank_sql",
     "quantile_col",
 ]
 
@@ -170,6 +171,71 @@ cumw AS (
 SELECT {p["final_g"]}{x_select_sql},
   CAST(MAX(n) AS DOUBLE) AS count
 FROM cumw {g_group1}
+"""
+
+
+def ddsketch_row_rank_sql(
+    source_sql: str,
+    value_expr: str,
+    id_cols: Sequence[str],
+    alpha: float = 0.01,
+    group_col: Optional[str] = None,
+    round_digits: int = 4,
+    out_col: str = "pct_rank",
+) -> str:
+    """SQL computing the per-ROW DDSketch CDF (value -> rank at each row's
+    OWN value) — the twin of ``agg.percentile_rank_scores``: the same
+    bucket walk as ``ddsketch_cdf_sql``, but each source row is resolved
+    with an ASOF join on the representative values (largest rep <= x and
+    its cumulative mass — exactly the kernel's ``searchsorted(...,
+    'right')``). Rows with NULL values rank NULL; rows below every
+    representative rank 0.0; a group whose values are all NULL has no
+    walk rows and ranks NULL (the LEFT joins leave n NULL).
+
+    Output columns: id_cols + [group_col?] + out_col (ROUNDed). Same
+    ulp caveat as the CDF twin, now at data-value probes: a row's value
+    within libm-ulp distance of a representative could bucket-flip between
+    engines — probability ~ n_rows * 2^-52 per gate, absorbed in practice
+    by the ROUND and validated at both SFs.
+    """
+    p = _oracle_preamble(alpha, group_col, None, value_expr, source_sql)
+    g_cols, g_part = p["g_cols"], p["g_part"]
+    mult, a = p["mult"], p["a"]
+    ids = ", ".join(id_cols)
+    if group_col:
+        row_g = f"{group_col} AS g, "
+        out_g = f"r.g AS {group_col}, "
+        join_g = "r.g = c.val_g AND "
+        tot_on = "ON r.g = t.g"
+    else:
+        row_g, out_g, join_g, tot_on = "", "", "", "ON TRUE"
+
+    return f"""
+{p["prologue"]},
+walk AS (
+  SELECT {g_cols}-EXP(i / {mult}) * (1.0 + {a}) AS val, c FROM neg
+  UNION ALL
+  SELECT {g_cols}0.0 AS val, c FROM zero WHERE c > 0
+  UNION ALL
+  SELECT {g_cols}EXP(i / {mult}) * (1.0 + {a}) AS val, c FROM pos
+),
+cumw AS (
+  SELECT {"g AS val_g, " if group_col else ""}val,
+         SUM(c) OVER ({g_part} ORDER BY val) AS cum
+  FROM walk
+),
+tot AS (
+  SELECT {g_cols}SUM(c) AS n FROM walk {p["g_group1"]}
+),
+rows_src AS (
+  SELECT {ids}, {row_g}CAST({value_expr} AS DOUBLE) AS x FROM {source_sql}
+)
+SELECT {ids}, {out_g}
+  CASE WHEN r.x IS NULL OR t.n IS NULL THEN NULL
+       ELSE ROUND(coalesce(c.cum, 0) / t.n, {round_digits}) END AS {out_col}
+FROM rows_src r
+ASOF LEFT JOIN cumw c ON {join_g}c.val <= r.x
+LEFT JOIN tot t {tot_on}
 """
 
 

@@ -938,6 +938,94 @@ def cdf_at_values(
     return cdf_finalize_sketch_rows(merged, key_cols, xs, x_names)
 
 
+def percentile_rank_scores(
+    df,
+    value_col: str,
+    by: Sequence[str] | str | None = None,
+    config: Optional[SketchConfig] = None,
+    out_col: str = "pct_rank",
+):
+    """Per-ROW percentile scoring: append ``out_col`` = the DDSketch CDF
+    evaluated at each row's OWN value within its ``by`` group — "what
+    percentile is this turn's latency within its event type" WITHOUT the
+    global per-group sort a window ``percent_rank()`` would shuffle (at
+    10^12 rows that sort is the job; this is two KB-scale sketch stages
+    plus one row-local scoring pass).
+
+    Plan shape: (1) the usual two-stage sketch build (scan-local partials,
+    sketch rows only on the wire), (2) the merged per-group rows collect to
+    the driver and BROADCAST (bounded by group cardinality — the same
+    contract as temperature_mix / IVF centroids: ``by`` must be a
+    dimension, not an id), (3) ONE Arrow-batched ``mapInPandas`` pass
+    scores every row against its group's deserialized sketch with the
+    vectorized ``DDSketch.cdf_at_values`` rank walk — raw rows NEVER
+    shuffle, the scoring pass is linear and partition-local.
+
+    Estimates carry the mapping's relative-accuracy contract on the value
+    axis (the estimate equals the exact CDF evaluated within relative
+    distance ~2*alpha of the row's value). NULL (and NaN) values score
+    NULL; a group whose values were all NULL has no sketch mass and scores
+    NULL. The ``events_value_percentile`` gate twin replays the identical
+    bucket walk in SQL and resolves each row with an ASOF join on the
+    representative values (same val <= x comparison as the kernel's
+    searchsorted), so scores hash-match at round-4.
+    """
+    from pyspark.sql import types as T
+
+    config = config or SketchConfig()
+    key_cols = [by] if isinstance(by, str) else list(by or [])
+    partials = build_partial_sketches(df, value_col, key_cols, config, None)
+    merged = merge_partials_to_sketch_rows(partials, key_cols).collect()
+    state = {
+        tuple(r[c] for c in key_cols): {f: r[f] for f in SKETCH_ROW_FIELDS}
+        for r in merged
+    }
+    bc = df.sparkSession.sparkContext.broadcast(state)
+    schema = T.StructType(list(df.schema) + [T.StructField(out_col, T.DoubleType())])
+    cols = [f.name for f in schema]
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+
+        def sketch_for(key):
+            sk = cache.get(key, _MISSING)
+            if sk is _MISSING:
+                rowd = bc.value.get(key)
+                sk = row_to_sketch(rowd) if rowd is not None else None
+                cache[key] = sk
+            return sk
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = pd.to_numeric(pdf[value_col], errors="coerce").to_numpy(
+                np.float64, na_value=np.nan
+            )
+            out = np.full(len(pdf), np.nan)
+            if key_cols:
+                groups = pdf.groupby(key_cols, dropna=False, sort=False).indices
+                for gk, idx in groups.items():
+                    key = gk if isinstance(gk, tuple) else (gk,)
+                    sk = sketch_for(key)
+                    if sk is not None and sk.count > 0:
+                        out[idx] = sk.cdf_at_values(vals[idx])
+            else:
+                sk = sketch_for(())
+                if sk is not None and sk.count > 0:
+                    out = np.asarray(sk.cdf_at_values(vals), np.float64)
+            res = pdf.copy()
+            # NaN -> NULL (NULL/NaN inputs score NULL, matching the twin)
+            res[out_col] = pd.array(
+                np.where(np.isnan(out), None, out), dtype="Float64"
+            )
+            yield res[cols]
+
+    return df.mapInPandas(score, schema=schema)
+
+
+_MISSING = object()
+
+
 def cdf_finalize_sketch_rows(merged, key_cols, xs, x_names=None):
     """CDF finalize over pre-merged sketch rows (one row per key): one
     mapInPandas pass emitting [*key_cols, *x_names, count]. Shared by

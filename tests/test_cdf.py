@@ -221,3 +221,51 @@ def test_spark_cdf_global(spark, sf_dir):
     exact = df.filter("value <= 100.0").count() / df.filter("value is not null").count()
     # value-axis contract, translated through the empirical CDF's density
     assert out[0]["cdf_100"] == pytest.approx(exact, abs=0.05)
+
+
+def test_percentile_rank_scores_matches_local_kernel(spark):
+    """Every row's score equals the locally-built group sketch's
+    cdf_at_values at that row's value; NULL values and all-NULL groups
+    score NULL; ungrouped path agrees with the global sketch."""
+    import numpy as np
+
+    from ddsparkle.spark.agg import percentile_rank_scores
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(2000):
+        g = f"t{i % 3}"
+        rows.append((i, g, float(rng.lognormal(3.0, 1.0))))
+    rows += [(9001, "t0", None), (9002, "tnull", None)]  # NULL value, all-NULL group
+    df = spark.createDataFrame(rows, "rid long, g string, v double").repartition(6)
+    cfg = SketchConfig(mapping_kind="log", relative_accuracy=0.01,
+                       store_policy="unbounded", max_bins=0,
+                       track_exact_stats=False)
+    got = {r["rid"]: r for r in percentile_rank_scores(df, "v", by="g", config=cfg).collect()}
+
+    # local replay per group
+    by_g = {}
+    for rid, g, v in rows:
+        if v is not None:
+            by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        sk = sketch_of(np.asarray(vs), LogarithmicMapping.from_relative_accuracy(0.01))
+        want = sk.cdf_at_values(np.asarray(vs))
+        ids = [rid for rid, gg, v in rows if gg == g and v is not None]
+        for rid, w in zip(ids, want):
+            assert got[rid]["pct_rank"] == pytest.approx(float(w), abs=1e-12)
+    assert got[9001]["pct_rank"] is None
+    assert got[9002]["pct_rank"] is None
+    # schema passthrough + bounds
+    for r in got.values():
+        if r["pct_rank"] is not None:
+            assert 0.0 <= r["pct_rank"] <= 1.0
+
+    # ungrouped path
+    allv = [v for _, _, v in rows if v is not None]
+    skg = sketch_of(np.asarray(allv), LogarithmicMapping.from_relative_accuracy(0.01))
+    got0 = {r["rid"]: r for r in percentile_rank_scores(df, "v", config=cfg).collect()}
+    wantg = skg.cdf_at_values(np.asarray(allv))
+    ids = [rid for rid, _, v in rows if v is not None]
+    for rid, w in zip(ids, wantg):
+        assert got0[rid]["pct_rank"] == pytest.approx(float(w), abs=1e-12)
