@@ -1262,6 +1262,49 @@ def q_events_value_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+_BPE_N_MERGES, _BPE_TOP_WORDS = 16, 25  # cap BINDS: 31 distinct words both SFs
+
+
+def q_doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016) on the corpus: the
+    learned ranked merge table. Corpus-scale work is one map-side-combined
+    word-count groupBy; the capped (top_words=25 — BINDS over the 31-word
+    vocab at both SFs, the LM-gate rule) word table trains driver-side
+    (bounded state, like reference BPE implementations). The twin replays
+    the ENTIRE training in SQL — 16 unrolled rounds of pair-count ->
+    (count DESC, left, right) argmax -> greedy leftmost-first merge
+    (parity-in-island windows) — and the merge table hash-matches
+    exactly, ranks, pairs, and counts."""
+    from ddsparkle.spark.bpe import train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=_BPE_N_MERGES, top_words=_BPE_TOP_WORDS)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left_tok string, right_tok string, pair_count bigint"
+    ).orderBy("merge_rank")
+
+
+def q_doc_bpe_vocab_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING replays training: every trained word encoded through
+    bpe_encode (the Arrow-batched rank-order greedy apply with the
+    distinct-word memo) must reproduce its final training-state
+    tokenization — the canonical BPE property, checked cross-engine
+    against the twin's round-16 token table."""
+    from ddsparkle.spark.bpe import bpe_encode, train_bpe, word_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=_BPE_N_MERGES, top_words=_BPE_TOP_WORDS)
+    words = word_counts(docs, top_words=_BPE_TOP_WORDS).select(
+        F.col("word"), F.col("word").alias("text")
+    )
+    enc = bpe_encode(words, merges, tokens_col="toks")
+    return enc.select(
+        "word",
+        F.col("n_bpe_tokens").alias("n_tokens"),
+        F.array_join("toks", " ").alias("tokens_str"),
+    ).orderBy("word")
+
+
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline, driver-verified end-to-end: documents' text
     bytes become deterministic fake image payloads (media_schema shape),
@@ -3020,6 +3063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": q_events_json_extract,
         "events_json_key_profile": q_events_json_key_profile,
         "events_value_percentile": q_events_value_percentile,
+        "doc_bpe_merges": q_doc_bpe_merges,
+        "doc_bpe_vocab_tokens": q_doc_bpe_vocab_tokens,
         # --- newest (r5 part 3): substring dedup wired into curation ---
         "doc_curation_spanstrip": q_doc_curation_spanstrip,
         # --- newest (r5 part 2): exact substring dedup (Lee et al. 2021) ---
@@ -3270,6 +3315,75 @@ _MODEL_W_SQL = (
 #: the exact score arithmetic of quality_model.model_quality_score: int64
 #: dot, ONE double division — bit-equal across engines by construction
 _MODEL_SCORE_SQL = "CAST(SUM(w) AS DOUBLE) / (COUNT(*) * 1000000.0)"
+
+
+def _bpe_ctes(src: str, n_merges: int, top_words: int) -> str:
+    """DuckDB replay of bpe.train_bpe, every round UNROLLED: bw (capped
+    word counts, same single-space/empty-drop/(freq DESC, word) contract),
+    r1 (per-char symbols), then per round i: p{i} adjacent-pair counts
+    (overlaps included), b{i} argmax with the (c DESC, l, r) tie-break,
+    greedy leftmost-first application as the parity-in-island window rule
+    (k{i}: among marked positions, islands by pos - row_number, keep odd
+    ranks — 'aaaa' + (a,a) -> [aa, aa] exactly like _greedy_merge), and
+    r{i+1} the re-indexed tokens. Every CTE is MATERIALIZED: each round
+    references its predecessor ~4 times, so inlining would expand the
+    plan 4^n-fold (first symptom: 'Too many open files' on the parquet).
+    Ends with r{n_merges+1} = the final tokenization of every capped word."""
+    ctes = [
+        f"bw AS MATERIALIZED (SELECT word, COUNT(*)::BIGINT AS freq FROM "
+        f"(SELECT unnest(string_split(text, ' ')) AS word FROM {src} "
+        "WHERE text IS NOT NULL) "
+        f"WHERE word <> '' GROUP BY word ORDER BY freq DESC, word LIMIT {top_words})",
+        "r1 AS MATERIALIZED (SELECT wid, freq, pos, substr(wid, pos, 1) AS tok FROM "
+        "(SELECT word AS wid, freq, unnest(generate_series(1, length(word))) "
+        "AS pos FROM bw))",
+    ]
+    for i in range(1, n_merges + 1):
+        ctes += [
+            f"p{i} AS MATERIALIZED (SELECT a.tok AS l, b.tok AS r2, "
+            f"SUM(a.freq)::BIGINT AS c FROM r{i} a "
+            f"JOIN r{i} b ON a.wid = b.wid AND b.pos = a.pos + 1 GROUP BY 1, 2)",
+            f"b{i} AS MATERIALIZED (SELECT l, r2, c FROM p{i} ORDER BY c DESC, l, r2 LIMIT 1)",
+            f"m{i} AS MATERIALIZED (SELECT t.wid, t.freq, t.pos, t.tok, (t.tok = b.l AND "
+            f"lead(t.tok) OVER (PARTITION BY t.wid ORDER BY t.pos) = b.r2) AS mk "
+            f"FROM r{i} t CROSS JOIN b{i} b)",
+            f"k{i} AS MATERIALIZED (SELECT wid, pos, "
+            f"(row_number() OVER (PARTITION BY wid, grp ORDER BY pos) % 2 = 1) AS st "
+            f"FROM (SELECT wid, pos, pos - row_number() OVER "
+            f"(PARTITION BY wid ORDER BY pos) AS grp FROM m{i} WHERE mk))",
+            f"g{i} AS MATERIALIZED (SELECT m.wid, m.freq, m.pos, m.tok, "
+            f"coalesce(k.st, FALSE) AS st, "
+            f"lead(m.tok) OVER (PARTITION BY m.wid ORDER BY m.pos) AS ntok "
+            f"FROM m{i} m LEFT JOIN k{i} k ON m.wid = k.wid AND m.pos = k.pos)",
+            f"r{i + 1} AS MATERIALIZED (SELECT wid, freq, "
+            f"row_number() OVER (PARTITION BY wid ORDER BY pos) AS pos, tok "
+            f"FROM (SELECT wid, freq, pos, "
+            f"CASE WHEN st THEN tok || ntok ELSE tok END AS tok, "
+            f"coalesce(lag(st) OVER (PARTITION BY wid ORDER BY pos), FALSE) "
+            f"AS consumed FROM g{i}) WHERE NOT consumed)",
+        ]
+    return "WITH " + ", ".join(ctes)
+
+
+def _bpe_merges_sql(src: str, n_merges: int, top_words: int) -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS left_tok, r2 AS right_tok, "
+        f"c AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        _bpe_ctes(src, n_merges, top_words)
+        + f" SELECT * FROM ({unions}) ORDER BY merge_rank"
+    )
+
+
+def _bpe_vocab_sql(src: str, n_merges: int, top_words: int) -> str:
+    return (
+        _bpe_ctes(src, n_merges, top_words)
+        + f" SELECT wid AS word, COUNT(*)::BIGINT AS n_tokens, "
+        f"string_agg(tok, ' ' ORDER BY pos) AS tokens_str "
+        f"FROM r{n_merges + 1} GROUP BY wid ORDER BY word"
+    )
 
 
 def _lm_ctes(
@@ -4451,6 +4565,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, md5('0|' || CAST(doc_id AS VARCHAR)) AS sample_key "
             "FROM documents WHERE doc_id IS NOT NULL "
             "ORDER BY sample_key, doc_id LIMIT 50"
+        ),
+        "doc_bpe_merges": _bpe_merges_sql(
+            "documents", _BPE_N_MERGES, _BPE_TOP_WORDS
+        ),
+        "doc_bpe_vocab_tokens": _bpe_vocab_sql(
+            "documents", _BPE_N_MERGES, _BPE_TOP_WORDS
         ),
         "events_value_percentile": ddsketch_row_rank_sql(
             "events", "value", ["event_id"], group_col="event_type"
