@@ -1305,6 +1305,38 @@ def q_doc_bpe_vocab_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("word")
 
 
+def q_transcripts_latency_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star per-ROW percentile: each turn's latency ranked within its
+    role via the broadcast role sketches — "was THIS turn slow for an
+    assistant turn?" answered without a corpus-wide window sort. Latency is
+    the NTZ-safe microsecond subtraction (the turn_latency contract; first
+    turns excluded on both sides); scores carry the mapping's
+    relative-accuracy contract and hash-match the ASOF-join twin at
+    round-4 for every turn."""
+    from pyspark.sql import Window
+
+    from ddsparkle.spark.agg import percentile_rank_scores
+
+    df = _transcripts(spark, sf_dir)
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lat = (
+        df.select("conv_id", "turn_idx", "role", "ts")
+        .withColumn("prev", F.lag(micros).over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            ((micros - F.col("prev")) / 1e6).alias("lat"),
+        )
+    )
+    res = percentile_rank_scores(lat, "lat", by="role", config=_cfg())
+    return res.select(
+        "conv_id", "turn_idx", "role", F.round("pct_rank", 4).alias("pct_rank")
+    ).orderBy("conv_id", "turn_idx")
+
+
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline, driver-verified end-to-end: documents' text
     bytes become deterministic fake image payloads (media_schema shape),
@@ -3064,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_key_profile": q_events_json_key_profile,
         "events_value_percentile": q_events_value_percentile,
         "doc_bpe_merges": q_doc_bpe_merges,
+        "transcripts_latency_percentile": q_transcripts_latency_percentile,
         "doc_bpe_vocab_tokens": q_doc_bpe_vocab_tokens,
         # --- newest (r5 part 3): substring dedup wired into curation ---
         "doc_curation_spanstrip": q_doc_curation_spanstrip,
@@ -3933,6 +3966,13 @@ def oracle_sql() -> dict[str, str]:
         f"(SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM {tr_src} GROUP BY conv_id)"
     )
     tr_lat_sql = ddsketch_quantile_sql(tr_lat_src, "lat", [0.5, 0.95, 0.99])
+    tr_rank_src = (
+        "(SELECT conv_id, turn_idx, role, lat FROM "
+        "(SELECT conv_id, turn_idx, role, "
+        "(epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+        f"(PARTITION BY conv_id ORDER BY turn_idx)) / 1e6 AS lat FROM {tr_src}) "
+        "WHERE lat IS NOT NULL)"
+    )
     # shared by the batch AND streaming AMS gates: the streamed sketch must
     # be bit-equal to the batch build (integer vector merges), so one twin
     ams_sql = (
@@ -4566,6 +4606,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id IS NOT NULL "
             "ORDER BY sample_key, doc_id LIMIT 50"
         ),
+        "transcripts_latency_percentile": ddsketch_row_rank_sql(
+            tr_rank_src, "lat", ["conv_id", "turn_idx"], group_col="role"
+        )
+        + " ORDER BY conv_id, turn_idx",
         "doc_bpe_merges": _bpe_merges_sql(
             "documents", _BPE_N_MERGES, _BPE_TOP_WORDS
         ),
