@@ -1337,6 +1337,38 @@ def q_transcripts_latency_percentile(spark: SparkSession, sf_dir: str) -> DataFr
     ).orderBy("conv_id", "turn_idx")
 
 
+def q_events_quantile_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets sketch rollup — the mergeability dividend: ONE scan
+    builds partial sketches at (event_type, day); the (event_type), (day),
+    and grand-total quantiles FOLD from the merged KB-scale sketch rows by
+    sketch merge, never a second corpus scan. Merge associativity makes
+    each rolled-up sketch bucket-exact vs a direct build at that grouping,
+    which is exactly what the twin pins: it recomputes every set from the
+    RAW rows with the standard quantile twin and all four sets hash-match
+    at round-4."""
+    from ddsparkle.spark.agg import quantiles_grouping_sets
+
+    df = _t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    res = quantiles_grouping_sets(
+        df,
+        "value",
+        by=["event_type", "day"],
+        sets=[["event_type", "day"], ["event_type"], ["day"], []],
+        config=_cfg(),
+    )
+    gk = F.when(F.col("gset") == "total", F.lit("all")).otherwise(
+        F.concat_ws("|", "event_type", "day")
+    )
+    return res.select(
+        "gset",
+        gk.alias("gk"),
+        *[F.round(c, 4).alias(c) for c in ("q50", "q95", "q99")],
+        "count",
+    ).orderBy("gset", "gk")
+
+
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline, driver-verified end-to-end: documents' text
     bytes become deterministic fake image payloads (media_schema shape),
@@ -3097,6 +3129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_percentile": q_events_value_percentile,
         "doc_bpe_merges": q_doc_bpe_merges,
         "transcripts_latency_percentile": q_transcripts_latency_percentile,
+        "events_quantile_rollup_sets": q_events_quantile_rollup_sets,
         "doc_bpe_vocab_tokens": q_doc_bpe_vocab_tokens,
         # --- newest (r5 part 3): substring dedup wired into curation ---
         "doc_curation_spanstrip": q_doc_curation_spanstrip,
@@ -4605,6 +4638,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, md5('0|' || CAST(doc_id AS VARCHAR)) AS sample_key "
             "FROM documents WHERE doc_id IS NOT NULL "
             "ORDER BY sample_key, doc_id LIMIT 50"
+        ),
+        "events_quantile_rollup_sets": (
+            "SELECT 'event_type,day' AS gset, gk, q50, q95, q99, count FROM ("
+            + ddsketch_quantile_sql(
+                "(SELECT event_type || '|' || CAST(CAST(ts AS DATE) AS VARCHAR) "
+                "AS gk, value FROM events)",
+                "value",
+                [0.5, 0.95, 0.99],
+                group_col="gk",
+            )
+            + ") UNION ALL SELECT 'event_type' AS gset, gk, q50, q95, q99, count FROM ("
+            + ddsketch_quantile_sql(
+                "(SELECT event_type AS gk, value FROM events)",
+                "value",
+                [0.5, 0.95, 0.99],
+                group_col="gk",
+            )
+            + ") UNION ALL SELECT 'day' AS gset, gk, q50, q95, q99, count FROM ("
+            + ddsketch_quantile_sql(
+                "(SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS gk, value FROM events)",
+                "value",
+                [0.5, 0.95, 0.99],
+                group_col="gk",
+            )
+            + ") UNION ALL SELECT 'total' AS gset, 'all' AS gk, q50, q95, q99, count FROM ("
+            + ddsketch_quantile_sql("events", "value", [0.5, 0.95, 0.99])
+            + ") ORDER BY gset, gk"
         ),
         "transcripts_latency_percentile": ddsketch_row_rank_sql(
             tr_rank_src, "lat", ["conv_id", "turn_idx"], group_col="role"

@@ -862,6 +862,68 @@ def quantiles_multi(
     )
 
 
+def quantiles_grouping_sets(
+    df,
+    value_col: str,
+    by: Sequence[str],
+    sets: Optional[Sequence[Sequence[str]]] = None,
+    qs: Sequence[float] = (0.5, 0.95, 0.99),
+    config: Optional[SketchConfig] = None,
+):
+    """Quantiles at SEVERAL grouping sets from ONE scan — the mergeability
+    dividend: partial sketches are built once at the FINEST grouping
+    (``by``), merged to one sketch row per finest group, and every coarser
+    set (including the grand total) folds from those KB-scale rows by
+    sketch MERGE — never a second corpus scan, never a re-aggregation of
+    raw rows. Merge associativity makes each rolled-up sketch IDENTICAL
+    (bucket-exact) to one built directly at that grouping, which is what
+    the ``events_quantile_rollup_sets`` gate pins cross-engine: the twin
+    recomputes each set from the raw rows and every quantile hash-matches.
+
+    ``sets`` defaults to the rollup chain (finest, each prefix, total).
+    Every set must be a subset of ``by``. Finest-group cardinality must be
+    bounded (dashboard dimensions, not ids) — the merged rows are
+    localCheckpointed (KB per group) so the per-set folds don't re-run the
+    scan.
+
+    Returns [*by (NULL where the set omits a key), gset, *q_names, count];
+    ``gset`` labels the set ("event_type,day", "event_type", "total").
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    config = config or SketchConfig()
+    by = list(by)
+    if sets is None:
+        sets = [by[:i] for i in range(len(by), -1, -1)]
+    sets = [list(s) for s in sets]
+    for s in sets:
+        if not set(s) <= set(by):
+            raise ValueError(f"grouping set {s!r} is not a subset of by={by!r}")
+    qs = [float(q) for q in qs]
+    q_names = [quantile_column_name(q) for q in qs]
+
+    partials = build_partial_sketches(df, value_col, by, config, None)
+    finest = merge_partials_to_sketch_rows(partials, by).localCheckpoint()
+    key_types = {c: finest.schema[c].dataType for c in by}
+
+    outs = []
+    for s in sets:
+        rows = finest.select(*s, *SKETCH_ROW_FIELDS)
+        merged = merge_partials_to_sketch_rows(rows, s) if len(s) < len(by) else rows
+        fin = finalize_sketch_rows(merged, s, qs, q_names)
+        label = ",".join(s) if s else "total"
+        cols = [
+            (F.col(c) if c in s else F.lit(None).cast(key_types[c])).alias(c)
+            for c in by
+        ]
+        outs.append(fin.select(*cols, F.lit(label).alias("gset"), *q_names, "count"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def cdf_column_name(x: float) -> str:
     """42.0 -> cdf_42, 0.5 -> cdf_0_5, -3 -> cdf_m3, 1.5e300 -> cdf_1_5ep300.
 

@@ -630,3 +630,49 @@ def test_ddsketch_spark_sql_public_generator(spark, sf_dir):
         assert a[k]["q50"] == b[k]["q50"] and a[k]["q95"] == b[k]["q95"]
         assert a[k]["count"] == b[k]["count"]
     spark.catalog.dropTempView("events_sql_test")
+
+
+def test_quantiles_grouping_sets_match_direct_builds(spark):
+    """Every rolled-up set's quantiles equal a DIRECT quantiles() build at
+    that grouping (merge associativity — bucket-exact), and the output is
+    one row per group per set with correct NULL patterns."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ddsparkle.config import SketchConfig
+    from ddsparkle.spark.agg import quantiles, quantiles_grouping_sets
+
+    rng = np.random.default_rng(21)
+    rows = [
+        (f"t{i % 3}", f"d{i % 2}", float(rng.lognormal(2.0, 1.0))) for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "a string, b string, v double").repartition(5)
+    cfg = SketchConfig(mapping_kind="log", relative_accuracy=0.01,
+                       store_policy="unbounded", max_bins=0,
+                       track_exact_stats=False)
+    out = quantiles_grouping_sets(df, "v", by=["a", "b"], config=cfg)
+    got = out.collect()
+    assert {r["gset"] for r in got} == {"a,b", "a", "total"}
+
+    def key(r, s):
+        return tuple(r[c] for c in s)
+
+    for s, label in ([["a", "b"], "a,b"], [["a"], "a"], [[], "total"]):
+        # mode='grouped' (kernel path): the rolled-up sets finalize through the
+        # kernel, and SQL-mode rep values differ by ~1 ulp (Spark EXP vs numpy)
+        direct = {
+            key(r, s): r
+            for r in quantiles(df, "v", by=s, config=cfg, mode="grouped").collect()
+        }
+        mine = {key(r, s): r for r in got if r["gset"] == label}
+        assert set(mine) == set(direct)
+        for k, r in mine.items():
+            for q in ("q50", "q95", "q99", "count"):
+                assert r[q] == direct[k][q], (label, k, q)
+            # keys outside the set are NULL
+            for c in ("a", "b"):
+                if c not in s:
+                    assert r[c] is None
+
+    with pytest.raises(ValueError, match="subset"):
+        quantiles_grouping_sets(df, "v", by=["a"], sets=[["b"]], config=cfg)
