@@ -1369,6 +1369,49 @@ def q_events_quantile_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("gset", "gk")
 
 
+def q_orders_join_size_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS inner-product JOIN-SIZE estimate: |orders join customer on
+    custkey| priced from two 2 KB counter vectors (frequency-vector inner
+    product, AMS 1996 section 4) — one scan per relation, an integer dot
+    product, the join never runs and no key ever shuffles. The cost-based
+    planning probe for "should this join broadcast / will it explode".
+    Integer end-to-end like the F2 gate, so the twin replays BOTH sketches
+    and the dot in HUGEINT SQL and join_est_num matches bit-for-bit;
+    within_bound is the integer 4-sigma form
+    (dot - c*J)^2 <= 32*c*F2a*F2b with exact F2s from both engines."""
+    from ddsparkle.spark.approx import ams_join_size
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey").isNotNull())
+
+    def key(c):
+        return (
+            F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("k")
+        )
+
+    ska, skb, dot = ams_join_size(
+        orders.select(key("o_custkey")), "k", cust.select(key("c_custkey")), "k"
+    )
+    ca = orders.groupBy("o_custkey").agg(F.count("*").alias("na"))
+    cb = cust.groupBy("c_custkey").agg(F.count("*").alias("nb"))
+    exact = int(
+        ca.join(cb, ca["o_custkey"] == cb["c_custkey"])
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("j"))
+        .collect()[0]["j"]
+        or 0
+    )
+    f2a = int(ca.agg(F.sum(F.col("na") * F.col("na"))).collect()[0][0] or 0)
+    f2b = int(cb.agg(F.sum(F.col("nb") * F.col("nb"))).collect()[0][0] or 0)
+    err = dot - 256 * exact
+    within = err * err <= 32 * 256 * f2a * f2b
+    return spark.createDataFrame(
+        [(256, exact, dot, bool(within))],
+        "n_counters int, join_exact bigint, join_est_num bigint, within_bound boolean",
+    )
+
+
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline, driver-verified end-to-end: documents' text
     bytes become deterministic fake image payloads (media_schema shape),
@@ -3130,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_merges": q_doc_bpe_merges,
         "transcripts_latency_percentile": q_transcripts_latency_percentile,
         "events_quantile_rollup_sets": q_events_quantile_rollup_sets,
+        "orders_join_size_ams": q_orders_join_size_ams,
         "doc_bpe_vocab_tokens": q_doc_bpe_vocab_tokens,
         # --- newest (r5 part 3): substring dedup wired into curation ---
         "doc_curation_spanstrip": q_doc_curation_spanstrip,
@@ -4067,8 +4111,46 @@ def oracle_sql() -> dict[str, str]:
         "((e - cnt) * (e - cnt) * 4096 <= 16 * f2x) AS within_bound "
         "FROM est CROSS JOIN f2 ORDER BY k"
     )
+    joinsz_sql = (
+        "WITH ka AS (SELECT o_custkey AS rk, "
+        "('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))"
+        "::BIGINT::HUGEINT AS x, COUNT(*)::HUGEINT AS cnt FROM orders "
+        "WHERE o_custkey IS NOT NULL GROUP BY o_custkey), "
+        "kb AS (SELECT c_custkey AS rk, "
+        "('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))"
+        "::BIGINT::HUGEINT AS x, COUNT(*)::HUGEINT AS cnt FROM customer "
+        "WHERE c_custkey IS NOT NULL GROUP BY c_custkey), "
+        "coeff AS (SELECT j, "
+        "('0x' || substr(md5('ams:0:' || j || ':3'), 1, 15))::BIGINT::HUGEINT AS a3, "
+        "('0x' || substr(md5('ams:0:' || j || ':2'), 1, 15))::BIGINT::HUGEINT AS a2, "
+        "('0x' || substr(md5('ams:0:' || j || ':1'), 1, 15))::BIGINT::HUGEINT AS a1, "
+        "('0x' || substr(md5('ams:0:' || j || ':0'), 1, 15))::BIGINT::HUGEINT AS a0 "
+        "FROM generate_series(0, 255) AS t(j)), "
+        "sa AS (SELECT j, cnt, "
+        "((((a3 * x % 2305843009213693951 + a2) * x % 2305843009213693951 "
+        "+ a1) * x % 2305843009213693951 + a0) % 2305843009213693951) % 2 AS par "
+        "FROM ka CROSS JOIN coeff), "
+        "sb AS (SELECT j, cnt, "
+        "((((a3 * x % 2305843009213693951 + a2) * x % 2305843009213693951 "
+        "+ a1) * x % 2305843009213693951 + a0) % 2305843009213693951) % 2 AS par "
+        "FROM kb CROSS JOIN coeff), "
+        "cntrs_a AS (SELECT j, SUM(CASE WHEN par = 1 THEN cnt ELSE -cnt END) AS cj "
+        "FROM sa GROUP BY j), "
+        "cntrs_b AS (SELECT j, SUM(CASE WHEN par = 1 THEN cnt ELSE -cnt END) AS cj "
+        "FROM sb GROUP BY j), "
+        "dt AS (SELECT SUM(a.cj * b.cj)::BIGINT AS d FROM cntrs_a a "
+        "JOIN cntrs_b b ON a.j = b.j), "
+        "ex AS (SELECT coalesce(SUM(a.cnt * b.cnt), 0)::BIGINT AS je "
+        "FROM ka a JOIN kb b ON a.rk = b.rk), "
+        "fa AS (SELECT SUM(cnt * cnt) AS f2a FROM ka), "
+        "fb AS (SELECT SUM(cnt * cnt) AS f2b FROM kb) "
+        "SELECT 256 AS n_counters, je AS join_exact, d AS join_est_num, "
+        "((d - 256 * je) * (d - 256 * je) <= 32 * 256 * f2a * f2b) AS within_bound "
+        "FROM dt, ex, fa, fb"
+    )
     return {
         "transcripts_conv_freq_countsketch": csk_sql,
+        "orders_join_size_ams": joinsz_sql,
         "transcripts_text_len_by_role": ddsketch_quantile_sql(
             tr_len_src, "text_len", [0.5, 0.95, 0.99], group_col="role"
         ),

@@ -145,6 +145,19 @@ class AMSSketch:
         self.counters = self.counters + other.counters
 
     # -- estimators ----------------------------------------------------------
+    def inner_product_numerator(self, other: "AMSSketch") -> int:
+        """Exact integer ``<counters_a, counters_b>`` (Python bigint). For
+        two sketches with the SAME (n_counters, seed) over keys of two
+        relations, ``dot / n_counters`` is an unbiased estimate of the
+        frequency-vector inner product ``sum_k f_a(k) * f_b(k)`` — i.e.
+        the EQUIJOIN SIZE of the two relations on that key (AMS 1996 §4;
+        Var <= 2 * F2(a) * F2(b) / n_counters) — the join-cardinality
+        probe: price "how big is A join B" from two KB payloads without
+        running the join."""
+        if (self.n_counters, self.seed) != (other.n_counters, other.seed):
+            raise ValueError("AMS sketches differ in (n_counters, seed); not comparable")
+        return sum(int(a) * int(b) for a, b in zip(self.counters, other.counters))
+
     def f2_numerator(self) -> int:
         """Exact integer sum_j counter_j^2 (Python bigint — immune to the
         int64 overflow a 10^12-count corpus could reach). The unbiased F2

@@ -12,7 +12,7 @@ import pandas as pd
 
 from ..sketches import BloomFilter, CountMinSketch, HyperLogLog
 
-__all__ = ["hll_distinct", "cms_frequencies", "bloom_membership", "kmv_distinct_sketch", "set_overlap", "ams_f2_sketch", "kmv_overlap_matrix", "count_sketch"]
+__all__ = ["hll_distinct", "cms_frequencies", "bloom_membership", "kmv_distinct_sketch", "set_overlap", "ams_f2_sketch", "ams_join_size", "kmv_overlap_matrix", "count_sketch"]
 
 
 def _payload_schema(df, key_cols: Sequence[str]):
@@ -460,6 +460,20 @@ def ams_f2_sketch(df, key_col: str, n_counters: int = 256, seed: int = 0):
     return _reduce_payloads(partials, AMSSketch.from_bytes) or AMSSketch(
         n_counters=n_counters, seed=seed
     )
+
+
+def ams_join_size(df_a, key_a: str, df_b, key_b: str, n_counters: int = 256, seed: int = 0):
+    """Equijoin-cardinality estimate ``|A join B on key|`` from two AMS
+    sketches (the frequency-vector inner product, AMS 1996 §4): one scan
+    per relation, a KB payload reduce each, and an integer dot product —
+    the join never runs, no key ever shuffles. Var <= 2*F2(a)*F2(b)/c.
+    Both key columns must hold the portable 60-bit key. Returns
+    ``(sketch_a, sketch_b, dot_numerator)``; the unbiased estimate is
+    ``dot_numerator / n_counters`` (exact-integer numerator, so the
+    ``orders_join_size_ams`` gate twin replays it bit-for-bit)."""
+    a = ams_f2_sketch(df_a, key_a, n_counters=n_counters, seed=seed)
+    b = ams_f2_sketch(df_b, key_b, n_counters=n_counters, seed=seed)
+    return a, b, a.inner_product_numerator(b)
 
 
 def count_sketch(df, key_col: str, depth: int = 7, width: int = 64, seed: int = 0):

@@ -129,3 +129,25 @@ def test_spark_chassis_build_matches_local(spark):
     # empty input -> zero counters
     empty = ams_f2_sketch(keyed.filter(F.lit(False)), "k", n_counters=64)
     assert (empty.counters == 0).all()
+
+
+def test_inner_product_estimates_join_size():
+    """<sketch_a, sketch_b>/c is an unbiased equijoin-size estimate; the
+    self case degenerates to F2; mismatched params raise."""
+    keys_a, _, _ = _fixture_keys(3000, 300)
+    a = AMSSketch(n_counters=256, seed=0)
+    a.update(keys_a)
+    # b: half-overlapping key set with its own frequencies
+    uk = np.unique(np.asarray(keys_a, np.int64))
+    half = uk[: len(uk) // 2]
+    b = AMSSketch(n_counters=256, seed=0)
+    b.update(np.repeat(half, 3))
+    ca = {int(k): c for k, c in zip(*np.unique(np.asarray(keys_a, np.int64), return_counts=True))}
+    exact = sum(int(ca[int(k)]) * 3 for k in half)
+    dot = a.inner_product_numerator(b)
+    f2a = a.f2_numerator() / 256
+    f2b = b.f2_numerator() / 256
+    assert abs(dot / 256 - exact) <= 4 * (2 * f2a * f2b / 256) ** 0.5
+    assert a.inner_product_numerator(a) == a.f2_numerator()
+    with pytest.raises(ValueError, match="not comparable"):
+        a.inner_product_numerator(AMSSketch(n_counters=128, seed=0))
