@@ -1006,13 +1006,27 @@ def percentile_rank_scores(
     by: Sequence[str] | str | None = None,
     config: Optional[SketchConfig] = None,
     out_col: str = "pct_rank",
+    reference_df=None,
 ):
     """Per-ROW percentile scoring: append ``out_col`` = the DDSketch CDF
     evaluated at each row's OWN value within its ``by`` group — "what
-    percentile is this turn's latency within its event type" WITHOUT the
-    global per-group sort a window ``percent_rank()`` would shuffle (at
-    10^12 rows that sort is the job; this is two KB-scale sketch stages
-    plus one row-local scoring pass).
+    percentile is this turn's latency within its event type" without a
+    per-group window sort, with the capability a window percent_rank
+    CANNOT express at all: pass ``reference_df`` to rank rows against a
+    FROZEN reference distribution (last week's latencies, the training
+    corpus) instead of the batch itself — the anomaly-scoring /
+    train-serve-consistent formulation, one sketch build on the reference
+    and row-local scoring forever after.
+
+    Single-node honesty (BENCH/ab_r05_pctrank*.json): against a window
+    percent_rank over a handful of roles on 2.9M-14M NARROW rows, this
+    path measured 0.77-0.8x — the JVM sort of packed ints is
+    cache-friendly while the two extra Arrow passes are not. The window
+    formulation's costs bite elsewhere: it shuffles every payload byte
+    into #groups sort tasks (28 of 32 cores idle at 4 roles, per-group
+    memory unbounded — at 10^12 rows per-group sorts spill), it re-sorts
+    per query, and it cannot score against anything but the batch at
+    hand. Pick by those axes, not by the small-fixture wall clock.
 
     Plan shape: (1) the usual two-stage sketch build (scan-local partials,
     sketch rows only on the wire), (2) the merged per-group rows collect to
@@ -1036,7 +1050,8 @@ def percentile_rank_scores(
 
     config = config or SketchConfig()
     key_cols = [by] if isinstance(by, str) else list(by or [])
-    partials = build_partial_sketches(df, value_col, key_cols, config, None)
+    src = reference_df if reference_df is not None else df
+    partials = build_partial_sketches(src, value_col, key_cols, config, None)
     merged = merge_partials_to_sketch_rows(partials, key_cols).collect()
     state = {
         tuple(r[c] for c in key_cols): {f: r[f] for f in SKETCH_ROW_FIELDS}

@@ -269,3 +269,33 @@ def test_percentile_rank_scores_matches_local_kernel(spark):
     ids = [rid for rid, _, v in rows if v is not None]
     for rid, w in zip(ids, wantg):
         assert got0[rid]["pct_rank"] == pytest.approx(float(w), abs=1e-12)
+
+
+def test_percentile_rank_scores_against_frozen_reference(spark):
+    """reference_df ranks rows within the REFERENCE distribution (the
+    anomaly-scoring formulation a window percent_rank cannot express):
+    scoring a batch of values far above the reference yields ranks ~1.0,
+    and a group absent from the reference scores NULL."""
+    import numpy as np
+
+    from ddsparkle.spark.agg import percentile_rank_scores
+
+    cfg = SketchConfig(mapping_kind="log", relative_accuracy=0.01,
+                       store_policy="unbounded", max_bins=0,
+                       track_exact_stats=False)
+    ref = spark.createDataFrame(
+        [("g", float(v)) for v in np.linspace(1, 100, 500)], "g string, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, "g", 1000.0), (2, "g", 50.0), (3, "h", 5.0)],
+        "rid long, g string, v double",
+    )
+    got = {
+        r["rid"]: r
+        for r in percentile_rank_scores(
+            new, "v", by="g", config=cfg, reference_df=ref
+        ).collect()
+    }
+    assert got[1]["pct_rank"] == 1.0  # far above every reference value
+    assert got[2]["pct_rank"] == pytest.approx(0.5, abs=0.02)
+    assert got[3]["pct_rank"] is None  # group unseen in the reference
