@@ -1412,6 +1412,72 @@ def q_orders_join_size_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _csk_probe_frame(spark: SparkSession, keyed: DataFrame, sk) -> DataFrame:
+    """Shared Count-Sketch probe block (batch + streaming gates): the 8
+    smallest keys' exact counts vs the sketch estimate, with the integer
+    4-sigma bound err^2 * width <= 16 * F2 from the exact F2."""
+    exact = keyed.groupBy("k").agg(F.count("*").alias("cnt"))
+    probes = exact.orderBy("k").limit(8).collect()  # deterministic 8 smallest keys
+    f2 = int(
+        exact.agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f2")).collect()[0]["f2"]
+    )
+    rows = []
+    for r in probes:
+        est = sk.estimate(int(r["k"]))
+        err = est - int(r["cnt"])
+        rows.append(
+            (int(r["k"]), int(r["cnt"]), est, bool(err * err * sk.width <= 16 * f2))
+        )
+    return spark.createDataFrame(
+        rows, "k bigint, exact_cnt bigint, cs_est bigint, within_bound boolean"
+    )
+
+
+def q_transcripts_streaming_countsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Sketch's STREAMING leg (the AMS streaming pattern): each
+    micro-batch builds its own (7 x 4096) counter matrix on the batch
+    chassis and merges into a driver accumulator by matrix ADDITION —
+    exact integer math, so the drained stream's sketch is BIT-EQUAL to
+    the one-shot batch build and this gate shares the batch gate's twin
+    SQL verbatim. At scale: incremental point-frequency monitoring
+    ("how often has THIS boilerplate line appeared so far") from 224 KB
+    of stream state, no raw-row shuffle anywhere."""
+    import tempfile
+
+    from ddsparkle.sketches.countsketch import CountSketch
+    from ddsparkle.spark.approx import count_sketch
+
+    path = _transcripts_path(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    acc = CountSketch(depth=7, width=4096, seed=0)
+
+    def sink(batch_df, _batch_id):
+        keyed = batch_df.select(
+            F.conv(F.substring(F.md5("conv_id"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("k")
+        )
+        acc.merge(count_sketch(keyed, "k", depth=7, width=4096, seed=0))
+
+    with tempfile.TemporaryDirectory(prefix="ddsparkle-cskstream-") as tmp:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(path)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("Count-Sketch stream did not drain in 300 s")
+    keyed = _transcripts(spark, sf_dir).select(
+        F.conv(F.substring(F.md5("conv_id"), 1, 15), 16, 10).cast("long").alias("k")
+    )
+    return _csk_probe_frame(spark, keyed, acc)
+
+
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline, driver-verified end-to-end: documents' text
     bytes become deterministic fake image payloads (media_schema shape),
@@ -2232,19 +2298,7 @@ def q_transcripts_conv_freq_countsketch(spark: SparkSession, sf_dir: str) -> Dat
         F.conv(F.substring(F.md5("conv_id"), 1, 15), 16, 10).cast("long").alias("k")
     )
     sk = count_sketch(keyed, "k", depth=7, width=4096, seed=0)
-    exact = keyed.groupBy("k").agg(F.count("*").alias("cnt"))
-    probes = exact.orderBy("k").limit(8).collect()  # deterministic 8 smallest keys
-    f2 = int(
-        exact.agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f2")).collect()[0]["f2"]
-    )
-    rows = []
-    for r in probes:
-        est = sk.estimate(int(r["k"]))
-        err = est - int(r["cnt"])
-        rows.append((int(r["k"]), int(r["cnt"]), est, bool(err * err * 4096 <= 16 * f2)))
-    return spark.createDataFrame(
-        rows, "k bigint, exact_cnt bigint, cs_est bigint, within_bound boolean"
-    )
+    return _csk_probe_frame(spark, keyed, sk)
 
 
 def q_transcripts_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3174,6 +3228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_latency_percentile": q_transcripts_latency_percentile,
         "events_quantile_rollup_sets": q_events_quantile_rollup_sets,
         "orders_join_size_ams": q_orders_join_size_ams,
+        "transcripts_streaming_countsketch": q_transcripts_streaming_countsketch,
         "doc_bpe_vocab_tokens": q_doc_bpe_vocab_tokens,
         # --- newest (r5 part 3): substring dedup wired into curation ---
         "doc_curation_spanstrip": q_doc_curation_spanstrip,
@@ -4151,6 +4206,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "transcripts_conv_freq_countsketch": csk_sql,
         "orders_join_size_ams": joinsz_sql,
+        "transcripts_streaming_countsketch": csk_sql,
         "transcripts_text_len_by_role": ddsketch_quantile_sql(
             tr_len_src, "text_len", [0.5, 0.95, 0.99], group_col="role"
         ),

@@ -320,3 +320,65 @@ def test_duplicated_spans_plan_jvm_side(spark, sf_dir):
     # pair around the key exchange
     aggs = re.findall(r"\(\d+\) HashAggregate\b", plan)
     assert len(aggs) >= 2, plan
+
+
+def test_weighted_sample_broadcasts_ids_no_sortmerge(spark, sf_dir):
+    """The k winning ids must come back onto the scan as a BROADCAST join
+    (never a SortMergeJoin of the corpus against 200 ids), and the payload
+    frame must not pass through a global sort Exchange — the top-k ran on
+    the narrow (id, priority) frame at collect time."""
+    from ddsparkle.spark.dataops import weighted_sample
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "w", F.length("text").cast("long")
+    )
+    plan = plan_of(weighted_sample(df, "w", id_col="doc_id", k=50))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_parse_json_fields_scan_fused(spark, sf_dir):
+    """JSON field extraction is a pure scan projection: zero Exchange,
+    zero Python stages — get_json_object/try_cast live in the same
+    whole-stage-codegen span as the scan."""
+    from ddsparkle.spark.dataops import parse_json_fields
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = plan_of(parse_json_fields(df, "props", {"k": ("$.k", "long")}))
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "BatchEval" not in plan
+    assert "* Project" in plan  # the codegen star: projection inside WSCG
+
+
+def test_json_key_profile_map_side_combined(spark, sf_dir):
+    """Key profiling: the explode fuses into the scan and the key groupBy
+    partial-aggregates map-side (one partial per task per key, skew-proof
+    for producer-bounded key sets); exactly one exchange."""
+    import re
+
+    from ddsparkle.spark.dataops import json_key_profile
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = plan_of(json_key_profile(df, "props"))
+    assert "Python" not in plan and "BatchEval" not in plan
+    assert re.search(r"\(\d+\) Generate\b", plan)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) HashAggregate\b", plan)) >= 2  # partial+final
+
+
+def test_percentile_scores_row_local(spark, sf_dir):
+    """The scoring pass is row-local: the returned frame is scan ->
+    ArrowEvalPython/MapInPandas with ZERO Exchange (the sketch build ran
+    eagerly at call time on its own KB-scale plan; raw rows never
+    shuffle)."""
+    from ddsparkle.config import SketchConfig
+    from ddsparkle.spark.agg import percentile_rank_scores
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cfg = SketchConfig(mapping_kind="log", relative_accuracy=0.01,
+                       store_policy="unbounded", max_bins=0,
+                       track_exact_stats=False)
+    plan = plan_of(percentile_rank_scores(df, "value", by="event_type", config=cfg))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
