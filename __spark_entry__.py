@@ -1478,6 +1478,29 @@ def q_transcripts_streaming_countsketch(spark: SparkSession, sf_dir: str) -> Dat
     return _csk_probe_frame(spark, keyed, acc)
 
 
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability scoring, scan-local: integer word /
+    sentence / vowel-group counts from the RE2-identical regex subset plus
+    the per-row score in a pinned operation order — hash-exact at round-4
+    vs the DuckDB replay. The synthetic corpus carries no punctuation, so
+    the gate plants sentence breaks with a literal replace (identical
+    non-regex replace semantics in both engines) — the PII-gate pattern;
+    the sentence clamp and the NULL-text path are pytest-pinned."""
+    from ddsparkle.spark.dataops import readability_signals
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.expr("replace(text, ' the ', '. ')")
+    )
+    out = readability_signals(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.col("n_syllable_groups").cast("long").alias("n_syllable_groups"),
+        F.round("flesch", 4).alias("flesch"),
+    ).orderBy("doc_id")
+
+
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline, driver-verified end-to-end: documents' text
     bytes become deterministic fake image payloads (media_schema shape),
@@ -3208,7 +3231,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all land in the driver's 50-row window again. Union of r1-r5 driver
     rows still covers every entry; veterans outside the window rest on the
     harness replay (all entries, both SFs recorded in BENCH/). r5 part 4
-    puts the Count-Sketch gate at position 1; r5 part 3
+    front-loads its 12 new gates (positions 1-12: Count-Sketch batch +
+    streaming, weighted priority sampling, JSON extract + key profile,
+    per-row percentile x2, BPE merges + vocab replay, grouping-sets
+    rollup, AMS join size, readability scoring); r5 part 3
     puts the curation-with-span-strip composition gate next; r5
     part 2 puts the two substring-dedup gates (duplicated spans + strip)
     next; then the late-r5 gates — AMS F2 sketch (batch + streaming) /
@@ -3229,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantile_rollup_sets": q_events_quantile_rollup_sets,
         "orders_join_size_ams": q_orders_join_size_ams,
         "transcripts_streaming_countsketch": q_transcripts_streaming_countsketch,
+        "doc_readability": q_doc_readability,
         "doc_bpe_vocab_tokens": q_doc_bpe_vocab_tokens,
         # --- newest (r5 part 3): substring dedup wired into curation ---
         "doc_curation_spanstrip": q_doc_curation_spanstrip,
@@ -4207,6 +4234,22 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_conv_freq_countsketch": csk_sql,
         "orders_join_size_ams": joinsz_sql,
         "transcripts_streaming_countsketch": csk_sql,
+        "doc_readability": (
+            "WITH r AS (SELECT doc_id, replace(text, ' the ', '. ') AS text "
+            "FROM documents), "
+            "x AS (SELECT doc_id, "
+            "len(regexp_extract_all(text, '[^ ]+'))::BIGINT AS n_words, "
+            "len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS n_sentences, "
+            "len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))::BIGINT "
+            "AS n_syllable_groups FROM r) "
+            "SELECT doc_id, n_words, n_sentences, n_syllable_groups, "
+            "ROUND(CASE WHEN n_words > 0 THEN 206.835 "
+            "- 1.015 * (CAST(n_words AS DOUBLE) "
+            "/ CAST(GREATEST(n_sentences, 1) AS DOUBLE)) "
+            "- 84.6 * (CAST(n_syllable_groups AS DOUBLE) "
+            "/ CAST(n_words AS DOUBLE)) END, 4) AS flesch "
+            "FROM x ORDER BY doc_id"
+        ),
         "transcripts_text_len_by_role": ddsketch_quantile_sql(
             tr_len_src, "text_len", [0.5, 0.95, 0.99], group_col="role"
         ),

@@ -1999,6 +1999,44 @@ def weighted_sample(
     )
 
 
+def readability_signals(df, text_col: str = "text"):
+    """Flesch-style readability signals, pure Catalyst in the scan
+    projection (the token-counting cost class: row-local regexp_count,
+    zero shuffle, linear in corpus bytes): ``n_words`` (non-space runs),
+    ``n_sentences`` ([.!?]+ runs, raw — the score clamps to >= 1),
+    ``n_syllable_groups`` (vowel-group runs, the standard syllable proxy),
+    and ``flesch`` = 206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/words), NULL when the text has no words.
+
+    Cross-engine exactness: the three counts are integers from the
+    Java/RE2-identical regex subset (the PII-rule discipline), and the
+    score is per-row arithmetic on those exact ints with literal double
+    constants in a pinned operation order — so DuckDB replays it
+    bit-for-bit and the ``doc_readability`` gate hash-matches at round-4.
+    Reading-ease cutoffs (e.g. drop < 30) slot into curation as one more
+    scan-local predicate.
+    """
+    from pyspark.sql import functions as F
+
+    words = F.regexp_count(F.col(text_col), F.lit(r"[^ ]+"))
+    sentences = F.regexp_count(F.col(text_col), F.lit(r"[.!?]+"))
+    syllables = F.regexp_count(F.col(text_col), F.lit(r"[aeiouyAEIOUY]+"))
+    w = words.cast("double")
+    s = F.greatest(sentences, F.lit(1)).cast("double")
+    y = syllables.cast("double")
+    flesch = F.when(
+        words > 0,
+        F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w),
+    )
+    return df.select(
+        *[df[c] for c in df.columns],
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllable_groups"),
+        flesch.alias("flesch"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # semi-structured (JSON) columns
 # ---------------------------------------------------------------------------

@@ -1422,3 +1422,37 @@ def test_json_key_profile_counts(spark):
     df = spark.createDataFrame(rows, "props string")
     got = {r["key"]: r["n_rows"] for r in json_key_profile(df, "props").collect()}
     assert got == {"k": 4, "x": 1, "m": 1}
+
+
+def test_readability_signals_reference_parity(spark):
+    """Counts match a Python re replay; the score formula matches the
+    pinned operation order; no-word text scores NULL; the sentence clamp
+    engages on punctuation-free text."""
+    import re
+
+    from ddsparkle.spark.dataops import readability_signals
+
+    rows = [
+        ("a", "the quick brown fox. it jumps! over lazy dogs?"),
+        ("b", "no punctuation here at all"),
+        ("c", ""),
+        ("d", "   "),
+        ("e", None),
+        ("f", "aaa eee iii. yyy!"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {r["id"]: r for r in readability_signals(df).collect()}
+    for rid, txt in rows:
+        r = got[rid]
+        if txt is None:
+            assert r["n_words"] is None and r["flesch"] is None
+            continue
+        w = len(re.findall(r"[^ ]+", txt))
+        s = len(re.findall(r"[.!?]+", txt))
+        y = len(re.findall(r"[aeiouyAEIOUY]+", txt))
+        assert (r["n_words"], r["n_sentences"], r["n_syllable_groups"]) == (w, s, y)
+        if w == 0:
+            assert r["flesch"] is None
+        else:
+            want = 206.835 - 1.015 * (w / max(s, 1)) - 84.6 * (y / w)
+            assert r["flesch"] == want  # bit-equal: same op order
