@@ -1501,6 +1501,40 @@ def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_transcripts_turn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive same-role turn merging (multi-message streak collapse):
+    one repartition(conv_id) + JVM sort + one vectorized mapInPandas pass —
+    text moves exactly once, no window. The gate md5s each merged text so
+    every run's sep-joined bytes are compared against DuckDB's
+    string_agg-over-run-segments twin while only digests reach the driver;
+    run segmentation is replayed via lag + running brk sum."""
+    from ddsparkle.spark.transcript_ops import merge_consecutive_turns
+
+    df = _transcripts(spark, sf_dir)
+    res = merge_consecutive_turns(df)
+    return res.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.md5("text").alias("text_md5"),
+        "ts_us",
+        "n_merged",
+    ).orderBy("conv_id", "turn_idx")
+
+
+def q_transcripts_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation (keep the longest suffix of turns fitting
+    a 128-whitespace-token budget): token counts in the scan projection,
+    ONE narrow window exchange of (conv_id, turn_idx, n_tokens) — text
+    never shuffles. Twin replays the suffix running sum with an explicit
+    ROWS frame over turn_idx DESC."""
+    from ddsparkle.spark.transcript_ops import truncate_to_token_budget
+
+    df = _transcripts(spark, sf_dir)
+    res = truncate_to_token_budget(df, max_tokens=128)
+    return res.orderBy("conv_id", "turn_idx")
+
+
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline, driver-verified end-to-end: documents' text
     bytes become deterministic fake image payloads (media_schema shape),
@@ -3231,7 +3265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all land in the driver's 50-row window again. Union of r1-r5 driver
     rows still covers every entry; veterans outside the window rest on the
     harness replay (all entries, both SFs recorded in BENCH/). r5 part 4
-    front-loads its 12 new gates (positions 1-12: Count-Sketch batch +
+    r5 part 5 (this session) front-loads turn-run merging + context
+    truncation at positions 1-2; r5 part 4
+    front-loads its 12 gates (next: Count-Sketch batch +
     streaming, weighted priority sampling, JSON extract + key profile,
     per-row percentile x2, BPE merges + vocab replay, grouping-sets
     rollup, AMS join size, readability scoring); r5 part 3
@@ -3245,6 +3281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r4-green veterans past the window."""
     return {
         # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
+        "transcripts_turn_merge": q_transcripts_turn_merge,
+        "transcripts_truncation": q_transcripts_truncation,
         "transcripts_conv_freq_countsketch": q_transcripts_conv_freq_countsketch,
         "doc_weighted_sample": q_doc_weighted_sample,
         "events_json_extract": q_events_json_extract,
@@ -4438,6 +4476,28 @@ def oracle_sql() -> dict[str, str]:
         # the windowed string_agg concatenates in window order (verified
         # semantics), so ctx is byte-identical to Spark's frame-ordered
         # collect_list + array_join
+        "transcripts_turn_merge": (
+            "WITH w AS (SELECT conv_id, turn_idx, role, "
+            "coalesce(text, '') AS text, epoch_us(ts) AS ts_us, "
+            "CASE WHEN lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) "
+            "IS DISTINCT FROM role THEN 1 ELSE 0 END AS brk "
+            f"FROM {tr_src}), "
+            "s AS (SELECT *, SUM(brk) OVER (PARTITION BY conv_id "
+            "ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS seg FROM w) "
+            "SELECT conv_id, MIN(turn_idx) AS turn_idx, role, "
+            "md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS text_md5, "
+            "MIN(ts_us) AS ts_us, COUNT(*) AS n_merged "
+            "FROM s GROUP BY conv_id, seg, role ORDER BY conv_id, turn_idx"
+        ),
+        "transcripts_truncation": (
+            "WITH t AS (SELECT conv_id, turn_idx, "
+            f"CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM {tr_src}), "
+            "c AS (SELECT conv_id, turn_idx, n_tokens, "
+            "SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC "
+            "ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM t) "
+            "SELECT conv_id, turn_idx, n_tokens, cum_tokens FROM c "
+            "WHERE cum_tokens <= 128 ORDER BY conv_id, turn_idx"
+        ),
         "transcripts_sft_pairs": (
             "SELECT conv_id, turn_idx, CAST(n_ctx AS DOUBLE) AS n_context_turns, "
             "md5(ctx) AS context_md5, md5(text) AS response_md5 "

@@ -55,6 +55,8 @@ __all__ = [
     "per_conversation_latency_quantiles",
     "validate_conversations",
     "boilerplate_turns",
+    "merge_consecutive_turns",
+    "truncate_to_token_budget",
 ]
 
 DEFAULT_QS = (0.5, 0.95, 0.99)
@@ -1002,4 +1004,110 @@ def boilerplate_turns(df, min_convs: int = 5, count_col: str = "text_conv_df"):
         F.when(F.col("text").isNotNull(), F.coalesce(F.col("__df"), F.lit(0)))
         .cast("long")
         .alias(count_col),
+    )
+
+
+def merge_consecutive_turns(df, text_col: str = "text", sep: str = "\n"):
+    """Collapse runs of consecutive same-role turns into one turn — the
+    standard transcript normalization before SFT-pair extraction or packing
+    (multi-message assistant streaks, chunked tool output, double-sends all
+    become one logical turn). A run is a maximal ``turn_idx``-consecutive*
+    stretch of one role within a conversation (*consecutive in ORDER, not in
+    index value — gaps left by earlier filtering stages don't split a run
+    unless the role changes). Returns one row per run:
+    [conv_id, turn_idx (first of run), role, text (``sep``-joined in
+    turn_idx order, NULL texts as ''), ts_us (min epoch-microseconds),
+    n_merged]. ``tool`` is intentionally dropped: a merged run can span
+    multiple tool invocations, so no single value is faithful.
+
+    Scale shape: text moves exactly ONCE — ``repartition(conv_id)`` +
+    JVM ``sortWithinPartitions`` + one ``mapInPandas`` pass (the
+    ``merge_partials_to_sketch_rows`` chassis, agg.py:342) whose run
+    detection and per-run joins are vectorized pandas over the whole
+    partition. No window function, no second exchange, no per-group Python
+    apply. conv_id skew: a hot conversation lands in one task but the work
+    is linear in its turns (shift + cumsum + groupby-join). Timestamps are
+    converted to epoch micros in the scan projection so Arrow ships int64,
+    not NTZ timestamps. Beyond-reference, brief-driven (LLM-pipeline
+    preprocessing).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = df.select(
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("role").cast("string").alias("role"),
+        F.coalesce(F.col(text_col), F.lit("")).cast("string").alias("__text"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__ts_us"),
+    )
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "ts_us long, n_merged long"
+    )
+
+    def fold(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        # partition is sorted by (conv_id, turn_idx); a run breaks on a new
+        # conversation or a role change
+        brk = (pdf["conv_id"] != pdf["conv_id"].shift()) | (
+            pdf["role"] != pdf["role"].shift()
+        )
+        seg = brk.cumsum()
+        g = pdf.groupby(seg, sort=True)
+        out = pd.DataFrame(
+            {
+                "conv_id": g["conv_id"].agg(lambda s: s.iloc[0]),
+                "turn_idx": g["turn_idx"].min(),
+                "role": g["role"].agg(lambda s: s.iloc[0]),
+                "text": g["__text"].agg(sep.join),
+                "ts_us": g["__ts_us"].min(),
+                "n_merged": g.size(),
+            }
+        )
+        yield out
+
+    parted = src.repartition("conv_id").sortWithinPartitions("conv_id", "turn_idx")
+    return parted.mapInPandas(fold, schema=schema)
+
+
+def truncate_to_token_budget(df, max_tokens: int = 256, text_col: str = "text"):
+    """Context-window truncation — keep, per conversation, the longest
+    SUFFIX of turns whose whitespace-token total fits ``max_tokens`` (the
+    chat-serving recency policy: drop oldest turns first, never split a
+    turn). Returns the kept turn assignment [conv_id, turn_idx, n_tokens,
+    cum_tokens] where ``cum_tokens`` is the running suffix total including
+    the turn; join back on (conv_id, turn_idx) to materialize text. A
+    conversation whose LAST turn alone exceeds the budget keeps zero turns
+    (honest truncation — callers wanting keep-at-least-one filter upstream).
+
+    Scale shape: token counts are computed in the scan projection
+    (``token_count_expr``), so only (conv_id, turn_idx, n_tokens) — ints
+    plus the key — enter the single window exchange; text never shuffles.
+    The window is one exchange + sort with an explicit ROWS frame (running
+    suffix sum). Beyond-reference, brief-driven.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .dataops import token_count_expr
+
+    narrow = df.select(
+        "conv_id",
+        "turn_idx",
+        token_count_expr(text_col).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        narrow.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= int(max_tokens))
+        .select("conv_id", "turn_idx", "n_tokens", "cum_tokens")
     )

@@ -382,3 +382,40 @@ def test_percentile_scores_row_local(spark, sf_dir):
     plan = plan_of(percentile_rank_scores(df, "value", by="event_type", config=cfg))
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_merge_consecutive_turns_single_exchange(spark, transcripts_parquet):
+    """Turn-run merging must move text exactly ONCE: one hash-partitioning
+    exchange (the repartition by conv_id), the sort local within partitions
+    (no rangepartitioning), and no Window operator — run segmentation
+    happens in the single mapInPandas pass."""
+    import re
+
+    from ddsparkle.spark.transcript_ops import merge_consecutive_turns
+
+    df = spark.read.parquet(transcripts_parquet)
+    plan = plan_of(merge_consecutive_turns(df))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "Window" not in plan, plan
+
+
+def test_truncate_to_token_budget_narrow_window(spark, transcripts_parquet):
+    """Context truncation must shuffle only (conv_id, turn_idx, n_tokens):
+    token counts belong in the scan projection, so the window exchange's
+    input schema carries no text column and the scan reads only the three
+    source columns it needs."""
+    from ddsparkle.spark.transcript_ops import truncate_to_token_budget
+
+    df = spark.read.parquet(transcripts_parquet)
+    plan = plan_of(truncate_to_token_budget(df, max_tokens=64))
+    # the projection under the exchange is n_tokens, not text: text appears
+    # only inside the scan/project detail (size(split(text ..)) expression),
+    # never as a shuffled attribute of the Exchange's output schema
+    import re
+
+    ex = re.search(r"\(\d+\) Exchange[\s\S]*?Arguments: hashpartitioning\([^\n]*", plan)
+    assert ex is not None, plan
+    assert "text" not in ex.group(0), ex.group(0)
+    assert plan.count("ReadSchema") == 1
+    assert "struct<conv_id:string,turn_idx:int,text:string>" in plan, plan

@@ -9,6 +9,7 @@ import math
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from ddsparkle.spark.transcript_ops import (
     conv_duration_quantiles,
@@ -753,3 +754,112 @@ def test_boilerplate_turns_distinct_conv_df(spark):
     assert flagged == set()
     with _pytest.raises(ValueError):
         boilerplate_turns(df, min_convs=1)
+
+
+def test_merge_consecutive_turns_vs_pandas(spark, tiny_df, tiny_pdf):
+    from ddsparkle.spark.transcript_ops import merge_consecutive_turns
+
+    got = (
+        merge_consecutive_turns(tiny_df)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pdf = tiny_pdf.copy()
+    brk = (pdf["conv_id"] != pdf["conv_id"].shift()) | (
+        pdf["role"] != pdf["role"].shift()
+    )
+    seg = brk.cumsum()
+    g = pdf.groupby(seg, sort=True)
+    want = pd.DataFrame(
+        {
+            "conv_id": g["conv_id"].agg(lambda s: s.iloc[0]),
+            "turn_idx": g["turn_idx"].min(),
+            "role": g["role"].agg(lambda s: s.iloc[0]),
+            "text": g["text"].agg(lambda s: "\n".join(x if x is not None else "" for x in s)),
+            "ts_us": g["ts"].min().astype("int64") // 1000,
+            "n_merged": g.size(),
+        }
+    ).reset_index(drop=True)
+    # pandas .astype('int64') on datetime64[ns] gives ns; fixture ts is us-precision
+    want["ts_us"] = (g["ts"].min().astype("int64") // 1000).values
+    want = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for col in ["conv_id", "turn_idx", "role", "text", "ts_us", "n_merged"]:
+        assert got[col].tolist() == want[col].tolist(), col
+    # runs never span conversations and total turn mass is conserved
+    assert got["n_merged"].sum() == len(pdf)
+
+
+def test_merge_consecutive_turns_constructed(spark):
+    from ddsparkle.spark.transcript_ops import merge_consecutive_turns
+
+    rows = [
+        ("c1", 0, "system", "sys", None, "2024-01-01 00:00:00"),
+        ("c1", 1, "assistant", "a1", None, "2024-01-01 00:00:01"),
+        ("c1", 2, "assistant", "a2", None, "2024-01-01 00:00:02"),
+        ("c1", 5, "assistant", "a3", None, "2024-01-01 00:00:03"),  # idx gap, same run
+        ("c1", 6, "user", None, None, "2024-01-01 00:00:04"),  # NULL text -> ''
+        ("c2", 0, "assistant", "b1", None, "2024-01-01 00:00:05"),  # new conv breaks run
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in merge_consecutive_turns(df).collect()
+    }
+    assert set(got) == {("c1", 0), ("c1", 1), ("c1", 6), ("c2", 0)}
+    assert got[("c1", 1)]["text"] == "a1\na2\na3"
+    assert got[("c1", 1)]["n_merged"] == 3
+    assert got[("c1", 6)]["text"] == ""
+    assert got[("c2", 0)]["n_merged"] == 1
+
+
+def test_truncate_to_token_budget_vs_pandas(spark, tiny_df, tiny_pdf):
+    from ddsparkle.spark.transcript_ops import truncate_to_token_budget
+
+    budget = 64
+    got = (
+        truncate_to_token_budget(tiny_df, max_tokens=budget)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pdf = tiny_pdf.copy()
+    pdf["n_tokens"] = pdf["text"].map(lambda t: len((t or "").split(" ")))
+    keep = []
+    for conv, grp in pdf.groupby("conv_id"):
+        acc = 0
+        for _, r in grp.sort_values("turn_idx", ascending=False).iterrows():
+            acc += r["n_tokens"]
+            if acc > budget:
+                break
+            keep.append((conv, r["turn_idx"], r["n_tokens"], acc))
+    want = (
+        pd.DataFrame(keep, columns=["conv_id", "turn_idx", "n_tokens", "cum_tokens"])
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert got.astype(str).values.tolist() == want.astype(str).values.tolist()
+    # every kept suffix fits the budget
+    assert (got["cum_tokens"] <= budget).all()
+
+
+def test_truncate_to_token_budget_oversized_tail(spark):
+    from ddsparkle.spark.transcript_ops import truncate_to_token_budget
+
+    rows = [
+        ("c1", 0, "user", "a b", None, "2024-01-01 00:00:00"),
+        ("c1", 1, "assistant", " ".join(["w"] * 100), None, "2024-01-01 00:00:01"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # last turn alone blows the budget -> zero kept turns for the conversation
+    assert truncate_to_token_budget(df, max_tokens=10).count() == 0
+    # raising the budget keeps the suffix, oldest dropped first
+    kept = {r["turn_idx"] for r in truncate_to_token_budget(df, max_tokens=100).collect()}
+    assert kept == {1}
+    kept = {r["turn_idx"] for r in truncate_to_token_budget(df, max_tokens=102).collect()}
+    assert kept == {0, 1}
