@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ddsparkle.config import SketchConfig
-from ddsparkle.oracle import ddsketch_cdf_sql, ddsketch_quantile_sql, ddsketch_row_rank_sql
+from ddsparkle.oracle import (
+    ddsketch_cdf_sql,
+    ddsketch_quantile_sql,
+    ddsketch_row_rank_sql,
+    kmeans_sql,
+)
 from ddsparkle.spark.agg import quantiles
 from ddsparkle.spark.dataops import PII_PATTERNS as _PII
 
@@ -3077,6 +3082,24 @@ def q_transcripts_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id")
 
 
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-distributed Lloyd's k-means (k=8, 4 iterations) over the
+    embeddings table — every assignment, centroid update, and final
+    squared-L2 distance is bit-exact vs oracle.kmeans_sql's unrolled
+    4-iteration MATERIALIZED-CTE replay: integer-quantized coordinates make
+    centroid sums order-free, distances fold in pinned dimension order, and
+    each centroid coordinate is one correctly-rounded division. Per
+    iteration the corpus contributes only partitions x k partial-sum rows;
+    vectors never shuffle."""
+    from ddsparkle.spark.dataops import kmeans_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = kmeans_embeddings(emb, k=8, iters=4)
+    return res.select(
+        "vec_id", "cluster", F.round("dist", 4).alias("dist")
+    ).orderBy("vec_id")
+
+
 def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (dataops.semdedup): hash-seeded medoid clusters over the
     embedding corpus augmented with the standard planted perturbed copies
@@ -3265,8 +3288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all land in the driver's 50-row window again. Union of r1-r5 driver
     rows still covers every entry; veterans outside the window rest on the
     harness replay (all entries, both SFs recorded in BENCH/). r5 part 4
-    r5 part 5 (this session) front-loads turn-run merging + context
-    truncation at positions 1-2; r5 part 4
+    r5 part 5 (this session) front-loads distributed k-means + turn-run
+    merging + context truncation at positions 1-3; r5 part 4
     front-loads its 12 gates (next: Count-Sketch batch +
     streaming, weighted priority sampling, JSON extract + key profile,
     per-row percentile x2, BPE merges + vocab replay, grouping-sets
@@ -3281,6 +3304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r4-green veterans past the window."""
     return {
         # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
+        "emb_kmeans": q_emb_kmeans,
         "transcripts_turn_merge": q_transcripts_turn_merge,
         "transcripts_truncation": q_transcripts_truncation,
         "transcripts_conv_freq_countsketch": q_transcripts_conv_freq_countsketch,
@@ -5132,6 +5156,7 @@ def oracle_sql() -> dict[str, str]:
         # Spark argmax struct's negid), within-cluster pairs, dominated
         # keep rule; sequential-fold dot products are bit-equal across
         # engines (emb_near_dup_pairs precedent)
+        "emb_kmeans": kmeans_sql("embeddings", k=8, iters=4),
         "emb_semdedup": (
             "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
             "FROM embeddings), "

@@ -331,3 +331,62 @@ SELECT {final_g}{q_select_sql},
   CAST(MAX(n) AS DOUBLE) AS count{extra}
 FROM {final_from} {g_group1}
 """
+
+
+def kmeans_sql(
+    src: str,
+    k: int = 8,
+    iters: int = 4,
+    dim: int = 64,
+    scale_bits: int = 20,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_digits: int = 4,
+) -> str:
+    """DuckDB twin of ``dataops.kmeans_embeddings`` — replays every Lloyd
+    iteration from scratch with unrolled MATERIALIZED CTEs (the BPE-twin
+    discipline: every multiply-referenced CTE materialized, or inlining
+    explodes). Bit-exactness mirrors the operator's contract: quantized
+    int64 coordinates (floor(x*2^scale_bits + 0.5)), order-free HUGEINT
+    centroid numerators cast to DOUBLE for ONE division per coordinate, a
+    left-associative ``(e[i]-c[i])*(e[i]-c[i])`` distance term chain
+    matching the operator's pinned fold order, argmin ties to the smallest
+    cluster id (QUALIFY row_number ORDER BY dist, j), empty clusters
+    carried over via LEFT JOIN + COALESCE."""
+    scale = repr(float(2**scale_bits))
+    dist = " + ".join(
+        f"(x.e[{i}] - cc.c[{i}]) * (x.e[{i}] - cc.c[{i}])" for i in range(1, dim + 1)
+    )
+    parts = [
+        f"q AS MATERIALIZED (SELECT {id_col}, list_transform({emb_col}, "
+        f"v -> CAST(floor(CAST(v AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS q "
+        f"FROM {src})",
+        f"x AS MATERIALIZED (SELECT {id_col}, "
+        f"list_transform(q, v -> CAST(v AS DOUBLE) / {scale}) AS e FROM q)",
+        f"c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY {id_col}) - 1 "
+        f"AS INTEGER) AS j, list_transform(q, v -> CAST(v AS DOUBLE) / {scale}) AS c "
+        f"FROM (SELECT {id_col}, q FROM q ORDER BY {id_col} LIMIT {k}))",
+    ]
+    sums = ", ".join(
+        f"CAST(SUM(q[{i}]) AS DOUBLE) / (COUNT(*) * {scale})" for i in range(1, dim + 1)
+    )
+    for t in range(iters):
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT {id_col}, j FROM ("
+            f"SELECT x.{id_col}, cc.j, ({dist}) AS dist FROM x CROSS JOIN c{t} cc) "
+            f"QUALIFY row_number() OVER (PARTITION BY {id_col} "
+            f"ORDER BY dist, j) = 1)"
+        )
+        parts.append(
+            f"c{t + 1} AS MATERIALIZED (SELECT p.j, COALESCE(n.c, p.c) AS c "
+            f"FROM c{t} p LEFT JOIN ("
+            f"SELECT a.j, list_value({sums}) AS c "
+            f"FROM a{t} a JOIN q USING ({id_col}) GROUP BY a.j) n ON n.j = p.j)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        f"SELECT {id_col}, j AS cluster, ROUND(dist, {round_digits}) AS dist FROM ("
+        f"SELECT x.{id_col}, cc.j, ({dist}) AS dist FROM x CROSS JOIN c{iters} cc) "
+        f"QUALIFY row_number() OVER (PARTITION BY {id_col} ORDER BY dist, j) = 1 "
+        f"ORDER BY {id_col}"
+    )

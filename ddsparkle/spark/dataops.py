@@ -64,6 +64,7 @@ __all__ = [
     "assign_split",
     "hash_sample_by_group",
     "temperature_mix",
+    "kmeans_embeddings",
 ]
 
 _WORD_SEED = 0x7E57DA7A
@@ -2805,3 +2806,158 @@ def temperature_mix(
         hash_sample_by_group(df, group_col, fractions, id_col, salt),
         fractions,
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (Lloyd's) over embedding columns
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_dists_fixed_order(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Squared L2 distances (n, k) accumulated dimension-by-dimension in a
+    FIXED left-to-right order — ``((0 + t_1) + t_2) + ...`` — so the float64
+    result is bit-identical to a SQL left-associative term chain
+    ``t_1 + t_2 + ...`` (``0 + t_1 == t_1`` exactly; squares are never
+    ``-0.0``). The vectorized-over-rows/centroids form of the pinned fold;
+    NEVER replace with ``((X[:,None]-C)**2).sum(-1)`` — pairwise summation
+    changes the rounding and breaks the cross-engine hash gate."""
+    acc = np.zeros((X.shape[0], C.shape[0]))
+    for d in range(X.shape[1]):
+        t = X[:, d, None] - C[None, :, d]
+        acc = acc + t * t
+    return acc
+
+
+def kmeans_embeddings(
+    df,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 4,
+    scale_bits: int = 20,
+):
+    """Fully-DISTRIBUTED Lloyd's k-means over an embedding column — unlike
+    ``ivf_index`` (driver-side sample fit), every iteration assigns EVERY
+    vector: one scan per iteration computing per-partition partial sums,
+    a tiny driver reduce (k x dim ints per partition), and a re-broadcast.
+    Returns [id_col, cluster, dist] with ``dist`` = squared L2 to the final
+    centroid (unrounded — bit-exact; gates round with ``F.round``).
+
+    Cross-engine exactness (the bit-exact-twin discipline): coordinates are
+    quantized IN THE SCAN PROJECTION to ``floor(x * 2^scale_bits + 0.5)``
+    int64 (exact: float32 -> double widening, power-of-two scale, one
+    deterministic round), so centroid numerators are ORDER-FREE integer
+    sums; each centroid coordinate is ONE correctly-rounded division
+    ``sum / (count * 2^scale_bits)``; distances accumulate in the pinned
+    dimension order (``_kmeans_dists_fixed_order``); argmin ties break to
+    the smallest cluster id; empty clusters keep their previous centroid.
+    Every step is therefore bit-reproducible regardless of partitioning AND
+    replayable by DuckDB's unrolled-iteration twin (``oracle.kmeans_sql``).
+    Exactness bound: integer sums stay exact as doubles for
+    cluster_count * 2^scale_bits < 2^53 (~8.6e9 members at the default).
+
+    Init is deterministic: the ``k`` rows with smallest ``id_col``.
+
+    Scale shape: the quantized (id, q) frame is narrow (dim x 8B + id) and
+    persisted for the loop — the embedding parquet is scanned ONCE; each
+    iteration moves only ``partitions x k`` partial rows to the driver
+    (tree-reduce territory only beyond ~10^5 partitions) and broadcasts
+    k x dim doubles back. No shuffle of vectors, ever. Like
+    ``near_duplicates``, the returned frame is eagerly materialized
+    (localCheckpoint) so the persisted input can be released before return.
+    """
+    from pyspark.sql import functions as F
+
+    if k < 1 or iters < 0:
+        raise ValueError("k >= 1 and iters >= 0 required")
+    scale = float(2**scale_bits)
+    q = (
+        _ensure_parallelism(df.select(id_col, emb_col))
+        .select(
+            id_col,
+            F.expr(
+                f"transform({emb_col}, x -> "
+                f"CAST(floor(CAST(x AS DOUBLE) * {scale!r} + 0.5d) AS BIGINT))"
+            ).alias("__q"),
+        )
+        .persist()
+    )
+    init = q.orderBy(id_col).limit(k).collect()
+    if len(init) < k:
+        q.unpersist()
+        raise ValueError(f"k={k} exceeds input rows ({len(init)})")
+    C = np.stack([np.asarray(r["__q"], np.int64) for r in init]).astype(np.float64)
+    C /= scale
+    dim = C.shape[1]
+    spark = df.sparkSession
+
+    def partials_fn(bc):
+        def fn(batches):
+            cents = bc.value
+            sums = np.zeros((k, dim), np.int64)
+            cnt = np.zeros(k, np.int64)
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen = True
+                Q = np.stack(pdf["__q"].values).astype(np.int64)
+                assign = np.argmin(
+                    _kmeans_dists_fixed_order(Q / scale, cents), axis=1
+                )
+                np.add.at(sums, assign, Q)
+                cnt += np.bincount(assign, minlength=k)
+            if seen:
+                yield pd.DataFrame(
+                    {
+                        "cluster": np.arange(k, dtype=np.int32),
+                        "cnt": cnt,
+                        "sums": list(sums),
+                    }
+                )
+
+        return fn
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(C)
+        rows = q.mapInPandas(
+            partials_fn(bc), schema="cluster int, cnt long, sums array<long>"
+        ).collect()
+        tot_s = np.zeros((k, dim), np.int64)
+        tot_c = np.zeros(k, np.int64)
+        for r in rows:
+            tot_s[r["cluster"]] += np.asarray(r["sums"], np.int64)
+            tot_c[r["cluster"]] += r["cnt"]
+        for j in range(k):
+            if tot_c[j] > 0:
+                # ONE division per coordinate: exact int sum -> double, then
+                # a single correctly-rounded divide (matches the SQL twin)
+                C[j] = tot_s[j].astype(np.float64) / float(tot_c[j] * 2**scale_bits)
+        bc.destroy()
+
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign_final(batches):
+        cents = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["__q"].values).astype(np.int64)
+            d = _kmeans_dists_fixed_order(Q / scale, cents)
+            a = np.argmin(d, axis=1)
+            # dist ships UNROUNDED (bit-exact): np.round is half-even while
+            # Spark/DuckDB ROUND is half-up — gates round with F.round
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": a.astype(np.int32),
+                    "dist": d[np.arange(len(a)), a],
+                }
+            )
+
+    id_field = df.schema[id_col]
+    out = q.mapInPandas(
+        assign_final, schema=f"{id_col} {id_field.dataType.simpleString()}, cluster int, dist double"
+    ).localCheckpoint(eager=True)
+    q.unpersist()
+    return out

@@ -1456,3 +1456,96 @@ def test_readability_signals_reference_parity(spark):
         else:
             want = 206.835 - 1.015 * (w / max(s, 1)) - 84.6 * (y / w)
             assert r["flesch"] == want  # bit-equal: same op order
+
+
+def _kmeans_numpy_replay(Q, k, iters, scale_bits):
+    """Reference replay of the operator's exact arithmetic (pinned fold)."""
+    scale = float(2**scale_bits)
+    C = Q[:k].astype(np.float64) / scale
+    X = Q.astype(np.float64) / scale
+
+    def dists(X, C):
+        acc = np.zeros((X.shape[0], C.shape[0]))
+        for d in range(X.shape[1]):
+            t = X[:, d, None] - C[None, :, d]
+            acc = acc + t * t
+        return acc
+
+    for _ in range(iters):
+        a = np.argmin(dists(X, C), axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                C[j] = Q[m].sum(axis=0).astype(np.float64) / float(
+                    m.sum() * 2**scale_bits
+                )
+    d = dists(X, C)
+    a = np.argmin(d, axis=1)
+    return a, d[np.arange(len(a)), a]
+
+
+def test_kmeans_embeddings_matches_numpy_replay(spark):
+    from ddsparkle.spark.dataops import kmeans_embeddings
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(60, 4)).astype(np.float32)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = (
+        kmeans_embeddings(df, k=3, iters=3, scale_bits=20)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    Q = np.floor(X.astype(np.float64) * 2**20 + 0.5).astype(np.int64)
+    a, d = _kmeans_numpy_replay(Q, k=3, iters=3, scale_bits=20)
+    assert got["cluster"].tolist() == a.tolist()
+    assert (got["dist"].values == d).all()  # bit-equal, pinned fold order
+
+
+def test_kmeans_embeddings_partitioning_invariant(spark):
+    from ddsparkle.spark.dataops import kmeans_embeddings
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(80, 4)).astype(np.float32)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    outs = []
+    for nparts in (1, 7):
+        got = (
+            kmeans_embeddings(df.repartition(nparts), k=4, iters=2)
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        outs.append(got)
+    assert outs[0]["cluster"].tolist() == outs[1]["cluster"].tolist()
+    assert (outs[0]["dist"].values == outs[1]["dist"].values).all()
+
+
+def test_kmeans_embeddings_empty_cluster_and_errors(spark):
+    from ddsparkle.spark.dataops import kmeans_embeddings
+
+    # two distinct points, k=3: cluster 1 (duplicate of point 0's init twin)
+    # goes empty after round 1 and must keep its init centroid, not NaN
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.0, 0.0]),
+        (2, [1.0, 1.0]),
+        (3, [1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = (
+        kmeans_embeddings(df, k=3, iters=3)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 4
+    assert not got["dist"].isna().any()
+    # ties break to the smallest cluster id: the duplicate-origin points all
+    # land in cluster 0 (centroids 0 and 1 coincide at the origin)
+    assert got.loc[got["vec_id"] <= 1, "cluster"].tolist() == [0, 0]
+    assert got.loc[got["vec_id"] >= 2, "cluster"].tolist() == [2, 2]
+    with pytest.raises(ValueError):
+        kmeans_embeddings(df, k=9)
