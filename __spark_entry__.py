@@ -129,6 +129,26 @@ def q_lineitem_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_result(res, [], ["q50", "q95"])
 
 
+def q_events_decayed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed quantiles — the observability policy DDSketch serves
+    at Datadog (recent events dominate the percentile): weight =
+    2^(day(ts) - 2024-01-01), a one-day half-life looking BACK in time.
+    Powers of two are the cross-engine-safe decay: every weighted bucket
+    count is a sum of exact doubles (dyadic integers), so the walk is
+    order-free and hash-exact, unlike e^(-lambda*t) float weights whose
+    cross-row sums are rounding-order-dependent. Rides the existing
+    weighted accept (sketch.py accept weighted) end-to-end — pure
+    composition, no new kernel."""
+    df = _t(spark, sf_dir, "events").select(
+        "value",
+        F.pow(F.lit(2.0), F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")))
+        .cast("double")
+        .alias("w"),
+    )
+    res = quantiles(df, "value", weight_col="w", qs=(0.5, 0.95, 0.99), config=_cfg())
+    return _round_result(res, [], ["q50", "q95", "q99"])
+
+
 def q_events_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "events")
     res = quantiles(df, "value", qs=(0.5,), config=SketchConfig(mapping_kind="log"))
@@ -3289,7 +3309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows still covers every entry; veterans outside the window rest on the
     harness replay (all entries, both SFs recorded in BENCH/). r5 part 4
     r5 part 5 (this session) front-loads distributed k-means + turn-run
-    merging + context truncation at positions 1-3; r5 part 4
+    merging + context truncation + decayed quantiles at positions 1-4; r5 part 4
     front-loads its 12 gates (next: Count-Sketch batch +
     streaming, weighted priority sampling, JSON extract + key profile,
     per-row percentile x2, BPE merges + vocab replay, grouping-sets
@@ -3305,6 +3325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
         "emb_kmeans": q_emb_kmeans,
+        "events_decayed_quantiles": q_events_decayed_quantiles,
         "transcripts_turn_merge": q_transcripts_turn_merge,
         "transcripts_truncation": q_transcripts_truncation,
         "transcripts_conv_freq_countsketch": q_transcripts_conv_freq_countsketch,
@@ -4680,6 +4701,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ddsketch_lineitem_weighted": ddsketch_quantile_sql(
             "lineitem", "l_extendedprice", [0.5, 0.95], weight_expr="l_linenumber"
+        ),
+        "events_decayed_quantiles": ddsketch_quantile_sql(
+            "events",
+            "value",
+            [0.5, 0.95, 0.99],
+            weight_expr="2.0 ** date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))",
         ),
         "ddsketch_events_exact_stats": (
             "SELECT CAST(COUNT(value) AS DOUBLE) AS count, ROUND(MIN(value), 4) AS min_v, "
