@@ -25,6 +25,7 @@ from ddsparkle.oracle import (
     ddsketch_quantile_sql,
     ddsketch_row_rank_sql,
     kmeans_sql,
+    udd_quantile_sql,
 )
 from ddsparkle.spark.agg import quantiles
 from ddsparkle.spark.dataops import PII_PATTERNS as _PII
@@ -127,6 +128,32 @@ def q_lineitem_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = quantiles(df, "l_extendedprice", weight_col="w", qs=(0.5, 0.95), config=_cfg())
     return _round_result(res, [], ["q50", "q95"])
+
+
+def q_events_udd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDDSketch (uniform-collapse DDSketch, Epicoco et al. 2020 — the
+    published alternative to the reference's tail-clamping collapse
+    stores): exact log-bucket histogram built distributed (one narrow
+    int64 groupBy), then ONE read-time collapse to the smallest level
+    fitting max_bins=64 — partitioning/merge-order invariant by
+    construction, accuracy degrades to the reported alpha_final instead
+    of losing a tail. At this corpus the level-3 collapse engages (368
+    raw bins -> 60) and the twin replays level search, rank rule, and
+    harmonic-mean reps end-to-end."""
+    from ddsparkle.sketches.uddsketch import udd_quantiles
+
+    df = _t(spark, sf_dir, "events")
+    res = udd_quantiles(df, "value", (0.5, 0.95, 0.99), alpha=0.01, max_bins=64)
+    return res.select(
+        F.round("q50", 4).alias("q50"),
+        F.round("q95", 4).alias("q95"),
+        F.round("q99", 4).alias("q99"),
+        "count",
+        "n_bins_raw",
+        "collapse_level",
+        "n_bins",
+        F.round("alpha_final", 6).alias("alpha_final"),
+    )
 
 
 def q_events_decayed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3309,7 +3336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows still covers every entry; veterans outside the window rest on the
     harness replay (all entries, both SFs recorded in BENCH/). r5 part 4
     r5 part 5 (this session) front-loads distributed k-means + turn-run
-    merging + context truncation + decayed quantiles at positions 1-4; r5 part 4
+    merging + context truncation + UDDSketch uniform-collapse + decayed
+    quantiles at positions 1-5; r5 part 4
     front-loads its 12 gates (next: Count-Sketch batch +
     streaming, weighted priority sampling, JSON extract + key profile,
     per-row percentile x2, BPE merges + vocab replay, grouping-sets
@@ -3325,6 +3353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
         "emb_kmeans": q_emb_kmeans,
+        "events_udd_quantiles": q_events_udd_quantiles,
         "events_decayed_quantiles": q_events_decayed_quantiles,
         "transcripts_turn_merge": q_transcripts_turn_merge,
         "transcripts_truncation": q_transcripts_truncation,
@@ -4701,6 +4730,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ddsketch_lineitem_weighted": ddsketch_quantile_sql(
             "lineitem", "l_extendedprice", [0.5, 0.95], weight_expr="l_linenumber"
+        ),
+        "events_udd_quantiles": udd_quantile_sql(
+            "events", "value", [0.5, 0.95, 0.99], alpha=0.01, max_bins=64
         ),
         "events_decayed_quantiles": ddsketch_quantile_sql(
             "events",

@@ -390,3 +390,63 @@ def kmeans_sql(
         f"QUALIFY row_number() OVER (PARTITION BY {id_col} ORDER BY dist, j) = 1 "
         f"ORDER BY {id_col}"
     )
+
+
+def udd_quantile_sql(
+    src: str,
+    value_expr: str,
+    qs: Sequence[float],
+    alpha: float = 0.01,
+    max_bins: int = 64,
+    max_level: int = 20,
+    round_digits: int = 4,
+) -> str:
+    """DuckDB twin of ``sketches.uddsketch.udd_quantiles`` — replays the
+    exact histogram (``ceil(ln(v)/ln(gamma))`` indices, integer counts),
+    the smallest-fitting uniform-collapse level search (``ceil(i / 2^c)``
+    on doubles over an unrolled 0..max_level grid), the rank rule
+    ``floor(q*(n-1)) + 1``, and the paper's harmonic-mean representative
+    ``2 * gamma_c^j / (gamma_c + 1)``. All counts are integers; the only
+    floats are the shared double constants and EXP reps (ROUND-absorbed,
+    the ddsketch-walk precedent)."""
+    import math as _math
+
+    lng = repr(_math.log((1.0 + alpha) / (1.0 - alpha)))
+    levels = ", ".join(f"({c})" for c in range(max_level + 1))
+    q_cols = []
+    for q in qs:
+        qc = quantile_col(q)
+        q_cols.append(
+            f"ROUND(EXP({lng} * (SELECT p FROM lv) * ("
+            f"SELECT MIN(j) FROM cum WHERE cum >= "
+            f"floor({q!r} * ((SELECT n FROM nn) - 1)) + 1)) * 2.0 / "
+            f"(EXP({lng} * (SELECT p FROM lv)) + 1.0), {round_digits}) AS {qc}"
+        )
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT CAST(ceil(ln(v) / {lng}) AS BIGINT) AS i, COUNT(*) AS c
+  FROM (SELECT {value_expr} AS v FROM {src} WHERE {value_expr} > 0) GROUP BY 1
+),
+lv AS MATERIALIZED (
+  SELECT MIN(l) AS c, power(2.0, MIN(l)) AS p FROM (VALUES {levels}) t(l)
+  WHERE (SELECT COUNT(DISTINCT CAST(ceil(CAST(i AS DOUBLE) / power(2.0, l))
+         AS BIGINT)) FROM b) <= {max_bins}
+),
+fj AS MATERIALIZED (
+  SELECT CAST(ceil(CAST(i AS DOUBLE) / (SELECT p FROM lv)) AS BIGINT) AS j,
+         SUM(c) AS c
+  FROM b GROUP BY 1
+),
+nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM fj),
+cum AS MATERIALIZED (
+  SELECT j, SUM(c) OVER (ORDER BY j ROWS UNBOUNDED PRECEDING) AS cum FROM fj
+)
+SELECT
+  {", ".join(q_cols)},
+  CAST((SELECT n FROM nn) AS DOUBLE) AS count,
+  (SELECT COUNT(*) FROM b) AS n_bins_raw,
+  CAST((SELECT c FROM lv) AS INTEGER) AS collapse_level,
+  (SELECT COUNT(*) FROM fj) AS n_bins,
+  ROUND((EXP({lng} * (SELECT p FROM lv)) - 1.0) /
+        (EXP({lng} * (SELECT p FROM lv)) + 1.0), 6) AS alpha_final
+"""
