@@ -130,6 +130,18 @@ def q_lineitem_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_result(res, [], ["q50", "q95"])
 
 
+def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive-bigram extraction per document: integer tf-idf
+    (score = tf * bitlen(N DIV df), the ngram_lm integer-bits log2 — exact
+    int64 both engines, no float-ln rank risk), top-3 per doc with
+    term-string tie-break. Bigram df spans 1-46 over N=500 at sf0.01, so
+    the idf factor genuinely reorders terms (4-9 bits)."""
+    from ddsparkle.spark.dataops import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3, ngram=2).orderBy("doc_id", "rank")
+
+
 def q_events_udd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDDSketch (uniform-collapse DDSketch, Epicoco et al. 2020 — the
     published alternative to the reference's tail-clamping collapse
@@ -3336,7 +3348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows still covers every entry; veterans outside the window rest on the
     harness replay (all entries, both SFs recorded in BENCH/). r5 part 4
     r5 part 5 (this session) front-loads distributed k-means + turn-run
-    merging + context truncation + UDDSketch uniform-collapse + decayed
+    merging + context truncation + UDDSketch + integer tf-idf + decayed
     quantiles at positions 1-5; r5 part 4
     front-loads its 12 gates (next: Count-Sketch batch +
     streaming, weighted priority sampling, JSON extract + key profile,
@@ -3353,6 +3365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
         "emb_kmeans": q_emb_kmeans,
+        "doc_tfidf_terms": q_doc_tfidf_terms,
         "events_udd_quantiles": q_events_udd_quantiles,
         "events_decayed_quantiles": q_events_decayed_quantiles,
         "transcripts_turn_merge": q_transcripts_turn_merge,
@@ -4730,6 +4743,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ddsketch_lineitem_weighted": ddsketch_quantile_sql(
             "lineitem", "l_extendedprice", [0.5, 0.95], weight_expr="l_linenumber"
+        ),
+        "doc_tfidf_terms": (
+            "WITH d AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w "
+            "FROM documents WHERE text IS NOT NULL), "
+            "b AS MATERIALIZED (SELECT doc_id, w[i] || ' ' || w[i + 1] AS term "
+            "FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i "
+            "FROM d) WHERE len(w) >= 2), "
+            "tf AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf "
+            "FROM b GROUP BY 1, 2), "
+            "dfq AS MATERIALIZED (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), "
+            "nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM d) "
+            "SELECT doc_id, term, tf, df, score, rank FROM ("
+            "SELECT tf.doc_id, tf.term, tf.tf, dfq.df, "
+            "CAST(tf.tf * length(bin((SELECT n FROM nn) // dfq.df)) AS BIGINT) "
+            "AS score, "
+            "CAST(row_number() OVER (PARTITION BY tf.doc_id ORDER BY "
+            "tf.tf * length(bin((SELECT n FROM nn) // dfq.df)) DESC, tf.term) "
+            "AS INTEGER) AS rank "
+            "FROM tf JOIN dfq USING (term)) WHERE rank <= 3 "
+            "ORDER BY doc_id, rank"
         ),
         "events_udd_quantiles": udd_quantile_sql(
             "events", "value", [0.5, 0.95, 0.99], alpha=0.01, max_bins=64

@@ -65,6 +65,7 @@ __all__ = [
     "hash_sample_by_group",
     "temperature_mix",
     "kmeans_embeddings",
+    "tfidf_top_terms",
 ]
 
 _WORD_SEED = 0x7E57DA7A
@@ -2961,3 +2962,69 @@ def kmeans_embeddings(
     ).localCheckpoint(eager=True)
     q.unpersist()
     return out
+
+
+def tfidf_top_terms(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    ngram: int = 2,
+):
+    """Distinctive-term extraction: top-``k`` word ``ngram``s per document
+    by an INTEGER tf-idf score — ``score = tf * bitlen(N DIV df)`` where
+    ``bitlen(x) = length(bin(x))`` is the integer-bits log2 both engines
+    compute identically (the ``ngram_lm`` add-one-surprisal trick): exact
+    int64 end-to-end, so ranking never hinges on a cross-engine
+    last-ulp ``ln`` difference the way float tf*ln(N/df) would. Ties break
+    on the term string. Returns [id_col, term, tf, df, score, rank],
+    rank 1..k. Documents shorter than ``ngram`` words contribute nothing.
+
+    Scale shape: grams expand in the scan projection (sliding concat HOF —
+    fine at chat/document word counts; for 10^4+-token docs switch to the
+    ``_batch_shingle_hashes``-style Arrow pass per CLAUDE.md), tf is ONE
+    map-side-combined groupBy of (id, term), df reuses the tf frame
+    (groupBy term — second small shuffle of distinct pairs), the corpus
+    size N rides in as a broadcast single-row frame (no driver action),
+    and the top-k window partitions by document over candidate terms only.
+    The raw text never shuffles. Beyond-reference, brief-driven.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.col(text_col), " ")
+
+    def gram(i):
+        return F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(ngram)])
+
+    grams = F.when(
+        F.size(toks) < ngram, F.array().cast("array<string>")
+    ).otherwise(F.transform(F.sequence(F.lit(1), F.size(toks) - F.lit(ngram - 1)), gram))
+    tf = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(grams).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.countDistinct(id_col).alias("__n"))
+    )
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (
+                F.col("tf")
+                * F.length(F.bin(F.expr("__n DIV df"))).cast("long")
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )

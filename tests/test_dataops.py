@@ -1549,3 +1549,46 @@ def test_kmeans_embeddings_empty_cluster_and_errors(spark):
     assert got.loc[got["vec_id"] >= 2, "cluster"].tolist() == [2, 2]
     with pytest.raises(ValueError):
         kmeans_embeddings(df, k=9)
+
+
+def test_tfidf_top_terms_vs_python(spark):
+    from collections import Counter
+
+    from ddsparkle.spark.dataops import tfidf_top_terms
+
+    texts = {
+        1: "a b a b c d",
+        2: "a b x y x y",
+        3: "c d c d c d",
+        4: "a",  # shorter than the bigram -> contributes nothing
+        5: None,
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = tfidf_top_terms(df, k=2).toPandas().sort_values(["doc_id", "rank"])
+    # python replay
+    grams = {
+        i: [" ".join(p) for p in zip(t.split(" "), t.split(" ")[1:])]
+        for i, t in texts.items()
+        if t and len(t.split(" ")) >= 2
+    }
+    tf = {i: Counter(g) for i, g in grams.items()}
+    dfreq = Counter(term for c in tf.values() for term in c)
+    n = 4  # docs with non-null text
+    rows = []
+    for i, c in tf.items():
+        scored = sorted(
+            (
+                (-t * (n // dfreq[g]).bit_length(), g, t, dfreq[g])
+                for g, t in c.items()
+            )
+        )
+        for r, (neg, g, t, d) in enumerate(scored[:2], 1):
+            rows.append((i, g, t, d, -neg, r))
+    import pandas as pd_
+
+    want = pd_.DataFrame(
+        rows, columns=["doc_id", "term", "tf", "df", "score", "rank"]
+    ).sort_values(["doc_id", "rank"])
+    assert got.values.tolist() == want.values.tolist()
