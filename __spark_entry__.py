@@ -130,6 +130,49 @@ def q_lineitem_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_result(res, [], ["q50", "q95"])
 
 
+def _events_moments_sql() -> str:
+    """DuckDB twin of q_events_moments: HUGEINT power sums (exact int128,
+    order-free like Spark's DECIMAL(38,0)) + the SAME _moment_final_exprs
+    strings — identical IEEE expression tree, bit-identical doubles."""
+    from ddsparkle.spark.dataops import _moment_final_exprs
+
+    e = _moment_final_exprs()
+    return (
+        "WITH s AS (SELECT event_type, COUNT(*) AS n, "
+        "SUM(v) AS s1, SUM(v * v) AS s2, SUM(v * v * v) AS s3, "
+        "SUM(v * v * v * v) AS s4 FROM "
+        "(SELECT event_type, CAST(round(value * 100) AS HUGEINT) AS v "
+        "FROM events WHERE value IS NOT NULL) GROUP BY event_type) "
+        f"SELECT event_type, n, ROUND({e['mean_fp']} / 100.0, 4) AS mean, "
+        f"ROUND(sqrt({e['var_fp']}) / 100.0, 4) AS std, "
+        f"ROUND({e['skewness']}, 4) AS skewness, "
+        f"ROUND({e['kurtosis']}, 4) AS kurtosis "
+        "FROM s ORDER BY event_type"
+    )
+
+
+def q_events_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed skewness/kurtosis per event_type: fixed-point
+    int64 values -> DECIMAL(38,0) power sums (order-free, partitioning-
+    invariant), finals via the SHARED _moment_final_exprs expression
+    strings so both engines evaluate the identical IEEE tree (no
+    exp/ln/pow) over HUGEINT/DECIMAL sums. The one moment family the
+    sketch layer doesn't cover — and the safe way to hash-gate it (never
+    a cross-row double sum)."""
+    from ddsparkle.spark.dataops import exact_moments
+
+    df = _t(spark, sf_dir, "events")
+    res = exact_moments(df, "value", by="event_type")
+    return res.select(
+        "event_type",
+        "n",
+        F.round("mean", 4).alias("mean"),
+        F.round("std", 4).alias("std"),
+        F.round("skewness", 4).alias("skewness"),
+        F.round("kurtosis", 4).alias("kurtosis"),
+    ).orderBy("event_type")
+
+
 def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinctive-bigram extraction per document: integer tf-idf
     (score = tf * bitlen(N DIV df), the ngram_lm integer-bits log2 — exact
@@ -3348,7 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows still covers every entry; veterans outside the window rest on the
     harness replay (all entries, both SFs recorded in BENCH/). r5 part 4
     r5 part 5 (this session) front-loads distributed k-means + turn-run
-    merging + context truncation + UDDSketch + integer tf-idf + decayed
+    merging + truncation + UDDSketch + tf-idf + exact moments + decayed
     quantiles at positions 1-5; r5 part 4
     front-loads its 12 gates (next: Count-Sketch batch +
     streaming, weighted priority sampling, JSON extract + key profile,
@@ -3365,6 +3408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
         "emb_kmeans": q_emb_kmeans,
+        "events_moments": q_events_moments,
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "events_udd_quantiles": q_events_udd_quantiles,
         "events_decayed_quantiles": q_events_decayed_quantiles,
@@ -4744,6 +4788,7 @@ def oracle_sql() -> dict[str, str]:
         "ddsketch_lineitem_weighted": ddsketch_quantile_sql(
             "lineitem", "l_extendedprice", [0.5, 0.95], weight_expr="l_linenumber"
         ),
+        "events_moments": _events_moments_sql(),
         "doc_tfidf_terms": (
             "WITH d AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w "
             "FROM documents WHERE text IS NOT NULL), "

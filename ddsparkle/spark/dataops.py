@@ -66,6 +66,7 @@ __all__ = [
     "temperature_mix",
     "kmeans_embeddings",
     "tfidf_top_terms",
+    "exact_moments",
 ]
 
 _WORD_SEED = 0x7E57DA7A
@@ -3027,4 +3028,89 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(k))
         .select(id_col, "term", "tf", "df", "score", "rank")
+    )
+
+
+def _moment_final_exprs() -> dict:
+    """The SHARED final-stage formula strings for ``exact_moments`` — used
+    verbatim by BOTH the Spark operator (F.expr) and the DuckDB twin
+    (interpolated), so the float expression TREE is identical in both
+    engines: every +,-,*,/ and sqrt is IEEE correctly rounded, so identical
+    trees over identical inputs give bit-identical doubles (no exp/ln/pow
+    anywhere). Inputs: n, s1..s4 = exact integer power sums of the
+    fixed-point values; all four central-moment stats are scale-invariant
+    or rescaled by the caller. Edit HERE, never a call site."""
+    nd, s1, s2, s3, s4 = (
+        "CAST(n AS DOUBLE)",
+        "CAST(s1 AS DOUBLE)",
+        "CAST(s2 AS DOUBLE)",
+        "CAST(s3 AS DOUBLE)",
+        "CAST(s4 AS DOUBLE)",
+    )
+    mean = f"({s1} / {nd})"
+    m2 = f"({s2} / {nd} - {mean} * {mean})"
+    m3 = (
+        f"({s3} / {nd} - 3.0 * {mean} * ({s2} / {nd}) "
+        f"+ 2.0 * {mean} * {mean} * {mean})"
+    )
+    m4 = (
+        f"({s4} / {nd} - 4.0 * {mean} * ({s3} / {nd}) "
+        f"+ 6.0 * {mean} * {mean} * ({s2} / {nd}) "
+        f"- 3.0 * {mean} * {mean} * {mean} * {mean})"
+    )
+    return {
+        "mean_fp": mean,
+        "var_fp": m2,
+        "skewness": f"({m3} / ({m2} * sqrt({m2})))",
+        "kurtosis": f"({m4} / ({m2} * {m2}) - 3.0)",
+    }
+
+
+def exact_moments(df, value_col: str = "value", by=None, decimals: int = 2):
+    """EXACT distributed skewness / excess kurtosis (plus mean/std): values
+    are fixed-pointed to ``decimals`` digits (``round(v * 10^d)`` int64 —
+    recovers the stored decimal exactly), the four power sums accumulate as
+    DECIMAL(38,0) integers — ORDER-FREE, so the result is bit-reproducible
+    under any partitioning, unlike any double-summation moment formula
+    (CLAUDE.md: never hash-gate a cross-row SUM of doubles) — and the
+    final per-group stats are a handful of IEEE-exact double ops over
+    those integers via the shared ``_moment_final_exprs`` strings (the
+    DuckDB twin replays the identical expression tree over HUGEINT sums).
+    Skewness/kurtosis are scale-invariant, so the fixed-point scale
+    cancels; mean/std divide back by 10^d at the end (one pinned division
+    each). Returns [by?, n, mean, std, skewness, kurtosis] unrounded.
+
+    Exactness bound: per-element v^4 must fit DECIMAL(38) — |values| up to
+    ~10^7 units at 2 decimals; sums are exact for any corpus size within
+    38 digits (~10^38). Scale shape: fixed-pointing and the power products
+    live in the scan projection; the groupBy ships 4 decimals + a count
+    per group partial (map-side combined) — the classic one-pass
+    moment-sketch shape, raw rows never shuffle twice.
+    """
+    from pyspark.sql import functions as F
+
+    scale = 10**decimals
+    v = f"CAST(round({value_col} * {scale}) AS DECIMAL(38, 0))"
+    src = df.filter(F.col(value_col).isNotNull()).select(
+        *([by] if by else []),
+        F.expr(v).alias("__v"),
+        F.expr(f"CAST({v} * {v} AS DECIMAL(38, 0))").alias("__v2"),
+        F.expr(f"CAST({v} * {v} * {v} AS DECIMAL(38, 0))").alias("__v3"),
+        F.expr(f"CAST({v} * {v} * {v} * {v} AS DECIMAL(38, 0))").alias("__v4"),
+    )
+    g = src.groupBy(*([by] if by else [])).agg(
+        F.count("*").alias("n"),
+        F.sum("__v").cast("decimal(38,0)").alias("s1"),
+        F.sum("__v2").cast("decimal(38,0)").alias("s2"),
+        F.sum("__v3").cast("decimal(38,0)").alias("s3"),
+        F.sum("__v4").cast("decimal(38,0)").alias("s4"),
+    )
+    e = _moment_final_exprs()
+    return g.select(
+        *([by] if by else []),
+        "n",
+        F.expr(f"{e['mean_fp']} / {float(scale)!r}").alias("mean"),
+        F.expr(f"sqrt({e['var_fp']}) / {float(scale)!r}").alias("std"),
+        F.expr(e["skewness"]).alias("skewness"),
+        F.expr(e["kurtosis"]).alias("kurtosis"),
     )

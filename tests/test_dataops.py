@@ -1592,3 +1592,51 @@ def test_tfidf_top_terms_vs_python(spark):
         rows, columns=["doc_id", "term", "tf", "df", "score", "rank"]
     ).sort_values(["doc_id", "rank"])
     assert got.values.tolist() == want.values.tolist()
+
+
+def test_exact_moments_vs_scipy_style_replay(spark):
+    from ddsparkle.spark.dataops import exact_moments
+
+    rng = np.random.default_rng(9)
+    vals = np.round(np.exp(rng.normal(3, 1, 3000)), 2)
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    row = exact_moments(df, "value").collect()[0]
+    assert row["n"] == 3000
+    # moment replay on exact cents
+    c = np.round(vals * 100).astype(np.int64).astype(np.float64)
+    mean, m2 = c.mean(), ((c - c.mean()) ** 2).mean()
+    m3 = ((c - c.mean()) ** 3).mean()
+    m4 = ((c - c.mean()) ** 4).mean()
+    assert abs(row["mean"] - mean / 100) < 1e-9 * abs(mean / 100)
+    assert abs(row["std"] - np.sqrt(m2) / 100) < 1e-6
+    assert abs(row["skewness"] - m3 / m2**1.5) < 1e-6
+    assert abs(row["kurtosis"] - (m4 / m2**2 - 3)) < 1e-6
+
+
+def test_exact_moments_partition_invariant_bit_equal(spark):
+    from ddsparkle.spark.dataops import exact_moments
+
+    rng = np.random.default_rng(11)
+    vals = np.round(np.exp(rng.normal(0, 2, 2000)), 2)
+    rows = [(float(v),) for v in vals]
+    outs = []
+    for nparts in (1, 17):
+        df = spark.createDataFrame(rows, "value double").repartition(nparts)
+        r = exact_moments(df, "value").collect()[0]
+        outs.append((r["mean"], r["std"], r["skewness"], r["kurtosis"]))
+    assert outs[0] == outs[1]  # bit-equal: integer sums are order-free
+
+
+def test_exact_moments_grouped_known_values(spark):
+    from ddsparkle.spark.dataops import exact_moments
+
+    # symmetric group: skew 0; uniform {1,2,3}: kurtosis = -1.5 exactly
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 1.0), ("b", 1.0), ("b", 2.0)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    got = {r["g"]: r for r in exact_moments(df, "value", by="g").collect()}
+    assert got["a"]["skewness"] == 0.0
+    # raw-moment formulas carry benign cancellation noise (~1e-13 here);
+    # the noise is DETERMINISTIC (pinned expression tree over exact integer
+    # sums), which is what the cross-engine hash gate relies on
+    assert abs(got["a"]["kurtosis"] - (-1.5)) < 1e-9
+    assert abs(got["a"]["mean"] - 2.0) < 1e-12
