@@ -130,6 +130,23 @@ def q_lineitem_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_result(res, [], ["q50", "q95"])
 
 
+def q_rollup_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring composition over the rollup layer: per-day p99 from
+    day-granularity DDSketch cells (merge-only finalize), trailing-7-day
+    order-statistic baseline (lower median of the ROUNDED quantiles —
+    never a float mean), ratio + threshold flag. The post-aggregation
+    window runs over #days rows, not the corpus. Twin replays the per-day
+    bucket walk, the sorted-array median pick, and the single-op
+    ratio/compare."""
+    from ddsparkle.spark.rollup import build_rollup, rollup_anomaly_flags
+
+    df = _t(spark, sf_dir, "events")
+    roll = build_rollup(df, "value", time_col="ts", granularity="day", config=_cfg())
+    return rollup_anomaly_flags(roll, q=0.99, trailing=7, threshold=1.02).orderBy(
+        "day"
+    )
+
+
 def _events_moments_sql() -> str:
     """DuckDB twin of q_events_moments: HUGEINT power sums (exact int128,
     order-free like Spark's DECIMAL(38,0)) + the SAME _moment_final_exprs
@@ -3408,6 +3425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
         "emb_kmeans": q_emb_kmeans,
+        "rollup_anomaly_days": q_rollup_anomaly_days,
         "events_moments": q_events_moments,
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "events_udd_quantiles": q_events_udd_quantiles,
@@ -4787,6 +4805,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ddsketch_lineitem_weighted": ddsketch_quantile_sql(
             "lineitem", "l_extendedprice", [0.5, 0.95], weight_expr="l_linenumber"
+        ),
+        "rollup_anomaly_days": (
+            "WITH dd AS MATERIALIZED ("
+            + ddsketch_quantile_sql(
+                "(SELECT CAST(ts AS DATE) AS day, value FROM events)",
+                "value",
+                [0.99],
+                group_col="day",
+            )
+            + "), "
+            "w AS (SELECT CAST(day AS VARCHAR) AS day, q99, "
+            "list_sort(list(q99) OVER (ORDER BY day "
+            "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS prev FROM dd) "
+            "SELECT day, q99, prev[(len(prev) + 1) // 2] AS baseline, "
+            "ROUND(q99 / prev[(len(prev) + 1) // 2], 4) AS ratio, "
+            "COALESCE(q99 / prev[(len(prev) + 1) // 2] > 1.02, false) "
+            "AS is_anomaly FROM w ORDER BY day"
         ),
         "events_moments": _events_moments_sql(),
         "doc_tfidf_terms": (

@@ -59,6 +59,7 @@ __all__ = [
     "rollup_tdigest_quantiles",
     "rollup_cdf",
     "compact_payload_rollup",
+    "rollup_anomaly_flags",
 ]
 
 BUCKET_COL = "bucket_ts"
@@ -653,3 +654,63 @@ def rollup_quantiles(
         return finalize_sketch_rows(sel, key_cols, qs, list(q_names))
     src = sel.withColumn("__g", F.lit(0))
     return finalize_sketch_rows(src, ["__g"], qs, list(q_names)).drop("__g")
+
+
+def rollup_anomaly_flags(
+    rollup,
+    q: float = 0.99,
+    trailing: int = 7,
+    threshold: float = 1.02,
+    round_digits: int = 4,
+):
+    """Latency-anomaly monitoring over a DAY-granularity rollup — the
+    product query DDSketch rollups exist for at Datadog: finalize the
+    chosen quantile PER DAY from the stored cells (merge-only, raw data
+    never re-read), compare each day against a trailing baseline, and flag
+    regressions. Returns one row per day:
+    [day, qXX, baseline, ratio, is_anomaly] where ``baseline`` is the lower
+    median of the previous ``trailing`` days' (rounded) quantiles, ``ratio``
+    = qXX / baseline, and ``is_anomaly`` = ratio > threshold (false while
+    the trailing frame is empty).
+
+    Determinism/cross-engine: the per-day quantile is the standard sketch
+    walk (hash-gated class); it is ROUNDED first, then the baseline is an
+    ORDER-STATISTIC pick (sorted trailing array, element (n+1) DIV 2) —
+    never a float mean — and the ratio/compare are single IEEE ops, so the
+    DuckDB twin replays the whole chain bit-exactly. The window is global
+    but over #days rows (post-aggregation, ~30 here; years are still
+    thousands) — trivially driver-safe, the corpus never enters it.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    qc = quantile_column_name(q)
+    per_day = rollup_quantiles(rollup, (q,), by=BUCKET_COL)
+    per_day = per_day.select(
+        F.to_date(BUCKET_COL).cast("string").alias("day"),
+        F.round(qc, round_digits).alias(qc),
+    )
+    w = Window.orderBy("day").rowsBetween(-trailing, -1)
+    prev = F.array_sort(F.collect_list(qc).over(w))
+    out = (
+        per_day.withColumn("__prev", prev)
+        .withColumn(
+            "baseline",
+            F.when(
+                F.size("__prev") > 0,
+                F.element_at(
+                    "__prev", F.expr("CAST((size(__prev) + 1) DIV 2 AS INT)")
+                ),
+            ),
+        )
+        .withColumn("ratio", F.round(F.col(qc) / F.col("baseline"), round_digits))
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(
+                F.col(qc) / F.col("baseline") > F.lit(float(threshold)),
+                F.lit(False),
+            ),
+        )
+        .drop("__prev")
+    )
+    return out

@@ -515,3 +515,30 @@ def test_tdigest_rollup_window_bound(events, spark):
             assert abs(rank - q) <= 0.02, (c, rank)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_rollup_anomaly_flags_semantics(spark):
+    from ddsparkle.spark.rollup import build_rollup, rollup_anomaly_flags
+
+    # 10 days of stable values, one spiked day 9 (values 10x)
+    rows = []
+    for d in range(1, 11):
+        v = 1000.0 if d == 9 else 100.0
+        rows += [(f"2024-03-{d:02d} 12:00:00", v + i * 0.01) for i in range(50)]
+    df = spark.createDataFrame(rows, "ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    roll = build_rollup(df, "value", time_col="ts", granularity="day")
+    out = (
+        rollup_anomaly_flags(roll, q=0.99, trailing=7, threshold=1.5)
+        .orderBy("day")
+        .collect()
+    )
+    assert len(out) == 10
+    assert out[0]["baseline"] is None and out[0]["is_anomaly"] is False
+    flagged = [r["day"] for r in out if r["is_anomaly"]]
+    assert flagged == ["2024-03-09"]
+    # baseline is the lower median of the trailing ROUNDED q99s
+    assert abs(out[5]["baseline"] - out[5]["q99"]) / out[5]["q99"] < 0.03
+    # day 10 compares against a window containing the spike, still sane
+    assert out[9]["is_anomaly"] is False
