@@ -1625,6 +1625,18 @@ def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_transcripts_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-loop detection per (conversation, role): verbatim repeats via
+    the 60-bit portable md5 key + exact-length guard, length-near repeats
+    via pure INTEGER arithmetic (min*100 >= 95*max, no division). One
+    narrow window + the skew-proof composite-key self-join on the role
+    subsequence rank; text never shuffles."""
+    from ddsparkle.spark.transcript_ops import self_repetition
+
+    df = _transcripts(spark, sf_dir)
+    return self_repetition(df).orderBy("conv_id", "role")
+
+
 def q_transcripts_turn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consecutive same-role turn merging (multi-message streak collapse):
     one repartition(conv_id) + JVM sort + one vectorized mapInPandas pass —
@@ -3425,6 +3437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
         "emb_kmeans": q_emb_kmeans,
+        "transcripts_self_repetition": q_transcripts_self_repetition,
         "rollup_anomaly_days": q_rollup_anomaly_days,
         "events_moments": q_events_moments,
         "doc_tfidf_terms": q_doc_tfidf_terms,
@@ -4625,6 +4638,28 @@ def oracle_sql() -> dict[str, str]:
         # the windowed string_agg concatenates in window order (verified
         # semantics), so ctx is byte-identical to Spark's frame-ordered
         # collect_list + array_join
+        "transcripts_self_repetition": (
+            "WITH n AS (SELECT conv_id, role, turn_idx, "
+            "CASE WHEN text IS NOT NULL THEN "
+            "('0x' || substr(md5(text), 1, 15))::BIGINT END AS k, "
+            "CAST(length(text) AS BIGINT) AS l "
+            f"FROM {tr_src}), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY conv_id, role "
+            "ORDER BY turn_idx) AS rn FROM n), "
+            "p AS (SELECT c.conv_id, c.role, "
+            "(c.k IS NOT NULL AND pv.k IS NOT NULL AND c.k = pv.k "
+            "AND c.l = pv.l) AS verbatim, "
+            "(c.l IS NOT NULL AND pv.l IS NOT NULL AND "
+            "LEAST(c.l, pv.l) * 100 >= 95 * GREATEST(c.l, pv.l)) AS near "
+            "FROM r c JOIN r pv ON c.conv_id = pv.conv_id "
+            "AND c.role = pv.role AND c.rn = pv.rn + 1) "
+            "SELECT conv_id, role, COUNT(*) AS n_pairs, "
+            "CAST(SUM(CASE WHEN verbatim THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_verbatim, "
+            "CAST(SUM(CASE WHEN near THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_len_near "
+            "FROM p GROUP BY conv_id, role ORDER BY conv_id, role"
+        ),
         "transcripts_turn_merge": (
             "WITH w AS (SELECT conv_id, turn_idx, role, "
             "coalesce(text, '') AS text, epoch_us(ts) AS ts_us, "

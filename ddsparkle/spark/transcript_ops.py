@@ -57,6 +57,7 @@ __all__ = [
     "boilerplate_turns",
     "merge_consecutive_turns",
     "truncate_to_token_budget",
+    "self_repetition",
 ]
 
 DEFAULT_QS = (0.5, 0.95, 0.99)
@@ -1110,4 +1111,72 @@ def truncate_to_token_budget(df, max_tokens: int = 256, text_col: str = "text"):
         narrow.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= int(max_tokens))
         .select("conv_id", "turn_idx", "n_tokens", "cum_tokens")
+    )
+
+
+def self_repetition(df, near_pct: int = 95):
+    """Agent-loop detection: within each (conversation, role), compare every
+    turn to that role's PREVIOUS turn and count verbatim repeats (identical
+    text — the retry-loop signature in agent transcripts) and near-repeats
+    by length (``min_len * 100 >= near_pct * max_len`` — INTEGER arithmetic,
+    no division, exact cross-engine). Returns one row per (conv_id, role)
+    with at least one same-role pair: [conv_id, role, n_pairs, n_verbatim,
+    n_len_near]. Text equality uses the 60-bit portable md5 key
+    (``dataops._portable_line_key`` — the quality_model.py cross-engine
+    hash) with an exact-length guard; NULL texts never match anything.
+
+    Scale shape: keys and lengths are computed in the scan projection, so
+    only (conv_id, role, turn_idx, key 8B, len 8B) enter the ONE narrow
+    window (per-role rank) and the composite-key self-join on
+    (conv_id, role, rank+1) — every join key distinct by construction, the
+    skew-proof adjacency trick (_adjacent_pairs) applied to the role
+    SUBSEQUENCE, where a turn_idx+1 join can't work because same-role turns
+    aren't index-adjacent. Text never shuffles. Beyond-reference,
+    brief-driven (curation signal: conversations stuck in loops).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .dataops import _portable_line_key
+
+    narrow = df.select(
+        "conv_id",
+        "role",
+        "turn_idx",
+        F.when(
+            F.col("text").isNotNull(), _portable_line_key(F.col("text"))
+        ).alias("__k"),
+        F.length("text").cast("long").alias("__len"),
+    )
+    w = Window.partitionBy("conv_id", "role").orderBy("turn_idx")
+    ranked = narrow.withColumn("__r", F.row_number().over(w))
+    cur = ranked.select(
+        "conv_id", "role", "__r", F.col("__k").alias("__ck"), F.col("__len").alias("__cl")
+    )
+    prev = ranked.select(
+        "conv_id",
+        "role",
+        (F.col("__r") + 1).alias("__r"),
+        F.col("__k").alias("__pk"),
+        F.col("__len").alias("__pl"),
+    )
+    pairs = cur.join(prev, ["conv_id", "role", "__r"])
+    verbatim = (
+        F.col("__ck").isNotNull()
+        & F.col("__pk").isNotNull()
+        & (F.col("__ck") == F.col("__pk"))
+        & (F.col("__cl") == F.col("__pl"))
+    )
+    near = (
+        F.col("__cl").isNotNull()
+        & F.col("__pl").isNotNull()
+        & (
+            F.least("__cl", "__pl") * F.lit(100)
+            >= F.lit(int(near_pct)) * F.greatest("__cl", "__pl")
+        )
+    )
+    return pairs.groupBy("conv_id", "role").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(verbatim.cast("long")).alias("n_verbatim"),
+        F.sum(near.cast("long")).alias("n_len_near"),
     )

@@ -863,3 +863,36 @@ def test_truncate_to_token_budget_oversized_tail(spark):
     assert kept == {1}
     kept = {r["turn_idx"] for r in truncate_to_token_budget(df, max_tokens=102).collect()}
     assert kept == {0, 1}
+
+
+def test_self_repetition_constructed(spark):
+    from ddsparkle.spark.transcript_ops import self_repetition
+
+    rows = [
+        # c1 assistant: a, a (verbatim), almost-a (len-near), short
+        ("c1", 0, "user", "q1", None, "2024-01-01 00:00:00"),
+        ("c1", 1, "assistant", "x" * 100, None, "2024-01-01 00:00:01"),
+        ("c1", 2, "user", "q2", None, "2024-01-01 00:00:02"),
+        ("c1", 3, "assistant", "x" * 100, None, "2024-01-01 00:00:03"),
+        ("c1", 4, "assistant", "y" * 96, None, "2024-01-01 00:00:04"),
+        ("c1", 5, "assistant", "z", None, "2024-01-01 00:00:05"),
+        # c2: single turns per role -> no pairs, absent from output
+        ("c2", 0, "user", "hello", None, "2024-01-01 00:00:06"),
+        ("c2", 1, "assistant", None, None, "2024-01-01 00:00:07"),
+        ("c2", 2, "assistant", None, None, "2024-01-01 00:00:08"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["conv_id"], r["role"]): r for r in self_repetition(df).collect()
+    }
+    a = got[("c1", "assistant")]
+    # pairs: (1,3) verbatim+near, (3,4) len-near only (96 vs 100), (4,5) no
+    assert (a["n_pairs"], a["n_verbatim"], a["n_len_near"]) == (3, 1, 2)
+    u = got[("c1", "user")]
+    assert (u["n_pairs"], u["n_verbatim"], u["n_len_near"]) == (1, 0, 1)
+    # NULL texts never count as verbatim (keys NULL) and never len-near
+    n = got[("c2", "assistant")]
+    assert (n["n_pairs"], n["n_verbatim"], n["n_len_near"]) == (1, 0, 0)
