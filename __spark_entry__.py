@@ -130,6 +130,23 @@ def q_lineitem_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_result(res, [], ["q50", "q95"])
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase with greedy-earliest
+    chaining (min ts per step strictly after the previous step's ts):
+    two min-ts joins over the disjoint per-step event subsets, integer
+    micros end-to-end; the twin replays the identical step CTE chain."""
+    from ddsparkle.spark.dataops import funnel_counts
+
+    df = _t(spark, sf_dir, "events")
+    res = funnel_counts(df, ["view", "click", "purchase"])
+    return res.select(
+        "step",
+        "event_type",
+        "n_users",
+        F.round("conv_rate", 4).alias("conv_rate"),
+    ).orderBy("step")
+
+
 def q_rollup_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monitoring composition over the rollup layer: per-day p99 from
     day-granularity DDSketch cells (merge-only finalize), trailing-7-day
@@ -3437,6 +3454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
         "emb_kmeans": q_emb_kmeans,
+        "events_funnel": q_events_funnel,
         "transcripts_self_repetition": q_transcripts_self_repetition,
         "rollup_anomaly_days": q_rollup_anomaly_days,
         "events_moments": q_events_moments,
@@ -4840,6 +4858,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ddsketch_lineitem_weighted": ddsketch_quantile_sql(
             "lineitem", "l_extendedprice", [0.5, 0.95], weight_expr="l_linenumber"
+        ),
+        "events_funnel": (
+            "WITH e AS MATERIALIZED (SELECT user_id AS u, event_type AS t, "
+            "epoch_us(ts) AS us FROM events "
+            "WHERE event_type IN ('view', 'click', 'purchase')), "
+            "t1 AS MATERIALIZED (SELECT u, MIN(us) AS us FROM e "
+            "WHERE t = 'view' GROUP BY u), "
+            "t2 AS MATERIALIZED (SELECT e.u, MIN(e.us) AS us FROM e "
+            "JOIN t1 ON e.u = t1.u WHERE e.t = 'click' AND e.us > t1.us "
+            "GROUP BY e.u), "
+            "t3 AS MATERIALIZED (SELECT e.u, MIN(e.us) AS us FROM e "
+            "JOIN t2 ON e.u = t2.u WHERE e.t = 'purchase' AND e.us > t2.us "
+            "GROUP BY e.u) "
+            "SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type, "
+            "(SELECT COUNT(*) FROM t1) AS n_users, "
+            "CAST(NULL AS DOUBLE) AS conv_rate "
+            "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM t2), "
+            "ROUND(CAST((SELECT COUNT(*) FROM t2) AS DOUBLE) / "
+            "NULLIF((SELECT COUNT(*) FROM t1), 0), 4) "
+            "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM t3), "
+            "ROUND(CAST((SELECT COUNT(*) FROM t3) AS DOUBLE) / "
+            "NULLIF((SELECT COUNT(*) FROM t2), 0), 4) "
+            "ORDER BY step"
         ),
         "rollup_anomaly_days": (
             "WITH dd AS MATERIALIZED ("

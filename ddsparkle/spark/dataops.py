@@ -67,6 +67,7 @@ __all__ = [
     "kmeans_embeddings",
     "tfidf_top_terms",
     "exact_moments",
+    "funnel_counts",
 ]
 
 _WORD_SEED = 0x7E57DA7A
@@ -3113,4 +3114,69 @@ def exact_moments(df, value_col: str = "value", by=None, decimals: int = 2):
         F.expr(f"sqrt({e['var_fp']}) / {float(scale)!r}").alias("std"),
         F.expr(e["skewness"]).alias("skewness"),
         F.expr(e["kurtosis"]).alias("kurtosis"),
+    )
+
+
+def funnel_counts(
+    df,
+    steps,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+):
+    """Ordered-funnel analysis (view -> click -> purchase): how many users
+    complete each prefix of ``steps`` IN ORDER, using the standard
+    greedy-earliest semantics — a user's step-k timestamp is the MIN
+    timestamp of a step-k event STRICTLY after their step-(k-1) timestamp
+    (greedy-earliest is optimal: taking the earliest feasible event at
+    every step reaches the deepest stage). Equal-timestamp events cannot
+    chain (strict >, exact integer micros both engines). Returns one row
+    per step: [step, event_type, n_users, conv_rate] with conv_rate =
+    n_users / step-1 users (one division, deterministic).
+
+    Scale shape: expressed as ``len(steps) - 1`` min-ts joins over the
+    DISJOINT per-step event subsets — each step's events shuffle once on
+    the user key (map-side-combined MIN before the join), never a
+    collect_list of a user's full history (a power user with 10^6 events
+    costs 10^6 partial-agg rows, not one giant array). The type filter is
+    pushed into the scan. The per-step user frames are (user, ts) pairs —
+    ints — and shrink monotonically down the funnel. Beyond-reference,
+    brief-driven (event-analytics staple).
+    """
+    from pyspark.sql import functions as F
+
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    ev = df.filter(F.col(type_col).isin(steps)).select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+    )
+    reached = (
+        ev.filter(F.col("t") == steps[0]).groupBy("u").agg(F.min("us").alias("us"))
+    )
+    counts = [reached.count()]
+    for s in steps[1:]:
+        nxt = (
+            ev.filter(F.col("t") == s)
+            .join(reached.select("u", F.col("us").alias("prev_us")), "u")
+            .filter(F.col("us") > F.col("prev_us"))
+            .groupBy("u")
+            .agg(F.min("us").alias("us"))
+        )
+        reached = nxt
+        counts.append(reached.count())
+    spark = df.sparkSession
+    rows = [
+        (
+            i + 1,
+            steps[i],
+            int(counts[i]),
+            None if i == 0 or counts[i - 1] == 0 else float(counts[i]) / counts[i - 1],
+        )
+        for i in range(len(steps))
+    ]
+    return spark.createDataFrame(
+        rows, "step int, event_type string, n_users long, conv_rate double"
     )

@@ -1640,3 +1640,40 @@ def test_exact_moments_grouped_known_values(spark):
     # sums), which is what the cross-engine hash gate relies on
     assert abs(got["a"]["kurtosis"] - (-1.5)) < 1e-9
     assert abs(got["a"]["mean"] - 2.0) < 1e-12
+
+
+def test_funnel_counts_constructed(spark):
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.dataops import funnel_counts
+
+    rows = [
+        # u1 completes the funnel in order
+        (1, "view", "2024-01-01 00:00:00"),
+        (1, "click", "2024-01-01 00:00:01"),
+        (1, "purchase", "2024-01-01 00:00:02"),
+        # u2 clicks BEFORE viewing -> reaches only step 1
+        (2, "click", "2024-01-01 00:00:00"),
+        (2, "view", "2024-01-01 00:00:01"),
+        # u3 views and clicks at the SAME instant -> strict > blocks step 2
+        (3, "view", "2024-01-01 00:00:00"),
+        (3, "click", "2024-01-01 00:00:00"),
+        # u4 never views -> not in the funnel at all
+        (4, "purchase", "2024-01-01 00:00:00"),
+        # u5: greedy-earliest — late click still chains after early view
+        (5, "view", "2024-01-01 00:00:00"),
+        (5, "click", "2024-01-01 00:05:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts string")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["step"]: r
+        for r in funnel_counts(df, ["view", "click", "purchase"]).collect()
+    }
+    assert got[1]["n_users"] == 4  # u1, u2, u3, u5 viewed
+    assert got[2]["n_users"] == 2  # u1, u5
+    assert got[3]["n_users"] == 1  # u1
+    assert got[2]["conv_rate"] == 0.5
+    assert got[1]["conv_rate"] is None
+    with pytest.raises(ValueError):
+        funnel_counts(df, ["view"])
