@@ -130,6 +130,65 @@ def q_lineitem_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_result(res, [], ["q50", "q95"])
 
 
+def q_streaming_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact moments' STREAMING leg: each micro-batch computes its own
+    DECIMAL(38,0) power sums (moment_sums) and merges into a driver
+    accumulator by arbitrary-precision INTEGER addition — associative and
+    exact, so the drained stream's state equals the one-shot batch sums
+    bit-for-bit and this gate shares q_events_moments' twin verbatim.
+    Finalization goes through the same finalize_moment_sums tree. At
+    scale: per-group running mean/std/skew/kurt from 5 integers of state
+    per group, no raw-row shuffle, no window."""
+    import decimal
+    import tempfile
+
+    from ddsparkle.spark.dataops import finalize_moment_sums, moment_sums
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    acc: dict = {}
+
+    def sink(batch_df, _batch_id):
+        for r in moment_sums(batch_df, "value", by="event_type").collect():
+            st = acc.setdefault(r["event_type"], [0, 0, 0, 0, 0])
+            st[0] += r["n"]
+            for i in range(1, 5):
+                st[i] += int(r[f"s{i}"])
+
+    with tempfile.TemporaryDirectory(prefix="ddsparkle-momstream-") as tmp:
+        q = (
+            spark.readStream.schema(schema)
+            # the file-stream source wants a directory: stream the sf dir
+            # filtered down to the events file(s)
+            .option("pathGlobFilter", "events.parquet")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sf_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    rows = [
+        (k, st[0], *[decimal.Decimal(st[i]) for i in range(1, 5)])
+        for k, st in sorted(acc.items())
+    ]
+    g = spark.createDataFrame(
+        rows,
+        "event_type string, n long, s1 decimal(38,0), s2 decimal(38,0), "
+        "s3 decimal(38,0), s4 decimal(38,0)",
+    )
+    res = finalize_moment_sums(g, by="event_type")
+    return res.select(
+        "event_type",
+        "n",
+        F.round("mean", 4).alias("mean"),
+        F.round("std", 4).alias("std"),
+        F.round("skewness", 4).alias("skewness"),
+        F.round("kurtosis", 4).alias("kurtosis"),
+    ).orderBy("event_type")
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view -> click -> purchase with greedy-earliest
     chaining (min ts per step strictly after the previous step's ts):
@@ -3454,6 +3513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
         "emb_kmeans": q_emb_kmeans,
+        "streaming_moments": q_streaming_moments,
         "events_funnel": q_events_funnel,
         "transcripts_self_repetition": q_transcripts_self_repetition,
         "rollup_anomaly_days": q_rollup_anomaly_days,
@@ -4859,6 +4919,7 @@ def oracle_sql() -> dict[str, str]:
         "ddsketch_lineitem_weighted": ddsketch_quantile_sql(
             "lineitem", "l_extendedprice", [0.5, 0.95], weight_expr="l_linenumber"
         ),
+        "streaming_moments": _events_moments_sql(),
         "events_funnel": (
             "WITH e AS MATERIALIZED (SELECT user_id AS u, event_type AS t, "
             "epoch_us(ts) AS us FROM events "

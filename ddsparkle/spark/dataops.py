@@ -3088,6 +3088,16 @@ def exact_moments(df, value_col: str = "value", by=None, decimals: int = 2):
     per group partial (map-side combined) — the classic one-pass
     moment-sketch shape, raw rows never shuffle twice.
     """
+    return finalize_moment_sums(
+        moment_sums(df, value_col, by=by, decimals=decimals), by=by, decimals=decimals
+    )
+
+
+def moment_sums(df, value_col: str = "value", by=None, decimals: int = 2):
+    """The mergeable STATE of ``exact_moments``: [by?, n, s1..s4] with the
+    power sums as exact DECIMAL(38,0) integers. Two frames (or stream
+    micro-batches) merge by plain integer addition per group — the
+    streaming leg's accumulator."""
     from pyspark.sql import functions as F
 
     scale = 10**decimals
@@ -3099,13 +3109,22 @@ def exact_moments(df, value_col: str = "value", by=None, decimals: int = 2):
         F.expr(f"CAST({v} * {v} * {v} AS DECIMAL(38, 0))").alias("__v3"),
         F.expr(f"CAST({v} * {v} * {v} * {v} AS DECIMAL(38, 0))").alias("__v4"),
     )
-    g = src.groupBy(*([by] if by else [])).agg(
+    return src.groupBy(*([by] if by else [])).agg(
         F.count("*").alias("n"),
         F.sum("__v").cast("decimal(38,0)").alias("s1"),
         F.sum("__v2").cast("decimal(38,0)").alias("s2"),
         F.sum("__v3").cast("decimal(38,0)").alias("s3"),
         F.sum("__v4").cast("decimal(38,0)").alias("s4"),
     )
+
+
+def finalize_moment_sums(g, by=None, decimals: int = 2):
+    """Finalize a ``moment_sums`` frame via the shared pinned expression
+    tree (``_moment_final_exprs``) — kept separate so batch and streaming
+    builds finalize IDENTICALLY (bit-equal given equal integer sums)."""
+    from pyspark.sql import functions as F
+
+    scale = 10**decimals
     e = _moment_final_exprs()
     return g.select(
         *([by] if by else []),
