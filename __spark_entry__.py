@@ -130,6 +130,43 @@ def q_lineitem_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_result(res, [], ["q50", "q95"])
 
 
+def q_rollup_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users for EVERY day from one set of persisted
+    daily HLL cells — the overlapping-window metric that would cost 7
+    overlapping raw scans without the rollup; here each day's answer is a
+    register union of <=7 cell payloads (post-reduce driver fold over
+    ~30 cells). Register union is merge-exact, so each estimate equals
+    direct HLL over that window's raw rows; the gate hash-matches the
+    exact trailing-window COUNT(DISTINCT) and the 3*rse bound boolean
+    (validated at both SFs per the data-dependent-gate rule)."""
+    from ddsparkle.spark.rollup import hll_rollup, rollup_distinct_sliding
+
+    df = _t(spark, sf_dir, "events")
+    roll = hll_rollup(df, "user_id", time_col="ts", granularity="day", p=14, seed=0)
+    est = rollup_distinct_sliding(roll, window_buckets=7, p=14, seed=0)
+    days = df.select(F.date_trunc("day", "ts").alias("bucket_ts")).distinct()
+    ev = df.select(F.date_trunc("day", "ts").alias("d"), "user_id")
+    exact = (
+        F.broadcast(days)
+        .join(
+            ev,
+            (F.col("d") >= F.col("bucket_ts") - F.expr("INTERVAL 6 DAYS"))
+            & (F.col("d") <= F.col("bucket_ts")),
+        )
+        .groupBy("bucket_ts")
+        .agg(F.countDistinct("user_id").cast("double").alias("exact_distinct"))
+    )
+    out = exact.join(est, "bucket_ts").select(
+        F.to_date("bucket_ts").cast("string").alias("day"),
+        "exact_distinct",
+        (
+            F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+            <= 3.0 * F.col("rse") * F.col("exact_distinct")
+        ).alias("within_3rse"),
+    )
+    return out.orderBy("day")
+
+
 def q_streaming_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact moments' STREAMING leg: each micro-batch computes its own
     DECIMAL(38,0) power sums (moment_sums) and merges into a driver
@@ -3513,6 +3550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
         "emb_kmeans": q_emb_kmeans,
+        "rollup_sliding_distinct": q_rollup_sliding_distinct,
         "streaming_moments": q_streaming_moments,
         "events_funnel": q_events_funnel,
         "transcripts_self_repetition": q_transcripts_self_repetition,
@@ -4918,6 +4956,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ddsketch_lineitem_weighted": ddsketch_quantile_sql(
             "lineitem", "l_extendedprice", [0.5, 0.95], weight_expr="l_linenumber"
+        ),
+        "rollup_sliding_distinct": (
+            "WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS b FROM events) "
+            "SELECT CAST(CAST(d.b AS DATE) AS VARCHAR) AS day, "
+            "CAST(COUNT(DISTINCT e.user_id) AS DOUBLE) AS exact_distinct, "
+            "TRUE AS within_3rse "
+            "FROM days d JOIN events e ON date_trunc('day', e.ts) "
+            "BETWEEN d.b - INTERVAL 6 DAY AND d.b "
+            "GROUP BY d.b ORDER BY day"
         ),
         "streaming_moments": _events_moments_sql(),
         "events_funnel": (

@@ -60,6 +60,7 @@ __all__ = [
     "rollup_cdf",
     "compact_payload_rollup",
     "rollup_anomaly_flags",
+    "rollup_distinct_sliding",
 ]
 
 BUCKET_COL = "bucket_ts"
@@ -714,3 +715,53 @@ def rollup_anomaly_flags(
         .drop("__prev")
     )
     return out
+
+
+def rollup_distinct_sliding(
+    rollup,
+    window_buckets: int = 7,
+    p: int = 14,
+    seed: int = 0,
+):
+    """Rolling-window distinct counts from persisted HLL cells — "distinct
+    users over the trailing N days, for every day" computed WITHOUT ever
+    re-reading raw data and WITHOUT N overlapping scans: each stored cell
+    is register-unioned into ``window_buckets`` overlapping windows
+    (the overlap is free — merges happen on the ~#buckets cell rows, a
+    post-reduce driver fold like every sketch finalize, never the corpus).
+    Register union is exact over merges, so every windowed estimate is
+    IDENTICAL to running HLL directly over that window's raw rows.
+    Returns [bucket_ts, distinct_est, rse], one row per stored bucket,
+    window = that bucket and the ``window_buckets - 1`` preceding ones
+    (shorter at the head of the series).
+    """
+    from ..sketches.hll import HyperLogLog
+
+    rows = sorted(
+        (
+            (r[BUCKET_COL], bytes(r["payload"]))
+            for r in rollup.select(BUCKET_COL, "payload").collect()
+        ),
+        key=lambda t: t[0],
+    )
+    spark_rows = []
+    sketches = [HyperLogLog.from_bytes(b, p, seed) for _, b in rows]
+    for i, (bucket, _) in enumerate(rows):
+        merged = HyperLogLog(p=p, seed=seed)
+        for sk in sketches[max(0, i - window_buckets + 1) : i + 1]:
+            merged.merge(sk)
+        spark_rows.append(
+            (bucket, float(merged.estimate()), merged.relative_standard_error)
+        )
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(BUCKET_COL, T.TimestampType()),
+            T.StructField("distinct_est", T.DoubleType()),
+            T.StructField("rse", T.DoubleType()),
+        ]
+    )
+    # rollup frames carry at most #buckets x #dims rows; one driver fold
+    # over them is the standard sketch-finalize class, not a corpus collect
+    return rollup.sparkSession.createDataFrame(spark_rows, schema)
