@@ -130,6 +130,24 @@ def q_lineitem_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_result(res, [], ["q50", "q95"])
 
 
+def q_events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order-statistic quantiles via the distinct-value histogram
+    (one int-pair shuffle of <=#distinct rows — the exact complement to
+    the sketch layer for bounded value domains); selected elements are
+    returned VERBATIM and matched against the twin's row_number rank
+    probe."""
+    from ddsparkle.spark.dataops import exact_quantiles_histogram
+
+    df = _t(spark, sf_dir, "events")
+    res = exact_quantiles_histogram(df, "value", (0.5, 0.95, 0.99))
+    return res.select(
+        F.round("q50", 4).alias("q50"),
+        F.round("q95", 4).alias("q95"),
+        F.round("q99", 4).alias("q99"),
+        "count",
+    )
+
+
 def q_rollup_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct users for EVERY day from one set of persisted
     daily HLL cells — the overlapping-window metric that would cost 7
@@ -3550,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
         "emb_kmeans": q_emb_kmeans,
+        "events_exact_quantiles": q_events_exact_quantiles,
         "rollup_sliding_distinct": q_rollup_sliding_distinct,
         "streaming_moments": q_streaming_moments,
         "events_funnel": q_events_funnel,
@@ -4956,6 +4975,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ddsketch_lineitem_weighted": ddsketch_quantile_sql(
             "lineitem", "l_extendedprice", [0.5, 0.95], weight_expr="l_linenumber"
+        ),
+        "events_exact_quantiles": (
+            "WITH v AS (SELECT value, row_number() OVER (ORDER BY value) - 1 "
+            "AS r FROM events WHERE value IS NOT NULL), "
+            "nn AS (SELECT COUNT(*) AS n FROM v) "
+            "SELECT "
+            "ROUND(MIN(CASE WHEN r = floor(0.5 * (n - 1)) THEN value END), 4) "
+            "AS q50, "
+            "ROUND(MIN(CASE WHEN r = floor(0.95 * (n - 1)) THEN value END), 4) "
+            "AS q95, "
+            "ROUND(MIN(CASE WHEN r = floor(0.99 * (n - 1)) THEN value END), 4) "
+            "AS q99, "
+            "CAST(MAX(n) AS DOUBLE) AS count FROM v, nn"
         ),
         "rollup_sliding_distinct": (
             "WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS b FROM events) "

@@ -68,6 +68,7 @@ __all__ = [
     "tfidf_top_terms",
     "exact_moments",
     "funnel_counts",
+    "exact_quantiles_histogram",
 ]
 
 _WORD_SEED = 0x7E57DA7A
@@ -3199,3 +3200,48 @@ def funnel_counts(
     return spark.createDataFrame(
         rows, "step int, event_type string, n_users long, conv_rate double"
     )
+
+
+def exact_quantiles_histogram(df, value_col: str = "value", qs=(0.5, 0.95, 0.99)):
+    """EXACT order-statistic quantiles (rank ``floor(q * (n - 1))``,
+    0-based, lower element) via the distinct-value histogram: one map-side-
+    combined ``groupBy(value).count()``, a cumulative window over the
+    (distinct-value, count) rows, then one rank probe per q. The exact
+    complement to the sketch layer: right when the value domain is bounded
+    (fixed-point metrics, latencies in ms ticks, token counts — distinct
+    values ~10^4-10^6 regardless of corpus rows); a 100 TB corpus of
+    2-decimal values costs one int-pair shuffle of <=#distinct rows. For
+    unbounded domains use the sketches (that's what they're for) — the
+    histogram IS the corpus there. Returns one row: [qXX..., count].
+
+    NULLs are excluded. Values are returned VERBATIM (the selected element
+    itself, not a reconstruction), so the DuckDB twin is a plain ordered
+    OFFSET-k probe.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .agg import quantile_column_name
+
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(F.count("*").alias("__c"))
+    )
+    w = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__n", F.sum("__c").over(w_all)
+    )
+    sel = [
+        F.min(
+            F.when(
+                F.col("__cum") > F.floor(F.lit(float(q)) * (F.col("__n") - 1)),
+                F.col(value_col),
+            )
+        ).alias(quantile_column_name(q))
+        for q in qs
+    ]
+    return cum.agg(*sel, F.max("__n").cast("double").alias("count"))

@@ -1677,3 +1677,30 @@ def test_funnel_counts_constructed(spark):
     assert got[1]["conv_rate"] is None
     with pytest.raises(ValueError):
         funnel_counts(df, ["view"])
+
+
+def test_exact_quantiles_histogram_vs_numpy(spark):
+    from ddsparkle.spark.dataops import exact_quantiles_histogram
+
+    rng = np.random.default_rng(13)
+    vals = np.round(np.exp(rng.normal(0, 1, 5000)), 2)
+    rows = [(float(v),) for v in vals] + [(None,)]
+    df = spark.createDataFrame(rows, "value double")
+    got = exact_quantiles_histogram(df, "value", (0.5, 0.95, 0.99)).collect()[0]
+    assert got["count"] == 5000.0
+    s = np.sort(vals)
+    for q, name in [(0.5, "q50"), (0.95, "q95"), (0.99, "q99")]:
+        assert got[name] == s[int(np.floor(q * (len(s) - 1)))], name
+
+
+def test_exact_quantiles_histogram_partition_invariant(spark):
+    from ddsparkle.spark.dataops import exact_quantiles_histogram
+
+    rows = [(float(v % 17),) for v in range(1000)]
+    a = exact_quantiles_histogram(
+        spark.createDataFrame(rows, "value double").repartition(3), "value", (0.5,)
+    ).collect()[0]
+    b = exact_quantiles_histogram(
+        spark.createDataFrame(rows, "value double").repartition(11), "value", (0.5,)
+    ).collect()[0]
+    assert (a["q50"], a["count"]) == (b["q50"], b["count"])
