@@ -130,6 +130,65 @@ def q_lineitem_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_result(res, [], ["q50", "q95"])
 
 
+def q_transcripts_pii_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-level PII redaction rolled up per role — the transcript-side
+    composition of dataops.redact_pii (conversations leak PII in user and
+    tool turns; per-role accounting is the curation report): PII injected
+    deterministically per turn_idx (the _pii_augmented_docs pattern,
+    replayed verbatim by the twin), the ordered RE2-identical rule chain
+    redacts in the scan projection, then ONE map-side-combined groupBy(role)
+    ships integer count partials. Zero raw-text shuffle."""
+    from ddsparkle.spark.dataops import redact_pii
+
+    df = _transcripts(spark, sf_dir).filter(F.col("text").isNotNull())
+    tid = F.col("turn_idx")
+
+    def s(e):
+        return e.cast("string")
+
+    email_ip = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        s(tid),
+        F.lit("@example.com from 10.0."),
+        s(tid % 256),
+        F.lit("."),
+        s((tid * 7) % 256),
+    )
+    ssn_phone = F.concat(
+        F.col("text"),
+        F.lit(" ssn 123-45-"),
+        F.lpad(s(tid % 10000), 4, "0"),
+        F.lit(" call 555-010-"),
+        F.lpad(s(tid % 10000), 4, "0"),
+    )
+    base = (
+        F.when(tid % 3 == 0, email_ip)
+        .when(tid % 3 == 1, ssn_phone)
+        .otherwise(F.col("text"))
+    )
+    card = F.when(
+        tid % 5 == 0,
+        F.concat(F.lit(" card 4111111111111"), F.lpad(s(tid % 1000), 3, "0")),
+    ).otherwise(F.lit(""))
+    aug = df.select("role", F.concat(base, card).alias("text"))
+    out = redact_pii(aug)
+    return (
+        out.groupBy("role")
+        .agg(
+            F.count("*").alias("n_turns"),
+            *[
+                F.sum(f"n_{name}").cast("long").alias(f"n_{name}")
+                for name, _, _ in _PII
+            ],
+            F.sum((F.col("text_redacted") != F.col("text")).cast("long")).alias(
+                "n_redacted_turns"
+            ),
+        )
+        .orderBy("role")
+    )
+
+
 def q_events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT order-statistic quantiles via the distinct-value histogram
     (one int-pair shuffle of <=#distinct rows — the exact complement to
@@ -3568,6 +3627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
         "emb_kmeans": q_emb_kmeans,
+        "transcripts_pii_by_role": q_transcripts_pii_by_role,
         "events_exact_quantiles": q_events_exact_quantiles,
         "rollup_sliding_distinct": q_rollup_sliding_distinct,
         "streaming_moments": q_streaming_moments,
@@ -4161,6 +4221,40 @@ def _pii_aug_sql() -> str:
         "|| (CASE WHEN doc_id % 5 = 0 THEN ' card 4111111111111' "
         "|| lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ELSE '' END) AS text "
         "FROM documents WHERE text IS NOT NULL)"
+    )
+
+
+def _transcripts_pii_sql() -> str:
+    """Per-role PII-redaction twin: replay the turn_idx-keyed augmentation,
+    the SAME ordered rule chain as dataops.PII_PATTERNS (generated from
+    it), and the per-role integer rollup."""
+    tr = _transcripts_oracle_src()
+    red = "text"
+    for _, pat, repl in _PII:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"CAST(SUM(len(regexp_extract_all(text, '{pat}'))) AS BIGINT) AS n_{name}"
+        for name, pat, _ in _PII
+    )
+    aug = (
+        "aug AS (SELECT role, (CASE "
+        "WHEN turn_idx % 3 = 0 THEN text || ' contact user' || "
+        "CAST(turn_idx AS VARCHAR) || '@example.com from 10.0.' || "
+        "CAST(turn_idx % 256 AS VARCHAR) || '.' || "
+        "CAST((turn_idx * 7) % 256 AS VARCHAR) "
+        "WHEN turn_idx % 3 = 1 THEN text || ' ssn 123-45-' || "
+        "lpad(CAST(turn_idx % 10000 AS VARCHAR), 4, '0') || ' call 555-010-' || "
+        "lpad(CAST(turn_idx % 10000 AS VARCHAR), 4, '0') "
+        "ELSE text END) || (CASE WHEN turn_idx % 5 = 0 THEN "
+        "' card 4111111111111' || lpad(CAST(turn_idx % 1000 AS VARCHAR), 3, '0') "
+        "ELSE '' END) AS text "
+        f"FROM {tr} WHERE text IS NOT NULL)"
+    )
+    return (
+        f"WITH {aug} "
+        f"SELECT role, COUNT(*) AS n_turns, {counts}, "
+        f"CAST(SUM(CASE WHEN {red} <> text THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_redacted_turns FROM aug GROUP BY role ORDER BY role"
     )
 
 
@@ -4976,6 +5070,7 @@ def oracle_sql() -> dict[str, str]:
         "ddsketch_lineitem_weighted": ddsketch_quantile_sql(
             "lineitem", "l_extendedprice", [0.5, 0.95], weight_expr="l_linenumber"
         ),
+        "transcripts_pii_by_role": _transcripts_pii_sql(),
         "events_exact_quantiles": (
             "WITH v AS (SELECT value, row_number() OVER (ORDER BY value) - 1 "
             "AS r FROM events WHERE value IS NOT NULL), "
