@@ -1049,28 +1049,45 @@ def merge_consecutive_turns(df, text_col: str = "text", sep: str = "\n"):
     )
 
     def fold(batches):
+        import numpy as np
+
         pdfs = [p for p in batches if len(p)]
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         # partition is sorted by (conv_id, turn_idx); a run breaks on a new
-        # conversation or a role change
-        brk = (pdf["conv_id"] != pdf["conv_id"].shift()) | (
-            pdf["role"] != pdf["role"].shift()
-        )
-        seg = brk.cumsum()
-        g = pdf.groupby(seg, sort=True)
-        out = pd.DataFrame(
+        # conversation or a role change. Runs are CONTIGUOUS, so run firsts
+        # are direct fancy-indexing and mins are ufunc reduceat — no pandas
+        # groupby, no per-run Python lambda except the inherent text join
+        # (2.5x on the 2.9M-turn fixture, BENCH/ab_r5p5_merge.json)
+        conv = pdf["conv_id"].to_numpy()
+        role = pdf["role"].to_numpy()
+        n = len(pdf)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (conv[1:] != conv[:-1]) | (role[1:] != role[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n)
+        txt = pdf["__text"].to_numpy()
+        ts = pdf["__ts_us"].to_numpy()
+        ts_min = np.minimum.reduceat(ts, starts)
+        if ts_min.dtype.kind == "f":  # NULL ts arrives as float64 + NaN
+            ts_out = pd.array(
+                [None if np.isnan(v) else int(v) for v in ts_min], dtype="Int64"
+            )
+        else:
+            ts_out = ts_min
+        # turn_idx is ascending within a conversation here (sorted), so the
+        # run's first index IS its min
+        yield pd.DataFrame(
             {
-                "conv_id": g["conv_id"].agg(lambda s: s.iloc[0]),
-                "turn_idx": g["turn_idx"].min(),
-                "role": g["role"].agg(lambda s: s.iloc[0]),
-                "text": g["__text"].agg(sep.join),
-                "ts_us": g["__ts_us"].min(),
-                "n_merged": g.size(),
+                "conv_id": conv[starts],
+                "turn_idx": pdf["turn_idx"].to_numpy()[starts],
+                "role": role[starts],
+                "text": [sep.join(txt[s:e]) for s, e in zip(starts, ends)],
+                "ts_us": ts_out,
+                "n_merged": ends - starts,
             }
         )
-        yield out
 
     parted = src.repartition("conv_id").sortWithinPartitions("conv_id", "turn_idx")
     return parted.mapInPandas(fold, schema=schema)
