@@ -418,6 +418,58 @@ def q_events_udd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_udd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDDSketch's STREAMING leg: each micro-batch contributes its exact
+    log-bucket histogram (one narrow groupBy on the batch), merged into
+    the driver accumulator by integer addition — the histogram IS the
+    sketch's mergeable state, so the drained stream bit-equals the batch
+    build (including the read-time collapse level) and this gate shares
+    the batch twin verbatim."""
+    import tempfile
+
+    from ddsparkle.sketches.uddsketch import udd_finalize_histogram, udd_index_expr
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    acc: dict = {}
+
+    def sink(batch_df, _batch_id):
+        bins = (
+            batch_df.filter(F.col("value") > 0)
+            .select(F.expr(udd_index_expr("value", 0.01)).alias("i"))
+            .groupBy("i")
+            .count()
+        )
+        for r in bins.collect():
+            acc[r["i"]] = acc.get(r["i"], 0) + r["count"]
+
+    with tempfile.TemporaryDirectory(prefix="ddsparkle-uddstream-") as tmp:
+        q = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sf_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    res = udd_finalize_histogram(
+        spark, acc, (0.5, 0.95, 0.99), alpha=0.01, max_bins=64
+    )
+    return res.select(
+        F.round("q50", 4).alias("q50"),
+        F.round("q95", 4).alias("q95"),
+        F.round("q99", 4).alias("q99"),
+        "count",
+        "n_bins_raw",
+        "collapse_level",
+        "n_bins",
+        F.round("alpha_final", 6).alias("alpha_final"),
+    )
+
+
 def q_events_decayed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-decayed quantiles — the observability policy DDSketch serves
     at Datadog (recent events dominate the percentile): weight =
@@ -3627,6 +3679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
         "emb_kmeans": q_emb_kmeans,
+        "streaming_udd_quantiles": q_streaming_udd_quantiles,
         "transcripts_pii_by_role": q_transcripts_pii_by_role,
         "events_exact_quantiles": q_events_exact_quantiles,
         "rollup_sliding_distinct": q_rollup_sliding_distinct,
@@ -5069,6 +5122,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ddsketch_lineitem_weighted": ddsketch_quantile_sql(
             "lineitem", "l_extendedprice", [0.5, 0.95], weight_expr="l_linenumber"
+        ),
+        "streaming_udd_quantiles": udd_quantile_sql(
+            "events", "value", [0.5, 0.95, 0.99], alpha=0.01, max_bins=64
         ),
         "transcripts_pii_by_role": _transcripts_pii_sql(),
         "events_exact_quantiles": (

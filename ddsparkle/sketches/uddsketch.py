@@ -39,7 +39,7 @@ from typing import Sequence
 
 import numpy as np
 
-__all__ = ["udd_index_expr", "udd_quantiles"]
+__all__ = ["udd_index_expr", "udd_quantiles", "udd_finalize_histogram"]
 
 
 def q_name(q: float) -> str:
@@ -54,6 +54,33 @@ def udd_index_expr(value_col: str, alpha: float = 0.01) -> str:
     (gamma^(i-1), gamma^i])."""
     lng = math.log((1.0 + alpha) / (1.0 - alpha))
     return f"CAST(ceil(ln({value_col}) / {lng!r}) AS BIGINT)"
+
+
+def udd_finalize_histogram(
+    spark,
+    hist: dict,
+    qs: Sequence[float] = (0.5, 0.95, 0.99),
+    alpha: float = 0.01,
+    max_bins: int = 64,
+    max_level: int = 20,
+):
+    """Finalize an externally-accumulated exact histogram ``{index: count}``
+    (e.g. the streaming leg's integer-additive driver state) through the
+    IDENTICAL collapse-level search and walk as ``udd_quantiles`` — the
+    histogram is the sketch's mergeable state, so a drained stream
+    bit-equals the one-shot batch build."""
+    rows = [_Row(i, c) for i, c in hist.items()]
+    return _finalize_rows(spark, rows, qs, alpha, max_bins, max_level)
+
+
+class _Row:
+    __slots__ = ("_d",)
+
+    def __init__(self, i, c):
+        self._d = {"i": int(i), "c": int(c)}
+
+    def __getitem__(self, k):
+        return self._d[k]
 
 
 def udd_quantiles(
@@ -79,16 +106,20 @@ def udd_quantiles(
     """
     from pyspark.sql import functions as F
 
-    gamma = (1.0 + alpha) / (1.0 - alpha)
-    lng = math.log(gamma)
     bins = (
         df.filter(F.col(value_col) > 0)
         .select(F.expr(udd_index_expr(value_col, alpha)).alias("i"))
         .groupBy("i")
         .agg(F.count("*").alias("c"))
     )
-    rows = bins.collect()
-    spark = df.sparkSession
+    return _finalize_rows(
+        df.sparkSession, bins.collect(), qs, alpha, max_bins, max_level
+    )
+
+
+def _finalize_rows(spark, rows, qs, alpha, max_bins, max_level):
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lng = math.log(gamma)
     if not rows:
         out = {q_name(q): None for q in qs}
         out.update(
