@@ -2839,6 +2839,7 @@ def kmeans_embeddings(
     k: int = 8,
     iters: int = 4,
     scale_bits: int = 20,
+    checkpoint: Optional[str] = None,
 ):
     """Fully-DISTRIBUTED Lloyd's k-means over an embedding column — unlike
     ``ivf_index`` (driver-side sample fit), every iteration assigns EVERY
@@ -2895,6 +2896,29 @@ def kmeans_embeddings(
     dim = C.shape[1]
     spark = df.sparkSession
 
+    # iteration-granular checkpoint (north_rule resumability for ITERATIVE
+    # jobs): after each Lloyd round the centroids are persisted as float
+    # HEX strings (bit-exact round-trip — json decimal would re-round), so
+    # a killed job resumes from the last completed round and produces the
+    # IDENTICAL final model (pinned in tests/test_dataops.py)
+    start_iter = 0
+    if checkpoint:
+        import json as _json
+        import os as _os
+
+        _os.makedirs(checkpoint, exist_ok=True)
+        for t in range(iters, 0, -1):
+            p = _os.path.join(checkpoint, f"iter_{t}.json")
+            if _os.path.exists(p):
+                with open(p) as fh:
+                    st = _json.load(fh)
+                if st.get("k") == k and st.get("scale_bits") == scale_bits:
+                    C = np.array(
+                        [[float.fromhex(h) for h in row] for row in st["centroids_hex"]]
+                    )
+                    start_iter = t
+                    break
+
     def partials_fn(bc):
         def fn(batches):
             cents = bc.value
@@ -2922,7 +2946,7 @@ def kmeans_embeddings(
 
         return fn
 
-    for _ in range(iters):
+    for t in range(start_iter, iters):
         bc = spark.sparkContext.broadcast(C)
         rows = q.mapInPandas(
             partials_fn(bc), schema="cluster int, cnt long, sums array<long>"
@@ -2938,6 +2962,23 @@ def kmeans_embeddings(
                 # a single correctly-rounded divide (matches the SQL twin)
                 C[j] = tot_s[j].astype(np.float64) / float(tot_c[j] * 2**scale_bits)
         bc.destroy()
+        if checkpoint:
+            import json as _json
+            import os as _os
+
+            p = _os.path.join(checkpoint, f"iter_{t + 1}.json")
+            tmp_p = p + ".tmp"
+            with open(tmp_p, "w") as fh:
+                _json.dump(
+                    {
+                        "k": k,
+                        "scale_bits": scale_bits,
+                        "iter": t + 1,
+                        "centroids_hex": [[c.hex() for c in row] for row in C],
+                    },
+                    fh,
+                )
+            _os.replace(tmp_p, p)  # atomic: a killed write never half-exists
 
     bc = spark.sparkContext.broadcast(C)
 

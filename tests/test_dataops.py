@@ -1704,3 +1704,41 @@ def test_exact_quantiles_histogram_partition_invariant(spark):
         spark.createDataFrame(rows, "value double").repartition(11), "value", (0.5,)
     ).collect()[0]
     assert (a["q50"], a["count"]) == (b["q50"], b["count"])
+
+
+def test_kmeans_checkpoint_resume_bit_identical(spark, tmp_path):
+    from ddsparkle.spark.dataops import kmeans_embeddings
+
+    rng = np.random.default_rng(21)
+    X = rng.normal(size=(50, 4)).astype(np.float32)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ck = str(tmp_path / "km")
+    direct = (
+        kmeans_embeddings(df, k=3, iters=4)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # run 2 iterations with a checkpoint ("the job was killed")...
+    kmeans_embeddings(df, k=3, iters=2, checkpoint=ck).collect()
+    import os
+
+    assert os.path.exists(f"{ck}/iter_2.json")
+    # ...then resume to 4: must bit-equal the uninterrupted 4-iteration run
+    resumed = (
+        kmeans_embeddings(df, k=3, iters=4, checkpoint=ck)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert resumed["cluster"].tolist() == direct["cluster"].tolist()
+    assert (resumed["dist"].values == direct["dist"].values).all()
+    # stale checkpoints with mismatched params are ignored, not misused
+    other = (
+        kmeans_embeddings(df, k=3, iters=4, scale_bits=16, checkpoint=ck)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(other) == 50
