@@ -25,6 +25,7 @@ from ddsparkle.oracle import (
     ddsketch_quantile_sql,
     ddsketch_row_rank_sql,
     kmeans_sql,
+    udd_quantile_by_sql,
     udd_quantile_sql,
 )
 from ddsparkle.spark.agg import quantiles
@@ -416,6 +417,31 @@ def q_events_udd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bins",
         F.round("alpha_final", 6).alias("alpha_final"),
     )
+
+
+def q_events_udd_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped UDDSketch: per-event-type quantiles where EACH group picks
+    its own data-driven collapse level from its own histogram (heavy
+    groups degrade alpha, narrow ones keep 0.01) — one map-side-combined
+    (type, index) groupBy, corpus-size-independent shuffle; twin replays
+    the per-group level grid + walk."""
+    from ddsparkle.sketches.uddsketch import udd_quantiles_by
+
+    df = _t(spark, sf_dir, "events")
+    res = udd_quantiles_by(
+        df, "value", "event_type", (0.5, 0.95, 0.99), alpha=0.01, max_bins=48
+    )
+    return res.select(
+        "event_type",
+        F.round("q50", 4).alias("q50"),
+        F.round("q95", 4).alias("q95"),
+        F.round("q99", 4).alias("q99"),
+        "count",
+        "n_bins_raw",
+        "collapse_level",
+        "n_bins",
+        F.round("alpha_final", 6).alias("alpha_final"),
+    ).orderBy("event_type")
 
 
 def q_streaming_udd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3679,6 +3705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
         "emb_kmeans": q_emb_kmeans,
+        "events_udd_by_type": q_events_udd_by_type,
         "streaming_udd_quantiles": q_streaming_udd_quantiles,
         "transcripts_pii_by_role": q_transcripts_pii_by_role,
         "events_exact_quantiles": q_events_exact_quantiles,
@@ -5122,6 +5149,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ddsketch_lineitem_weighted": ddsketch_quantile_sql(
             "lineitem", "l_extendedprice", [0.5, 0.95], weight_expr="l_linenumber"
+        ),
+        "events_udd_by_type": udd_quantile_by_sql(
+            "events",
+            "value",
+            "event_type",
+            [0.5, 0.95, 0.99],
+            alpha=0.01,
+            max_bins=48,
         ),
         "streaming_udd_quantiles": udd_quantile_sql(
             "events", "value", [0.5, 0.95, 0.99], alpha=0.01, max_bins=64

@@ -450,3 +450,71 @@ SELECT
   ROUND((EXP({lng} * (SELECT p FROM lv)) - 1.0) /
         (EXP({lng} * (SELECT p FROM lv)) + 1.0), 6) AS alpha_final
 """
+
+
+def udd_quantile_by_sql(
+    src: str,
+    value_expr: str,
+    group_col: str,
+    qs: Sequence[float],
+    alpha: float = 0.01,
+    max_bins: int = 64,
+    max_level: int = 20,
+    round_digits: int = 4,
+) -> str:
+    """Grouped DuckDB twin of ``sketches.uddsketch.udd_quantiles_by`` —
+    every group gets its OWN collapse level from the same unrolled level
+    grid (GROUP BY (group, level) distinct-bucket counts, min fitting
+    level per group), then the per-group walk; identical arithmetic to
+    the global twin."""
+    import math as _math
+
+    lng = repr(_math.log((1.0 + alpha) / (1.0 - alpha)))
+    levels = ", ".join(f"({c})" for c in range(max_level + 1))
+    q_cols = []
+    for q in qs:
+        qc = quantile_col(q)
+        q_cols.append(
+            f"ROUND(EXP({lng} * lv.p * (SELECT MIN(j) FROM cum "
+            f"WHERE cum.g = lv.g AND cum.cum >= "
+            f"floor({q!r} * (nn.n - 1)) + 1)) * 2.0 / "
+            f"(EXP({lng} * lv.p) + 1.0), {round_digits}) AS {qc}"
+        )
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT g, CAST(ceil(ln(v) / {lng}) AS BIGINT) AS i, COUNT(*) AS c
+  FROM (SELECT {group_col} AS g, {value_expr} AS v FROM {src}
+        WHERE {value_expr} > 0 AND {group_col} IS NOT NULL) GROUP BY 1, 2
+),
+cnts AS MATERIALIZED (
+  SELECT g, l, COUNT(DISTINCT CAST(ceil(CAST(i AS DOUBLE) / power(2.0, l))
+    AS BIGINT)) AS nb
+  FROM b CROSS JOIN (VALUES {levels}) t(l) GROUP BY 1, 2
+),
+lv AS MATERIALIZED (
+  SELECT g, MIN(l) AS c, power(2.0, MIN(l)) AS p FROM cnts
+  WHERE nb <= {max_bins} GROUP BY g
+),
+fj AS MATERIALIZED (
+  SELECT b.g, CAST(ceil(CAST(i AS DOUBLE) / lv.p) AS BIGINT) AS j,
+         SUM(b.c) AS c
+  FROM b JOIN lv ON b.g = lv.g GROUP BY 1, 2
+),
+nn AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM fj GROUP BY g),
+raw AS (SELECT g, COUNT(*) AS nbr FROM b GROUP BY g),
+nf AS (SELECT g, COUNT(*) AS nb2 FROM fj GROUP BY g),
+cum AS MATERIALIZED (
+  SELECT g, j, SUM(c) OVER (PARTITION BY g ORDER BY j
+    ROWS UNBOUNDED PRECEDING) AS cum FROM fj
+)
+SELECT lv.g AS {group_col},
+  {", ".join(q_cols)},
+  CAST(nn.n AS DOUBLE) AS count,
+  raw.nbr AS n_bins_raw,
+  CAST(lv.c AS INTEGER) AS collapse_level,
+  nf.nb2 AS n_bins,
+  ROUND((EXP({lng} * lv.p) - 1.0) / (EXP({lng} * lv.p) + 1.0), 6)
+    AS alpha_final
+FROM lv JOIN nn USING (g) JOIN raw USING (g) JOIN nf USING (g)
+ORDER BY 1
+"""

@@ -39,7 +39,7 @@ from typing import Sequence
 
 import numpy as np
 
-__all__ = ["udd_index_expr", "udd_quantiles", "udd_finalize_histogram"]
+__all__ = ["udd_index_expr", "udd_quantiles", "udd_quantiles_by", "udd_finalize_histogram"]
 
 
 def q_name(q: float) -> str:
@@ -117,27 +117,33 @@ def udd_quantiles(
     )
 
 
+def _udd_schema(qs) -> str:
+    return ", ".join(
+        [f"{q_name(q)} double" for q in qs]
+        + [
+            "count double",
+            "n_bins_raw long",
+            "collapse_level int",
+            "n_bins long",
+            "alpha_final double",
+        ]
+    )
+
+
 def _finalize_rows(spark, rows, qs, alpha, max_bins, max_level):
+    return spark.createDataFrame(
+        [_finalize_core(rows, qs, alpha, max_bins, max_level)], _udd_schema(qs)
+    )
+
+
+def _finalize_core(rows, qs, alpha, max_bins, max_level) -> tuple:
+    """The collapse-level search + walk over one group's exact histogram
+    rows — shared by the global, grouped, and streaming finalizers so all
+    three are bit-identical given equal integer histograms."""
     gamma = (1.0 + alpha) / (1.0 - alpha)
     lng = math.log(gamma)
     if not rows:
-        out = {q_name(q): None for q in qs}
-        out.update(
-            count=0.0, n_bins_raw=0, collapse_level=0, n_bins=0, alpha_final=alpha
-        )
-        return spark.createDataFrame(
-            [tuple(out.values())],
-            ", ".join(
-                [f"{q_name(q)} double" for q in qs]
-                + [
-                    "count double",
-                    "n_bins_raw long",
-                    "collapse_level int",
-                    "n_bins long",
-                    "alpha_final double",
-                ]
-            ),
-        )
+        return tuple([None] * len(qs) + [0.0, 0, 0, 0, alpha])
     idx = np.array([r["i"] for r in rows], np.int64)
     cnt = np.array([r["c"] for r in rows], np.int64)
     n_bins_raw = len(idx)
@@ -167,20 +173,46 @@ def _finalize_rows(spark, rows, qs, alpha, max_bins, max_level):
         # error exactly alpha_c = (gamma_c - 1)/(gamma_c + 1)
         vals[q_name(q)] = math.exp(lng * (2**level) * jj) * 2.0 / (gc + 1.0)
     alpha_final = (gc - 1.0) / (gc + 1.0)
-    row = tuple(
+    return tuple(
         list(vals.values())
         + [float(n), int(n_bins_raw), int(level), int(len(ju)), alpha_final]
     )
-    return spark.createDataFrame(
-        [row],
-        ", ".join(
-            [f"{q_name(q)} double" for q in qs]
-            + [
-                "count double",
-                "n_bins_raw long",
-                "collapse_level int",
-                "n_bins long",
-                "alpha_final double",
-            ]
-        ),
+
+
+def udd_quantiles_by(
+    df,
+    value_col: str,
+    group_col: str,
+    qs: Sequence[float] = (0.5, 0.95, 0.99),
+    alpha: float = 0.01,
+    max_bins: int = 64,
+    max_level: int = 20,
+):
+    """Grouped UDDSketch quantiles — one row per group value, each with
+    its OWN data-driven collapse level (a heavy-tailed group may collapse
+    while a narrow one stays at alpha): the exact histogram is one
+    map-side-combined ``groupBy(group, index)`` (<= groups x bins rows
+    shuffle, corpus-size-independent), then each group's level search +
+    walk runs through the SAME ``_finalize_core`` as the global build.
+    Returns [group_col, qXX..., count, n_bins_raw, collapse_level, n_bins,
+    alpha_final]. NULL group values are excluded (they have no twin-side
+    grouping semantics worth pinning)."""
+    from pyspark.sql import functions as F
+
+    bins = (
+        df.filter(F.col(value_col) > 0)
+        .filter(F.col(group_col).isNotNull())
+        .select(group_col, F.expr(udd_index_expr(value_col, alpha)).alias("i"))
+        .groupBy(group_col, "i")
+        .agg(F.count("*").alias("c"))
+    )
+    by_group: dict = {}
+    for r in bins.collect():
+        by_group.setdefault(r[group_col], []).append(r)
+    rows = [
+        (g, *_finalize_core(grp, qs, alpha, max_bins, max_level))
+        for g, grp in sorted(by_group.items())
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, f"{group_col} string, " + _udd_schema(qs)
     )
