@@ -3688,7 +3688,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows still covers every entry; veterans outside the window rest on the
     harness replay (all entries, both SFs recorded in BENCH/). r5 part 4
     r5 part 5 (this session) front-loads distributed k-means + turn-run
-    merging + truncation + UDDSketch + tf-idf + exact moments + decayed
+    merging + truncation + UDDSketch (global/grouped/streaming) + tf-idf +
+    exact moments (batch+streaming) + funnel + anomaly + sliding-distinct +
+    exact order statistics + PII-by-role + self-repetition + k-means + decayed
     quantiles at positions 1-5; r5 part 4
     front-loads its 12 gates (next: Count-Sketch batch +
     streaming, weighted priority sampling, JSON extract + key profile,
