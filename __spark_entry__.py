@@ -419,6 +419,55 @@ def q_events_udd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (SRE-workbook two-window AND):
+    per-minute exact counts, 5m/60m rolling ratios over RANGE frames on
+    the epoch-minute key (time-based — empty minutes never stretch the
+    window, pinned by pytest), burn = ratio / error budget. One map-side
+    per-minute groupBy then a minutes-sized window; corpus-size
+    independent past the first aggregate."""
+    from ddsparkle.spark.dataops import burn_rate_alerts
+
+    df = _t(spark, sf_dir, "events")
+    res = burn_rate_alerts(
+        df, slo=0.9, short_minutes=5, long_minutes=60, threshold=2.05
+    )
+    return res.select(
+        # epoch seconds, not a rendered timestamp: DuckDB's to_timestamp is
+        # tz-aware and strings diverge ('+00' suffix) — integers don't
+        F.col("minute_ts").cast("long").alias("minute_epoch_s"),
+        "n_total",
+        "n_err",
+        F.round("burn_short", 4).alias("burn_short"),
+        F.round("burn_long", 4).alias("burn_long"),
+        "is_alert",
+    ).orderBy("minute_epoch_s")
+
+
+def _burn_rate_sql() -> str:
+    budget = 1.0 - 0.9
+    thr = 2.05
+    return (
+        "WITH pm AS MATERIALIZED (SELECT "
+        "CAST(epoch_us(date_trunc('minute', ts)) // 60000000 AS BIGINT) AS m, "
+        "COUNT(*) AS n_total, "
+        "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_err FROM events GROUP BY 1), "
+        "w AS (SELECT m, n_total, n_err, "
+        "(CAST(SUM(n_err) OVER ws AS DOUBLE) / "
+        f"CAST(SUM(n_total) OVER ws AS DOUBLE)) / {budget!r} AS bs, "
+        "(CAST(SUM(n_err) OVER wl AS DOUBLE) / "
+        f"CAST(SUM(n_total) OVER wl AS DOUBLE)) / {budget!r} AS bl "
+        "FROM pm WINDOW "
+        "ws AS (ORDER BY m RANGE BETWEEN 4 PRECEDING AND CURRENT ROW), "
+        "wl AS (ORDER BY m RANGE BETWEEN 59 PRECEDING AND CURRENT ROW)) "
+        "SELECT m * 60 AS minute_epoch_s, "
+        "n_total, n_err, ROUND(bs, 4) AS burn_short, ROUND(bl, 4) AS burn_long, "
+        f"(bs > {thr!r} AND bl > {thr!r}) AS is_alert "
+        "FROM w ORDER BY minute_epoch_s"
+    )
+
+
 def q_events_udd_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped UDDSketch: per-event-type quantiles where EACH group picks
     its own data-driven collapse level from its own histogram (heavy
@@ -3707,6 +3756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
         "emb_kmeans": q_emb_kmeans,
+        "events_burn_rate": q_events_burn_rate,
         "events_udd_by_type": q_events_udd_by_type,
         "streaming_udd_quantiles": q_streaming_udd_quantiles,
         "transcripts_pii_by_role": q_transcripts_pii_by_role,
@@ -5152,6 +5202,7 @@ def oracle_sql() -> dict[str, str]:
         "ddsketch_lineitem_weighted": ddsketch_quantile_sql(
             "lineitem", "l_extendedprice", [0.5, 0.95], weight_expr="l_linenumber"
         ),
+        "events_burn_rate": _burn_rate_sql(),
         "events_udd_by_type": udd_quantile_by_sql(
             "events",
             "value",

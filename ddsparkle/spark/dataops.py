@@ -69,6 +69,7 @@ __all__ = [
     "exact_moments",
     "funnel_counts",
     "exact_quantiles_histogram",
+    "burn_rate_alerts",
 ]
 
 _WORD_SEED = 0x7E57DA7A
@@ -3286,3 +3287,71 @@ def exact_quantiles_histogram(df, value_col: str = "value", qs=(0.5, 0.95, 0.99)
         for q in qs
     ]
     return cum.agg(*sel, F.max("__n").cast("double").alias("count"))
+
+
+def burn_rate_alerts(
+    df,
+    error_type: str = "error",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    slo: float = 0.9,
+    short_minutes: int = 5,
+    long_minutes: int = 60,
+    threshold: float = 1.0,
+):
+    """Multi-window SLO burn-rate alerting (the SRE-workbook pattern the
+    DDSketch product sits next to): per-minute error/total counts, rolling
+    error ratios over a SHORT and a LONG window, burn rate = ratio /
+    error_budget, alert when BOTH windows burn above ``threshold`` (the
+    two-window AND suppresses both blips and stale pages). Returns one row
+    per active minute: [minute_ts, n_total, n_err, burn_short, burn_long,
+    is_alert] with burns unrounded (gates round).
+
+    Correctness shape: the rolling sums use RANGE frames over the epoch-
+    minute ORDER key — a minute with no events contributes zero WITHOUT
+    needing densification, because the frame is time-based, not row-based
+    (a ROWS frame would silently stretch across gaps). All counts are
+    exact integers; each burn is two pinned divisions, so the DuckDB twin
+    hash-matches. Scale shape: one map-side-combined per-minute groupBy
+    (<= minutes rows thereafter — corpus-size-independent), one narrow
+    window over the minute series.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    budget = 1.0 - float(slo)
+    per_min = (
+        df.select(
+            (F.unix_micros(F.date_trunc("minute", F.col(ts_col))) / F.lit(60_000_000))
+            .cast("long")
+            .alias("__m"),
+            (F.col(type_col) == error_type).cast("long").alias("__is_err"),
+        )
+        .groupBy("__m")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("__is_err").alias("n_err"),
+        )
+    )
+
+    def burn(minutes):
+        w = Window.orderBy("__m").rangeBetween(-(minutes - 1), 0)
+        return (
+            F.sum("n_err").over(w).cast("double")
+            / F.sum("n_total").over(w).cast("double")
+        ) / F.lit(budget)
+
+    out = per_min.withColumn("burn_short", burn(short_minutes)).withColumn(
+        "burn_long", burn(long_minutes)
+    )
+    return out.select(
+        F.timestamp_seconds(F.col("__m") * 60).alias("minute_ts"),
+        "n_total",
+        "n_err",
+        "burn_short",
+        "burn_long",
+        (
+            (F.col("burn_short") > F.lit(float(threshold)))
+            & (F.col("burn_long") > F.lit(float(threshold)))
+        ).alias("is_alert"),
+    )

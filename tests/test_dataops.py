@@ -1742,3 +1742,39 @@ def test_kmeans_checkpoint_resume_bit_identical(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert len(other) == 50
+
+
+def test_burn_rate_alerts_constructed(spark):
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.dataops import burn_rate_alerts
+
+    # minutes 0-1 healthy, minute 2 spikes, minute 10 isolated blip after a
+    # GAP (minutes 3-9 empty — the RANGE frame must not stretch across it)
+    rows = []
+    for m, errs, total in [(0, 0, 10), (1, 1, 10), (2, 8, 10), (10, 5, 10)]:
+        for i in range(total):
+            rows.append(
+                (f"2024-01-01 00:{m:02d}:{i:02d}", "error" if i < errs else "view")
+            )
+    df = spark.createDataFrame(rows, "ts string, event_type string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        r["minute_ts"].minute: r
+        for r in burn_rate_alerts(
+            df, slo=0.9, short_minutes=2, long_minutes=4, threshold=2.0
+        ).collect()
+    }
+    # minute 2: short window = minutes 1-2 -> 9/20 errors, burn 4.5;
+    # long window = minutes 0-2 (gap-free part) -> 9/30, burn 3.0 -> ALERT
+    assert abs(got[2]["burn_short"] - 4.5) < 1e-12
+    assert abs(got[2]["burn_long"] - 3.0) < 1e-12
+    assert got[2]["is_alert"] is True
+    # minute 0: healthy
+    assert got[0]["is_alert"] is False
+    # minute 10: the RANGE frame sees ONLY minute 10 (gap excluded) in the
+    # short window (minutes 9-10) and minutes 7-10 in the long -> both 5/10,
+    # burn 5.0 -> alert; a ROWS frame would have wrongly pulled minute 2 in
+    assert abs(got[10]["burn_short"] - 5.0) < 1e-12
+    assert got[10]["is_alert"] is True
