@@ -419,6 +419,23 @@ def q_events_udd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel with the conversion-window constraint every funnel
+    product has: each step must land within 30 minutes of the previous
+    step's timestamp (greedy-earliest-chain semantics, the operational
+    definition — documented, twinned, not accidental)."""
+    from ddsparkle.spark.dataops import funnel_counts
+
+    df = _t(spark, sf_dir, "events")
+    res = funnel_counts(df, ["view", "click", "purchase"], max_gap_minutes=30)
+    return res.select(
+        "step",
+        "event_type",
+        "n_users",
+        F.round("conv_rate", 4).alias("conv_rate"),
+    ).orderBy("step")
+
+
 def q_events_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-window SLO burn-rate alerting (SRE-workbook two-window AND):
     per-minute exact counts, 5m/60m rolling ratios over RANGE frames on
@@ -3739,7 +3756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r5 part 5 (this session) front-loads distributed k-means + turn-run
     merging + truncation + UDDSketch (global/grouped/streaming) + tf-idf +
     exact moments (batch+streaming) + funnel + anomaly + sliding-distinct +
-    exact order statistics + PII-by-role + self-repetition + k-means + decayed
+    exact order statistics + PII-by-role + self-repetition + k-means +
+    funnels (plain+windowed) + burn-rate + decayed
     quantiles at positions 1-5; r5 part 4
     front-loads its 12 gates (next: Count-Sketch batch +
     streaming, weighted priority sampling, JSON extract + key profile,
@@ -3756,6 +3774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
         "emb_kmeans": q_emb_kmeans,
+        "events_funnel_windowed": q_events_funnel_windowed,
         "events_burn_rate": q_events_burn_rate,
         "events_udd_by_type": q_events_udd_by_type,
         "streaming_udd_quantiles": q_streaming_udd_quantiles,
@@ -5201,6 +5220,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ddsketch_lineitem_weighted": ddsketch_quantile_sql(
             "lineitem", "l_extendedprice", [0.5, 0.95], weight_expr="l_linenumber"
+        ),
+        "events_funnel_windowed": (
+            "WITH e AS MATERIALIZED (SELECT user_id AS u, event_type AS t, "
+            "epoch_us(ts) AS us FROM events "
+            "WHERE event_type IN ('view', 'click', 'purchase')), "
+            "t1 AS MATERIALIZED (SELECT u, MIN(us) AS us FROM e "
+            "WHERE t = 'view' GROUP BY u), "
+            "t2 AS MATERIALIZED (SELECT e.u, MIN(e.us) AS us FROM e "
+            "JOIN t1 ON e.u = t1.u WHERE e.t = 'click' AND e.us > t1.us "
+            "AND e.us <= t1.us + 1800000000 GROUP BY e.u), "
+            "t3 AS MATERIALIZED (SELECT e.u, MIN(e.us) AS us FROM e "
+            "JOIN t2 ON e.u = t2.u WHERE e.t = 'purchase' AND e.us > t2.us "
+            "AND e.us <= t2.us + 1800000000 GROUP BY e.u) "
+            "SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type, "
+            "(SELECT COUNT(*) FROM t1) AS n_users, "
+            "CAST(NULL AS DOUBLE) AS conv_rate "
+            "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM t2), "
+            "ROUND(CAST((SELECT COUNT(*) FROM t2) AS DOUBLE) / "
+            "NULLIF((SELECT COUNT(*) FROM t1), 0), 4) "
+            "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM t3), "
+            "ROUND(CAST((SELECT COUNT(*) FROM t3) AS DOUBLE) / "
+            "NULLIF((SELECT COUNT(*) FROM t2), 0), 4) "
+            "ORDER BY step"
         ),
         "events_burn_rate": _burn_rate_sql(),
         "events_udd_by_type": udd_quantile_by_sql(

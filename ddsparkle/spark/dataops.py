@@ -3185,16 +3185,27 @@ def funnel_counts(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_gap_minutes: Optional[float] = None,
 ):
     """Ordered-funnel analysis (view -> click -> purchase): how many users
     complete each prefix of ``steps`` IN ORDER, using the standard
     greedy-earliest semantics — a user's step-k timestamp is the MIN
     timestamp of a step-k event STRICTLY after their step-(k-1) timestamp
-    (greedy-earliest is optimal: taking the earliest feasible event at
-    every step reaches the deepest stage). Equal-timestamp events cannot
-    chain (strict >, exact integer micros both engines). Returns one row
-    per step: [step, event_type, n_users, conv_rate] with conv_rate =
+    (without a gap bound greedy-earliest is optimal: the earliest feasible
+    event at every step reaches the deepest stage). Equal-timestamp events
+    cannot chain (strict >, exact integer micros both engines). Returns one
+    row per step: [step, event_type, n_users, conv_rate] with conv_rate =
     n_users / step-1 users (one division, deterministic).
+
+    ``max_gap_minutes`` adds the conversion-window constraint every real
+    funnel product has: step k must land within the gap of the user's
+    step-(k-1) timestamp. Semantics stay GREEDY-EAREST-CHAIN (the
+    operational definition funnel tools use): the chain extends from the
+    first qualifying occurrence of each step, NOT a maximal matching over
+    all event choices — with a gap bound a later step-k pick could in
+    principle qualify a later step-(k+1), and this operator (like the
+    products) deliberately does not search that space. The twin replays
+    the identical rule, so the contract is pinned, not accidental.
 
     Scale shape: expressed as ``len(steps) - 1`` min-ts joins over the
     DISJOINT per-step event subsets — each step's events shuffle once on
@@ -3210,6 +3221,7 @@ def funnel_counts(
     steps = list(steps)
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
+    gap_us = None if max_gap_minutes is None else int(max_gap_minutes * 60_000_000)
     ev = df.filter(F.col(type_col).isin(steps)).select(
         F.col(user_col).alias("u"),
         F.col(type_col).alias("t"),
@@ -3220,10 +3232,13 @@ def funnel_counts(
     )
     counts = [reached.count()]
     for s in steps[1:]:
+        cond = F.col("us") > F.col("prev_us")
+        if gap_us is not None:
+            cond = cond & (F.col("us") <= F.col("prev_us") + F.lit(gap_us))
         nxt = (
             ev.filter(F.col("t") == s)
             .join(reached.select("u", F.col("us").alias("prev_us")), "u")
-            .filter(F.col("us") > F.col("prev_us"))
+            .filter(cond)
             .groupBy("u")
             .agg(F.min("us").alias("us"))
         )

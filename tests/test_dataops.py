@@ -1778,3 +1778,34 @@ def test_burn_rate_alerts_constructed(spark):
     # burn 5.0 -> alert; a ROWS frame would have wrongly pulled minute 2 in
     assert abs(got[10]["burn_short"] - 5.0) < 1e-12
     assert got[10]["is_alert"] is True
+
+
+def test_funnel_counts_conversion_window(spark):
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.dataops import funnel_counts
+
+    rows = [
+        # u1: click 10 min after view -> inside a 30-min window
+        (1, "view", "2024-01-01 00:00:00"),
+        (1, "click", "2024-01-01 00:10:00"),
+        # u2: click 2 HOURS after view -> outside the window
+        (2, "view", "2024-01-01 00:00:00"),
+        (2, "click", "2024-01-01 02:00:00"),
+        # u3: early click expires, a second click inside the window counts
+        (3, "view", "2024-01-01 00:00:00"),
+        (3, "click", "2024-01-01 00:29:59"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts string")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(df, ["view", "click"], max_gap_minutes=30).collect()
+    }
+    assert got == {1: 3, 2: 2}
+    # no gap bound: everyone converts
+    got2 = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(df, ["view", "click"]).collect()
+    }
+    assert got2 == {1: 3, 2: 3}
