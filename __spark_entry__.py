@@ -419,6 +419,23 @@ def q_events_udd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over events: users cohorted by first-active
+    week, cell (cohort, k) = users active k weeks later; exact integer
+    counts, one pinned division per cell. After the map-side-combined
+    (user, week) distinct, everything is corpus-size-independent."""
+    from ddsparkle.spark.dataops import cohort_retention
+
+    df = _t(spark, sf_dir, "events")
+    res = cohort_retention(df, granularity="week")
+    return res.select(
+        "cohort_epoch_s",
+        "k",
+        "n_users",
+        F.round("retained_pct", 4).alias("retained_pct"),
+    ).orderBy("cohort_epoch_s", "k")
+
+
 def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The funnel with the conversion-window constraint every funnel
     product has: each step must land within 30 minutes of the previous
@@ -3757,7 +3774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merging + truncation + UDDSketch (global/grouped/streaming) + tf-idf +
     exact moments (batch+streaming) + funnel + anomaly + sliding-distinct +
     exact order statistics + PII-by-role + self-repetition + k-means +
-    funnels (plain+windowed) + burn-rate + decayed
+    funnels (plain+windowed) + burn-rate + retention + decayed
     quantiles at positions 1-5; r5 part 4
     front-loads its 12 gates (next: Count-Sketch batch +
     streaming, weighted priority sampling, JSON extract + key profile,
@@ -3774,6 +3791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
         "emb_kmeans": q_emb_kmeans,
+        "events_retention": q_events_retention,
         "events_funnel_windowed": q_events_funnel_windowed,
         "events_burn_rate": q_events_burn_rate,
         "events_udd_by_type": q_events_udd_by_type,
@@ -5220,6 +5238,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ddsketch_lineitem_weighted": ddsketch_quantile_sql(
             "lineitem", "l_extendedprice", [0.5, 0.95], weight_expr="l_linenumber"
+        ),
+        "events_retention": (
+            "WITH a AS MATERIALIZED (SELECT DISTINCT user_id AS u, "
+            "CAST(epoch_us(date_trunc('week', ts)) // 604800000000 AS BIGINT) "
+            "AS b FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "c AS (SELECT u, b, MIN(b) OVER (PARTITION BY u) AS b0 FROM a), "
+            "cells AS (SELECT b0, CAST(b - b0 AS INTEGER) AS k, "
+            "COUNT(*) AS n_users FROM c GROUP BY 1, 2), "
+            "s AS (SELECT b0, n_users AS n0 FROM cells WHERE k = 0) "
+            "SELECT CAST(cells.b0 * 604800 AS BIGINT) AS cohort_epoch_s, k, "
+            "n_users, ROUND(CAST(n_users AS DOUBLE) / CAST(s.n0 AS DOUBLE), 4) "
+            "AS retained_pct FROM cells JOIN s USING (b0) "
+            "ORDER BY cohort_epoch_s, k"
         ),
         "events_funnel_windowed": (
             "WITH e AS MATERIALIZED (SELECT user_id AS u, event_type AS t, "

@@ -70,6 +70,7 @@ __all__ = [
     "funnel_counts",
     "exact_quantiles_histogram",
     "burn_rate_alerts",
+    "cohort_retention",
 ]
 
 _WORD_SEED = 0x7E57DA7A
@@ -3370,3 +3371,70 @@ def burn_rate_alerts(
             & (F.col("burn_long") > F.lit(float(threshold)))
         ).alias("is_alert"),
     )
+
+
+def cohort_retention(
+    df,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+):
+    """Cohort retention — the product-analytics staple beside funnels:
+    users are cohorted by their FIRST-activity bucket, and cell (cohort,
+    k) counts how many of them were active k buckets later. Returns
+    [cohort_epoch_s, k, n_users, retained_pct] with retained_pct =
+    n_users / cohort size (one division; k=0 row IS the cohort size,
+    pct 1.0). All counts exact integers.
+
+    Scale shape: activity de-duplicates to (user, bucket) pairs with a
+    map-side-combined distinct (a user's million events in one week are
+    one partial per task), cohorts are a per-user MIN over those pairs
+    (same narrow frame), and the join back is user-keyed over the
+    distinct pairs — corpus-size-independent after the first aggregate.
+    Bucket arithmetic runs on epoch seconds of ``date_trunc`` so offsets
+    are exact integer divisions cross-engine.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if granularity not in ("day", "week", "month"):
+        raise ValueError("granularity must be day|week|month")
+    if granularity == "month":
+        # calendar months are irregular: offset = month index delta
+        bucket = (
+            F.year(F.col(ts_col)) * 12 + F.month(F.col(ts_col)) - 1
+        ).cast("long")
+        to_epoch = None
+    else:
+        secs = 86_400 if granularity == "day" else 7 * 86_400
+        bucket = (
+            F.unix_micros(F.date_trunc(granularity, F.col(ts_col)))
+            / F.lit(secs * 1_000_000)
+        ).cast("long")
+        to_epoch = secs
+    acts = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("u"), bucket.alias("b"))
+        .distinct()
+    )
+    w = Window.partitionBy("u")
+    joined = acts.withColumn("b0", F.min("b").over(w))
+    cells = joined.groupBy("b0", (F.col("b") - F.col("b0")).alias("k")).agg(
+        F.count("*").alias("n_users")
+    )
+    size = cells.filter(F.col("k") == 0).select(
+        F.col("b0").alias("__b0"), F.col("n_users").alias("__n0")
+    )
+    out = cells.join(size, cells["b0"] == size["__b0"]).select(
+        (
+            (F.col("b0") * F.lit(to_epoch)).cast("long")
+            if to_epoch
+            else F.col("b0").cast("long")
+        ).alias("cohort_epoch_s" if to_epoch else "cohort_month_idx"),
+        F.col("k").cast("int").alias("k"),
+        "n_users",
+        (F.col("n_users").cast("double") / F.col("__n0").cast("double")).alias(
+            "retained_pct"
+        ),
+    )
+    return out

@@ -1809,3 +1809,37 @@ def test_funnel_counts_conversion_window(spark):
         for r in funnel_counts(df, ["view", "click"]).collect()
     }
     assert got2 == {1: 3, 2: 3}
+
+
+def test_cohort_retention_constructed(spark):
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.dataops import cohort_retention
+
+    rows = [
+        # cohort week of Jan 1 2024 (Mon): u1 active weeks 0,1,2; u2 weeks 0,2
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-08 10:00:00"),
+        (1, "2024-01-15 10:00:00"),
+        (2, "2024-01-03 10:00:00"),
+        (2, "2024-01-17 10:00:00"),
+        # cohort week of Jan 8: u3 active weeks 0,1
+        (3, "2024-01-09 10:00:00"),
+        (3, "2024-01-16 10:00:00"),
+        (None, "2024-01-01 10:00:00"),  # NULL user excluded
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        (r["cohort_epoch_s"], r["k"]): r
+        for r in cohort_retention(df, granularity="week").collect()
+    }
+    cohorts = sorted({c for c, _ in got})
+    assert len(cohorts) == 2
+    c0, c1 = cohorts
+    assert got[(c0, 0)]["n_users"] == 2 and got[(c0, 0)]["retained_pct"] == 1.0
+    assert got[(c0, 1)]["n_users"] == 1 and got[(c0, 1)]["retained_pct"] == 0.5
+    assert got[(c0, 2)]["n_users"] == 2
+    assert got[(c1, 0)]["n_users"] == 1 and got[(c1, 1)]["n_users"] == 1
+    assert (c1, 2) not in got
