@@ -419,6 +419,16 @@ def q_events_udd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: top-10 event-type trigrams users take, order pinned
+    by (ts, event_id) so equal-timestamp events rank deterministically;
+    one narrow window exchange, payloads never shuffle."""
+    from ddsparkle.spark.dataops import top_event_paths
+
+    df = _t(spark, sf_dir, "events")
+    return top_event_paths(df, n=3, k=10).orderBy("rank")
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over events: users cohorted by first-active
     week, cell (cohort, k) = users active k weeks later; exact integer
@@ -3774,7 +3784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merging + truncation + UDDSketch (global/grouped/streaming) + tf-idf +
     exact moments (batch+streaming) + funnel + anomaly + sliding-distinct +
     exact order statistics + PII-by-role + self-repetition + k-means +
-    funnels (plain+windowed) + burn-rate + retention + decayed
+    funnels (plain+windowed) + burn-rate + retention + paths + decayed
     quantiles at positions 1-5; r5 part 4
     front-loads its 12 gates (next: Count-Sketch batch +
     streaming, weighted priority sampling, JSON extract + key profile,
@@ -3791,6 +3801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
         "emb_kmeans": q_emb_kmeans,
+        "events_top_paths": q_events_top_paths,
         "events_retention": q_events_retention,
         "events_funnel_windowed": q_events_funnel_windowed,
         "events_burn_rate": q_events_burn_rate,
@@ -5238,6 +5249,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ddsketch_lineitem_weighted": ddsketch_quantile_sql(
             "lineitem", "l_extendedprice", [0.5, 0.95], weight_expr="l_linenumber"
+        ),
+        "events_top_paths": (
+            "WITH s AS MATERIALIZED (SELECT event_type, "
+            "lead(event_type, 1) OVER w AS t1, lead(event_type, 2) OVER w AS t2 "
+            "FROM (SELECT * FROM events WHERE event_type IS NOT NULL) "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "p AS (SELECT event_type || '>' || t1 || '>' || t2 AS path "
+            "FROM s WHERE t2 IS NOT NULL), "
+            "c AS (SELECT path, COUNT(*) AS n_occurrences FROM p GROUP BY 1) "
+            "SELECT path, n_occurrences, CAST(row_number() OVER "
+            "(ORDER BY n_occurrences DESC, path) AS INTEGER) AS rank "
+            "FROM c QUALIFY rank <= 10 ORDER BY rank"
         ),
         "events_retention": (
             "WITH a AS MATERIALIZED (SELECT DISTINCT user_id AS u, "

@@ -71,6 +71,7 @@ __all__ = [
     "exact_quantiles_histogram",
     "burn_rate_alerts",
     "cohort_retention",
+    "top_event_paths",
 ]
 
 _WORD_SEED = 0x7E57DA7A
@@ -3438,3 +3439,53 @@ def cohort_retention(
         ),
     )
     return out
+
+
+def top_event_paths(
+    df,
+    n: int = 3,
+    k: int = 10,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+):
+    """Path analysis — the top-``k`` most common length-``n`` event-type
+    sequences users take (consecutive events per user in time order):
+    the "what do users do next" query beside funnels/retention. Returns
+    [path ('a>b>c'), n_occurrences, rank], ties broken by path string.
+    Event order within a user is pinned by (ts, id_col) — ``id_col``
+    makes equal-timestamp orderings deterministic cross-engine.
+
+    Scale shape: ONE narrow window exchange of (user, type, ts, id) builds
+    the n-gram via ``lead`` in the same sort, then a map-side-combined
+    groupBy over path strings (bounded by |type-alphabet|^n) and a top-k
+    over those counts. Event payloads never shuffle.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if n < 2:
+        raise ValueError("paths need n >= 2")
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    # NULL types are dropped up front: Spark's concat_ws silently SKIPS
+    # NULLs while SQL '||' nulls the whole path — excluding them is the
+    # only cross-engine-consistent semantics
+    src = df.filter(F.col(type_col).isNotNull()).select(
+        user_col, type_col, ts_col, id_col
+    )
+    for i in range(1, n):
+        src = src.withColumn(f"__t{i}", F.lead(type_col, i).over(w))
+    path = F.concat_ws(">", F.col(type_col), *[F.col(f"__t{i}") for i in range(1, n)])
+    complete = src.filter(F.col(f"__t{n - 1}").isNotNull())
+    counts = (
+        complete.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    wr = Window.orderBy(F.col("n_occurrences").desc(), F.col("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= int(k))
+        .select("path", "n_occurrences", "rank")
+    )

@@ -1843,3 +1843,33 @@ def test_cohort_retention_constructed(spark):
     assert got[(c0, 2)]["n_users"] == 2
     assert got[(c1, 0)]["n_users"] == 1 and got[(c1, 1)]["n_users"] == 1
     assert (c1, 2) not in got
+
+
+def test_top_event_paths_constructed(spark):
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.dataops import top_event_paths
+
+    rows = [
+        # u1: a b c a b c -> paths a>b>c x2, b>c>a x1, c>a>b x1
+        (1, 1, "a", "2024-01-01 00:00:00"),
+        (1, 2, "b", "2024-01-01 00:00:01"),
+        (1, 3, "c", "2024-01-01 00:00:02"),
+        (1, 4, "a", "2024-01-01 00:00:03"),
+        (1, 5, "b", "2024-01-01 00:00:04"),
+        (1, 6, "c", "2024-01-01 00:00:05"),
+        # u2: same-instant events -> ordered by event_id deterministically
+        (2, 7, "x", "2024-01-01 00:00:00"),
+        (2, 8, "y", "2024-01-01 00:00:00"),
+        (2, 9, "z", "2024-01-01 00:00:00"),
+        # u3: too short for a trigram
+        (3, 10, "a", "2024-01-01 00:00:00"),
+        (3, 11, "b", "2024-01-01 00:00:01"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["path"]: r for r in top_event_paths(df, n=3, k=10).collect()}
+    assert got["a>b>c"]["n_occurrences"] == 2 and got["a>b>c"]["rank"] == 1
+    assert got["x>y>z"]["n_occurrences"] == 1
+    assert set(got) == {"a>b>c", "b>c>a", "c>a>b", "x>y>z"}
