@@ -419,3 +419,31 @@ def test_truncate_to_token_budget_narrow_window(spark, transcripts_parquet):
     assert "text" not in ex.group(0), ex.group(0)
     assert plan.count("ReadSchema") == 1
     assert "struct<conv_id:string,turn_idx:int,text:string>" in plan, plan
+
+
+def test_burn_rate_map_side_combined_and_pruned(spark, sf_dir):
+    """The per-minute aggregate must be partial+final HashAggregate (a
+    minute's million events reach the exchange as one partial per task)
+    and the scan must read only (ts, event_type)."""
+    import re
+
+    from ddsparkle.spark.dataops import burn_rate_alerts
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = plan_of(burn_rate_alerts(df))
+    assert len(re.findall(r"\(\d+\) HashAggregate\b", plan)) >= 2, plan
+    assert "struct<ts:timestamp_ntz,event_type:string>" in plan, plan
+
+
+def test_cohort_retention_distinct_map_side_and_pruned(spark, sf_dir):
+    """The (user, bucket) distinct must partial-aggregate map-side and the
+    scan must read only (ts, user_id) — retention cost is bounded by
+    distinct (user, bucket) pairs, not corpus rows."""
+    import re
+
+    from ddsparkle.spark.dataops import cohort_retention
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = plan_of(cohort_retention(df, granularity="week"))
+    assert len(re.findall(r"\(\d+\) HashAggregate\b", plan)) >= 2, plan
+    assert "user_id" in plan and "event_type" not in plan.split("ReadSchema")[1][:200]
