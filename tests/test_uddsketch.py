@@ -64,3 +64,22 @@ def test_udd_ignores_nonpositive_and_empty(spark):
     row2 = udd_quantiles(df2, "value", (0.5,)).collect()[0]
     assert row2["count"] == 2.0
     assert abs(row2["q50"] - 2.0) / 2.0 <= 0.01 + 1e-9
+
+
+def test_udd_quantiles_by_per_group_levels(spark):
+    rng = np.random.default_rng(8)
+    rows = [("narrow", float(v)) for v in np.exp(rng.normal(0, 0.05, 3000))]
+    rows += [("wide", float(v)) for v in np.exp(rng.normal(0, 3.0, 3000))]
+    rows += [("wide", -1.0), (None, 5.0)]  # nonpositive + NULL group dropped
+    df = spark.createDataFrame(rows, "g string, value double")
+    from ddsparkle.sketches.uddsketch import udd_quantiles_by
+
+    got = {r["g"]: r for r in udd_quantiles_by(df, "value", "g", (0.5,), max_bins=32).collect()}
+    assert set(got) == {"narrow", "wide"}
+    # the tight group fits without collapsing; the heavy-tailed one must
+    # collapse — per-group data-driven levels are the operator's point
+    assert got["narrow"]["collapse_level"] == 0
+    assert got["wide"]["collapse_level"] >= 1
+    assert got["wide"]["count"] == 3000.0  # the -1.0 was dropped
+    for g in ("narrow", "wide"):
+        assert got[g]["n_bins"] <= 32
