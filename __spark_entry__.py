@@ -419,6 +419,26 @@ def q_events_udd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transcripts_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-granularity train/val/test split: assign_split keyed on
+    conv_id is a pure row-local function, so every turn of a conversation
+    lands in the same split BY CONSTRUCTION — no distinct, no join, zero
+    shuffle before the 3-group accounting agg (group-stability is the
+    contract document-level splits can't give a conversation corpus)."""
+    from ddsparkle.spark.dataops import assign_split
+
+    df = _transcripts(spark, sf_dir)
+    s = assign_split(df, id_col="conv_id", salt="convsplit")
+    return (
+        s.groupBy("split")
+        .agg(
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.count("*").alias("n_turns"),
+        )
+        .orderBy("split")
+    )
+
+
 def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path analysis: top-10 event-type trigrams users take, order pinned
     by (ts, event_id) so equal-timestamp events rank deterministically;
@@ -3784,7 +3804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merging + truncation + UDDSketch (global/grouped/streaming) + tf-idf +
     exact moments (batch+streaming) + funnel + anomaly + sliding-distinct +
     exact order statistics + PII-by-role + self-repetition + k-means +
-    funnels (plain+windowed) + burn-rate + retention + paths + decayed
+    funnels (plain+windowed) + burn-rate + retention + paths + conv-split +
+    decayed
     quantiles at positions 1-5; r5 part 4
     front-loads its 12 gates (next: Count-Sketch batch +
     streaming, weighted priority sampling, JSON extract + key profile,
@@ -3801,6 +3822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
         "emb_kmeans": q_emb_kmeans,
+        "transcripts_split": q_transcripts_split,
         "events_top_paths": q_events_top_paths,
         "events_retention": q_events_retention,
         "events_funnel_windowed": q_events_funnel_windowed,
@@ -5249,6 +5271,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ddsketch_lineitem_weighted": ddsketch_quantile_sql(
             "lineitem", "l_extendedprice", [0.5, 0.95], weight_expr="l_linenumber"
+        ),
+        "transcripts_split": (
+            "SELECT split, CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs, "
+            "COUNT(*) AS n_turns FROM ("
+            "SELECT conv_id, CASE WHEN h < 98 THEN 'train' "
+            "WHEN h < 99 THEN 'val' ELSE 'test' END AS split FROM ("
+            "SELECT conv_id, ('0x' || substr(md5('convsplit:' || conv_id), "
+            "1, 15))::BIGINT % 100 AS h "
+            f"FROM {tr_src})) GROUP BY split ORDER BY split"
         ),
         "events_top_paths": (
             "WITH s AS MATERIALIZED (SELECT event_type, "
