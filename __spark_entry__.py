@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ddsparkle.config import SketchConfig
 from ddsparkle.oracle import (
     ddsketch_cdf_sql,
+    fd_covariance_sql,
     ddsketch_quantile_sql,
     ddsketch_row_rank_sql,
     kmeans_sql,
@@ -3594,6 +3595,55 @@ def q_transcripts_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id")
 
 
+def q_emb_fd_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent Directions matrix sketch (Liberty KDD'13; dataops.
+    fd_covariance) over the 64-dim embedding corpus, l=32: per-partition
+    FD build + one stack-and-shrink merge per partition sketch, judged
+    against the EXACT quantized second-moment frame computed in the same
+    scan (kmeans-style floor(x*2^20+0.5) int64, order-free integer sums).
+    Gated columns are partitioning-INVARIANT only: exact n/dims/Frobenius/
+    argmax-dimension (HUGEINT-replicable by the twin) plus the three
+    theorem-guaranteed booleans — spectral error <= 2||A||_F^2/l, PSD, and
+    diagonal deviation within bound — which hold for ANY merge order by
+    the FD mergeability theorem (validated green at sf0.01 AND sf0.1; the
+    measured spec_err/bound ratio is ~0.31 at BOTH SFs). The sketch matrix
+    itself is merge-order-dependent and stays out of the gate."""
+    from ddsparkle.spark.dataops import fd_covariance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = fd_covariance(emb.select("embedding"), "embedding", l=32, scale_bits=20)
+    row = (
+        int(res["n_vectors"]),
+        int(res["dims"]),
+        int(res["sketch_rows"]),
+        float(res["fro_sq"]),
+        float(res["bound"]),
+        int(res["top_dim"]),
+        float(res["top_dim_m2"]),
+        bool(res["spec_bound_ok"]),
+        bool(res["psd_ok"]),
+        bool(res["top_dim_within_bound"]),
+    )
+    df = spark.createDataFrame(
+        [row],
+        "n_vectors long, dims long, sketch_rows long, fro_sq double, "
+        "bound double, top_dim long, top_dim_m2 double, spec_bound_ok boolean, "
+        "psd_ok boolean, top_dim_within_bound boolean",
+    )
+    return df.select(
+        "n_vectors",
+        "dims",
+        "sketch_rows",
+        F.round("fro_sq", 4).alias("fro_sq"),
+        F.round("bound", 4).alias("bound"),
+        "top_dim",
+        F.round("top_dim_m2", 4).alias("top_dim_m2"),
+        "spec_bound_ok",
+        "psd_ok",
+        "top_dim_within_bound",
+    )
+
+
 def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fully-distributed Lloyd's k-means (k=8, 4 iterations) over the
     embeddings table — every assignment, centroid update, and final
@@ -3820,7 +3870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     conversation-validation, then PII-redaction / line-dedup — rotating
     r4-green veterans past the window."""
     return {
-        # --- newest (r5 part 4): Count-Sketch probes + priority sampling ---
+        # --- newest (r5 part 6): FD matrix sketch + PMI co-occurrence ---
+        "emb_fd_covariance": q_emb_fd_covariance,
+        # --- r5 part 4/5: Count-Sketch probes + priority sampling ---
         "emb_kmeans": q_emb_kmeans,
         "transcripts_split": q_transcripts_split,
         "events_top_paths": q_events_top_paths,
@@ -5910,6 +5962,7 @@ def oracle_sql() -> dict[str, str]:
         # Spark argmax struct's negid), within-cluster pairs, dominated
         # keep rule; sequential-fold dot products are bit-equal across
         # engines (emb_near_dup_pairs precedent)
+        "emb_fd_covariance": fd_covariance_sql("embeddings", dim=64, l=32),
         "emb_kmeans": kmeans_sql("embeddings", k=8, iters=4),
         "emb_semdedup": (
             "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "

@@ -518,3 +518,51 @@ SELECT lv.g AS {group_col},
 FROM lv JOIN nn USING (g) JOIN raw USING (g) JOIN nf USING (g)
 ORDER BY 1
 """
+
+
+def fd_covariance_sql(
+    src: str,
+    dim: int = 64,
+    l: int = 32,
+    scale_bits: int = 20,
+    emb_col: str = "embedding",
+    round_digits: int = 4,
+) -> str:
+    """DuckDB twin of ``dataops.fd_covariance``'s partitioning-invariant
+    outputs: the exact integer second-moment frame (quantized
+    ``floor(x*2^scale_bits + 0.5)`` int64, HUGEINT sums — order-free,
+    bit-identical to the operator's Python-int driver reduce), the
+    Frobenius norm and FD error bound (one correctly-rounded HUGEINT ->
+    DOUBLE cast then exact power-of-two divisions — identical IEEE trees
+    both engines since ``l`` is a power of two), and the argmax dimension
+    with smallest-index tie-break. The three theorem-guaranteed booleans
+    (spectral bound, PSD, diagonal deviation) are TRUE by the FD merge
+    theorem for ANY partitioning — the set_overlap/LSH-recall gate
+    discipline (validated at both SFs)."""
+    if l & (l - 1):
+        raise ValueError("l must be a power of two (exact double division)")
+    scale = repr(float(2**scale_bits))
+    sq = repr(float(2 ** (2 * scale_bits)))
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT list_transform({emb_col}, v ->
+    CAST(floor(CAST(v AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS q
+  FROM {src}
+),
+e AS (SELECT unnest(q) AS v, unnest(generate_series(1, {dim})) AS i FROM q),
+m AS MATERIALIZED (SELECT i, SUM(CAST(v AS HUGEINT) * v) AS m2 FROM e GROUP BY i),
+t AS (SELECT i, m2 FROM m ORDER BY m2 DESC, i LIMIT 1),
+f AS (SELECT SUM(m2) AS fro FROM m)
+SELECT
+  (SELECT COUNT(*) FROM q) AS n_vectors,
+  CAST({dim} AS BIGINT) AS dims,
+  CAST({l} AS BIGINT) AS sketch_rows,
+  ROUND(CAST((SELECT fro FROM f) AS DOUBLE) / {sq}, {round_digits}) AS fro_sq,
+  ROUND(2.0 * (CAST((SELECT fro FROM f) AS DOUBLE) / {sq}) / {float(l)!r},
+        {round_digits}) AS bound,
+  CAST((SELECT i FROM t) AS BIGINT) AS top_dim,
+  ROUND(CAST((SELECT m2 FROM t) AS DOUBLE) / {sq}, {round_digits}) AS top_dim_m2,
+  TRUE AS spec_bound_ok,
+  TRUE AS psd_ok,
+  TRUE AS top_dim_within_bound
+"""

@@ -3489,3 +3489,255 @@ def top_event_paths(
         .filter(F.col("rank") <= int(k))
         .select("path", "n_occurrences", "rank")
     )
+
+
+def fd_covariance(
+    df,
+    emb_col: str = "embedding",
+    l: int = 32,
+    scale_bits: int = 20,
+):
+    """Distributed Frequent Directions covariance sketch over an embedding
+    column (sketches.frequent_directions; Liberty KDD'13) plus the EXACT
+    integer second-moment frame the sketch is judged against — one
+    mapInPandas scan, no shuffle of vectors, tiny driver reduce.
+
+    Per partition (chunked so every emitted integer fits int64): vectors
+    quantize to ``floor(x * 2^scale_bits + 0.5)`` int64 in numpy (the
+    kmeans_embeddings discipline — A is DEFINED as the dequantized
+    quantized matrix, identically recomputable by SQL), then (a) an FD
+    sketch over the dequantized rows, (b) exact per-dimension second
+    moments sum(q_j^2) and the full d x d Gram sum(q_i q_j) as int64
+    partials. The driver sums partials as arbitrary-precision Python ints
+    (order-free, exact at any scale) and merges the partition sketches
+    (stack + one shrink per merge — the FD guarantee survives any merge
+    tree).
+
+    Returns a dict of partitioning-INVARIANT results for gating —
+    ``n_vectors, dims, sketch_rows, fro_sq, bound, top_dim, top_dim_m2``
+    (exact, SQL-replicable) and the theorem-guaranteed booleans
+    ``spec_bound_ok`` (||A'A - B'B||_2 <= 2||A||_F^2 / l), ``psd_ok``
+    (A'A - B'B >= 0), ``top_dim_within_bound`` — plus the (partition-
+    order-dependent, NOT gateable) sketch matrix ``B`` and the measured
+    ``spec_err`` for diagnostics.
+
+    Scale shape: the scan is the job — each partition ships one l x d
+    sketch + d x d int64 Gram partial (l=32, d=64: ~50 KB); at 10^5+
+    partitions switch the driver reduce to treeAggregate. Beyond-reference
+    (the reference has no matrix sketch); brief-driven embedding analysis.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ddsparkle.sketches.frequent_directions import FrequentDirections
+
+    scale = float(2**scale_bits)
+    first = df.select(emb_col).first()
+    if first is None:
+        raise ValueError("empty input")
+    d = len(first[0])
+    ll = int(l)
+
+    out_schema = (
+        "cnt long, m2 array<long>, gram array<long>, b array<double>, b_rows int"
+    )
+
+    def part(batches):
+        fd = FrequentDirections(ll, d)
+        # chunk cap keeps every int64 partial exact: q^2 <= 2^(2*scale_bits),
+        # 2^40 * 2^22 rows < 2^63
+        cap = 1 << (62 - 2 * scale_bits)
+        m2 = np.zeros(d, dtype=object)
+        gram = np.zeros((d, d), dtype=object)
+        cnt = 0
+        rows_out = []
+
+        def flush():
+            nonlocal m2, gram, cnt
+            if cnt == 0:
+                return
+            rows_out.append(
+                {
+                    "cnt": cnt,
+                    "m2": [int(v) for v in m2],
+                    "gram": [int(v) for v in gram.ravel()],
+                    "b": [],
+                    "b_rows": 0,
+                }
+            )
+            m2 = np.zeros(d, dtype=object)
+            gram = np.zeros((d, d), dtype=object)
+            cnt = 0
+
+        for pdf in batches:
+            vals = pdf[emb_col].to_numpy()
+            if len(vals) == 0:
+                continue
+            a = np.stack([np.asarray(v, dtype=np.float64) for v in vals])
+            q = np.floor(a * scale + 0.5).astype(np.int64)
+            for s in range(0, len(q), cap):
+                ch = q[s : s + cap]
+                gram += (ch.T @ ch).astype(object)
+                m2 += np.einsum("ij,ij->j", ch, ch).astype(object)
+                cnt += len(ch)
+                flush()
+                fd.insert(ch[: len(ch)].astype(np.float64) / scale)
+        flush()
+        bm = fd.compact()
+        nz = int(np.count_nonzero(np.any(bm != 0.0, axis=1)))
+        rows_out.append(
+            {
+                "cnt": 0,
+                "m2": [0] * d,
+                "gram": [0] * (d * d),
+                "b": [float(v) for v in bm[:nz].ravel()],
+                "b_rows": nz,
+            }
+        )
+        yield pd.DataFrame(
+            rows_out,
+            columns=["cnt", "m2", "gram", "b", "b_rows"],
+        )
+
+    partials = (
+        _ensure_parallelism(df.select(emb_col))
+        .mapInPandas(part, schema=out_schema)
+        .collect()
+    )
+    n = 0
+    m2_tot = [0] * d
+    gram_tot = [0] * (d * d)
+    fd = FrequentDirections(ll, d)
+    for r in partials:
+        n += int(r["cnt"])
+        if int(r["cnt"]) > 0:
+            for j, v in enumerate(r["m2"]):
+                m2_tot[j] += int(v)
+            for j, v in enumerate(r["gram"]):
+                gram_tot[j] += int(v)
+        if r["b_rows"]:
+            b = np.array(r["b"], dtype=np.float64).reshape(int(r["b_rows"]), d)
+            fd.insert(b)
+    b = fd.compact()
+    ata = np.array([float(v) for v in gram_tot], dtype=np.float64).reshape(d, d)
+    ata /= scale * scale
+    btb = b.T @ b
+    eig = np.linalg.eigvalsh(ata - btb)
+    spec_err = float(np.max(np.abs(eig)))
+    fro_sq = float(sum(m2_tot)) / (scale * scale)
+    bound = 2.0 * fro_sq / ll
+    # exact integer argmax (float64 would collapse >2^53 near-ties), smallest dim wins
+    top = max(range(d), key=lambda j: (m2_tot[j], -j))
+    top_m2 = float(m2_tot[top]) / (scale * scale)
+    tol = 1e-9 + 1e-12 * fro_sq
+    return {
+        "n_vectors": n,
+        "dims": d,
+        "sketch_rows": ll,
+        "fro_sq": fro_sq,
+        "bound": bound,
+        "top_dim": top + 1,
+        "top_dim_m2": top_m2,
+        "spec_bound_ok": bool(spec_err <= bound + tol),
+        "psd_ok": bool(eig.min() >= -tol),
+        "top_dim_within_bound": bool(abs(btb[top, top] - top_m2) <= bound + tol),
+        "spec_err": spec_err,
+        "B": b,
+    }
+
+
+def pmi_pairs(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 2,
+    min_df: int = 3,
+    max_df_den: int = 10,
+    min_pair: int = 2,
+    k: int = 40,
+    scale_bits: int = 20,
+):
+    """Top-``k`` co-occurring term pairs by pointwise mutual information,
+    ranked with an INTEGER score so the ordering never hinges on a
+    cross-engine ``ln`` ulp: PMI(x,y) = log(c_xy * N / (df_x * df_y)) is
+    monotone in the exact fraction, so ranking by
+    ``score = (c_xy * N * 2^scale_bits) DIV (df_x * df_y)`` (all int64)
+    reproduces the PMI order exactly in Spark and DuckDB alike — the
+    tfidf_top_terms/ngram_lm integer-rank discipline. Ties break on
+    (n_pairs desc, term_a, term_b).
+
+    Terms are distinct word ``ngram`` shingles per document
+    (ngram_shingles_expr — the one formulation the fuzzy-dedup oracles
+    share); the content band keeps ``min_df <= df`` and
+    ``df * max_df_den <= N`` (an exact integer ratio, no float frac), which
+    bounds the per-document surviving-term count and therefore the
+    self-join fanout — the skew guard: a boilerplate term in every
+    document can never enter the pair expansion. Returns
+    [term_a, term_b, n_pairs, df_a, df_b, score, rank].
+
+    Scale shape: one scan expands shingles in the projection; (doc, term)
+    distinct pairs shuffle once for df; the in-band vocabulary is tiny and
+    BROADCASTs onto the per-doc term stream; the pair self-join keys on
+    ``id_col`` with per-doc fanout capped by the band (~50 terms/doc
+    here); pair counts map-side combine; top-k is orderBy+limit
+    (TakeOrderedAndProject). int64 headroom: c_xy * N * 2^20 needs
+    N^2 * 2^20 < 2^63, i.e. N < ~3e6 docs per corpus slice — switch
+    score to DECIMAL(38,0) beyond. Beyond-reference, brief-driven
+    (corpus phrase-association analysis).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if min_df < 1 or max_df_den < 1 or k < 1:
+        raise ValueError("min_df, max_df_den, k must be >= 1")
+    t = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(ngram_shingles_expr(text_col, ngram)).alias("term"),
+        )
+        .distinct()
+    )
+    n_docs = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.countDistinct(id_col).alias("__n"))
+    )
+    band = (
+        t.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= int(min_df))
+            & (F.col("df") * int(max_df_den) <= F.col("__n"))
+        )
+        .select("term", "df")
+    )
+    tb = t.join(F.broadcast(band), "term").select("__id", "term", "df")
+    a, b = tb.alias("a"), tb.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.__id") == F.col("b.__id")) & (F.col("a.term") < F.col("b.term")))
+        .groupBy(
+            F.col("a.term").alias("term_a"),
+            F.col("b.term").alias("term_b"),
+            F.col("a.df").alias("df_a"),
+            F.col("b.df").alias("df_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .filter(F.col("n_pairs") >= int(min_pair))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.expr(
+                f"(n_pairs * __n * {1 << scale_bits}L) DIV (df_a * df_b)"
+            ).cast("long"),
+        )
+    )
+    top = pairs.orderBy(
+        F.col("score").desc(), F.col("n_pairs").desc(), "term_a", "term_b"
+    ).limit(int(k))
+    w = Window.orderBy(
+        F.col("score").desc(), F.col("n_pairs").desc(), "term_a", "term_b"
+    )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "term_a", "term_b", "n_pairs", "df_a", "df_b", "score", "rank"
+    )
