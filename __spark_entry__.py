@@ -3595,6 +3595,33 @@ def q_transcripts_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id")
 
 
+def q_doc_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 co-occurring bigram pairs by PMI (dataops.pmi_pairs): the
+    rank score is the INTEGER (n_pairs * N * 2^20) DIV (df_a * df_b) —
+    monotone in the exact PMI fraction, zero float-ln rank risk (the
+    tfidf/ngram_lm integer discipline). The df band [3, N/10] keeps only
+    content bigrams (planted 'dup' phrases and rare combinations surface;
+    the ~390/500-df boilerplate vocabulary is excluded BEFORE the pair
+    join — the skew guard the docstring documents). The DuckDB twin
+    replays shingling (_gram_list_sql), band, per-doc pair join, and the
+    integer score with BIGINT // division, hash-exact."""
+    from ddsparkle.spark.dataops import pmi_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pmi_pairs(
+        docs, ngram=2, min_df=3, max_df_den=10, min_pair=2, k=40, scale_bits=20
+    )
+    return out.select(
+        "term_a",
+        "term_b",
+        "n_pairs",
+        "df_a",
+        "df_b",
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_emb_fd_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent Directions matrix sketch (Liberty KDD'13; dataops.
     fd_covariance) over the 64-dim embedding corpus, l=32: per-partition
@@ -3871,6 +3898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r4-green veterans past the window."""
     return {
         # --- newest (r5 part 6): FD matrix sketch + PMI co-occurrence ---
+        "doc_pmi_pairs": q_doc_pmi_pairs,
         "emb_fd_covariance": q_emb_fd_covariance,
         # --- r5 part 4/5: Count-Sketch probes + priority sampling ---
         "emb_kmeans": q_emb_kmeans,
@@ -4409,6 +4437,43 @@ SELECT
   CAST((SELECT COUNT(*) FROM exact_kept) AS DOUBLE) AS after_exact_dedup{strip_counts},
   CAST((SELECT COUNT(*) FROM fuzzy_kept) AS DOUBLE) AS after_fuzzy_dedup,
   CAST((SELECT COUNT(*) FROM final) AS DOUBLE) AS after_quality_language{lm_count}{model_count}
+"""
+
+
+def _pmi_pairs_sql(
+    ngram: int = 2,
+    min_df: int = 3,
+    max_df_den: int = 10,
+    min_pair: int = 2,
+    k: int = 40,
+    scale_bits: int = 20,
+) -> str:
+    """DuckDB twin of dataops.pmi_pairs over documents: identical
+    shingling (_gram_list_sql), the exact-integer df band
+    (df * max_df_den <= N), the per-doc pair self-join, and the BIGINT
+    floor-division score — ``//`` mirrors Spark's integer DIV exactly."""
+    return f"""
+WITH sh AS MATERIALIZED (SELECT doc_id, {_gram_list_sql(ngram)} AS s
+  FROM documents WHERE text IS NOT NULL),
+t AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(s) AS term FROM sh),
+nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents WHERE text IS NOT NULL),
+d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term),
+band AS MATERIALIZED (SELECT term, df FROM d
+  WHERE df >= {min_df} AND df * {max_df_den} <= (SELECT n FROM nn)),
+tb AS MATERIALIZED (SELECT t.doc_id, t.term, band.df
+  FROM t JOIN band USING (term)),
+p AS (SELECT a.term AS term_a, b.term AS term_b, a.df AS df_a, b.df AS df_b,
+        COUNT(*) AS n_pairs
+      FROM tb a JOIN tb b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2, 3, 4),
+s AS (SELECT term_a, term_b, n_pairs, df_a, df_b,
+        (n_pairs * (SELECT n FROM nn) * {1 << scale_bits}) // (df_a * df_b)
+          AS score
+      FROM p WHERE n_pairs >= {min_pair})
+SELECT term_a, term_b, n_pairs, df_a, df_b, score,
+       CAST(row_number() OVER (ORDER BY score DESC, n_pairs DESC,
+         term_a, term_b) AS BIGINT) AS rank
+FROM s ORDER BY score DESC, n_pairs DESC, term_a, term_b LIMIT {k}
 """
 
 
@@ -5962,6 +6027,7 @@ def oracle_sql() -> dict[str, str]:
         # Spark argmax struct's negid), within-cluster pairs, dominated
         # keep rule; sequential-fold dot products are bit-equal across
         # engines (emb_near_dup_pairs precedent)
+        "doc_pmi_pairs": _pmi_pairs_sql(),
         "emb_fd_covariance": fd_covariance_sql("embeddings", dim=64, l=32),
         "emb_kmeans": kmeans_sql("embeddings", k=8, iters=4),
         "emb_semdedup": (

@@ -1873,3 +1873,75 @@ def test_top_event_paths_constructed(spark):
     assert got["a>b>c"]["n_occurrences"] == 2 and got["a>b>c"]["rank"] == 1
     assert got["x>y>z"]["n_occurrences"] == 1
     assert set(got) == {"a>b>c", "b>c>a", "c>a>b", "x>y>z"}
+
+
+class TestPmiPairs:
+    def _docs(self, spark):
+        # 20 docs from a boilerplate vocabulary (in every doc -> banded out),
+        # plus planted content bigrams: "alpha beta" & "gamma delta" co-occur
+        # in docs 0-3 (4 of 20); "alpha beta" & "zz qq" share only doc 0.
+        rows = []
+        for i in range(20):
+            base = "the cat sat on the mat"
+            extra = ""
+            if i < 4:
+                extra = " alpha beta gamma delta"
+            elif i < 8:
+                extra = " alpha beta"
+            elif i < 12:
+                extra = " gamma delta"
+            if i == 0:
+                extra += " zz qq"
+            rows.append((i, base + extra))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_pair_ranks_first(self, spark):
+        from ddsparkle.spark.dataops import pmi_pairs
+
+        out = pmi_pairs(
+            self._docs(spark), ngram=2, min_df=2, max_df_den=2,
+            min_pair=2, k=10,
+        ).collect()
+        assert out, "expected at least one surviving pair"
+        # exact integer score replicated in python for every returned row
+        n = 20
+        for r in out:
+            assert r["score"] == (r["n_pairs"] * n * (1 << 20)) // (
+                r["df_a"] * r["df_b"]
+            )
+        # boilerplate bigrams (df=20, in every doc) are banded out entirely
+        for r in out:
+            assert "the cat" not in (r["term_a"], r["term_b"])
+            assert "cat sat" not in (r["term_a"], r["term_b"])
+        ranks = [r["rank"] for r in out]
+        assert ranks == sorted(ranks) and ranks[0] == 1
+
+    def test_min_pair_filters_singletons(self, spark):
+        from ddsparkle.spark.dataops import pmi_pairs
+
+        out = pmi_pairs(
+            self._docs(spark), ngram=2, min_df=2, max_df_den=2,
+            min_pair=2, k=100,
+        ).collect()
+        # "zz qq" co-occurs with anything only in doc 0 -> below min_pair
+        terms = {r["term_a"] for r in out} | {r["term_b"] for r in out}
+        assert "zz qq" not in terms
+
+    def test_null_text_ignored(self, spark):
+        from ddsparkle.spark.dataops import pmi_pairs
+
+        base = self._docs(spark)
+        with_null = base.union(
+            spark.createDataFrame([(99, None)], "doc_id long, text string")
+        )
+        a = sorted(map(tuple, pmi_pairs(base, min_df=2, max_df_den=2).collect()))
+        b = sorted(map(tuple, pmi_pairs(with_null, min_df=2, max_df_den=2).collect()))
+        assert a == b
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from ddsparkle.spark.dataops import pmi_pairs
+
+        with _pytest.raises(ValueError):
+            pmi_pairs(self._docs(spark), min_df=0)
