@@ -3866,41 +3866,39 @@ def q_doc_curation_spanstrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is evidence policy, not alphabetics: the driver
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json, so entries
-    that have never had a driver row (or changed behavior this round) come
-    first, then the rest rotate. Every entry is additionally replayed by
-    tests/test_entry_harness.py regardless of position. r5 front-loads:
-    the 4 brand-new r5 gates (model-quality scorer ×2, image dhash ×2 —
-    positions 1-4), then the r4-verified block stays inside the window so
-    the gates whose OPERATORS changed behavior this round (ordering moved
-    to gates: sft_pairs, role/tool_transitions, conv_dedup, near_dup,
-    decontamination, sessionization; persist fix: transcripts_curation)
-    all land in the driver's 50-row window again. Union of r1-r5 driver
-    rows still covers every entry; veterans outside the window rest on the
-    harness replay (all entries, both SFs recorded in BENCH/). r5 part 4
-    r5 part 5 (this session) front-loads distributed k-means + turn-run
-    merging + truncation + UDDSketch (global/grouped/streaming) + tf-idf +
-    exact moments (batch+streaming) + funnel + anomaly + sliding-distinct +
-    exact order statistics + PII-by-role + self-repetition + k-means +
-    funnels (plain+windowed) + burn-rate + retention + paths + conv-split +
-    decayed
-    quantiles at positions 1-5; r5 part 4
-    front-loads its 12 gates (next: Count-Sketch batch +
-    streaming, weighted priority sampling, JSON extract + key profile,
-    per-row percentile x2, BPE merges + vocab replay, grouping-sets
-    rollup, AMS join size, readability scoring); r5 part 3
-    puts the curation-with-span-strip composition gate next; r5
-    part 2 puts the two substring-dedup gates (duplicated spans + strip)
-    next; then the late-r5 gates — AMS F2 sketch (batch + streaming) /
-    shard packing (doc + conversation) / LM quality + LM curation
-    pipeline / source overlap matrix (1-8), then domain-mix /
-    repetition-signals / corpus-line-dedup / split /
-    conversation-validation, then PII-redaction / line-dedup — rotating
-    r4-green veterans past the window."""
+    that have never had a driver row come first; every entry is ALSO
+    replayed by tests/test_entry_harness.py (all entries, sf0.01 per test
+    run, sf0.1 sweeps recorded in BENCH/GATES_sf01_r05.md).
+
+    Round 5 added 61 new gates — more than the window — so the order
+    applies a FAMILY rule: positions 1-50 hold at least one gate per new
+    operator family (brand-new-this-session first, then the round's
+    additions); positions 51-61 are the 11 new entries rotated out, each
+    chosen because an in-window sibling exercises the same machinery
+    (streaming legs proven bit-equal to their in-window batch build and
+    sharing its twin SQL verbatim: transcripts_streaming_countsketch,
+    streaming_moments; same operator on a second table:
+    doc_shard_packing, doc_pii_redaction, events_value_percentile,
+    doc_bpe_vocab_tokens, events_json_key_profile; a sibling gate
+    composing strictly more of the same code: events_funnel vs
+    events_funnel_windowed, events_udd_quantiles vs events_udd_by_type,
+    doc_dup_spans vs doc_dup_span_strip/doc_curation_spanstrip,
+    transcripts_selfjoin_size_ams vs orders_join_size_ams). Their
+    correctness evidence is the recorded both-SF harness replay; they are
+    first in line for the r6 window. Veterans (driver-green r1-r4)
+    rotate behind."""
     return {
-        # --- newest (r5 part 6): FD matrix sketch + PMI co-occurrence ---
+        # --- r5 part 6 (this session): PMI + FD matrix sketch ---
         "doc_pmi_pairs": q_doc_pmi_pairs,
         "emb_fd_covariance": q_emb_fd_covariance,
-        # --- r5 part 4/5: Count-Sketch probes + priority sampling ---
+        # --- r5 new entries, one per operator family, never driver-run ---
+        "doc_model_quality": q_doc_model_quality,
+        "doc_curation_model_pipeline": q_doc_curation_model_pipeline,
+        "media_image_dhash": q_media_image_dhash,
+        "media_image_near_dup": q_media_image_near_dup,
+        "transcripts_turn_model_quality": q_transcripts_turn_model_quality,
+        "transcripts_conv_model_quality": q_transcripts_conv_model_quality,
+        "transcripts_validation": q_transcripts_validation,
         "emb_kmeans": q_emb_kmeans,
         "transcripts_split": q_transcripts_split,
         "events_top_paths": q_events_top_paths,
@@ -3912,61 +3910,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_pii_by_role": q_transcripts_pii_by_role,
         "events_exact_quantiles": q_events_exact_quantiles,
         "rollup_sliding_distinct": q_rollup_sliding_distinct,
-        "streaming_moments": q_streaming_moments,
-        "events_funnel": q_events_funnel,
         "transcripts_self_repetition": q_transcripts_self_repetition,
         "rollup_anomaly_days": q_rollup_anomaly_days,
         "events_moments": q_events_moments,
         "doc_tfidf_terms": q_doc_tfidf_terms,
-        "events_udd_quantiles": q_events_udd_quantiles,
         "events_decayed_quantiles": q_events_decayed_quantiles,
         "transcripts_turn_merge": q_transcripts_turn_merge,
         "transcripts_truncation": q_transcripts_truncation,
         "transcripts_conv_freq_countsketch": q_transcripts_conv_freq_countsketch,
         "doc_weighted_sample": q_doc_weighted_sample,
         "events_json_extract": q_events_json_extract,
-        "events_json_key_profile": q_events_json_key_profile,
-        "events_value_percentile": q_events_value_percentile,
         "doc_bpe_merges": q_doc_bpe_merges,
         "transcripts_latency_percentile": q_transcripts_latency_percentile,
         "events_quantile_rollup_sets": q_events_quantile_rollup_sets,
         "orders_join_size_ams": q_orders_join_size_ams,
-        "transcripts_streaming_countsketch": q_transcripts_streaming_countsketch,
         "doc_readability": q_doc_readability,
-        "doc_bpe_vocab_tokens": q_doc_bpe_vocab_tokens,
-        # --- newest (r5 part 3): substring dedup wired into curation ---
         "doc_curation_spanstrip": q_doc_curation_spanstrip,
-        # --- newest (r5 part 2): exact substring dedup (Lee et al. 2021) ---
-        "doc_dup_spans": q_doc_dup_spans,
         "doc_dup_span_strip": q_doc_dup_span_strip,
         "transcripts_boilerplate_turns": q_transcripts_boilerplate_turns,
         "doc_kmv_set_algebra": q_doc_kmv_set_algebra,
         "emb_semdedup": q_emb_semdedup,
-        # --- newest (late r5): AMS F2 sketch + deterministic output sharding ---
-        "transcripts_selfjoin_size_ams": q_transcripts_selfjoin_size_ams,
         "transcripts_streaming_f2_ams": q_transcripts_streaming_f2_ams,
         "transcripts_shard_packing": q_transcripts_shard_packing,
-        "doc_shard_packing": q_doc_shard_packing,
         "doc_lm_quality": q_doc_lm_quality,
         "doc_curation_lm_pipeline": q_doc_curation_lm_pipeline,
         "doc_source_overlap_matrix": q_doc_source_overlap_matrix,
-        # --- newest (late r5): repetition signals, line dedup, split, validation ---
         "doc_domain_mix": q_doc_domain_mix,
         "doc_repetition_signals": q_doc_repetition_signals,
         "doc_corpus_line_dedup": q_doc_corpus_line_dedup,
         "doc_split_assignment": q_doc_split_assignment,
-        "transcripts_validation": q_transcripts_validation,
-        # --- late r5: PII redaction + intra-doc line dedup ---
-        "doc_pii_redaction": q_doc_pii_redaction,
         "doc_line_dedup": q_doc_line_dedup,
-        # --- r5: model-based quality scoring + image near-dup ---
-        "doc_model_quality": q_doc_model_quality,
-        "doc_curation_model_pipeline": q_doc_curation_model_pipeline,
-        "media_image_dhash": q_media_image_dhash,
-        "media_image_near_dup": q_media_image_near_dup,
-        "transcripts_turn_model_quality": q_transcripts_turn_model_quality,
-        "transcripts_conv_model_quality": q_transcripts_conv_model_quality,
-        # --- r4b: transcript training-pair / decontamination ops ---
+        # --- r5 new entries ROTATED OUT (window=50): each has an
+        # in-window family sibling; evidence = both-SF harness replay ---
+        "events_funnel": q_events_funnel,
+        "events_udd_quantiles": q_events_udd_quantiles,
+        "doc_dup_spans": q_doc_dup_spans,
+        "transcripts_selfjoin_size_ams": q_transcripts_selfjoin_size_ams,
+        "doc_shard_packing": q_doc_shard_packing,
+        "doc_bpe_vocab_tokens": q_doc_bpe_vocab_tokens,
+        "doc_pii_redaction": q_doc_pii_redaction,
+        "events_json_key_profile": q_events_json_key_profile,
+        "transcripts_streaming_countsketch": q_transcripts_streaming_countsketch,
+        "events_value_percentile": q_events_value_percentile,
+        "streaming_moments": q_streaming_moments,
+        # --- veterans (driver-green in r1-r4), rotating ---
         "transcripts_token_quantiles": q_transcripts_token_quantiles,
         "transcripts_sft_pairs": q_transcripts_sft_pairs,
         "transcripts_decontamination": q_transcripts_decontamination,
@@ -3976,12 +3963,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_streaming_rollup": q_transcripts_streaming_rollup,
         "transcripts_sessionization": q_transcripts_sessionization,
         "transcripts_turn_quality": q_transcripts_turn_quality,
-        # --- new this round: BASELINE.json north-star transcript queries ---
         "transcripts_text_len_by_role": q_transcripts_text_len,
         "transcripts_turn_latency": q_transcripts_latency,
         "transcripts_turn_latency_skewproof": q_transcripts_latency_skewproof,
         "transcripts_turns_per_conv": q_transcripts_turns_per_conv,
-        # --- r4 transcript-native conversation-level operators ---
         "transcripts_conv_stats": q_transcripts_conv_stats,
         "transcripts_conv_duration": q_transcripts_conv_duration,
         "transcripts_response_latency": q_transcripts_response_latency,
@@ -3997,7 +3982,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_packing": q_transcripts_packing,
         "transcripts_sample": q_transcripts_sample,
         "transcripts_rollup_window": q_transcripts_rollup_window,
-        # --- never had a driver row (registry positions 51-67 in r3) ---
         "media_video_motion": q_media_video_motion,
         "ddsketch_events_cdf": q_events_cdf,
         "ddsketch_events_cdf_by_type": q_events_cdf_by_type,
@@ -4015,12 +3999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_users_per_type": q_topk_users_per_type,
         "doc_chunks": q_doc_chunks,
         "rollup_tdigest_window_quantiles": q_rollup_tdigest_window_quantiles,
-        # --- behavior changed this round (language scorer prefix bound) ---
         "doc_language_id": q_doc_language_id,
         "doc_curation_pipeline": q_doc_curation_pipeline,
-        # --- core sketch family (driver-green r1-r3; the first 3 stay in
-        # the 50-row window — ddsketch_events_cubic kept as close to the
-        # window as the r4b additions allow: its only driver row is r3) ---
         "ddsketch_events_value": q_events_value,
         "ddsketch_events_by_type": q_events_by_type,
         "ddsketch_events_cubic": q_ddsketch_events_cubic,
@@ -4048,8 +4028,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontamination": q_doc_decontamination,
         "heavy_hitters_event_type": q_heavy_hitters_event_type,
         "hll_distinct_users": q_hll_distinct_users,
-        # --- rotated past the 50-entry snapshot window this round; ALL are
-        # driver-green in CORRECTNESS_r01-r03 and stay harness-replayed ---
         "doc_dedup_representatives": q_doc_dedup_representatives,
         "doc_text_quality": q_doc_text_quality,
         "doc_token_quantiles": q_doc_token_quantiles,
