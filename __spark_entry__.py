@@ -3595,6 +3595,89 @@ def q_transcripts_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id")
 
 
+def q_events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF attribution (dataops.asof_join, union-window pattern): every
+    purchase event joins the most recent STRICTLY-prior view by the same
+    user — one exchange + sort, no join node in the plan (pinned). Right
+    side is deduped per (user, ts_us) keeping max(event_id), the
+    operator's uniqueness contract. The DuckDB twin is a native
+    ``ASOF LEFT JOIN ... ON p.us > v.us`` over epoch-micros integers
+    (tz-free, the event-analytics twin discipline); unmatched purchases
+    keep NULL view/gap on both sides."""
+    from ddsparkle.spark.dataops import asof_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("us").alias("ts_us")
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("us").alias("view_ts_us"))
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = asof_join(
+        purchases,
+        views,
+        ["user_id"],
+        left_ts="ts_us",
+        right_ts="view_ts_us",
+        payload_cols=["view_event_id", "view_ts_us"],
+        strict=True,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "view_event_id",
+        "view_ts_us",
+        (F.col("ts_us") - F.col("view_ts_us")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+def q_events_range_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE join (dataops.range_join, interval-binning rewrite): events
+    against per-type daily business windows [day+6h, day+18h) derived
+    from the corpus itself — the binning turns Spark's would-be
+    BroadcastNestedLoop inequality join into a SortMerge EQUI-join on
+    (event_type, 12h-bin) with the exact predicate as a post-filter
+    (plan-pinned: no nested-loop node). Windows are disjoint per type, so
+    each event matches at most once; the DuckDB twin is the plain
+    inequality join over the same epoch-micros integers."""
+    from ddsparkle.spark.dataops import range_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+    )
+    hours6 = 6 * 3600 * 1_000_000
+    hours18 = 18 * 3600 * 1_000_000
+    iv = (
+        e.select(
+            "event_type",
+            (F.col("day_us") + F.lit(hours6)).alias("win_start_us"),
+            (F.col("day_us") + F.lit(hours18)).alias("win_end_us"),
+        )
+        .distinct()
+    )
+    out = range_join(
+        e.select("event_id", "event_type", "us"),
+        iv,
+        "us",
+        "win_start_us",
+        "win_end_us",
+        ["event_type"],
+        bin_width=12 * 3600 * 1_000_000,
+    )
+    return out.select("event_id", "event_type", "win_start_us").orderBy("event_id")
+
+
 def q_doc_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-40 co-occurring bigram pairs by PMI (dataops.pmi_pairs): the
     rank score is the INTEGER (n_pairs * N * 2^20) DIV (df_a * df_b) —
@@ -3882,13 +3965,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     doc_bpe_vocab_tokens, events_json_key_profile; a sibling gate
     composing strictly more of the same code: events_funnel vs
     events_funnel_windowed, events_udd_quantiles vs events_udd_by_type,
-    doc_dup_spans vs doc_dup_span_strip/doc_curation_spanstrip,
+    doc_dup_spans AND doc_dup_span_strip vs doc_curation_spanstrip
+    (which composes the same strip end-to-end), doc_lm_quality vs
+    doc_curation_lm_pipeline (same scorer composed),
     transcripts_selfjoin_size_ams vs orders_join_size_ams). Their
     correctness evidence is the recorded both-SF harness replay; they are
     first in line for the r6 window. Veterans (driver-green r1-r4)
     rotate behind."""
     return {
         # --- r5 part 6 (this session): PMI + FD matrix sketch ---
+        "events_asof_attribution": q_events_asof_attribution,
+        "events_range_windows": q_events_range_windows,
         "doc_pmi_pairs": q_doc_pmi_pairs,
         "emb_fd_covariance": q_emb_fd_covariance,
         # --- r5 new entries, one per operator family, never driver-run ---
@@ -3926,13 +4013,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_join_size_ams": q_orders_join_size_ams,
         "doc_readability": q_doc_readability,
         "doc_curation_spanstrip": q_doc_curation_spanstrip,
-        "doc_dup_span_strip": q_doc_dup_span_strip,
         "transcripts_boilerplate_turns": q_transcripts_boilerplate_turns,
         "doc_kmv_set_algebra": q_doc_kmv_set_algebra,
         "emb_semdedup": q_emb_semdedup,
         "transcripts_streaming_f2_ams": q_transcripts_streaming_f2_ams,
         "transcripts_shard_packing": q_transcripts_shard_packing,
-        "doc_lm_quality": q_doc_lm_quality,
         "doc_curation_lm_pipeline": q_doc_curation_lm_pipeline,
         "doc_source_overlap_matrix": q_doc_source_overlap_matrix,
         "doc_domain_mix": q_doc_domain_mix,
@@ -3942,6 +4027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": q_doc_line_dedup,
         # --- r5 new entries ROTATED OUT (window=50): each has an
         # in-window family sibling; evidence = both-SF harness replay ---
+        "doc_dup_span_strip": q_doc_dup_span_strip,
+        "doc_lm_quality": q_doc_lm_quality,
         "events_funnel": q_events_funnel,
         "events_udd_quantiles": q_events_udd_quantiles,
         "doc_dup_spans": q_doc_dup_spans,
@@ -6005,6 +6092,30 @@ def oracle_sql() -> dict[str, str]:
         # Spark argmax struct's negid), within-cluster pairs, dominated
         # keep rule; sequential-fold dot products are bit-equal across
         # engines (emb_near_dup_pairs precedent)
+        "events_asof_attribution": (
+            "WITH e AS (SELECT event_id, user_id, event_type, "
+            "epoch_us(ts) AS us FROM events), "
+            "p AS (SELECT event_id, user_id, us AS ts_us FROM e "
+            "WHERE event_type = 'purchase'), "
+            "v AS (SELECT user_id, us AS view_ts_us, MAX(event_id) "
+            "AS view_event_id FROM e WHERE event_type = 'view' "
+            "GROUP BY 1, 2) "
+            "SELECT p.event_id, p.user_id, p.ts_us, v.view_event_id, "
+            "v.view_ts_us, p.ts_us - v.view_ts_us AS gap_us "
+            "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id "
+            "AND p.ts_us > v.view_ts_us ORDER BY p.event_id"
+        ),
+        "events_range_windows": (
+            "WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us, "
+            "epoch_us(date_trunc('day', ts)) AS day_us FROM events), "
+            "iv AS (SELECT DISTINCT event_type, "
+            "day_us + 21600000000 AS win_start_us, "
+            "day_us + 64800000000 AS win_end_us FROM e) "
+            "SELECT e.event_id, e.event_type, iv.win_start_us "
+            "FROM e JOIN iv ON e.event_type = iv.event_type "
+            "AND iv.win_start_us <= e.us AND e.us < iv.win_end_us "
+            "ORDER BY e.event_id"
+        ),
         "doc_pmi_pairs": _pmi_pairs_sql(),
         "emb_fd_covariance": fd_covariance_sql("embeddings", dim=64, l=32),
         "emb_kmeans": kmeans_sql("embeddings", k=8, iters=4),

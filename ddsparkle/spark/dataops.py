@@ -3741,3 +3741,149 @@ def pmi_pairs(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "term_a", "term_b", "n_pairs", "df_a", "df_b", "score", "rank"
     )
+
+
+def asof_join(
+    left,
+    right,
+    key_cols,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload_cols=None,
+    direction: str = "backward",
+    strict: bool = False,
+):
+    """Distributed AS-OF join — for every left row, the single right row
+    with the greatest ``right_ts <= left_ts`` (``backward``; ``forward``
+    takes the smallest ``right_ts >= left_ts``; ``strict`` excludes
+    equality) sharing ``key_cols``. Spark has no native ASOF operator; the
+    naive formulation is a theta-join (O(n*m) per key). This is the
+    scalable UNION-WINDOW pattern instead: tag both sides, union, ONE
+    shuffle+sort by (key, ts, side), and a running ``last(payload,
+    ignorenulls)`` window hands every left row its match — cost is one
+    exchange of (left + right) narrow rows, no join node in the plan at
+    all (plan-pinned in tests/test_plans.py).
+
+    ``payload_cols`` (default: all non-key right columns) come back
+    NULL-filled when no match exists (left-outer semantics). Right rows
+    must be unique per (key, ts): at duplicate timestamps the window order
+    between them is unspecified — dedupe first (the gate's groupBy-max
+    precedent). Timestamps may be any orderable numeric/timestamp type;
+    cross-engine gates should compare epoch integers (CLAUDE.md).
+
+    Scale shape: one hash exchange + sort on (key, ts) — the same cost
+    class as any windowed sessionization; skew follows the key's row
+    distribution (salt upstream if one key dominates, as with
+    sessionize). At 10^12 rows the sort is the job, which is the floor
+    for ordered-match semantics. Beyond-reference, brief-driven."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    keys = list(key_cols)
+    if payload_cols is None:
+        payload_cols = [c for c in right.columns if c not in keys + [right_ts]]
+    if not payload_cols:
+        raise ValueError("right side has no payload columns")
+    clash = set(payload_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"payload columns collide with left columns: {clash}")
+    # at equal ts the side that sorts FIRST is visible to the other:
+    # inclusive -> right first; strict -> left first (right not yet seen)
+    side_left, side_right = (0, 1) if strict else (1, 0)
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(side_right).alias("__side"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__p"),
+    )
+    lcols = left.columns
+    lft = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(side_left).alias("__side"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__l"),
+    )
+    r = r.withColumn(
+        "__l", F.lit(None).cast(lft.schema["__l"].dataType)
+    )
+    u = lft.unionByName(r)
+    order = [F.col("__ts"), F.col("__side")]
+    if direction == "forward":
+        order = [F.col("__ts").desc(), F.col("__side")]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+    out = matched.filter(F.col("__side") == side_left).select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        *[F.col(f"__m.{c}").alias(c) for c in payload_cols],
+    )
+    return out
+
+
+def range_join(
+    points,
+    intervals,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    key_cols=(),
+    bin_width: int = 0,
+):
+    """Distributed RANGE (interval) join — every (point, interval) pair
+    with ``start <= point < end`` and equal ``key_cols``. Spark plans a
+    bare inequality join as BroadcastNestedLoop/cartesian (O(n*m)); this
+    is the standard BINNING rewrite instead: points land in ONE bin
+    (``floor(point / bin_width)``), intervals EXPLODE to every bin they
+    overlap, and the join becomes an equi-join on (keys, bin) with the
+    exact predicate as a cheap post-filter — each qualifying pair meets
+    exactly once (a point lives in one bin), so no dedup is needed.
+
+    ``bin_width`` must be positive, in the column's own units (epoch
+    micros for timestamps); pick it near the TYPICAL interval length —
+    per-interval fanout is ``(end - start) / bin_width + 1`` rows, the
+    explicit knob trading replication against bucket selectivity (the
+    LSH-band logic). Numeric columns must be integral (exact floor
+    division both engines). Returns points columns + intervals columns
+    (inner semantics); column sets must be disjoint.
+
+    Scale shape: one exchange per side on (keys, bin) into a SortMerge
+    equi-join — no nested-loop node (plan-pinned); a degenerate giant
+    interval replicates only ITSELF (len/bin rows), never the points.
+    Beyond-reference, brief-driven."""
+    from pyspark.sql import functions as F
+
+    if bin_width <= 0:
+        raise ValueError("bin_width must be a positive integer")
+    keys = list(key_cols)
+    clash = (set(points.columns) - set(keys)) & (set(intervals.columns) - set(keys))
+    if clash:
+        raise ValueError(f"column collision between sides: {clash}")
+
+    def fdiv(c):
+        # floor division that is exact for int64 of either sign; the
+        # operand is parenthesized (c may be a compound expression — an
+        # unparenthesized `end - 1 DIV w` binds as `end - (1 DIV w)`)
+        return F.expr(
+            f"CAST(IF(({c}) >= 0, ({c}) DIV {bin_width}, "
+            f"-(((-({c})) + {bin_width} - 1) DIV {bin_width})) AS BIGINT)"
+        )
+
+    p = points.withColumn("__bin", fdiv(point_col))
+    iv = (
+        intervals.filter(F.col(end_col) > F.col(start_col))
+        .withColumn("__b0", fdiv(start_col))
+        .withColumn("__b1", fdiv(f"{end_col} - 1"))
+        .withColumn("__bin", F.explode(F.expr("sequence(__b0, __b1)")))
+        .drop("__b0", "__b1")
+    )
+    joined = p.join(iv, keys + ["__bin"]).filter(
+        (F.col(start_col) <= F.col(point_col))
+        & (F.col(point_col) < F.col(end_col))
+    )
+    return joined.drop("__bin")

@@ -447,3 +447,79 @@ def test_cohort_retention_distinct_map_side_and_pruned(spark, sf_dir):
     plan = plan_of(cohort_retention(df, granularity="week"))
     assert len(re.findall(r"\(\d+\) HashAggregate\b", plan)) >= 2, plan
     assert "user_id" in plan and "event_type" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_asof_join_no_join_node_one_exchange(spark, sf_dir):
+    """asof_join is the union-window pattern: the plan must contain NO
+    join operator at all — one hash exchange on the key + one sort feed
+    the running-last window."""
+    from ddsparkle.spark.dataops import asof_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("us").alias("ts_us")
+    )
+    right = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("us").alias("view_ts_us"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    plan = plan_of(
+        asof_join(left, right, ["user_id"], "ts_us", "view_ts_us", strict=True)
+    )
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoop",
+                 "CartesianProduct", "ShuffledHashJoin"):
+        assert node not in plan, node
+    assert "Window" in plan
+    # exactly one exchange, and it partitions the union by the key
+    import re
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_range_join_equi_join_no_nested_loop(spark, sf_dir):
+    """range_join's binning rewrite must plan as an EQUI join (SortMerge/
+    ShuffledHash) on (key, bin) — never BroadcastNestedLoop/cartesian,
+    which is what a bare inequality join degenerates to."""
+    from ddsparkle.spark.dataops import range_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+    )
+    iv = e.select(
+        "event_type",
+        (F.col("day_us") + F.lit(6 * 3600 * 1_000_000)).alias("ws"),
+        (F.col("day_us") + F.lit(18 * 3600 * 1_000_000)).alias("we"),
+    ).distinct()
+    plan = plan_of(
+        range_join(
+            e.select("event_id", "event_type", "us"), iv,
+            "us", "ws", "we", ["event_type"], bin_width=12 * 3600 * 1_000_000,
+        )
+    )
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_pmi_pairs_band_broadcast_and_single_pair_exchange(spark, sf_dir):
+    """pmi_pairs: the in-band vocabulary joins onto the per-doc term
+    stream as a BROADCAST (never a SortMerge of the corpus against a
+    ~1k-term dim), and no nested-loop node exists anywhere."""
+    from ddsparkle.spark.dataops import pmi_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(pmi_pairs(docs, k=10))
+    import re
+    # the only nested-loop nodes are single-row broadcast crossJoins of
+    # the corpus-size frame — every one must be a Cross BuildRight
+    bnlj = re.findall(r"BroadcastNestedLoopJoin (\w+ \w+)", plan)
+    assert all(b == "Cross BuildRight" for b in bnlj), bnlj
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # band dim broadcasts onto terms
