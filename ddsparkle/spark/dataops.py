@@ -3792,6 +3792,9 @@ def asof_join(
     # at equal ts the side that sorts FIRST is visible to the other:
     # inclusive -> right first; strict -> left first (right not yet seen)
     side_left, side_right = (0, 1) if strict else (1, 0)
+    # a NULL-ts right row would sort NULLS FIRST and "match" every left
+    # row; NULL-ts left rows sort first too and correctly match nothing
+    right = right.filter(F.col(right_ts).isNotNull())
     r = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
@@ -3810,9 +3813,11 @@ def asof_join(
         "__l", F.lit(None).cast(lft.schema["__l"].dataType)
     )
     u = lft.unionByName(r)
-    order = [F.col("__ts"), F.col("__side")]
+    # NULLS FIRST in BOTH directions: a NULL-ts left row must scan before
+    # any right row (=> NULL match), which desc's NULLS-LAST default breaks
+    order = [F.col("__ts").asc_nulls_first(), F.col("__side")]
     if direction == "forward":
-        order = [F.col("__ts").desc(), F.col("__side")]
+        order = [F.col("__ts").desc_nulls_first(), F.col("__side")]
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)

@@ -194,3 +194,23 @@ def test_range_join_validation(spark):
         range_join(
             pts.withColumnRenamed("p", "s"), iv, "s", "s", "e", ["k"], bin_width=1
         )
+
+
+def test_asof_null_timestamps(spark):
+    """NULL-ts right rows are dropped (they'd sort NULLS-FIRST and 'match'
+    everyone); NULL-ts left rows match nothing, in BOTH directions."""
+    from ddsparkle.spark.dataops import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", None, "b")], "k string, ts long, tag string"
+    )
+    right = spark.createDataFrame(
+        [("u1", 5, 50), ("u1", None, 999)], "k string, ts long, val int"
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            r["tag"]: r["val"]
+            for r in asof_join(left, right, ["k"], direction=direction).collect()
+        }
+        assert got["b"] is None, direction
+        assert got["a"] == (50 if direction == "backward" else None), direction
