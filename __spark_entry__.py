@@ -3595,6 +3595,41 @@ def q_transcripts_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id")
 
 
+def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-report corpus profiler (dataops.profile_table) over the events
+    table — the composition gate for the sketch family: exact row/null
+    counts and numeric min/max from ONE fused agg, DDSketch q50/q99 for
+    every numeric column in one stacked scan (_cfg pairing, the
+    q_events_value precedent), exact distinct + HLL 3*rse bound boolean
+    per string column (the hll-gate pattern), and the exact top value via
+    Misra-Gries + exact verify, emitted ONLY above the MG error bound
+    (top_count * mg_k > n_nonnull) so the answer is partition-order-free
+    by the MG guarantee. Timestamps profile as epoch-micros min/max with
+    NO quantiles (a relative-accuracy sketch over raw epochs is one giant
+    bucket — documented anti-pattern). The DuckDB twin rebuilds all six
+    column rows with exact SQL + the quantile-walk replicas."""
+    from ddsparkle.spark.dataops import profile_table
+
+    ev = _t(spark, sf_dir, "events")
+    out = profile_table(ev, config=_cfg(), hll_p=14, mg_k=1024)
+    return out.select(
+        "column",
+        "dtype",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        # as string: a NULL BOOLEAN round-trips differently through pandas
+        # in the two engines (None vs NaN); strings compare cleanly
+        F.col("distinct_within_3rse").cast("string").alias("distinct_within_3rse"),
+        "top_value",
+        "top_count",
+        F.round("vmin", 4).alias("vmin"),
+        F.round("vmax", 4).alias("vmax"),
+        F.round("q50", 4).alias("q50"),
+        F.round("q99", 4).alias("q99"),
+    ).orderBy("column")
+
+
 def q_events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF attribution (dataops.asof_join, union-window pattern): every
     purchase event joins the most recent STRICTLY-prior view by the same
@@ -3968,12 +4003,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     doc_dup_spans AND doc_dup_span_strip vs doc_curation_spanstrip
     (which composes the same strip end-to-end), doc_lm_quality vs
     doc_curation_lm_pipeline (same scorer composed),
-    transcripts_selfjoin_size_ams vs orders_join_size_ams). Their
+    transcripts_selfjoin_size_ams vs orders_join_size_ams,
+    doc_weighted_sample vs the bottom-k machinery of the driver-green
+    VETERAN doc_deterministic_sample). Their
     correctness evidence is the recorded both-SF harness replay; they are
     first in line for the r6 window. Veterans (driver-green r1-r4)
     rotate behind."""
     return {
         # --- r5 part 6 (this session): PMI + FD matrix sketch ---
+        "events_profile": q_events_profile,
         "events_asof_attribution": q_events_asof_attribution,
         "events_range_windows": q_events_range_windows,
         "doc_pmi_pairs": q_doc_pmi_pairs,
@@ -4005,7 +4043,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_turn_merge": q_transcripts_turn_merge,
         "transcripts_truncation": q_transcripts_truncation,
         "transcripts_conv_freq_countsketch": q_transcripts_conv_freq_countsketch,
-        "doc_weighted_sample": q_doc_weighted_sample,
         "events_json_extract": q_events_json_extract,
         "doc_bpe_merges": q_doc_bpe_merges,
         "transcripts_latency_percentile": q_transcripts_latency_percentile,
@@ -4027,6 +4064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": q_doc_line_dedup,
         # --- r5 new entries ROTATED OUT (window=50): each has an
         # in-window family sibling; evidence = both-SF harness replay ---
+        "doc_weighted_sample": q_doc_weighted_sample,
         "doc_dup_span_strip": q_doc_dup_span_strip,
         "doc_lm_quality": q_doc_lm_quality,
         "events_funnel": q_events_funnel,
@@ -4503,6 +4541,85 @@ SELECT
   CAST((SELECT COUNT(*) FROM fuzzy_kept) AS DOUBLE) AS after_fuzzy_dedup,
   CAST((SELECT COUNT(*) FROM final) AS DOUBLE) AS after_quality_language{lm_count}{model_count}
 """
+
+
+def _events_profile_sql() -> str:
+    """DuckDB twin of q_events_profile: six UNION ALL column rows —
+    numeric rows pull q50/q99 from the shared DDSketch quantile-walk
+    replica CTEs (one per numeric column), string rows compute exact
+    distincts (bound boolean TRUE — the hll-gate pattern) and the exact
+    top value gated by the same Misra-Gries bound rule
+    (cnt * mg_k > n_nonnull, ties on the value string)."""
+    mg_k = 1024
+
+    def qcte(name: str, col: str) -> str:
+        return f"{name} AS ({ddsketch_quantile_sql('events', col, [0.5, 0.99])})"
+
+    def num_row(col: str, dtype: str, cte: str) -> str:
+        return (
+            f"SELECT '{col}' AS \"column\", '{dtype}' AS dtype, "
+            "(SELECT COUNT(*) FROM events) AS n_rows, "
+            f"(SELECT COUNT(*) - COUNT({col}) FROM events) AS n_null, "
+            "CAST(NULL AS BIGINT) AS n_distinct, "
+            "CAST(NULL AS VARCHAR) AS distinct_within_3rse, "
+            "CAST(NULL AS VARCHAR) AS top_value, "
+            "CAST(NULL AS BIGINT) AS top_count, "
+            f"ROUND((SELECT CAST(MIN({col}) AS DOUBLE) FROM events), 4) AS vmin, "
+            f"ROUND((SELECT CAST(MAX({col}) AS DOUBLE) FROM events), 4) AS vmax, "
+            f"(SELECT q50 FROM {cte}) AS q50, (SELECT q99 FROM {cte}) AS q99"
+        )
+
+    def str_row(col: str) -> str:
+        return (
+            f"SELECT '{col}' AS \"column\", 'string' AS dtype, "
+            "(SELECT COUNT(*) FROM events) AS n_rows, "
+            f"(SELECT COUNT(*) - COUNT({col}) FROM events) AS n_null, "
+            f"(SELECT COUNT(DISTINCT {col}) FROM events) AS n_distinct, "
+            "'true' AS distinct_within_3rse, "
+            f"(SELECT CASE WHEN cnt * {mg_k} > "
+            f"(SELECT COUNT({col}) FROM events) THEN v END FROM "
+            f"(SELECT {col} AS v, COUNT(*) AS cnt FROM events "
+            f"WHERE {col} IS NOT NULL GROUP BY 1 "
+            "ORDER BY cnt DESC, v LIMIT 1)) AS top_value, "
+            f"(SELECT CASE WHEN cnt * {mg_k} > "
+            f"(SELECT COUNT({col}) FROM events) THEN cnt END FROM "
+            f"(SELECT {col} AS v, COUNT(*) AS cnt FROM events "
+            f"WHERE {col} IS NOT NULL GROUP BY 1 "
+            "ORDER BY cnt DESC, v LIMIT 1)) AS top_count, "
+            "CAST(NULL AS DOUBLE) AS vmin, CAST(NULL AS DOUBLE) AS vmax, "
+            "CAST(NULL AS DOUBLE) AS q50, CAST(NULL AS DOUBLE) AS q99"
+        )
+
+    ts_row = (
+        "SELECT 'ts' AS \"column\", 'timestamp_ntz' AS dtype, "
+        "(SELECT COUNT(*) FROM events) AS n_rows, "
+        "(SELECT COUNT(*) - COUNT(ts) FROM events) AS n_null, "
+        "CAST(NULL AS BIGINT) AS n_distinct, "
+        "CAST(NULL AS VARCHAR) AS distinct_within_3rse, "
+        "CAST(NULL AS VARCHAR) AS top_value, "
+        "CAST(NULL AS BIGINT) AS top_count, "
+        "ROUND((SELECT CAST(MIN(epoch_us(ts)) AS DOUBLE) FROM events), 4) AS vmin, "
+        "ROUND((SELECT CAST(MAX(epoch_us(ts)) AS DOUBLE) FROM events), 4) AS vmax, "
+        "CAST(NULL AS DOUBLE) AS q50, CAST(NULL AS DOUBLE) AS q99"
+    )
+    return (
+        "WITH "
+        + ",\n".join(
+            [qcte("qeid", "event_id"), qcte("quid", "user_id"), qcte("qval", "value")]
+        )
+        + "\n"
+        + "\nUNION ALL\n".join(
+            [
+                num_row("event_id", "bigint", "qeid"),
+                ts_row,
+                num_row("user_id", "bigint", "quid"),
+                str_row("event_type"),
+                num_row("value", "double", "qval"),
+                str_row("props"),
+            ]
+        )
+        + "\nORDER BY \"column\""
+    )
 
 
 def _pmi_pairs_sql(
@@ -6092,6 +6209,7 @@ def oracle_sql() -> dict[str, str]:
         # Spark argmax struct's negid), within-cluster pairs, dominated
         # keep rule; sequential-fold dot products are bit-equal across
         # engines (emb_near_dup_pairs precedent)
+        "events_profile": _events_profile_sql(),
         "events_asof_attribution": (
             "WITH e AS (SELECT event_id, user_id, event_type, "
             "epoch_us(ts) AS us FROM events), "

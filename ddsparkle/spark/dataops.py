@@ -3892,3 +3892,141 @@ def range_join(
         & (F.col(point_col) < F.col(end_col))
     )
     return joined.drop("__bin")
+
+
+def profile_table(
+    df,
+    columns=None,
+    qs=(0.5, 0.99),
+    config=None,
+    hll_p: int = 14,
+    mg_k: int = 1024,
+    rse_k: float = 3.0,
+):
+    """ONE-report corpus profiler — the "profile the 100 TB table before
+    you process it" operator, composing the library's sketch family:
+
+    - every column: exact row / null counts (one fused agg — a single
+      corpus scan covers all columns' exact stats, min/max included);
+    - numeric + timestamp columns: exact min/max plus DDSketch
+      quantiles, ALL columns in one extra scan (``quantiles_multi``'s
+      stack — the metric name is the group key); timestamps profile as
+      epoch micros (tz-free integers, the event-analytics twin rule);
+    - string columns: exact distinct count, an HLL estimate checked
+      against it (``distinct_within_3rse`` — the hll-gate bound pattern),
+      and the exact top value via the two-pass Misra-Gries+exact-count
+      heavy hitter. Top-1 is emitted ONLY when its exact count clears the
+      MG error bound (``top_count * mg_k > n_nonnull``): above the bound
+      the true top is GUARANTEED among the candidates (deterministic,
+      partition-order-free, ties break on the value string); at or below
+      it the candidate set is partition-dependent, so the profile reports
+      NULL ("no reliable heavy hitter") — deterministically, because the
+      rule tests the true count.
+
+    Returns one driver-assembled row per column: [column, dtype, n_rows,
+    n_null, n_distinct, distinct_within_3rse, top_value, top_count, vmin,
+    vmax, q50, q99, ...] (quantile columns follow ``qs``; string-only and
+    numeric-only stats are NULL on the other side). Scale shape: two full
+    scans (exact agg + stacked quantile build) plus one narrow scan per
+    string column (HLL build; the heavy-hitter verify scans only the
+    value column) — the per-column results that reach the driver are
+    KB-scale aggregates. Beyond-reference, brief-driven."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from .agg import quantiles_multi
+    from .approx import heavy_hitters, hll_distinct
+
+    cols = list(columns or df.columns)
+    num_kinds = (
+        T.IntegerType, T.LongType, T.FloatType, T.DoubleType,
+        T.ShortType, T.ByteType, T.DecimalType,
+    )
+    ts_kinds = (T.TimestampType, T.TimestampNTZType)
+    numeric, strings, ts_cols = {}, [], set()
+    exprs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        dt = df.schema[c].dataType
+        exprs.append(F.count(c).alias(f"__nn_{c}"))
+        if isinstance(dt, num_kinds):
+            numeric[c] = F.col(c).cast("double")
+        elif isinstance(dt, ts_kinds):
+            # min/max only: a RELATIVE-accuracy sketch over raw epochs is
+            # one giant bucket (2% of 1.7e15 spans the whole corpus) —
+            # quantile a DURATION column instead, never an absolute epoch
+            numeric[c] = F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+            ts_cols.add(c)
+        elif isinstance(dt, T.StringType):
+            strings.append(c)
+            exprs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+    for c, e in numeric.items():
+        exprs += [F.min(e).alias(f"__mn_{c}"), F.max(e).alias(f"__mx_{c}")]
+    base = df.agg(*exprs).collect()[0]
+
+    qmap = {}
+    qcols = [c for c in numeric if c not in ts_cols]
+    if qcols:
+        qdf = quantiles_multi(
+            df.select(*[numeric[c].alias(f"__v_{c}") for c in qcols]),
+            [f"__v_{c}" for c in qcols],
+            qs=qs,
+            config=config,
+        )
+        qmap = {r["metric"][4:]: r for r in qdf.collect()}
+
+    rse = 1.04 / (2.0 ** (hll_p / 2.0))  # hll_distinct's own rse formula
+    rows = []
+    from .agg import quantile_column_name as _qc
+    qnames = [_qc(q) for q in qs]
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        n_null = int(base["__n"]) - int(base[f"__nn_{c}"])
+        row = {
+            "column": c,
+            "dtype": dt,
+            "n_rows": int(base["__n"]),
+            "n_null": n_null,
+            "n_distinct": None,
+            "distinct_within_3rse": None,
+            "top_value": None,
+            "top_count": None,
+            "vmin": None,
+            "vmax": None,
+            **{qn: None for qn in qnames},
+        }
+        if c in numeric:
+            row["vmin"] = float(base[f"__mn_{c}"]) if base[f"__mn_{c}"] is not None else None
+            row["vmax"] = float(base[f"__mx_{c}"]) if base[f"__mx_{c}"] is not None else None
+            qr = qmap.get(c)
+            if qr is not None:
+                for qn in qnames:
+                    row[qn] = float(qr[qn])
+        elif c in strings:
+            exact = int(base[f"__nd_{c}"])
+            row["n_distinct"] = exact
+            er = hll_distinct(df.select(c), c, p=hll_p).collect()[0]
+            row["distinct_within_3rse"] = bool(
+                abs(float(er["distinct_est"]) - exact)
+                <= rse_k * float(er["rse"]) * max(exact, 1)
+            )
+            nn = int(base[f"__nn_{c}"])
+            hh = heavy_hitters(
+                df.select(c).filter(F.col(c).isNotNull()), c, k=1, mg_k=mg_k
+            ).collect()
+            if hh and int(hh[0]["freq"]) * mg_k > nn:
+                row["top_value"] = hh[0]["value"]
+                row["top_count"] = int(hh[0]["freq"])
+        rows.append(row)
+    schema = (
+        "column string, dtype string, n_rows long, n_null long, "
+        "n_distinct long, distinct_within_3rse boolean, top_value string, "
+        "top_count long, vmin double, vmax double, "
+        + ", ".join(f"{qn} double" for qn in qnames)
+    )
+    order = [
+        "column", "dtype", "n_rows", "n_null", "n_distinct",
+        "distinct_within_3rse", "top_value", "top_count", "vmin", "vmax",
+    ] + qnames
+    return df.sparkSession.createDataFrame(
+        [tuple(r[k] for k in order) for r in rows], schema
+    )

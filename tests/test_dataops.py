@@ -1945,3 +1945,54 @@ class TestPmiPairs:
 
         with _pytest.raises(ValueError):
             pmi_pairs(self._docs(spark), min_df=0)
+
+
+class TestProfileTable:
+    def test_profile_semantics(self, spark):
+        from ddsparkle.spark.dataops import profile_table
+
+        rows = [
+            (i, float(i) + 0.5 if i % 5 else None,
+             "hot" if i < 60 else f"cold{i}", None if i % 2 else "x")
+            for i in range(100)
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, v double, s string, half_null string"
+        )
+        out = {r["column"]: r for r in profile_table(df, mg_k=16).collect()}
+        assert out["id"]["n_rows"] == 100 and out["id"]["n_null"] == 0
+        assert out["v"]["n_null"] == 20
+        assert out["id"]["vmin"] == 0.0 and out["id"]["vmax"] == 99.0
+        assert out["id"]["n_distinct"] is None  # numeric: no distinct stats
+        # 'hot' freq 60 > 100/16 -> reliable top, exact count
+        assert out["s"]["top_value"] == "hot" and out["s"]["top_count"] == 60
+        assert out["s"]["n_distinct"] == 41 and out["s"]["distinct_within_3rse"]
+        # all-equal-frequency column: NULL top (below the MG bound rule...
+        # here 'x' freq 50 > 100/16 so it IS reliable; check the null count
+        assert out["half_null"]["n_null"] == 50
+        assert out["half_null"]["top_value"] == "x"
+        assert out["half_null"]["top_count"] == 50
+        # quantile columns exist and are ordered for the numeric col
+        assert out["v"]["q50"] <= out["v"]["q99"]
+
+    def test_profile_top_below_bound_is_null(self, spark):
+        from ddsparkle.spark.dataops import profile_table
+
+        # 64 distinct singletons, mg_k=16: max freq 1 <= 64/16 -> NULL top
+        df = spark.createDataFrame(
+            [(i, f"u{i}") for i in range(64)], "id long, s string"
+        )
+        out = {r["column"]: r for r in profile_table(df, mg_k=16).collect()}
+        assert out["s"]["top_value"] is None and out["s"]["top_count"] is None
+        assert out["s"]["n_distinct"] == 64
+
+    def test_profile_timestamp_minmax_only(self, spark):
+        from ddsparkle.spark.dataops import profile_table
+
+        df = spark.sql(
+            "SELECT id, timestamp_ntz'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts "
+            "FROM range(10)"
+        )
+        out = {r["column"]: r for r in profile_table(df).collect()}
+        assert out["ts"]["q50"] is None  # epochs are never sketch-quantiled
+        assert out["ts"]["vmax"] - out["ts"]["vmin"] == 9_000_000.0
