@@ -566,3 +566,56 @@ SELECT
   TRUE AS psd_ok,
   TRUE AS top_dim_within_bound
 """
+
+
+def pagerank_sql(
+    edges_sql: str,
+    iters: int = 5,
+    scale_bits: int = 32,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    round_digits: int = 4,
+) -> str:
+    """DuckDB twin of ``spark.graph.pagerank`` — replays every iteration
+    with unrolled MATERIALIZED CTEs (the kmeans/BPE-twin discipline).
+    ``edges_sql`` must yield columns ``src, dst`` (pre-deduplicated,
+    NULL-free). All arithmetic is BIGINT floor division (DuckDB ``//`` on
+    positive BIGINTs == Spark ``DIV``), so every rank_scaled is
+    bit-identical to the operator's; the display rank is one exact
+    power-of-two division."""
+    scale = 1 << scale_bits
+    base = ((damping_den - damping_num) * scale) // damping_den
+    parts = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        "nodes AS MATERIALIZED "
+        "(SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS MATERIALIZED (SELECT n.node, COALESCE(d.deg, 0) AS deg "
+        "FROM nodes n LEFT JOIN (SELECT src AS node, COUNT(*) AS deg "
+        "FROM e GROUP BY 1) d USING (node))",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)",
+        f"r0 AS MATERIALIZED (SELECT node, deg, CAST({scale} AS BIGINT) AS r "
+        "FROM deg)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT COALESCE(SUM(r), 0) // "
+            f"(SELECT n FROM nn) AS ds FROM r{t} WHERE deg = 0)"
+        )
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT e.dst AS node, "
+            f"SUM(r.r // r.deg) AS contrib "
+            f"FROM e JOIN r{t} r ON r.node = e.src GROUP BY 1)"
+        )
+        parts.append(
+            f"r{t + 1} AS MATERIALIZED (SELECT g.node, g.deg, "
+            f"CAST({base} AS BIGINT) + ({damping_num} * "
+            f"(COALESCE(c.contrib, 0) + (SELECT ds FROM d{t}))) "
+            f"// {damping_den} AS r "
+            f"FROM deg g LEFT JOIN c{t} c USING (node))"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        f"SELECT node, r AS rank_scaled, "
+        f"ROUND(CAST(r AS DOUBLE) / {float(scale)!r}, {round_digits}) AS rank "
+        f"FROM r{iters} ORDER BY rank_scaled DESC, node"
+    )

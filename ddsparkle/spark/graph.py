@@ -1,0 +1,146 @@
+"""Distributed graph analytics over edge-list DataFrames.
+
+PageRank in deterministic integer fixed-point: every rank, share, and
+dangling redistribution is an int64 floor-division expression, so results
+are partition-order-free and bit-identical across engines (the
+``dataops.kmeans_embeddings`` algebra family — see CLAUDE.md "Bit-exact
+distributed k-means recipe"). The reference repo (DataDog/sketches-java)
+has no graph surface; this module is brief-driven 100-TB pipeline tooling
+(link-graph ranking for crawl prioritization / dedup canonical election),
+not reference parity.
+
+Scale notes: per iteration the corpus-sized frames are ONE edge join +
+ONE groupBy(dst) aggregation; ranks (one int64 per node) are the only
+state that shuffles. Dangling mass is a single scalar reduce per round.
+The rank frame is referenced twice per round (share join + dangling sum),
+so each round localCheckpoints — the ``connected_components`` lineage
+discipline (a lazy loop doubles the logical plan per round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    scale_bits: int = 32,
+    damping_num: int = 17,
+    damping_den: int = 20,
+):
+    """Deterministic integer fixed-point PageRank over a directed edge list.
+
+    ``edges`` must have columns ``src`` and ``dst`` (any orderable type;
+    rows with a NULL endpoint are dropped) and should be DISTINCT — parallel
+    edges count double, exactly as written. Nodes = distinct endpoints.
+
+    Arithmetic contract (all int64, floor division, no floats until the
+    final display column):
+
+    - ``r0(v) = S`` where ``S = 2**scale_bits`` (per-node initial mass).
+    - ``share(u) = r(u) DIV out_deg(u)`` for nodes with out-edges.
+    - ``contrib(v) = SUM(share(u))`` over in-edges — an order-free integer
+      sum, so the result is independent of partitioning/merge order.
+    - ``dangling = SUM(r(u))`` over out-degree-0 nodes; ``ds = dangling
+      DIV n_nodes`` (one scalar per round).
+    - ``r'(v) = ((den-num)*S) DIV den + (num * (contrib(v) + ds)) DIV den``
+      with damping ``d = damping_num/damping_den`` (default 17/20 = 0.85).
+
+    Floor divisions shave at most 1 ULP-of-S per term per round, so ranks
+    are within ``iters * 2**-scale_bits`` of the real-arithmetic PageRank
+    iterate — a deterministic variant, not an approximation gamble: the
+    SAME integers come out of any engine that applies the same rules
+    (DuckDB twin: ``oracle.pagerank_sql``).
+
+    Overflow headroom: total mass never exceeds ``n_nodes * S`` and the
+    widest intermediate is ``damping_num * total``; keep
+    ``n_nodes * 2**scale_bits * damping_num < 2**63`` (at the default 32
+    bits that allows ~1.2e8 nodes; drop to ``scale_bits=16`` for ~8e12 —
+    rank resolution trades directly against node-count headroom).
+
+    Returns ``[node, rank_scaled, rank]`` where ``rank = rank_scaled / S``
+    (an exact power-of-two division, bit-equal in any IEEE engine).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not 0 < damping_num < damping_den:
+        raise ValueError("damping must satisfy 0 < num < den")
+    scale = 1 << scale_bits
+    e = edges.select("src", "dst").filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    # edges feed every round (share join) — materialize once
+    e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    # out-degree per node for EVERY node (0 for sinks) — static across
+    # rounds, one small int per node
+    degn = (
+        nodes.join(deg, "node", "left")
+        .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .persist()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        e.unpersist()
+        nodes.unpersist()
+        degn.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "node string, rank_scaled long, rank double"
+        )
+    base = ((damping_den - damping_num) * scale) // damping_den
+    ranks = degn.select(
+        "node", "deg", F.lit(scale).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        # one scalar per round: total rank parked on out-degree-0 nodes,
+        # redistributed uniformly (floor) — a post-reduce driver collect
+        dangling = (
+            ranks.filter(F.col("deg") == 0)
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("s"))
+            .collect()[0]["s"]
+        )
+        ds = int(dangling) // n_nodes
+        contrib = (
+            e.join(
+                ranks.filter(F.col("deg") > 0).select(
+                    F.col("node").alias("src"),
+                    F.expr("r DIV deg").alias("share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = (
+            degn.join(contrib, "node", "left")
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damping_num}L * (coalesce(contrib, 0L) + {ds}L)) "
+                        f"DIV {damping_den}L"
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = ranks.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"),
+    ).localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    degn.unpersist()
+    return out
