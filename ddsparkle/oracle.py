@@ -607,10 +607,13 @@ def pagerank_sql(
             f"FROM e JOIN r{t} r ON r.node = e.src GROUP BY 1)"
         )
         parts.append(
+            # SUM widens to HUGEINT in DuckDB; cast each round's rank back
+            # to BIGINT so the final column matches Spark's long (values
+            # are in-range by the operator's overflow contract)
             f"r{t + 1} AS MATERIALIZED (SELECT g.node, g.deg, "
-            f"CAST({base} AS BIGINT) + ({damping_num} * "
+            f"CAST({base} + ({damping_num} * "
             f"(COALESCE(c.contrib, 0) + (SELECT ds FROM d{t}))) "
-            f"// {damping_den} AS r "
+            f"// {damping_den} AS BIGINT) AS r "
             f"FROM deg g LEFT JOIN c{t} c USING (node))"
         )
     return (
