@@ -4016,6 +4016,36 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("rank_scaled"), "node")
 
 
+def q_orders_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent brand pairs (dataops.frequent_pairs, a-priori
+    pruned) over order baskets: items = p_brand via a broadcast part join,
+    baskets = l_orderkey. min_support=300 binds at sf0.01 (196..465 pair
+    supports — some pairs drop) and trivially passes at sf0.1 (2862+) —
+    exact integer counts either way, confidence/lift are ONE double
+    division of exact int64 operands (engine-portable single rounding).
+    Twin replays the identical distinct->prune->self-join->count plan in
+    SQL. Scale: the only corpus shuffle is the per-basket self-join;
+    frequent-item dims broadcast."""
+    from ddsparkle.spark.dataops import frequent_pairs
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    baskets = lineitem.join(
+        F.broadcast(part), lineitem.l_partkey == part.p_partkey
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+    res = frequent_pairs(baskets, "basket", "item", min_support=300)
+    return res.select(
+        "item_a",
+        "item_b",
+        "support",
+        "sup_a",
+        "sup_b",
+        "n_baskets",
+        F.round("confidence", 4).alias("confidence"),
+        F.round("lift", 4).alias("lift"),
+    ).orderBy("item_a", "item_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is evidence policy, not alphabetics: the driver
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json, so entries
@@ -4047,6 +4077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r5 part 7 (fifth session): graph + basket + CDC + layout ---
         "graph_pagerank": q_graph_pagerank,
+        "orders_frequent_pairs": q_orders_frequent_pairs,
         # --- r5 part 6: PMI + FD matrix sketch ---
         "events_profile": q_events_profile,
         "events_asof_attribution": q_events_asof_attribution,
@@ -6257,6 +6288,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT 's:' || l_suppkey, 'p:' || l_partkey "
             "FROM lineitem",
             iters=5,
+        ),
+        # frequent pairs: exact integer supports; confidence/lift are one
+        # double division of identical int64 operands in both engines
+        "orders_frequent_pairs": (
+            "WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS basket, "
+            "p_brand AS item FROM lineitem JOIN part ON p_partkey = l_partkey), "
+            "nn AS (SELECT COUNT(DISTINCT basket) AS n FROM b), "
+            "s AS MATERIALIZED (SELECT item, COUNT(*) AS sup FROM b "
+            "GROUP BY 1 HAVING COUNT(*) >= 300), "
+            "f AS MATERIALIZED (SELECT b.basket, b.item FROM b "
+            "JOIN s USING (item)), "
+            "p AS (SELECT a.item AS item_a, c.item AS item_b, "
+            "COUNT(*) AS support FROM f a JOIN f c ON a.basket = c.basket "
+            "AND a.item < c.item GROUP BY 1, 2 HAVING COUNT(*) >= 300) "
+            "SELECT item_a, item_b, support, sa.sup AS sup_a, "
+            "sb.sup AS sup_b, (SELECT n FROM nn) AS n_baskets, "
+            "ROUND(CAST(support AS DOUBLE) / CAST(sa.sup AS DOUBLE), 4) "
+            "AS confidence, "
+            "ROUND(CAST(support * (SELECT n FROM nn) AS DOUBLE) / "
+            "CAST(sa.sup * sb.sup AS DOUBLE), 4) AS lift "
+            "FROM p JOIN s sa ON sa.item = p.item_a "
+            "JOIN s sb ON sb.item = p.item_b ORDER BY item_a, item_b"
         ),
         "events_profile": _events_profile_sql(),
         "events_asof_attribution": (

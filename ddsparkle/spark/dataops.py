@@ -4030,3 +4030,109 @@ def profile_table(
     return df.sparkSession.createDataFrame(
         [tuple(r[k] for k in order) for r in rows], schema
     )
+
+
+def frequent_pairs(
+    df,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket_items: Optional[int] = None,
+):
+    """Market-basket frequent item PAIRS with a-priori pruning (Agrawal &
+    Srikant VLDB'94 two-pass shape, SON-style distributed counting).
+    Brief-driven pipeline analytics (co-occurrence mining over order /
+    session baskets); the reference has no relational surface.
+
+    Pipeline: distinct (basket, item) -> per-item support -> items below
+    ``min_support`` are dropped BEFORE pair expansion (the a-priori bound:
+    a pair can only be frequent if both items are, so the prune is
+    lossless) -> per-basket self-join with ``item_a < item_b`` (each
+    qualifying pair counted exactly once) -> pair support filter ->
+    confidence/lift from exact integer supports.
+
+    Scale notes: the frequent-item dim is broadcast (both onto the basket
+    filter and back onto the pair frame for sup_a/sup_b) — the head of the
+    item distribution, orders of magnitude smaller than the basket frame.
+    The only corpus-sized shuffle is the per-basket self-join on the
+    basket key; its fanout is quadratic in FREQUENT items per basket, so
+    ``max_basket_items`` optionally drops degenerate mega-baskets (a
+    documented semantic change — support excludes them — standard
+    a-priori practice for crawl sessions). Counts are exact integer sums,
+    partition-order-free; confidence and lift are ONE double division of
+    exact int64 operands each (single-rounded, engine-portable — the
+    weighted-sampling precedent).
+
+    Returns ``[item_a, item_b, support, sup_a, sup_b, n_baskets,
+    confidence, lift]`` with unrounded doubles (gates apply F.round).
+    """
+    from pyspark.sql import functions as F
+
+    b = (
+        df.select(F.col(basket_col).alias("basket"), F.col(item_col).alias("item"))
+        .filter(F.col("basket").isNotNull() & F.col("item").isNotNull())
+        .distinct()
+    )
+    if max_basket_items is not None:
+        sizes = b.groupBy("basket").agg(F.count("*").alias("__sz"))
+        b = b.join(
+            sizes.filter(F.col("__sz") <= max_basket_items).select("basket"),
+            "basket",
+        )
+    # distinct pairs feed the support count, the basket filter, and the
+    # pair join — materialize once
+    b = b.persist()
+    n_baskets = b.select("basket").distinct().count()  # post-reduce scalar
+    freq = (
+        b.groupBy("item")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= min_support)
+    ).persist()
+    f = b.join(F.broadcast(freq.select("item")), "item").select("basket", "item")
+    pairs = (
+        f.alias("a")
+        .join(
+            f.alias("b"),
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(
+                freq.select(F.col("item").alias("item_a"), F.col("sup").alias("sup_a"))
+            ),
+            "item_a",
+        )
+        .join(
+            F.broadcast(
+                freq.select(F.col("item").alias("item_b"), F.col("sup").alias("sup_b"))
+            ),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            "sup_a",
+            "sup_b",
+            F.lit(n_baskets).cast("long").alias("n_baskets"),
+            # exact int64 numerators/denominators, ONE division each
+            (F.col("support").cast("double") / F.col("sup_a").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("support") * F.lit(n_baskets).cast("long")).cast("double")
+                / (F.col("sup_a") * F.col("sup_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    freq.unpersist()
+    b.unpersist()
+    return out

@@ -95,3 +95,92 @@ def test_oracle_twin_matches(edges, tmp_path):
     }
     got = {n: rs for n, rs, _ in duckdb.sql(sql).fetchall()}
     assert got == want
+
+
+class TestFrequentPairs:
+    """frequent_pairs vs an independent itertools replica on planted
+    baskets, a-priori pruning semantics, mega-basket guard."""
+
+    BASKETS = {
+        1: ["milk", "bread", "eggs"],
+        2: ["milk", "bread"],
+        3: ["milk", "eggs", "beer"],
+        4: ["bread", "eggs"],
+        5: ["milk", "bread", "eggs", "beer"],
+        6: ["beer"],
+        7: ["milk", "milk", "bread"],  # duplicate item collapses
+    }
+
+    @staticmethod
+    def _py_pairs(baskets, min_support):
+        from collections import Counter
+        from itertools import combinations
+
+        sets = {b: sorted(set(items)) for b, items in baskets.items()}
+        sup = Counter(i for items in sets.values() for i in items)
+        keep = {i for i, s in sup.items() if s >= min_support}
+        psup = Counter(
+            p
+            for items in sets.values()
+            for p in combinations(sorted(set(items) & keep), 2)
+        )
+        n = len(sets)
+        return {
+            p: (
+                s,
+                sup[p[0]],
+                sup[p[1]],
+                n,
+                s / sup[p[0]],
+                (s * n) / (sup[p[0]] * sup[p[1]]),
+            )
+            for p, s in psup.items()
+            if s >= min_support
+        }
+
+    def _df(self, spark):
+        rows = [(b, i) for b, items in self.BASKETS.items() for i in items]
+        return spark.createDataFrame(rows, "basket long, item string")
+
+    def test_matches_replica(self, spark):
+        from ddsparkle.spark.dataops import frequent_pairs
+
+        got = {
+            (r["item_a"], r["item_b"]): (
+                r["support"], r["sup_a"], r["sup_b"], r["n_baskets"],
+                r["confidence"], r["lift"],
+            )
+            for r in frequent_pairs(
+                self._df(spark), "basket", "item", min_support=2
+            ).collect()
+        }
+        assert got == self._py_pairs(self.BASKETS, 2)
+
+    def test_apriori_prune_is_lossless(self, spark):
+        # min_support=3: 'beer' (sup 3) stays, its pairs all fall below 3
+        from ddsparkle.spark.dataops import frequent_pairs
+
+        got = {
+            (r["item_a"], r["item_b"]): r["support"]
+            for r in frequent_pairs(
+                self._df(spark), "basket", "item", min_support=3
+            ).collect()
+        }
+        want = {k: v[0] for k, v in self._py_pairs(self.BASKETS, 3).items()}
+        assert got == want and ("bread", "milk") in got
+
+    def test_mega_basket_guard(self, spark):
+        from ddsparkle.spark.dataops import frequent_pairs
+
+        trimmed = {b: i for b, i in self.BASKETS.items() if len(set(i)) <= 2}
+        got = {
+            (r["item_a"], r["item_b"]): (r["support"], r["n_baskets"])
+            for r in frequent_pairs(
+                self._df(spark), "basket", "item",
+                min_support=1, max_basket_items=2,
+            ).collect()
+        }
+        want = {
+            k: (v[0], v[3]) for k, v in self._py_pairs(trimmed, 1).items()
+        }
+        assert got == want  # n_baskets excludes dropped mega-baskets
