@@ -27,6 +27,7 @@ from ddsparkle.oracle import (
     ddsketch_row_rank_sql,
     kmeans_sql,
     pagerank_sql,
+    triangle_counts_sql,
     udd_quantile_by_sql,
     udd_quantile_sql,
 )
@@ -3982,6 +3983,30 @@ def q_doc_curation_spanstrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node triangle counts (graph.triangle_counts, degree-ordered
+    orientation) over the part co-order graph: an undirected edge joins two
+    parts that appear on the same order (both lineitems with quantity > 25
+    to keep the sf0.1 twin cheap). Every count is an exact integer,
+    partition-order-free, hash-identical to oracle.triangle_counts_sql's
+    replay of the same orientation. Scale: the (degree, node) orientation
+    caps wedge fanout at O(sqrt(m)) per node — the skew bound is the
+    algorithm, not a salting bolt-on; only integer pairs shuffle."""
+    from ddsparkle.spark.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 25)
+    edges = (
+        li.alias("la")
+        .join(
+            li.alias("lb"),
+            (F.col("la.l_orderkey") == F.col("lb.l_orderkey"))
+            & (F.col("la.l_partkey") < F.col("lb.l_partkey")),
+        )
+        .select(F.col("la.l_partkey").alias("a"), F.col("lb.l_partkey").alias("b"))
+    )
+    return triangle_counts(edges).orderBy("node")
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic integer fixed-point PageRank (graph.pagerank, 5
     iterations, damping 17/20) over the customer->supplier->part supply
@@ -4076,6 +4101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotate behind."""
     return {
         # --- r5 part 7 (fifth session): graph + basket + CDC + layout ---
+        "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
         "orders_frequent_pairs": q_orders_frequent_pairs,
         # --- r5 part 6: PMI + FD matrix sketch ---
@@ -6280,6 +6306,15 @@ def oracle_sql() -> dict[str, str]:
         # PageRank: bit-identical int64 floor-division replay, unrolled
         # MATERIALIZED iterations; edge sets are prefix-disjoint so UNION
         # == the Spark side's distinct-union
+        # triangles: exact integer counts, same degree-ordered orientation
+        # replayed in SQL (row-value comparison == struct comparison)
+        "graph_triangles": triangle_counts_sql(
+            "SELECT l1.l_partkey AS a, l2.l_partkey AS b "
+            "FROM lineitem l1 JOIN lineitem l2 "
+            "ON l1.l_orderkey = l2.l_orderkey "
+            "AND l1.l_partkey < l2.l_partkey "
+            "WHERE l1.l_quantity > 25 AND l2.l_quantity > 25"
+        ),
         "graph_pagerank": pagerank_sql(
             "SELECT DISTINCT 'c:' || o_custkey AS src, "
             "'s:' || l_suppkey AS dst "

@@ -622,3 +622,38 @@ def pagerank_sql(
         f"ROUND(CAST(r AS DOUBLE) / {float(scale)!r}, {round_digits}) AS rank "
         f"FROM r{iters} ORDER BY rank_scaled DESC, node"
     )
+
+
+def triangle_counts_sql(edges_sql: str) -> str:
+    """DuckDB twin of ``spark.graph.triangle_counts`` — replays the exact
+    degree-ordered orientation: normalize + dedup the undirected pair,
+    count degrees, orient each edge by the ``(degree, node)`` row-value
+    order (DuckDB row comparison == Spark struct comparison, both
+    lexicographic), generate wedges at the smaller corner, close with the
+    oriented edge, then count corners per node. ``edges_sql`` must yield
+    columns ``a, b`` (raw — NULLs, self-loops, duplicates, and reversed
+    duplicates are handled here exactly as in the operator). All integer,
+    partition-order-free, hash-exact."""
+    return (
+        f"WITH re AS MATERIALIZED ({edges_sql}), "
+        "und AS MATERIALIZED (SELECT DISTINCT least(a, b) AS x, "
+        "greatest(a, b) AS y FROM re "
+        "WHERE a IS NOT NULL AND b IS NOT NULL AND a <> b), "
+        "deg AS MATERIALIZED (SELECT node, COUNT(*) AS dg FROM "
+        "(SELECT x AS node FROM und UNION ALL SELECT y FROM und) "
+        "GROUP BY node), "
+        "o AS MATERIALIZED (SELECT "
+        "CASE WHEN (dx.dg, u.x) < (dy.dg, u.y) THEN u.x ELSE u.y END AS src, "
+        "CASE WHEN (dx.dg, u.x) < (dy.dg, u.y) THEN u.y ELSE u.x END AS dst, "
+        "CASE WHEN (dx.dg, u.x) < (dy.dg, u.y) THEN dy.dg ELSE dx.dg END "
+        "AS dst_dg "
+        "FROM und u JOIN deg dx ON dx.node = u.x "
+        "JOIN deg dy ON dy.node = u.y), "
+        "tri AS (SELECT w.u, w.v, w.w FROM "
+        "(SELECT o1.src AS u, o1.dst AS v, o2.dst AS w FROM o o1 JOIN o o2 "
+        "ON o1.src = o2.src AND (o1.dst_dg, o1.dst) < (o2.dst_dg, o2.dst)) w "
+        "JOIN o oc ON oc.src = w.v AND oc.dst = w.w) "
+        "SELECT node, COUNT(*) AS triangles FROM "
+        "(SELECT u AS node FROM tri UNION ALL SELECT v FROM tri "
+        "UNION ALL SELECT w FROM tri) GROUP BY node ORDER BY node"
+    )

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_counts"]
 
 
 def pagerank(
@@ -143,4 +143,96 @@ def pagerank(
     e.unpersist()
     nodes.unpersist()
     degn.unpersist()
+    return out
+
+
+def triangle_counts(edges: DataFrame, a_col: str = "a", b_col: str = "b"):
+    """Exact per-node triangle counts over an undirected edge list via
+    degree-ordered edge orientation (the Cohen / "compact-forward" scheme,
+    cf. Suri & Vassilvitskii WWW'11 MapReduce formulation). Brief-driven
+    graph analytics (the reference repo has no graph surface): triangle
+    participation is the standard local-clustering / spam-farm signal over
+    link and co-occurrence graphs.
+
+    Semantics: edges are undirected; NULL endpoints and self-loops are
+    dropped, parallel edges and both orientations of the same pair count
+    once. A node's count is the number of distinct triangles containing
+    it; the global triangle count is ``sum(triangles) / 3``. Nodes in no
+    triangle are absent from the output.
+
+    Algorithm (why it scales): orient every edge from the endpoint with the
+    smaller ``(degree, node)`` to the larger — a total order, so each
+    triangle {u,v,w} is generated EXACTLY once, as a wedge at its
+    smallest-degree corner closed by the oriented edge between the other
+    two. Orientation bounds every out-degree by O(sqrt(m)) (a node of
+    degree d only keeps neighbors of degree >= d, and there are at most
+    2m/d of those), so the wedge join's per-key fanout — the quadratic
+    term that makes naive triangle listing explode on skewed graphs — is
+    capped at O(m) per node and O(m^1.5) overall, the optimal listing
+    bound. No salting needed: the orientation IS the skew bound.
+
+    Shuffle shape: one distinct on the normalized pair, two node-keyed
+    degree joins, one self-join on ``src`` (the wedge join), one closure
+    join on the oriented pair, one final groupBy — all integer keys and
+    counts, partition-order-free, bit-identical to the DuckDB replay
+    (``oracle.triangle_counts_sql``).
+
+    Returns ``[node, triangles]``.
+    """
+    xa, xb = F.col(a_col), F.col(b_col)
+    und = (
+        edges.select(xa.alias("__a"), xb.alias("__b"))
+        .filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+        .filter(F.col("__a") != F.col("__b"))
+        .select(
+            F.least("__a", "__b").alias("x"), F.greatest("__a", "__b").alias("y")
+        )
+        .distinct()
+    )
+    # degree frame feeds two joins; the undirected frame feeds the degree
+    # count and the orientation join — materialize both once
+    und = und.persist()
+    deg = (
+        und.select(F.col("x").alias("node"))
+        .unionAll(und.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("dg"))
+        .persist()
+    )
+    d2 = (
+        und.join(deg.select(F.col("node").alias("x"), F.col("dg").alias("dx")), "x")
+        .join(deg.select(F.col("node").alias("y"), F.col("dg").alias("dy")), "y")
+    )
+    lower_first = F.struct(F.col("dx"), F.col("x")) < F.struct(F.col("dy"), F.col("y"))
+    oriented = d2.select(
+        F.when(lower_first, F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
+        F.when(lower_first, F.col("dy")).otherwise(F.col("dx")).alias("dst_dg"),
+    ).persist()
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            F.struct(F.col("o1.dst_dg"), F.col("o1.dst"))
+            < F.struct(F.col("o2.dst_dg"), F.col("o2.dst"))
+        ),
+    ).select(
+        F.col("o1.src").alias("u"), F.col("o1.dst").alias("v"), F.col("o2.dst").alias("w")
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    ).select("u", "v", "w")
+    out = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist()
+    deg.unpersist()
+    oriented.unpersist()
     return out

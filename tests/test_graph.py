@@ -184,3 +184,95 @@ class TestFrequentPairs:
             k: (v[0], v[3]) for k, v in self._py_pairs(trimmed, 1).items()
         }
         assert got == want  # n_baskets excludes dropped mega-baskets
+
+
+class TestTriangleCounts:
+    """triangle_counts vs an independent itertools brute force, edge
+    hygiene (NULLs, self-loops, duplicates in both orientations),
+    partition invariance, and the DuckDB twin."""
+
+    @staticmethod
+    def _brute(pairs):
+        from itertools import combinations
+
+        adj = {}
+        es = set()
+        for a, b in pairs:
+            if a is None or b is None or a == b:
+                continue
+            x, y = (a, b) if a < b else (b, a)
+            es.add((x, y))
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        counts = {}
+        for u, v, w in combinations(sorted(adj), 3):
+            if v in adj[u] and w in adj[u] and w in adj[v]:
+                for n in (u, v, w):
+                    counts[n] = counts.get(n, 0) + 1
+        return counts
+
+    @pytest.fixture(scope="class")
+    def k4_plus(self, spark):
+        # K4 (every node in 3 triangles) + a pendant edge + a duplicate
+        # edge in BOTH orientations + a self-loop + a NULL edge
+        pairs = [
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+            (4, 5),            # pendant: 5 in no triangle
+            (2, 1), (1, 2),    # duplicates, reversed + repeated
+            (3, 3),            # self-loop
+            (None, 1), (2, None),
+        ]
+        return pairs, spark.createDataFrame(pairs, "a int, b int")
+
+    def test_k4(self, k4_plus):
+        pairs, df = k4_plus
+        from ddsparkle.spark.graph import triangle_counts
+
+        got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+        assert got == self._brute(pairs)
+
+    def test_random_graph_vs_brute(self, spark):
+        import random
+
+        from ddsparkle.spark.graph import triangle_counts
+
+        rng = random.Random(7)
+        pairs = [(rng.randrange(30), rng.randrange(30)) for _ in range(220)]
+        df = spark.createDataFrame(pairs, "a int, b int")
+        got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+        assert got == self._brute(pairs)
+
+    def test_partition_invariance(self, spark):
+        import random
+
+        from ddsparkle.spark.graph import triangle_counts
+
+        rng = random.Random(11)
+        pairs = [(rng.randrange(25), rng.randrange(25)) for _ in range(150)]
+        df = spark.createDataFrame(pairs, "a int, b int")
+        a = sorted(map(tuple, triangle_counts(df.repartition(1)).collect()))
+        b = sorted(map(tuple, triangle_counts(df.repartition(9)).collect()))
+        assert a == b
+
+    def test_oracle_twin_matches(self, spark, tmp_path):
+        import random
+
+        import duckdb
+
+        from ddsparkle.oracle import triangle_counts_sql
+        from ddsparkle.spark.graph import triangle_counts
+
+        rng = random.Random(3)
+        pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(400)]
+        df = spark.createDataFrame(pairs, "a int, b int")
+        pq = str(tmp_path / "tri_edges.parquet")
+        df.write.parquet(pq)
+        sql = triangle_counts_sql(
+            f"SELECT a, b FROM read_parquet('{pq}/*.parquet')"
+        )
+        want = sorted(
+            (r["node"], r["triangles"]) for r in triangle_counts(df).collect()
+        )
+        got = sorted(duckdb.sql(sql).fetchall())
+        assert got == want
