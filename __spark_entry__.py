@@ -21,12 +21,15 @@ from pyspark.sql import functions as F
 
 from ddsparkle.config import SketchConfig
 from ddsparkle.oracle import (
+    apply_changes_sql,
     ddsketch_cdf_sql,
     fd_covariance_sql,
     ddsketch_quantile_sql,
     ddsketch_row_rank_sql,
     kmeans_sql,
     pagerank_sql,
+    scd2_history_sql,
+    snapshot_diff_sql,
     triangle_counts_sql,
     udd_quantile_by_sql,
     udd_quantile_sql,
@@ -4071,6 +4074,114 @@ def q_orders_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("item_a", "item_b")
 
 
+def q_transcripts_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (cdc.snapshot_diff) between two deterministically
+    derived versions of the transcripts table, keyed (conv_id, turn_idx):
+    the 60-bit portable md5 of the key picks a residue b mod 20 — b=0 rows
+    exist only in the new snapshot (I), b=2 only in the old (D), b=1 rows
+    have their text rewritten upper(substr(text,1,40)) in the old snapshot
+    (U wherever the rewrite changed the bytes; short all-caps texts that
+    survive the rewrite produce NO row, identically in both engines). One
+    full-outer shuffle join on the key, NULL-safe per-column compares,
+    changed_cols via NULL-skipping concat_ws — the twin replays every bit
+    (oracle.snapshot_diff_sql). Scale: both snapshots hash-partition once
+    on the key; nothing else moves."""
+    from ddsparkle.spark.cdc import snapshot_diff
+    from ddsparkle.spark.dataops import _portable_line_key
+
+    df = _transcripts(spark, sf_dir)
+    b = (
+        _portable_line_key(F.concat(F.col("conv_id"), F.lit("#"), F.col("turn_idx")))
+        % 20
+    )
+    src = df.select("conv_id", "turn_idx", "role", "text", "tool", b.alias("__b"))
+    old = src.filter(F.col("__b") != 0).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.when(
+            F.col("__b") == 1, F.upper(F.substring(F.col("text"), 1, 40))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "tool",
+    )
+    new = src.filter(F.col("__b") != 2).select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+    out = snapshot_diff(old, new, ["conv_id", "turn_idx"], ["role", "text", "tool"])
+    return out.orderBy("conv_id", "turn_idx")
+
+
+def q_events_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log merge (cdc.apply_changes, the MERGE INTO core) over a
+    per-user state table derived from events: base = latest (value,
+    event_type) per user among events whose portable-md5 residue mod 4 is
+    nonzero; the residue-0 events form the change log (op='D' on residue 0
+    mod 8, else upsert), ordered by (ts, event_id) so every fold is
+    deterministic. Latest change wins per user, deletes drop the key,
+    untouched users pass through — the twin (oracle.apply_changes_sql)
+    replays the identical QUALIFY-window + anti-join + union. value is
+    CARRIED, never computed, so doubles are bit-exact. Scale: ONE window
+    over the (small) change log, one key join against the base — the base
+    is never sorted."""
+    from pyspark.sql import Window
+
+    from ddsparkle.spark.cdc import apply_changes
+    from ddsparkle.spark.dataops import _portable_line_key
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    h = _portable_line_key(F.concat(F.lit("cdc:"), F.col("event_id")))
+    src = ev.select("event_id", "ts", "user_id", "event_type", "value", h.alias("__h"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = (
+        src.filter(F.col("__h") % 4 != 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "value", "event_type")
+    )
+    changes = src.filter(F.col("__h") % 4 == 0).select(
+        "user_id",
+        "value",
+        "event_type",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("__h") % 8 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    out = apply_changes(
+        base, changes, ["user_id"], ["value", "event_type"], seq_col="seq"
+    )
+    return out.orderBy("user_id")
+
+
+def q_transcripts_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history (cdc.scd2_history) of each conversation's
+    (role, tool) state over its turn log, ordered (ts, turn_idx): NULL-safe
+    collapse keeps a turn only when the state changed (or it opens the
+    conversation), kept rows become [valid_from_us, valid_to_us) validity
+    intervals in epoch micros with is_current on the open interval. The
+    twin (oracle.scd2_history_sql) replays lag-collapse + lead-intervals
+    with DuckDB epoch_us; NULL interval ends coalesce to -1 on both sides
+    (harness dtype stability). Scale: one exchange+sort per conv_id,
+    O(1) state per key."""
+    from ddsparkle.spark.cdc import scd2_history
+
+    df = _transcripts(spark, sf_dir)
+    out = scd2_history(
+        df, ["conv_id"], ["role", "tool"], ts_col="ts", seq_col="turn_idx"
+    )
+    return out.select(
+        "conv_id",
+        "role",
+        "tool",
+        "valid_from_us",
+        F.coalesce(F.col("valid_to_us"), F.lit(-1)).alias("valid_to_us"),
+        "is_current",
+    ).orderBy("conv_id", "valid_from_us")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is evidence policy, not alphabetics: the driver
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json, so entries
@@ -4095,12 +4206,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     doc_curation_lm_pipeline (same scorer composed),
     transcripts_selfjoin_size_ams vs orders_join_size_ams,
     doc_weighted_sample vs the bottom-k machinery of the driver-green
-    VETERAN doc_deterministic_sample). Their
+    VETERAN doc_deterministic_sample; doc_source_overlap_matrix vs
+    doc_kmv_set_algebra (same KMV set machinery); doc_domain_mix and
+    doc_split_assignment vs transcripts_split (same md5-60bit row-local
+    membership, second table); doc_line_dedup vs doc_corpus_line_dedup
+    (same portable line keys, the in-window gate composes strictly more);
+    transcripts_streaming_f2_ams vs orders_join_size_ams (same AMS F2
+    sketch, batch leg); media_image_dhash vs media_image_near_dup (which
+    composes dhash + the banded Hamming join end-to-end)). Their
     correctness evidence is the recorded both-SF harness replay; they are
     first in line for the r6 window. Veterans (driver-green r1-r4)
     rotate behind."""
     return {
         # --- r5 part 7 (fifth session): graph + basket + CDC + layout ---
+        "transcripts_snapshot_diff": q_transcripts_snapshot_diff,
+        "events_apply_changes": q_events_apply_changes,
+        "transcripts_scd2_history": q_transcripts_scd2_history,
         "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
         "orders_frequent_pairs": q_orders_frequent_pairs,
@@ -4113,7 +4234,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r5 new entries, one per operator family, never driver-run ---
         "doc_model_quality": q_doc_model_quality,
         "doc_curation_model_pipeline": q_doc_curation_model_pipeline,
-        "media_image_dhash": q_media_image_dhash,
         "media_image_near_dup": q_media_image_near_dup,
         "transcripts_turn_model_quality": q_transcripts_turn_model_quality,
         "transcripts_conv_model_quality": q_transcripts_conv_model_quality,
@@ -4147,17 +4267,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_boilerplate_turns": q_transcripts_boilerplate_turns,
         "doc_kmv_set_algebra": q_doc_kmv_set_algebra,
         "emb_semdedup": q_emb_semdedup,
-        "transcripts_streaming_f2_ams": q_transcripts_streaming_f2_ams,
         "transcripts_shard_packing": q_transcripts_shard_packing,
         "doc_curation_lm_pipeline": q_doc_curation_lm_pipeline,
-        "doc_source_overlap_matrix": q_doc_source_overlap_matrix,
-        "doc_domain_mix": q_doc_domain_mix,
         "doc_repetition_signals": q_doc_repetition_signals,
         "doc_corpus_line_dedup": q_doc_corpus_line_dedup,
-        "doc_split_assignment": q_doc_split_assignment,
-        "doc_line_dedup": q_doc_line_dedup,
         # --- r5 new entries ROTATED OUT (window=50): each has an
         # in-window family sibling; evidence = both-SF harness replay ---
+        "doc_source_overlap_matrix": q_doc_source_overlap_matrix,
+        "doc_domain_mix": q_doc_domain_mix,
+        "doc_split_assignment": q_doc_split_assignment,
+        "doc_line_dedup": q_doc_line_dedup,
+        "transcripts_streaming_f2_ams": q_transcripts_streaming_f2_ams,
+        "media_image_dhash": q_media_image_dhash,
         "doc_weighted_sample": q_doc_weighted_sample,
         "doc_dup_span_strip": q_doc_dup_span_strip,
         "doc_lm_quality": q_doc_lm_quality,
@@ -6308,6 +6429,52 @@ def oracle_sql() -> dict[str, str]:
         # == the Spark side's distinct-union
         # triangles: exact integer counts, same degree-ordered orientation
         # replayed in SQL (row-value comparison == struct comparison)
+        # CDC twins: the snapshots / change logs are themselves derived by
+        # the engine-portable md5-60bit residue, so the twin rebuilds the
+        # IDENTICAL inputs and replays diff / merge / SCD2 relationally;
+        # every output value is carried or integer (epoch micros), no
+        # float is ever computed
+        "transcripts_snapshot_diff": snapshot_diff_sql(
+            "SELECT conv_id, turn_idx, role, CASE WHEN __b = 1 THEN "
+            "upper(substr(text, 1, 40)) ELSE text END AS text, tool "
+            "FROM (SELECT *, ('0x' || substr(md5(conv_id || '#' || turn_idx), "
+            f"1, 15))::BIGINT % 20 AS __b FROM {tr_src}) WHERE __b != 0",
+            "SELECT conv_id, turn_idx, role, text, tool "
+            "FROM (SELECT *, ('0x' || substr(md5(conv_id || '#' || turn_idx), "
+            f"1, 15))::BIGINT % 20 AS __b FROM {tr_src}) WHERE __b != 2",
+            ["conv_id", "turn_idx"],
+            ["role", "text", "tool"],
+        )
+        + " ORDER BY conv_id, turn_idx",
+        "events_apply_changes": apply_changes_sql(
+            "SELECT user_id, value, event_type FROM (SELECT user_id, value, "
+            "event_type, row_number() OVER (PARTITION BY user_id ORDER BY "
+            "ts DESC, event_id DESC) AS rn FROM events WHERE user_id IS NOT "
+            "NULL AND ('0x' || substr(md5('cdc:' || event_id), 1, 15))"
+            "::BIGINT % 4 != 0) WHERE rn = 1",
+            "SELECT user_id, value, event_type, ts, event_id AS seq, "
+            "CASE WHEN __h % 8 = 0 THEN 'D' ELSE 'U' END AS op "
+            "FROM (SELECT *, ('0x' || substr(md5('cdc:' || event_id), 1, 15))"
+            "::BIGINT AS __h FROM events WHERE user_id IS NOT NULL) "
+            "WHERE __h % 4 = 0",
+            ["user_id"],
+            ["value", "event_type"],
+            ts_col="ts",
+            seq_col="seq",
+        )
+        + " ORDER BY user_id",
+        "transcripts_scd2_history": (
+            "SELECT conv_id, role, tool, valid_from_us, "
+            "COALESCE(valid_to_us, -1) AS valid_to_us, is_current FROM ("
+            + scd2_history_sql(
+                f"SELECT conv_id, role, tool, ts, turn_idx FROM {tr_src}",
+                ["conv_id"],
+                ["role", "tool"],
+                ts_col="ts",
+                seq_col="turn_idx",
+            )
+            + ") ORDER BY conv_id, valid_from_us"
+        ),
         "graph_triangles": triangle_counts_sql(
             "SELECT l1.l_partkey AS a, l2.l_partkey AS b "
             "FROM lineitem l1 JOIN lineitem l2 "

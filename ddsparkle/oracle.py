@@ -657,3 +657,106 @@ def triangle_counts_sql(edges_sql: str) -> str:
         "(SELECT u AS node FROM tri UNION ALL SELECT v FROM tri "
         "UNION ALL SELECT w FROM tri) GROUP BY node ORDER BY node"
     )
+
+
+def snapshot_diff_sql(
+    old_sql: str,
+    new_sql: str,
+    keys: list[str],
+    compare_cols: list[str],
+) -> str:
+    """DuckDB twin of ``spark.cdc.snapshot_diff`` (direct-compare mode):
+    full-outer join on ``keys``, presence indicators decide I/D, NULL-safe
+    ``IS DISTINCT FROM`` per compare column decides U, ``changed_cols``
+    replays Spark's NULL-skipping ``concat_ws`` via list_filter."""
+    kj = " AND ".join(f"o.{k} = n.{k}" for k in keys)
+    ksel = ", ".join(f"COALESCE(o.{k}, n.{k}) AS {k}" for k in keys)
+    osel = ", ".join(f"o.{c} AS old_{c}" for c in compare_cols)
+    nsel = ", ".join(f"n.{c} AS new_{c}" for c in compare_cols)
+    diffs = [f"old_{c} IS DISTINCT FROM new_{c}" for c in compare_cols]
+    any_diff = " OR ".join(f"({d})" for d in diffs)
+    changed_items = ", ".join(
+        f"CASE WHEN {d} THEN '{c}' END" for c, d in zip(compare_cols, diffs)
+    )
+    out_cols = (
+        ", ".join(keys)
+        + ", op, changed_cols, "
+        + ", ".join(f"old_{c}" for c in compare_cols)
+        + ", "
+        + ", ".join(f"new_{c}" for c in compare_cols)
+    )
+    return (
+        f"WITH o AS MATERIALIZED (SELECT *, 1 AS __o FROM ({old_sql})), "
+        f"n AS MATERIALIZED (SELECT *, 1 AS __n FROM ({new_sql})), "
+        f"j AS (SELECT {ksel}, {osel}, {nsel}, o.__o, n.__n "
+        f"FROM o FULL JOIN n ON {kj}), "
+        "d AS (SELECT *, CASE WHEN __o IS NULL THEN 'I' "
+        "WHEN __n IS NULL THEN 'D' "
+        f"WHEN {any_diff} THEN 'U' END AS op, "
+        f"CASE WHEN __o IS NOT NULL AND __n IS NOT NULL AND ({any_diff}) "
+        f"THEN array_to_string(list_filter([{changed_items}], "
+        "x -> x IS NOT NULL), ',') ELSE '' END AS changed_cols FROM j) "
+        f"SELECT {out_cols} FROM d WHERE op IS NOT NULL"
+    )
+
+
+def apply_changes_sql(
+    base_sql: str,
+    changes_sql: str,
+    keys: list[str],
+    value_cols: list[str],
+    ts_col: str = "ts",
+    seq_col: str | None = None,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> str:
+    """DuckDB twin of ``spark.cdc.apply_changes``: latest change per key
+    via QUALIFY row_number (same ``(ts DESC, seq DESC)`` order), base rows
+    anti-joined on changed keys, non-delete upserts unioned in."""
+    order = f"{ts_col} DESC" + (f", {seq_col} DESC" if seq_col else "")
+    part = ", ".join(keys)
+    cols = part + ", " + ", ".join(value_cols)
+    anti = " AND ".join(f"l.{k} = b.{k}" for k in keys)
+    return (
+        f"WITH b AS MATERIALIZED ({base_sql}), "
+        f"c AS MATERIALIZED ({changes_sql}), "
+        f"latest AS (SELECT * FROM c QUALIFY row_number() OVER "
+        f"(PARTITION BY {part} ORDER BY {order}) = 1) "
+        f"SELECT {cols} FROM b WHERE NOT EXISTS "
+        f"(SELECT 1 FROM latest l WHERE {anti}) "
+        f"UNION ALL SELECT {cols} FROM latest WHERE {op_col} <> '{delete_op}'"
+    )
+
+
+def scd2_history_sql(
+    changes_sql: str,
+    keys: list[str],
+    attr_cols: list[str],
+    ts_col: str = "ts",
+    seq_col: str | None = None,
+    collapse: bool = True,
+) -> str:
+    """DuckDB twin of ``spark.cdc.scd2_history``: same ``(ts, seq)`` window
+    order, NULL-safe change detection vs lag (equality is transitive, so
+    immediate-predecessor compare == last-kept-row compare), lead() for
+    interval ends, epoch_us integers (never rendered timestamps)."""
+    order = f"{ts_col} ASC" + (f", {seq_col} ASC" if seq_col else "")
+    part = ", ".join(keys)
+    w = f"(PARTITION BY {part} ORDER BY {order})"
+    attrs = ", ".join(attr_cols)
+    src = f"({changes_sql})"
+    if collapse:
+        keep = " OR ".join(
+            f"({c} IS DISTINCT FROM lag({c}) OVER {w})" for c in attr_cols
+        )
+        src = (
+            f"(SELECT * FROM (SELECT *, ({keep}) "
+            f"OR lag({ts_col}) OVER {w} IS NULL AS __keep "
+            f"FROM ({changes_sql})) WHERE __keep)"
+        )
+    return (
+        f"SELECT {part}, {attrs}, valid_from_us, valid_to_us, "
+        "valid_to_us IS NULL AS is_current FROM "
+        f"(SELECT {part}, {attrs}, epoch_us({ts_col}) AS valid_from_us, "
+        f"lead(epoch_us({ts_col})) OVER {w} AS valid_to_us FROM {src})"
+    )
