@@ -33,6 +33,7 @@ from ddsparkle.oracle import (
     triangle_counts_sql,
     udd_quantile_by_sql,
     udd_quantile_sql,
+    zorder_key_sql,
 )
 from ddsparkle.spark.agg import quantiles
 from ddsparkle.spark.dataops import PII_PATTERNS as _PII
@@ -4182,6 +4183,45 @@ def q_transcripts_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id", "valid_from_us")
 
 
+def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key (layout.zorder_key) over events on
+    (user_id, epoch-second ts), bits=16: exact integer min/max
+    normalization — step division for wide ranges, full-width stretch
+    multiply for narrow ones (a 15-user column must fill its 16 bits or
+    the curve degenerates to a ts sort; test_layout pins the pruning
+    property) — then shift/mask bit spreading, all engine-portable
+    bit-for-bit (oracle.zorder_key_sql replays every shift). The gate
+    aggregates per zkey>>24 bucket (count + per-dimension min/max), i.e.
+    the rectangle statistics a reader's box predicate would prune on.
+    Scale: the key is row-local after one min/max scan-reduce (pass known
+    ranges to skip it); zorder_write adds ONE range exchange — the same
+    shuffle any global sort pays."""
+    from ddsparkle.spark.layout import zorder_key
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias(
+                "ts_s"
+            ),
+        )
+    )
+    keyed = zorder_key(ev, ["user_id", "ts_s"], bits=16)
+    return (
+        keyed.groupBy(F.shiftright(F.col("zkey"), 24).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("user_id").alias("u_min"),
+            F.max("user_id").alias("u_max"),
+            F.min("ts_s").alias("t_min"),
+            F.max("ts_s").alias("t_max"),
+        )
+        .orderBy("zbucket")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is evidence policy, not alphabetics: the driver
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json, so entries
@@ -4202,8 +4242,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     composing strictly more of the same code: events_funnel vs
     events_funnel_windowed, events_udd_quantiles vs events_udd_by_type,
     doc_dup_spans AND doc_dup_span_strip vs doc_curation_spanstrip
-    (which composes the same strip end-to-end), doc_lm_quality vs
-    doc_curation_lm_pipeline (same scorer composed),
+    (which composes the same strip end-to-end), doc_curation_lm_pipeline
+    AND doc_curation_model_pipeline vs their in-window scorers
+    (doc_lm_quality / doc_model_quality) + doc_curation_spanstrip
+    (same curate chassis, different stage),
     transcripts_selfjoin_size_ams vs orders_join_size_ams,
     doc_weighted_sample vs the bottom-k machinery of the driver-green
     VETERAN doc_deterministic_sample; doc_source_overlap_matrix vs
@@ -4212,8 +4254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     membership, second table); doc_line_dedup vs doc_corpus_line_dedup
     (same portable line keys, the in-window gate composes strictly more);
     transcripts_streaming_f2_ams vs orders_join_size_ams (same AMS F2
-    sketch, batch leg); media_image_dhash vs media_image_near_dup (which
-    composes dhash + the banded Hamming join end-to-end)). Their
+    sketch, batch leg); media_image_near_dup vs the in-window
+    media_image_dhash (same hash computation) + the banded-Hamming join
+    machinery of the driver-green VETERAN simhash_dup_coverage). Their
     correctness evidence is the recorded both-SF harness replay; they are
     first in line for the r6 window. Veterans (driver-green r1-r4)
     rotate behind."""
@@ -4222,6 +4265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_snapshot_diff": q_transcripts_snapshot_diff,
         "events_apply_changes": q_events_apply_changes,
         "transcripts_scd2_history": q_transcripts_scd2_history,
+        "events_zorder_layout": q_events_zorder_layout,
         "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
         "orders_frequent_pairs": q_orders_frequent_pairs,
@@ -4233,8 +4277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_fd_covariance": q_emb_fd_covariance,
         # --- r5 new entries, one per operator family, never driver-run ---
         "doc_model_quality": q_doc_model_quality,
-        "doc_curation_model_pipeline": q_doc_curation_model_pipeline,
-        "media_image_near_dup": q_media_image_near_dup,
+        "media_image_dhash": q_media_image_dhash,
         "transcripts_turn_model_quality": q_transcripts_turn_model_quality,
         "transcripts_conv_model_quality": q_transcripts_conv_model_quality,
         "transcripts_validation": q_transcripts_validation,
@@ -4268,7 +4311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_kmv_set_algebra": q_doc_kmv_set_algebra,
         "emb_semdedup": q_emb_semdedup,
         "transcripts_shard_packing": q_transcripts_shard_packing,
-        "doc_curation_lm_pipeline": q_doc_curation_lm_pipeline,
+        "doc_lm_quality": q_doc_lm_quality,
         "doc_repetition_signals": q_doc_repetition_signals,
         "doc_corpus_line_dedup": q_doc_corpus_line_dedup,
         # --- r5 new entries ROTATED OUT (window=50): each has an
@@ -4278,10 +4321,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_assignment": q_doc_split_assignment,
         "doc_line_dedup": q_doc_line_dedup,
         "transcripts_streaming_f2_ams": q_transcripts_streaming_f2_ams,
-        "media_image_dhash": q_media_image_dhash,
+        "media_image_near_dup": q_media_image_near_dup,
         "doc_weighted_sample": q_doc_weighted_sample,
         "doc_dup_span_strip": q_doc_dup_span_strip,
-        "doc_lm_quality": q_doc_lm_quality,
+        "doc_curation_lm_pipeline": q_doc_curation_lm_pipeline,
+        "doc_curation_model_pipeline": q_doc_curation_model_pipeline,
         "events_funnel": q_events_funnel,
         "events_udd_quantiles": q_events_udd_quantiles,
         "doc_dup_spans": q_doc_dup_spans,
@@ -6474,6 +6518,21 @@ def oracle_sql() -> dict[str, str]:
                 seq_col="turn_idx",
             )
             + ") ORDER BY conv_id, valid_from_us"
+        ),
+        # z-order: same integer normalization (step division + narrow-range
+        # stretch multiply) and shift/mask Morton spread on BIGINT — every
+        # bucket bound is an exact integer
+        "events_zorder_layout": (
+            "SELECT zkey >> 24 AS zbucket, COUNT(*) AS n, "
+            "MIN(user_id) AS u_min, MAX(user_id) AS u_max, "
+            "MIN(ts_s) AS t_min, MAX(ts_s) AS t_max FROM ("
+            + zorder_key_sql(
+                "SELECT user_id, epoch_us(ts) // 1000000 AS ts_s FROM events "
+                "WHERE user_id IS NOT NULL AND ts IS NOT NULL",
+                ["user_id", "ts_s"],
+                bits=16,
+            )
+            + ") GROUP BY 1 ORDER BY zbucket"
         ),
         "graph_triangles": triangle_counts_sql(
             "SELECT l1.l_partkey AS a, l2.l_partkey AS b "

@@ -760,3 +760,61 @@ def scd2_history_sql(
         f"(SELECT {part}, {attrs}, epoch_us({ts_col}) AS valid_from_us, "
         f"lead(epoch_us({ts_col})) OVER {w} AS valid_to_us FROM {src})"
     )
+
+
+_ZORDER_SPREAD1 = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+_ZORDER_SPREAD2 = (
+    (32, 0x1F00000000FFFF),
+    (16, 0x1F0000FF0000FF),
+    (8, 0x100F00F00F00F00F),
+    (4, 0x10C30C30C30C30C3),
+    (2, 0x1249249249249249),
+)
+
+
+def zorder_key_sql(src_sql: str, cols: list[str], bits: int = 16) -> str:
+    """DuckDB twin of ``spark.layout.zorder_key``: identical integer
+    min/max step normalization (``//`` == Spark ``div`` on non-negative
+    operands) and the same shift/mask Morton spread, one nested SELECT per
+    spread stage (lateral re-use kept out on purpose — each stage
+    references the previous exactly once, so the text stays linear).
+    Returns ``SELECT *, zkey FROM (src)`` with the stats CTE cross-joined;
+    column i of ``cols`` occupies bit positions ``i + k*len(cols)``."""
+    table = _ZORDER_SPREAD1 if len(cols) == 2 else _ZORDER_SPREAD2
+    if len(cols) not in (2, 3):
+        raise ValueError("z-order interleaves exactly 2 or 3 columns")
+    full = 1 << bits
+    stats = ", ".join(
+        f"MIN(CAST({c} AS BIGINT)) AS __mn{i}, "
+        f"((MAX(CAST({c} AS BIGINT)) - MIN(CAST({c} AS BIGINT))) >> {bits}) + 1 "
+        f"AS __st{i}, "
+        f"CASE WHEN MAX(CAST({c} AS BIGINT)) - MIN(CAST({c} AS BIGINT)) "
+        f">= {full} THEN 1 ELSE {full} // "
+        f"(MAX(CAST({c} AS BIGINT)) - MIN(CAST({c} AS BIGINT)) + 1) END "
+        f"AS __mu{i}"
+        for i, c in enumerate(cols)
+    )
+    scaled = ", ".join(
+        f"((coalesce(CAST({c} AS BIGINT), __mn{i}) - __mn{i}) // __st{i}) "
+        f"* __mu{i} AS __z{i}"
+        for i, c in enumerate(cols)
+    )
+    inner = (
+        f"SELECT s.*, {scaled} FROM ({src_sql}) s "
+        f"CROSS JOIN (SELECT {stats} FROM ({src_sql}))"
+    )
+    for shift, mask in table:
+        stage = ", ".join(
+            f"(__z{i} | (__z{i} << {shift})) & {mask} AS __z{i}"
+            for i in range(len(cols))
+        )
+        inner = f"SELECT * EXCLUDE ({', '.join(f'__z{i}' for i in range(len(cols)))}), {stage} FROM ({inner})"
+    key = " | ".join(f"(__z{i} << {i})" for i in range(len(cols)))
+    zcols = ", ".join(f"__z{i}" for i in range(len(cols)))
+    return f"SELECT * EXCLUDE ({zcols}), {key} AS zkey FROM ({inner})"
