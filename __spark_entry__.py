@@ -4222,6 +4222,47 @@ def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals dwell time per user: each event opens an
+    interval of 30–209 s (deterministic from its value), overlapping or
+    touching intervals merge into episodes, and the per-user accounting is
+    [n_intervals, n_episodes, covered_us, max_episode_us] — the classic
+    availability / busy-span primitive as ONE window exchange
+    (dataops.merge_intervals: running-max-end + episode counter share one
+    (user, start) sort; no self-join, no iteration). All epoch math is
+    integer micros (unix_micros == DuckDB epoch_us) and the duration
+    derivation uses explicit FLOOR before the BIGINT cast — Spark CAST
+    truncates where DuckDB rounds half-even, so the floor is the portable
+    step; episode lengths are exact integers, hash-gateable."""
+    from ddsparkle.spark.dataops import interval_coverage
+
+    iv = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("unix_micros(cast(ts as timestamp))").alias("start_us"),
+            (
+                F.expr("unix_micros(cast(ts as timestamp))")
+                + (
+                    F.floor(F.abs(F.col("value")) * F.lit(1000.0)).cast("long")
+                    % F.lit(180)
+                    + F.lit(30)
+                )
+                * F.lit(1_000_000)
+            ).alias("end_us"),
+        )
+    )
+    return interval_coverage(
+        iv, by="user_id", order_cols=("event_id",)
+    ).orderBy("user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is evidence policy, not alphabetics: the driver
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json, so entries
@@ -4261,6 +4302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first in line for the r6 window. Veterans (driver-green r1-r4)
     rotate behind."""
     return {
+        # --- r5 part 8 (sixth session): intervals + corpus stats + more ---
+        "events_interval_coverage": q_events_interval_coverage,
         # --- r5 part 7 (fifth session): graph + basket + CDC + layout ---
         "transcripts_snapshot_diff": q_transcripts_snapshot_diff,
         "events_apply_changes": q_events_apply_changes,
@@ -5420,6 +5463,31 @@ def oracle_sql() -> dict[str, str]:
         "FROM dt, ex, fa, fb"
     )
     return {
+        # interval union: integer-micros episode merge — FLOOR before the
+        # BIGINT cast (Spark CAST truncates, DuckDB rounds half-even);
+        # HUGEINT sums cast back to BIGINT (the pagerank lesson)
+        "events_interval_coverage": (
+            "WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s, "
+            "epoch_us(ts) + (CAST(FLOOR(ABS(value) * 1000) AS BIGINT) % 180 "
+            "+ 30) * 1000000 AS e FROM events "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "AND value IS NOT NULL), "
+            "m AS (SELECT user_id, s, e, event_id, "
+            "MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm "
+            "FROM iv), "
+            "ep AS (SELECT user_id, s, e, "
+            "SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY user_id ORDER BY s, e, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS ep_id FROM m), "
+            "per AS (SELECT user_id, ep_id, COUNT(*) AS n, "
+            "MAX(e) - MIN(s) AS len_us FROM ep GROUP BY 1, 2) "
+            "SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_intervals, "
+            "COUNT(*) AS n_episodes, "
+            "CAST(SUM(len_us) AS BIGINT) AS covered_us, "
+            "MAX(len_us) AS max_episode_us "
+            "FROM per GROUP BY user_id ORDER BY user_id"
+        ),
         "transcripts_conv_freq_countsketch": csk_sql,
         "orders_join_size_ams": joinsz_sql,
         "transcripts_streaming_countsketch": csk_sql,

@@ -4136,3 +4136,87 @@ def frequent_pairs(
     freq.unpersist()
     b.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# interval merge / coverage (dwell time, availability, span union)
+# ---------------------------------------------------------------------------
+
+
+def merge_intervals(
+    df,
+    by: str = "user_id",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    order_cols: Sequence[str] = (),
+    episode_col: str = "episode_id",
+):
+    """Assign each interval to its overlap-connected EPISODE within ``by``:
+    sort intervals by start, track the running max end over strictly
+    previous rows, and start a new episode exactly when the current start
+    exceeds it (touching intervals — start == previous end — merge; the
+    union of one episode is therefore a single contiguous span
+    [min start, max end] by construction). This is the classic
+    merge-overlapping-intervals primitive (dwell time, service
+    availability, GPU-busy spans, speech segments) expressed as ONE
+    window: both passes (running max, running episode counter) share the
+    same (partition by key, order by start) sort, so Catalyst plans a
+    single exchange — no self-join, no Python, no iteration.
+
+    ``start_col``/``end_col`` must be integer epoch columns (micros via
+    ``F.unix_micros`` pairs exactly with DuckDB ``epoch_us``); integer
+    comparisons keep the episode assignment bit-reproducible across
+    engines and partitionings. ``order_cols`` breaks (start, end) ties
+    deterministically — pass a unique id when duplicates are possible.
+
+    Scale shape: the window partitions by ``by``, so skew is bounded by
+    the hottest key (same property as sessionize); at 100 TB keys are
+    users/devices/conversations — millions of small partitions, one
+    shuffle of (key, start, end, order) only.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    order = [F.col(start_col), F.col(end_col)] + [F.col(c) for c in order_cols]
+    w_prev = (
+        Window.partitionBy(by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max_end = F.max(F.col(end_col)).over(w_prev)
+    new_episode = prev_max_end.isNull() | (F.col(start_col) > prev_max_end)
+    return df.withColumn(episode_col, F.sum(new_episode.cast("long")).over(w_run))
+
+
+def interval_coverage(
+    df,
+    by: str = "user_id",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    order_cols: Sequence[str] = (),
+):
+    """Per-key union-of-intervals accounting over ``merge_intervals``:
+    [by, n_intervals, n_episodes, covered_us, max_episode_us]. Because a
+    merged episode is contiguous, its covered length is exactly
+    (max end - min start) — integer micros, no float anywhere, so the
+    DuckDB twin hash-matches bit-for-bit. Two hash aggregates after the
+    single window shuffle; output is one row per key
+    (corpus-size-independent downstream)."""
+    from pyspark.sql import functions as F
+
+    ep = merge_intervals(df, by, start_col, end_col, order_cols)
+    per_ep = ep.groupBy(by, "episode_id").agg(
+        F.count("*").alias("__n"),
+        (F.max(end_col) - F.min(start_col)).alias("__len_us"),
+    )
+    return per_ep.groupBy(by).agg(
+        F.sum("__n").alias("n_intervals"),
+        F.count("*").alias("n_episodes"),
+        F.sum("__len_us").alias("covered_us"),
+        F.max("__len_us").alias("max_episode_us"),
+    )

@@ -1996,3 +1996,75 @@ class TestProfileTable:
         out = {r["column"]: r for r in profile_table(df).collect()}
         assert out["ts"]["q50"] is None  # epochs are never sketch-quantiled
         assert out["ts"]["vmax"] - out["ts"]["vmin"] == 9_000_000.0
+
+
+class TestIntervalCoverage:
+    """merge_intervals / interval_coverage semantics pins."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, start_us long, end_us long"
+        )
+
+    def test_merge_touch_gap_containment(self, spark):
+        from ddsparkle.spark.dataops import interval_coverage
+
+        rows = [
+            # user 1: [0,10] + touching [10,20] merge; gap then [30,40]
+            (1, 1, 0, 10),
+            (1, 2, 10, 20),
+            (1, 3, 30, 40),
+            # user 2: containment — [0,100] swallows [10,20]; [150,160]
+            (2, 1, 0, 100),
+            (2, 2, 10, 20),
+            (2, 3, 150, 160),
+            # user 3: chain where each overlaps ONLY its neighbor
+            (3, 1, 0, 10),
+            (3, 2, 5, 15),
+            (3, 3, 14, 30),
+        ]
+        got = {
+            r["user_id"]: r.asDict()
+            for r in interval_coverage(
+                self._df(spark, rows), order_cols=("event_id",)
+            ).collect()
+        }
+        assert got[1] == {
+            "user_id": 1,
+            "n_intervals": 3,
+            "n_episodes": 2,
+            "covered_us": 30,
+            "max_episode_us": 20,
+        }
+        assert got[2] == {
+            "user_id": 2,
+            "n_intervals": 3,
+            "n_episodes": 2,
+            "covered_us": 110,
+            "max_episode_us": 100,
+        }
+        assert got[3] == {
+            "user_id": 3,
+            "n_intervals": 3,
+            "n_episodes": 1,
+            "covered_us": 30,
+            "max_episode_us": 30,
+        }
+
+    def test_partitioning_invariant(self, spark):
+        """Episode assignment is a pure function of the sorted intervals —
+        identical at any input partitioning (the window repartitions)."""
+        from ddsparkle.spark.dataops import interval_coverage
+
+        rows = [
+            (u, i, (i * 7919) % 50, (i * 7919) % 50 + 1 + (i % 9))
+            for u in range(4)
+            for i in range(40)
+        ]
+        base = interval_coverage(
+            self._df(spark, rows), order_cols=("event_id",)
+        ).collect()
+        shuffled = interval_coverage(
+            self._df(spark, rows).repartition(13), order_cols=("event_id",)
+        ).collect()
+        assert sorted(map(tuple, base)) == sorted(map(tuple, shuffled))
