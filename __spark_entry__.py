@@ -4263,6 +4263,19 @@ def q_events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus vocabulary diagnostics (dataops.vocab_stats):
+    token/vocab/hapax totals plus the integer-bits unigram surprisal
+    ``sum(cnt * bitlen(n_tokens DIV cnt))`` — exact int64 end-to-end
+    (the ngram_lm bitlen trick), so the cross-row sum is hash-gateable
+    where a float entropy never is. Top token ties break on the string.
+    Shape: one vocab-sized map-side-combined groupBy; text never
+    shuffles."""
+    from ddsparkle.spark.dataops import vocab_stats
+
+    return vocab_stats(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is evidence policy, not alphabetics: the driver
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json, so entries
@@ -4304,6 +4317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r5 part 8 (sixth session): intervals + corpus stats + more ---
         "events_interval_coverage": q_events_interval_coverage,
+        "doc_vocab_stats": q_doc_vocab_stats,
         # --- r5 part 7 (fifth session): graph + basket + CDC + layout ---
         "transcripts_snapshot_diff": q_transcripts_snapshot_diff,
         "events_apply_changes": q_events_apply_changes,
@@ -5487,6 +5501,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(len_us) AS BIGINT) AS covered_us, "
             "MAX(len_us) AS max_episode_us "
             "FROM per GROUP BY user_id ORDER BY user_id"
+        ),
+        # integer-bits surprisal: bitlen(x) == length(bin(x)) both engines
+        "doc_vocab_stats": (
+            "WITH tk AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) "
+            "AS token FROM documents WHERE text IS NOT NULL), "
+            "tc AS MATERIALIZED (SELECT token, COUNT(*) AS cnt "
+            "FROM tk GROUP BY token), "
+            "s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens, "
+            "COUNT(*) AS vocab_size, "
+            "CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_hapax FROM tc), "
+            "sp AS (SELECT CAST(SUM(cnt * length(bin("
+            "(SELECT n_tokens FROM s) // cnt))) AS BIGINT) "
+            "AS surprisal_bits FROM tc), "
+            "tp AS (SELECT token AS top_token, cnt AS top_count FROM tc "
+            "ORDER BY cnt DESC, token LIMIT 1), "
+            "d AS (SELECT COUNT(*) AS n_docs FROM documents "
+            "WHERE text IS NOT NULL) "
+            "SELECT n_docs, n_tokens, vocab_size, n_hapax, surprisal_bits, "
+            "top_token, top_count FROM d, s, sp, tp"
         ),
         "transcripts_conv_freq_countsketch": csk_sql,
         "orders_join_size_ams": joinsz_sql,

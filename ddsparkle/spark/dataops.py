@@ -4220,3 +4220,72 @@ def interval_coverage(
         F.sum("__len_us").alias("covered_us"),
         F.max("__len_us").alias("max_episode_us"),
     )
+
+
+def vocab_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """One-row corpus vocabulary diagnostics for training-data triage:
+    [n_docs, n_tokens, vocab_size, n_hapax, surprisal_bits, top_token,
+    top_count]. ``n_hapax`` (tokens seen exactly once) vs ``vocab_size``
+    is the standard OOV/tail indicator; ``surprisal_bits`` is the corpus
+    total of the INTEGER-BITS unigram surprisal ``count * bitlen(n_tokens
+    DIV count)`` — the ``ngram_lm`` / ``tfidf_top_terms`` trick
+    (``bitlen(x) = length(bin(x))`` on both engines), so the whole row is
+    exact int64 and hash-gateable where a float ``c*ln(N/c)`` entropy sum
+    never could be (cross-row double summation order). The top token
+    breaks count ties on the token string.
+
+    Scale shape: tokens explode in the scan projection, ONE map-side-
+    combined groupBy(token) (vocab-sized shuffle — the corpus text never
+    moves), then a single-row reduce + a TakeOrderedAndProject for the
+    top token; nothing corpus-sized survives the first aggregate.
+    Beyond-reference, brief-driven (corpus diagnostics stage)."""
+    from pyspark.sql import functions as F
+
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    toks = toks.persist()
+    summary = toks.agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("vocab_size"),
+        F.sum((F.col("cnt") == 1).cast("long")).alias("n_hapax"),
+    )
+    top = (
+        toks.orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(1)
+        .select(F.col("token").alias("top_token"), F.col("cnt").alias("top_count"))
+    )
+    n_docs = df.filter(F.col(text_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    # surprisal needs n_tokens on every vocab row: broadcast the 1-row agg
+    surprisal = (
+        toks.crossJoin(F.broadcast(summary.select("n_tokens")))
+        .select(
+            (
+                F.col("cnt")
+                * F.length(F.bin(F.expr("n_tokens DIV cnt"))).cast("long")
+            ).alias("__s")
+        )
+        .agg(F.sum("__s").alias("surprisal_bits"))
+    )
+    out = (
+        n_docs.crossJoin(summary)
+        .crossJoin(surprisal)
+        .crossJoin(top)
+        .select(
+            "n_docs",
+            "n_tokens",
+            "vocab_size",
+            "n_hapax",
+            "surprisal_bits",
+            "top_token",
+            "top_count",
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    toks.unpersist()
+    return out

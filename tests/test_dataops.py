@@ -2068,3 +2068,24 @@ class TestIntervalCoverage:
             self._df(spark, rows).repartition(13), order_cols=("event_id",)
         ).collect()
         assert sorted(map(tuple, base)) == sorted(map(tuple, shuffled))
+
+
+def test_vocab_stats_constructed(spark):
+    """bitlen surprisal + hapax/vocab on a corpus small enough to check by
+    hand: tokens = [a a a b b c] -> n=6, vocab=3, hapax=1, surprisal =
+    3*bitlen(2) + 2*bitlen(3) + 1*bitlen(6) = 3*2 + 2*2 + 1*3 = 13."""
+    from ddsparkle.spark.dataops import vocab_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "b b c"), (3, None)], "doc_id long, text string"
+    )
+    row = vocab_stats(df).collect()[0].asDict()
+    assert row == {
+        "n_docs": 2,
+        "n_tokens": 6,
+        "vocab_size": 3,
+        "n_hapax": 1,
+        "surprisal_bits": 13,
+        "top_token": "a",
+        "top_count": 3,
+    }
