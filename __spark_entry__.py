@@ -26,6 +26,7 @@ from ddsparkle.oracle import (
     fd_covariance_sql,
     ddsketch_quantile_sql,
     ddsketch_row_rank_sql,
+    kcore_sql,
     kmeans_sql,
     pagerank_sql,
     scd2_history_sql,
@@ -4263,6 +4264,30 @@ def q_events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the sparse part co-order graph (quantity > 45 keeps the
+    peel non-trivial: depth 5 at sf0.01 / 6 at sf0.1, measured) via
+    graph.kcore iterative peeling — per round ONE degree groupBy + two
+    semi-joins on integer keys, localCheckpointed (three consumers per
+    round). The operator raises if unconverged within max_rounds, and the
+    twin unrolls 16 fixed rounds (idempotent past the fixpoint), so
+    "converged" and "replayed enough rounds" are the same statement.
+    Returns in-core degrees — exact integers, hash-gateable."""
+    from ddsparkle.spark.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    edges = (
+        li.alias("la")
+        .join(
+            li.alias("lb"),
+            (F.col("la.l_orderkey") == F.col("lb.l_orderkey"))
+            & (F.col("la.l_partkey") < F.col("lb.l_partkey")),
+        )
+        .select(F.col("la.l_partkey").alias("a"), F.col("lb.l_partkey").alias("b"))
+    )
+    return kcore(edges, k=3).orderBy("node")
+
+
 def q_doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus vocabulary diagnostics (dataops.vocab_stats):
     token/vocab/hapax totals plus the integer-bits unigram surprisal
@@ -4318,6 +4343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r5 part 8 (sixth session): intervals + corpus stats + more ---
         "events_interval_coverage": q_events_interval_coverage,
         "doc_vocab_stats": q_doc_vocab_stats,
+        "graph_kcore": q_graph_kcore,
         # --- r5 part 7 (fifth session): graph + basket + CDC + layout ---
         "transcripts_snapshot_diff": q_transcripts_snapshot_diff,
         "events_apply_changes": q_events_apply_changes,
@@ -6635,6 +6661,15 @@ def oracle_sql() -> dict[str, str]:
                 bits=16,
             )
             + ") GROUP BY 1 ORDER BY zbucket"
+        ),
+        "graph_kcore": kcore_sql(
+            "SELECT l1.l_partkey AS a, l2.l_partkey AS b "
+            "FROM lineitem l1 JOIN lineitem l2 "
+            "ON l1.l_orderkey = l2.l_orderkey "
+            "AND l1.l_partkey < l2.l_partkey "
+            "WHERE l1.l_quantity > 45 AND l2.l_quantity > 45",
+            k=3,
+            rounds=16,
         ),
         "graph_triangles": triangle_counts_sql(
             "SELECT l1.l_partkey AS a, l2.l_partkey AS b "

@@ -659,6 +659,46 @@ def triangle_counts_sql(edges_sql: str) -> str:
     )
 
 
+def kcore_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """DuckDB twin of ``spark.graph.kcore`` — unrolls a FIXED ``rounds``
+    peeling rounds as MATERIALIZED CTEs (the pagerank/BPE discipline;
+    peeling is idempotent at the fixpoint, so ``rounds`` only needs to be
+    >= the true peel depth — the operator RAISES if its own
+    ``max_rounds`` is exceeded, which keeps the two statements aligned).
+    ``edges_sql`` must yield raw columns ``a, b``; NULLs, self-loops and
+    (reversed) duplicates are normalized here exactly as in the
+    operator."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    parts = [
+        f"re AS MATERIALIZED ({edges_sql})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(a, b) AS x, "
+        "greatest(a, b) AS y FROM re "
+        "WHERE a IS NOT NULL AND b IS NOT NULL AND a <> b)",
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT node, COUNT(*) AS degree FROM "
+            f"(SELECT x AS node FROM e{t} UNION ALL SELECT y FROM e{t}) "
+            "GROUP BY node)"
+        )
+        parts.append(
+            f"k{t} AS MATERIALIZED (SELECT node FROM d{t} "
+            f"WHERE degree >= {int(k)})"
+        )
+        parts.append(
+            f"e{t + 1} AS MATERIALIZED (SELECT x, y FROM e{t} "
+            f"WHERE x IN (SELECT node FROM k{t}) "
+            f"AND y IN (SELECT node FROM k{t}))"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        f"SELECT node, degree FROM (SELECT node, COUNT(*) AS degree FROM "
+        f"(SELECT x AS node FROM e{rounds} UNION ALL SELECT y FROM e{rounds}) "
+        f"GROUP BY node) WHERE degree >= {int(k)} ORDER BY node"
+    )
+
+
 def snapshot_diff_sql(
     old_sql: str,
     new_sql: str,

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank", "triangle_counts"]
+__all__ = ["pagerank", "triangle_counts", "kcore"]
 
 
 def pagerank(
@@ -236,3 +236,85 @@ def triangle_counts(edges: DataFrame, a_col: str = "a", b_col: str = "b"):
     deg.unpersist()
     oriented.unpersist()
     return out
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 30,
+):
+    """Nodes of the ``k``-core (the maximal subgraph where every node has
+    degree >= k) of an undirected graph, with their in-core degrees —
+    iterative peeling: drop every node whose current degree is below ``k``
+    (and its edges), repeat until a fixpoint. The standard
+    cohesive-subgraph / spam-farm / boilerplate-hub filter over link and
+    co-occurrence graphs; brief-driven (the reference repo has no graph
+    surface).
+
+    Semantics: NULL endpoints, self-loops, duplicate and reversed-duplicate
+    edges are normalized away exactly as in ``triangle_counts``. Returns
+    ``[node, degree]`` for k-core members only (empty frame if the core is
+    empty). Raises ``RuntimeError`` if the peel has not converged after
+    ``max_rounds`` rounds — the DuckDB twin unrolls a FIXED number of
+    rounds (peeling is idempotent at the fixpoint, so extra unrolled
+    rounds are no-ops), and the raise is what keeps "operator converged"
+    and "twin replayed enough rounds" the same statement.
+
+    Scale shape: per round ONE degree groupBy over the surviving edges and
+    two semi-joins of edges against surviving nodes — integer keys only.
+    Rounds are O(peel depth), not O(diameter); each round's edge frame is
+    localCheckpointed because it feeds three consumers (degree count + two
+    semi-joins) and a lazy loop would double lineage per round (the
+    ``connected_components`` discipline).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    xa, xb = F.col(a_col), F.col(b_col)
+    cur = (
+        edges.select(xa.alias("__a"), xb.alias("__b"))
+        .filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+        .filter(F.col("__a") != F.col("__b"))
+        .select(
+            F.least("__a", "__b").alias("x"), F.greatest("__a", "__b").alias("y")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def degrees(e):
+        return (
+            e.select(F.col("x").alias("node"))
+            .unionAll(e.select(F.col("y").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("degree"))
+        )
+
+    prev_nodes = None  # unknown before the first degree pass
+    for _ in range(max_rounds):
+        deg = degrees(cur)
+        keep = deg.filter(F.col("degree") >= k).persist()
+        n_keep = keep.count()
+        if prev_nodes is not None and n_keep == prev_nodes:
+            out = keep.localCheckpoint(eager=True)
+            keep.unpersist()
+            return out
+        prev_nodes = n_keep
+        if n_keep == 0:
+            # empty core: reuse keep's schema so the node type follows the
+            # input endpoint type (long part keys, string "c:..." ids, ...)
+            out = edges.sparkSession.createDataFrame([], keep.schema)
+            keep.unpersist()
+            return out
+        nodes = keep.select("node")
+        cur = (
+            cur.join(nodes.withColumnRenamed("node", "x"), "x", "semi")
+            .join(nodes.withColumnRenamed("node", "y"), "y", "semi")
+            .select("x", "y")
+            .localCheckpoint(eager=True)
+        )
+        keep.unpersist()
+    raise RuntimeError(
+        f"kcore(k={k}) did not converge within max_rounds={max_rounds}"
+    )

@@ -276,3 +276,69 @@ class TestTriangleCounts:
         )
         got = sorted(duckdb.sql(sql).fetchall())
         assert got == want
+
+
+class TestKCore:
+    def test_triangle_with_tails(self, spark):
+        """Triangle {1,2,3} + tails 4-5: the 2-core is exactly the
+        triangle (tails peel in two rounds: 5 first, then 4)."""
+        from ddsparkle.spark.graph import kcore
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "a long, b long"
+        )
+        got = sorted(map(tuple, kcore(edges, k=2).collect()))
+        assert got == [(1, 2), (2, 2), (3, 2)]
+
+    def test_normalization_and_empty_core(self, spark):
+        """Self-loops, NULLs, duplicate + reversed edges collapse to one
+        undirected edge each; a path graph has an empty 2-core."""
+        from ddsparkle.spark.graph import kcore
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 2), (2, 3), (3, 3), (None, 1)],
+            "a long, b long",
+        )
+        assert kcore(edges, k=2).count() == 0
+        # and the 1-core keeps the path with true undirected degrees
+        got = sorted(map(tuple, kcore(edges, k=1).collect()))
+        assert got == [(1, 1), (2, 2), (3, 1)]
+
+    def test_unconverged_raises(self, spark):
+        """A long path peels one layer per round from each end — with
+        max_rounds too small for the peel depth, kcore must raise rather
+        than silently return a truncated peel."""
+        import pytest as _pytest
+
+        from ddsparkle.spark.graph import kcore
+
+        path = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "a long, b long"
+        )
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            kcore(path, k=2, max_rounds=2)
+
+    def test_matches_duckdb_twin(self, spark):
+        """Fixed-round unrolled twin == early-exit operator on a graph
+        whose peel terminates well before the unroll bound."""
+        import duckdb
+
+        from ddsparkle.oracle import kcore_sql
+        from ddsparkle.spark.graph import kcore
+
+        rows = [(i * 7919 % 23, i * 104729 % 23) for i in range(60)]
+        edges = spark.createDataFrame(rows, "a long, b long")
+        got = sorted(map(tuple, kcore(edges, k=3).collect()))
+        con = duckdb.connect()
+        con.sql(
+            "CREATE TABLE raw AS SELECT * FROM (VALUES "
+            + ", ".join(f"({a}, {b})" for a, b in rows)
+            + ") t(a, b)"
+        )
+        want = [
+            tuple(r)
+            for r in con.sql(
+                kcore_sql("SELECT a, b FROM raw", k=3, rounds=10)
+            ).fetchall()
+        ]
+        assert got == sorted(want)
