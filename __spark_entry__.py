@@ -4264,6 +4264,40 @@ def q_events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_customer_name_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-key record linkage: every pair of customer names within ONE
+    Levenshtein edit (dataops.edit_distance_pairs — FastSS
+    deletion-neighborhood blocking, lossless for any indel/substitution
+    by construction, exact built-in levenshtein verify on both engines).
+    Input = c_name plus a planted one-char-insertion variant for every
+    10th customer (negative id space), so the output contains real
+    INSERTION pairs, not just the same-length digit substitutions the
+    names produce naturally. Only 8-byte variant hashes shuffle in the
+    candidate join; a hash collision can only add a candidate the verify
+    kills."""
+    from ddsparkle.spark.dataops import edit_distance_pairs
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    planted = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 3)
+        .select(
+            (-F.col("c_custkey")).alias("id"),
+            F.expr("concat(substr(c_name, 1, 5), 'X', substr(c_name, 6))").alias(
+                "name"
+            ),
+        )
+    )
+    pairs = edit_distance_pairs(
+        cust.unionByName(planted), text_col="name", id_col="id", max_edits=1
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("ed").cast("long").alias("ed")
+    ).orderBy("id_a", "id_b")
+
+
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the sparse part co-order graph (quantity > 45 keeps the
     peel non-trivial: depth 5 at sf0.01 / 6 at sf0.1, measured) via
@@ -4344,6 +4378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_coverage": q_events_interval_coverage,
         "doc_vocab_stats": q_doc_vocab_stats,
         "graph_kcore": q_graph_kcore,
+        "customer_name_editdist": q_customer_name_editdist,
         # --- r5 part 7 (fifth session): graph + basket + CDC + layout ---
         "transcripts_snapshot_diff": q_transcripts_snapshot_diff,
         "events_apply_changes": q_events_apply_changes,
@@ -6661,6 +6696,30 @@ def oracle_sql() -> dict[str, str]:
                 bits=16,
             )
             + ") GROUP BY 1 ORDER BY zbucket"
+        ),
+        # FastSS twin: candidate generation on the variant STRINGS (no
+        # hash needed oracle-side); both generators are lossless, so the
+        # verified outputs agree even though candidate sets may differ
+        "customer_name_editdist": (
+            "WITH inp AS MATERIALIZED ("
+            "SELECT c_custkey AS id, c_name AS name FROM customer "
+            "UNION ALL "
+            "SELECT -c_custkey, substr(c_name, 1, 5) || 'X' || "
+            "substr(c_name, 6) FROM customer WHERE c_custkey % 10 = 3), "
+            "keys AS MATERIALIZED (SELECT DISTINCT id, v FROM ("
+            "SELECT id, name AS v FROM inp "
+            "UNION ALL "
+            "SELECT id, substr(name, 1, i - 1) || substr(name, i + 1) AS v "
+            "FROM inp, LATERAL (SELECT unnest(generate_series(1, "
+            "length(name))) AS i) g)), "
+            "cand AS (SELECT DISTINCT ka.id AS id_a, kb.id AS id_b "
+            "FROM keys ka JOIN keys kb ON ka.v = kb.v AND ka.id < kb.id) "
+            "SELECT id_a, id_b, "
+            "CAST(levenshtein(a.name, b.name) AS BIGINT) AS ed "
+            "FROM cand JOIN inp a ON a.id = cand.id_a "
+            "JOIN inp b ON b.id = cand.id_b "
+            "WHERE levenshtein(a.name, b.name) <= 1 "
+            "ORDER BY id_a, id_b"
         ),
         "graph_kcore": kcore_sql(
             "SELECT l1.l_partkey AS a, l2.l_partkey AS b "

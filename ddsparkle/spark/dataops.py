@@ -4289,3 +4289,108 @@ def vocab_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     out = out.localCheckpoint(eager=True)
     toks.unpersist()
     return out
+
+
+def edit_distance_pairs(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_edits: int = 1,
+):
+    """All pairs within Levenshtein distance ``max_edits`` (1 or 2) over a
+    SHORT-STRING key column (names, titles, codes, normalized entity
+    keys) — FastSS deletion-neighborhood blocking (Bocek et al., 2007):
+    if ``ed(s, t) <= d`` then deleting the (≤ d) edited positions from
+    each side yields a COMMON string, so the candidate join on the
+    up-to-``d``-deletion neighborhoods is lossless by construction; every
+    candidate is then verified with the exact built-in ``levenshtein``
+    (both engines compute the same integer, so the output is
+    hash-gateable with no recall caveat — unlike the banded Hamming join,
+    whose pigeonhole needs ``max_hamming < bands``, this blocking is
+    lossless for ANY string pair, including indels that shift positions).
+
+    Returns ``[id_a, id_b, ed]`` with ``id_a < id_b`` and ``ed <=
+    max_edits`` (``ed = 0`` pairs are exact duplicates and are included —
+    filter if unwanted). NULL texts are dropped.
+
+    Cost model (why the contract says SHORT strings): a string of length
+    L emits 1 + L variant keys at d=1 and O(L^2) at d=2 — linear/quadratic
+    per-row blowup that is the RIGHT trade for keys up to ~100 chars and
+    the wrong one for documents (use the shingle/MinHash stack there).
+    Only 8-byte xxhash64 variant keys shuffle, never the variant strings;
+    an xxhash64 collision can only ADD a candidate, which the exact
+    verify then kills, so hashing costs no recall. Hot variant keys are
+    bounded by true near-dup cluster sizes (same skew class as exact
+    dedup's digest groups).
+    """
+    from pyspark.sql import functions as F
+
+    if max_edits not in (1, 2):
+        raise ValueError(f"max_edits must be 1 or 2, got {max_edits}")
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    )
+    t = F.col("__text")
+    L = F.length(t)
+
+    def _del1(col, length):
+        # all single-position deletions of col (1-based positions)
+        return F.transform(
+            F.sequence(F.lit(1), length),
+            lambda i: F.concat(
+                col.substr(F.lit(1), i - F.lit(1)),
+                col.substr(i + F.lit(1), length),
+            ),
+        )
+
+    variants = F.when(L < 1, F.array(t)).otherwise(
+        F.concat(F.array(t), _del1(t, L))
+    )
+    if max_edits == 2:
+        # delete positions i < j in one pass: drop i, then (j-1) in the
+        # shortened string == dropping {i, j} from the original
+        two = F.flatten(
+            F.transform(
+                _del1(t, L),
+                lambda s: F.transform(
+                    F.sequence(F.lit(1), F.length(s)),
+                    lambda j: F.concat(
+                        s.substr(F.lit(1), j - F.lit(1)),
+                        s.substr(j + F.lit(1), F.length(s)),
+                    ),
+                ),
+            )
+        )
+        variants = F.when(L < 2, variants).otherwise(F.concat(variants, two))
+
+    keys = base.select(
+        "__id",
+        F.explode(
+            F.array_distinct(F.transform(variants, lambda v: F.xxhash64(v)))
+        ).alias("__k"),
+    )
+    cand = (
+        keys.alias("ka")
+        .join(
+            keys.alias("kb"),
+            (F.col("ka.__k") == F.col("kb.__k"))
+            & (F.col("ka.__id") < F.col("kb.__id")),
+        )
+        .select(
+            F.col("ka.__id").alias("id_a"), F.col("kb.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    return (
+        cand.join(
+            base.select(F.col("__id").alias("id_a"), F.col("__text").alias("__ta")),
+            "id_a",
+        )
+        .join(
+            base.select(F.col("__id").alias("id_b"), F.col("__text").alias("__tb")),
+            "id_b",
+        )
+        .withColumn("ed", F.levenshtein("__ta", "__tb"))
+        .filter(F.col("ed") <= max_edits)
+        .select("id_a", "id_b", "ed")
+    )

@@ -2089,3 +2089,70 @@ def test_vocab_stats_constructed(spark):
         "top_token": "a",
         "top_count": 3,
     }
+
+
+class TestEditDistancePairs:
+    @staticmethod
+    def _ed(a, b):
+        # textbook DP, the independent oracle for the recall pin
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    def _fixture(self):
+        # clusters of near strings with substitutions, indels, and exact
+        # dups; plus unrelated strings and short/empty edge cases
+        words = []
+        for i in range(30):
+            base = f"entity-{i:03d}-alpha"
+            words.append(base)
+            if i % 3 == 0:
+                words.append(base.replace("alpha", "alpht"))  # sub
+            if i % 4 == 0:
+                words.append(base[:7] + base[8:])  # deletion
+            if i % 5 == 0:
+                words.append(base[:4] + "X" + base[4:])  # insertion
+            if i % 7 == 0:
+                words.append(base)  # exact dup
+        words += ["", "a", "ab", "zzzz-unrelated"]
+        return [(i, w) for i, w in enumerate(words)]
+
+    def _check(self, spark, d):
+        from ddsparkle.spark.dataops import edit_distance_pairs
+
+        rows = self._fixture()
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            map(tuple, edit_distance_pairs(df, max_edits=d).collect())
+        )
+        want = sorted(
+            (ia, ib, self._ed(a, b))
+            for (ia, a) in rows
+            for (ib, b) in rows
+            if ia < ib and self._ed(a, b) <= d
+        )
+        assert got == want  # lossless: blocking found EVERY true pair
+
+    def test_recall_exhaustive_d1(self, spark):
+        self._check(spark, 1)
+
+    def test_recall_exhaustive_d2(self, spark):
+        self._check(spark, 2)
+
+    def test_bad_d_raises(self, spark):
+        import pytest as _pytest
+
+        from ddsparkle.spark.dataops import edit_distance_pairs
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="max_edits"):
+            edit_distance_pairs(df, max_edits=3)
