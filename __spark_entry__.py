@@ -4335,6 +4335,37 @@ def q_doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (dataops.fk_audit) over three relations
+    chosen to exercise every output column on the clean TPC-H-ish data:
+    lineitem->orders is intact (zero orphans), orders->BUILDING-segment
+    customers orphans ~80% of orders (non-NULL child keys with no parent
+    in the filtered dim — the "facts vs curated dim" loss measurement),
+    and events with user_id deterministically NULLed on purchase rows
+    counts missing keys separately from broken ones. Per relation ONE
+    left join of the child's key column against the deduplicated parent
+    key (child payload never moves; AQE broadcasts the dim-sized parent
+    key set) + one map-side-combined aggregate. All counts exact int64."""
+    from ddsparkle.spark.dataops import fk_audit
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "purchase", F.lit(None).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("user_id")
+    )
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING")
+    return fk_audit(
+        [
+            ("events_user_purchase_null", ev, "user_id", customer, "c_custkey"),
+            ("lineitem_orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+            ("orders_building_customer", orders, "o_custkey", building, "c_custkey"),
+        ]
+    ).orderBy("relation")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is evidence policy, not alphabetics: the driver
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json, so entries
@@ -4374,7 +4405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first in line for the r6 window. Veterans (driver-green r1-r4)
     rotate behind."""
     return {
-        # --- r5 part 8 (sixth session): intervals + corpus stats + more ---
+        # --- r5 part 8 (sixth/seventh sessions): intervals + stats + more ---
+        "fk_audit_integrity": q_fk_audit,
         "events_interval_coverage": q_events_interval_coverage,
         "doc_vocab_stats": q_doc_vocab_stats,
         "graph_kcore": q_graph_kcore,
@@ -6696,6 +6728,41 @@ def oracle_sql() -> dict[str, str]:
                 bits=16,
             )
             + ") GROUP BY 1 ORDER BY zbucket"
+        ),
+        # FK audit twin: same left-join-against-distinct-parent-key per
+        # relation; NULL child keys never match a join, so "orphan" must
+        # be child-key-NOT-NULL AND parent-miss on both engines
+        "fk_audit_integrity": (
+            "WITH ev AS (SELECT CASE WHEN event_type = 'purchase' THEN NULL "
+            "ELSE user_id END AS k FROM events), "
+            "cust AS (SELECT DISTINCT c_custkey AS k FROM customer), "
+            "bld AS (SELECT DISTINCT c_custkey AS k FROM customer "
+            "WHERE c_mktsegment = 'BUILDING'), "
+            "ok AS (SELECT DISTINCT o_orderkey AS k FROM orders) "
+            "SELECT * FROM ("
+            "SELECT 'events_user_purchase_null' AS relation, "
+            "COUNT(*) AS n_child, "
+            "COUNT(*) FILTER (WHERE e.k IS NULL) AS n_null_keys, "
+            "COUNT(*) FILTER (WHERE e.k IS NOT NULL AND p.k IS NULL) "
+            "AS n_orphans, "
+            "COUNT(DISTINCT e.k) FILTER (WHERE p.k IS NULL) "
+            "AS n_distinct_orphan_keys "
+            "FROM ev e LEFT JOIN cust p ON e.k = p.k "
+            "UNION ALL "
+            "SELECT 'lineitem_orders', COUNT(*), "
+            "COUNT(*) FILTER (WHERE l.l_orderkey IS NULL), "
+            "COUNT(*) FILTER (WHERE l.l_orderkey IS NOT NULL "
+            "AND p.k IS NULL), "
+            "COUNT(DISTINCT l.l_orderkey) FILTER (WHERE p.k IS NULL) "
+            "FROM lineitem l LEFT JOIN ok p ON l.l_orderkey = p.k "
+            "UNION ALL "
+            "SELECT 'orders_building_customer', COUNT(*), "
+            "COUNT(*) FILTER (WHERE o.o_custkey IS NULL), "
+            "COUNT(*) FILTER (WHERE o.o_custkey IS NOT NULL "
+            "AND p.k IS NULL), "
+            "COUNT(DISTINCT o.o_custkey) FILTER (WHERE p.k IS NULL) "
+            "FROM orders o LEFT JOIN bld p ON o.o_custkey = p.k"
+            ") ORDER BY relation"
         ),
         # FastSS twin: candidate generation on the variant STRINGS (no
         # hash needed oracle-side); both generators are lossless, so the

@@ -4394,3 +4394,44 @@ def edit_distance_pairs(
         .filter(F.col("ed") <= max_edits)
         .select("id_a", "id_b", "ed")
     )
+
+
+def fk_audit(relations):
+    """Referential-integrity audit over (name, child_df, child_key,
+    parent_df, parent_key) relations — the standard pre-training-join
+    data-quality stage (orphaned facts silently vanish in inner joins;
+    this measures the loss BEFORE the pipeline takes it). Per relation,
+    one row: [relation, n_child, n_null_keys, n_orphans,
+    n_distinct_orphan_keys] where an orphan is a non-NULL child key with
+    no parent (NULL child keys are counted separately — they are missing
+    data, not broken references).
+
+    Scale shape: per relation ONE left join of the child's KEY COLUMN
+    against the parent's deduplicated key (child payload never moves;
+    parent key sets are usually dim-sized, so AQE broadcasts them) and
+    one map-side-combined aggregate; results union to a
+    relations-count-sized frame. All counts exact integers.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    outs = []
+    for name, child, child_key, parent, parent_key in relations:
+        pk = parent.select(F.col(parent_key).alias("__k")).distinct().withColumn(
+            "__hit", F.lit(1)
+        )
+        j = child.select(F.col(child_key).alias("__k")).join(pk, "__k", "left")
+        orphan = F.col("__k").isNotNull() & F.col("__hit").isNull()
+        outs.append(
+            j.agg(
+                F.lit(name).alias("relation"),
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.col("__k").isNull().cast("long")).alias("n_null_keys"),
+                F.sum(orphan.cast("long")).alias("n_orphans"),
+                F.countDistinct(F.when(orphan, F.col("__k"))).alias(
+                    "n_distinct_orphan_keys"
+                ),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -2156,3 +2156,40 @@ class TestEditDistancePairs:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with _pytest.raises(ValueError, match="max_edits"):
             edit_distance_pairs(df, max_edits=3)
+
+
+def test_fk_audit_constructed(spark):
+    """Hand-checkable FK audit: child keys [1,1,2,NULL,9,9,9] against
+    parent {1,2,3} -> 7 child rows, 1 NULL key, 3 orphan rows (the 9s),
+    1 distinct orphan key. A second intact relation pins the zero path,
+    and a duplicated parent key pins the distinct-before-join dedup (a
+    child row must never double-count by matching two parent rows)."""
+    from ddsparkle.spark.dataops import fk_audit
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (None,), (9,), (9,), (9,)], "k long"
+    )
+    parent = spark.createDataFrame([(1,), (1,), (2,), (3,)], "p long")
+    out = {
+        r["relation"]: r.asDict()
+        for r in fk_audit(
+            [
+                ("dirty", child, "k", parent, "p"),
+                ("clean", parent, "p", parent, "p"),
+            ]
+        ).collect()
+    }
+    assert out["dirty"] == {
+        "relation": "dirty",
+        "n_child": 7,
+        "n_null_keys": 1,
+        "n_orphans": 3,
+        "n_distinct_orphan_keys": 1,
+    }
+    assert out["clean"] == {
+        "relation": "clean",
+        "n_child": 4,
+        "n_null_keys": 0,
+        "n_orphans": 0,
+        "n_distinct_orphan_keys": 0,
+    }
