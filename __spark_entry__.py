@@ -4366,6 +4366,121 @@ def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("relation")
 
 
+def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-candidate + functional-dependency profiling (dataops.fd_profile)
+    — the schema-level data-quality stage paired with fk_audit's row-level
+    one. Six constraints spanning both kinds and both outcomes on the
+    synthetic data: o_orderkey IS a key (0 violations), (l_orderkey,
+    l_linenumber) is NOT (the synthetic lineitem duplicates line numbers
+    — max duplicate group 6), user_id is massively non-unique;
+    c_custkey->c_name holds, o_custkey->o_orderpriority and
+    l_orderkey->l_shipdate are violated with measured group cardinality.
+    Per constraint one map-side-combined two-level aggregate; only named
+    columns leave the scan; exact int64 everywhere."""
+    from ddsparkle.spark.dataops import fd_profile
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    events = _t(spark, sf_dir, "events")
+    return (
+        fd_profile(
+            orders,
+            keys=[("o_orderkey",)],
+            fds=[(("o_custkey",), "o_orderpriority")],
+        )
+        .unionByName(
+            fd_profile(
+                lineitem,
+                keys=[("l_orderkey", "l_linenumber")],
+                fds=[(("l_orderkey",), "l_shipdate")],
+            )
+        )
+        .unionByName(fd_profile(customer, fds=[(("c_custkey",), "c_name")]))
+        .unionByName(fd_profile(events, keys=[("user_id",)]))
+        .orderBy("constraint_name")
+    )
+
+
+def q_doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram inverted index over documents (dataops.inverted_index,
+    min_df=2, max_postings=40): exact df/tf_total per term plus an md5
+    digest of the doc_id-sorted 'doc:tf' posting string — NULL for
+    stopword-class terms (df > 40), whose lists are never built. The
+    bound is exercised on BOTH sides at BOTH SFs (18 stop / 898 keep at
+    sf0.01, 900 / 31 at sf0.1 — the synthetic corpus's tiny vocab makes
+    most bigrams corpus-wide at sf0.1, which is exactly the regime the
+    stopword policy exists for). Postings hash via a small-array Catalyst
+    HOF (lists are <=40 elements by construction — the documented
+    HOF-for-small-arrays regime)."""
+    from ddsparkle.spark.dataops import inverted_index
+
+    inv = inverted_index(
+        _t(spark, sf_dir, "documents"), ngram=2, min_df=2, max_postings=40
+    )
+    return inv.select(
+        "term",
+        "df",
+        "tf_total",
+        F.when(
+            F.col("postings").isNotNull(),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        "postings",
+                        lambda p: F.concat_ws(
+                            ":",
+                            p.doc_id.cast("string"),
+                            p.tf.cast("string"),
+                        ),
+                    ),
+                )
+            ),
+        ).alias("postings_md5"),
+    ).orderBy("term")
+
+
+def q_events_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-drift report (dataops.histogram_drift) between 'view' and
+    'purchase' event values: 20 equi-width buckets over [1, 401) with the
+    underflow (values < 1 exist: min 0.01) and overflow (values up to
+    ~490) clamp buckets both populated. Whole report is integer-exact —
+    counts + parts-per-million rates via DIV — so it hash-matches with no
+    float rounding anywhere; bucket ids come from two single-rounded IEEE
+    ops replayed identically by the twin."""
+    from ddsparkle.spark.dataops import histogram_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram_drift(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+        lo=1.0,
+        hi=401.0,
+        n_buckets=20,
+    ).orderBy("bucket")
+
+
+def q_doc_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mix sampling (dataops.quota_sample): quotas over four of the
+    twenty sources — src0 undersampled (10), src1 quota 40 (a SHORTFALL
+    at sf0.01 where the stratum holds 25 rows, satisfied at sf0.1 —
+    both regimes deterministic and twin-replayed), src2 at exactly the
+    sf0.01 population, src3 quota 0 (empty group), all other sources
+    dropped. The twin recomputes every digest and row_number cut
+    bit-exactly, so the sampled id SET matches, not just counts."""
+    from ddsparkle.spark.dataops import quota_sample
+
+    return quota_sample(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 10, "src1": 40, "src2": 25, "src3": 0},
+        by="source",
+        id_col="doc_id",
+        seed=0,
+    ).select("doc_id", "source", "sample_key").orderBy("source", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is evidence policy, not alphabetics: the driver
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json, so entries
@@ -4407,6 +4522,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r5 part 8 (sixth/seventh sessions): intervals + stats + more ---
         "fk_audit_integrity": q_fk_audit,
+        "fd_profile_constraints": q_fd_profile,
+        "doc_inverted_index": q_doc_inverted_index,
+        "events_histogram_drift": q_events_histogram_drift,
+        "doc_quota_sample": q_doc_quota_sample,
         "events_interval_coverage": q_events_interval_coverage,
         "doc_vocab_stats": q_doc_vocab_stats,
         "graph_kcore": q_graph_kcore,
@@ -6763,6 +6882,105 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT o.o_custkey) FILTER (WHERE p.k IS NULL) "
             "FROM orders o LEFT JOIN bld p ON o.o_custkey = p.k"
             ") ORDER BY relation"
+        ),
+        # quota twin: digest + row_number cut recomputed bit-exactly
+        "doc_quota_sample": (
+            "SELECT doc_id, source, sample_key FROM ("
+            "SELECT doc_id, source, md5('0|' || doc_id) AS sample_key, "
+            "row_number() OVER (PARTITION BY source "
+            "ORDER BY md5('0|' || doc_id), doc_id) AS rk, "
+            "CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 40 "
+            "WHEN 'src2' THEN 25 WHEN 'src3' THEN 0 END AS q "
+            "FROM documents WHERE doc_id IS NOT NULL "
+            "AND source IN ('src0', 'src1', 'src2', 'src3')) "
+            "WHERE rk <= q ORDER BY source, doc_id"
+        ),
+        # drift twin: identical IEEE bucket expression; DuckDB SUM widens
+        # to HUGEINT -> cast totals back; '//' mirrors Spark's integer div
+        "events_histogram_drift": (
+            "WITH u AS ("
+            "SELECT least(greatest(CAST(floor((CAST(value AS DOUBLE) - "
+            "CAST('1.0' AS DOUBLE)) / CAST('20.0' AS DOUBLE)) AS BIGINT), "
+            "-1), 20) AS bucket, 'a' AS side FROM events "
+            "WHERE event_type = 'view' AND value IS NOT NULL "
+            "UNION ALL "
+            "SELECT least(greatest(CAST(floor((CAST(value AS DOUBLE) - "
+            "CAST('1.0' AS DOUBLE)) / CAST('20.0' AS DOUBLE)) AS BIGINT), "
+            "-1), 20), 'b' FROM events "
+            "WHERE event_type = 'purchase' AND value IS NOT NULL), "
+            "per AS MATERIALIZED (SELECT bucket, "
+            "COUNT(*) FILTER (WHERE side = 'a') AS count_a, "
+            "COUNT(*) FILTER (WHERE side = 'b') AS count_b "
+            "FROM u GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(count_a) AS BIGINT) AS ta, "
+            "CAST(SUM(count_b) AS BIGINT) AS tb FROM per) "
+            "SELECT bucket, count_a, count_b, "
+            "count_a * 1000000 // ta AS rate_ppm_a, "
+            "count_b * 1000000 // tb AS rate_ppm_b, "
+            "abs(count_a * 1000000 // ta - count_b * 1000000 // tb) "
+            "AS drift_ppm FROM per, t ORDER BY bucket"
+        ),
+        # inverted-index twin: same bigram expansion (1-based INCLUSIVE
+        # list slicing == Spark slice), string_agg ORDER BY doc_id mirrors
+        # sort_array; SUM widens to HUGEINT -> cast back to BIGINT
+        "doc_inverted_index": (
+            "WITH d AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') "
+            "AS a FROM documents WHERE text IS NOT NULL), "
+            "g AS (SELECT doc_id, a[i] || ' ' || a[i + 1] AS term FROM d, "
+            "LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) t), "
+            "p AS MATERIALIZED (SELECT term, doc_id, COUNT(*) AS tf "
+            "FROM g GROUP BY 1, 2), "
+            "s AS MATERIALIZED (SELECT term, COUNT(*) AS df, "
+            "CAST(SUM(tf) AS BIGINT) AS tf_total "
+            "FROM p GROUP BY 1 HAVING COUNT(*) >= 2) "
+            "SELECT s.term, s.df, s.tf_total, "
+            "CASE WHEN s.df <= 40 THEN md5(string_agg("
+            "p.doc_id || ':' || p.tf, ',' ORDER BY p.doc_id)) END "
+            "AS postings_md5 "
+            "FROM s JOIN p ON p.term = s.term "
+            "GROUP BY s.term, s.df, s.tf_total ORDER BY s.term"
+        ),
+        # FD/key twin: same two-level aggregates; NULL-lhs rows excluded,
+        # NULL rhs ignored by COUNT(DISTINCT) on both engines
+        "fd_profile_constraints": (
+            "SELECT * FROM ("
+            "SELECT 'key(o_orderkey)' AS constraint_name, 'key' AS kind, "
+            "(SELECT COUNT(*) FROM orders) AS n_rows, COUNT(*) AS n_groups, "
+            "SUM(__n) - COUNT(*) AS n_violations, MAX(__n) AS max_cardinality "
+            "FROM (SELECT COUNT(*) AS __n FROM orders "
+            "WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey) "
+            "UNION ALL "
+            "SELECT 'key(l_orderkey,l_linenumber)', 'key', "
+            "(SELECT COUNT(*) FROM lineitem), COUNT(*), "
+            "SUM(__n) - COUNT(*), MAX(__n) "
+            "FROM (SELECT COUNT(*) AS __n FROM lineitem "
+            "WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL "
+            "GROUP BY l_orderkey, l_linenumber) "
+            "UNION ALL "
+            "SELECT 'key(user_id)', 'key', "
+            "(SELECT COUNT(*) FROM events), COUNT(*), "
+            "SUM(__n) - COUNT(*), MAX(__n) "
+            "FROM (SELECT COUNT(*) AS __n FROM events "
+            "WHERE user_id IS NOT NULL GROUP BY user_id) "
+            "UNION ALL "
+            "SELECT 'fd(o_custkey->o_orderpriority)', 'fd', "
+            "(SELECT COUNT(*) FROM orders), COUNT(*), "
+            "SUM(CASE WHEN __d > 1 THEN 1 ELSE 0 END), MAX(__d) "
+            "FROM (SELECT COUNT(DISTINCT o_orderpriority) AS __d FROM orders "
+            "WHERE o_custkey IS NOT NULL GROUP BY o_custkey) "
+            "UNION ALL "
+            "SELECT 'fd(l_orderkey->l_shipdate)', 'fd', "
+            "(SELECT COUNT(*) FROM lineitem), COUNT(*), "
+            "SUM(CASE WHEN __d > 1 THEN 1 ELSE 0 END), MAX(__d) "
+            "FROM (SELECT COUNT(DISTINCT l_shipdate) AS __d FROM lineitem "
+            "WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey) "
+            "UNION ALL "
+            "SELECT 'fd(c_custkey->c_name)', 'fd', "
+            "(SELECT COUNT(*) FROM customer), COUNT(*), "
+            "SUM(CASE WHEN __d > 1 THEN 1 ELSE 0 END), MAX(__d) "
+            "FROM (SELECT COUNT(DISTINCT c_name) AS __d FROM customer "
+            "WHERE c_custkey IS NOT NULL GROUP BY c_custkey)"
+            ") ORDER BY constraint_name"
         ),
         # FastSS twin: candidate generation on the variant STRINGS (no
         # hash needed oracle-side); both generators are lossless, so the

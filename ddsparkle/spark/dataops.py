@@ -4435,3 +4435,283 @@ def fk_audit(relations):
             )
         )
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def fd_profile(df, keys=(), fds=()):
+    """Key-candidate and functional-dependency profiler — the schema-level
+    data-quality twin of ``fk_audit`` (row-level): BEFORE a pipeline
+    groups, joins, or dedups on a column set, measure whether that set
+    actually identifies rows (candidate key) and whether a claimed
+    attribute dependency (lhs -> rhs) actually holds. One output row per
+    constraint: [constraint_name, kind, n_rows, n_groups,
+    n_violations, max_cardinality].
+
+    - ``keys``: iterable of column tuples (or single column names). Rows
+      with a NULL in any key column are excluded from grouping (NULL
+      cannot identify a row); n_groups = distinct non-NULL key tuples,
+      n_violations = duplicated ROWS (non-NULL rows minus n_groups),
+      max_cardinality = largest duplicate-group size.
+    - ``fds``: iterable of (lhs_cols, rhs_col). NULL-lhs rows are
+      excluded; NULL rhs values are ignored inside a group (missing data
+      is not a contradiction — the fk_audit convention). n_groups =
+      distinct lhs tuples, n_violations = lhs GROUPS with >1 distinct
+      rhs, max_cardinality = max distinct rhs per lhs.
+
+    Scale shape: one map-side-combined two-level aggregate per constraint
+    (groupBy keys -> count / countDistinct, then ONE global agg); only
+    the named columns leave the scan, no joins, results union to a
+    constraints-count-sized frame. All counts exact int64.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    def _cols(spec):
+        return (spec,) if isinstance(spec, str) else tuple(spec)
+
+    outs = []
+    for spec in keys:
+        cols = _cols(spec)
+        nn = df
+        for c in cols:
+            nn = nn.filter(F.col(c).isNotNull())
+        per = nn.groupBy(*[F.col(c) for c in cols]).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        total = df.agg(F.count(F.lit(1)).alias("__t"))
+        outs.append(
+            per.agg(
+                F.lit("key(" + ",".join(cols) + ")").alias("constraint_name"),
+                F.lit("key").alias("kind"),
+                F.sum("__n").alias("__nn"),
+                F.count(F.lit(1)).alias("n_groups"),
+                (F.sum("__n") - F.count(F.lit(1))).alias("n_violations"),
+                F.max("__n").alias("max_cardinality"),
+            )
+            .crossJoin(F.broadcast(total))
+            .select(
+                "constraint_name",
+                "kind",
+                F.col("__t").alias("n_rows"),
+                "n_groups",
+                "n_violations",
+                "max_cardinality",
+            )
+        )
+    for lhs_spec, rhs in fds:
+        lhs = _cols(lhs_spec)
+        nn = df
+        for c in lhs:
+            nn = nn.filter(F.col(c).isNotNull())
+        per = nn.groupBy(*[F.col(c) for c in lhs]).agg(
+            F.countDistinct(F.col(rhs)).alias("__d")
+        )
+        total = df.agg(F.count(F.lit(1)).alias("__t"))
+        outs.append(
+            per.agg(
+                F.lit("fd(" + ",".join(lhs) + "->" + rhs + ")").alias(
+                    "constraint_name"
+                ),
+                F.lit("fd").alias("kind"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum((F.col("__d") > 1).cast("long")).alias("n_violations"),
+                F.max("__d").alias("max_cardinality"),
+            )
+            .crossJoin(F.broadcast(total))
+            .select(
+                "constraint_name",
+                "kind",
+                F.col("__t").alias("n_rows"),
+                "n_groups",
+                "n_violations",
+                "max_cardinality",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def inverted_index(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
+    min_df: int = 1,
+    max_postings=None,
+):
+    """Distributed inverted-index build: one row per word n-gram term with
+    [term, df, tf_total, postings] where postings is the doc_id-sorted
+    array of (doc_id, tf) structs. ``min_df`` drops tail terms entirely;
+    ``max_postings`` is the STOPWORD policy — terms whose document
+    frequency exceeds it keep their exact df/tf_total counts but emit
+    NULL postings, so no aggregation buffer ever holds a corpus-sized
+    list (a stopword's posting list IS the corpus; search engines drop
+    them for the same reason).
+
+    Scale shape: terms explode in the scan projection (whitespace
+    n-grams, Catalyst-only); ONE groupBy(term, doc_id) map-side-combined
+    aggregate produces the (term, doc_id, tf) frame — persisted for the
+    call, since the stats pass and the list pass both consume it; the
+    stopword set is derived df-side and anti-joined BROADCAST (small by
+    construction — these are the highest-df terms), never the keep set
+    (which is vocab-sized). Only 8-byte-ish (term, id, tf) rows shuffle;
+    text never moves past the first projection. The returned lazy frame
+    references the persisted (term, doc_id, tf) intermediate so its two
+    consumers share one computation; the cache is session-scoped.
+    """
+    from pyspark.sql import functions as F
+
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("__a"),
+    )
+    if ngram == 1:
+        terms = toks.select("doc_id", F.explode("__a").alias("term"))
+    else:
+        # guard: Spark sequence(1, 0) DESCENDS [1, 0] — short docs must
+        # produce an empty gram array, not a reversed one
+        terms = toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"case when size(__a) >= {int(ngram)} then "
+                    f"transform(sequence(1, size(__a) - {int(ngram) - 1}), "
+                    f"i -> concat_ws(' ', slice(__a, i, {int(ngram)}))) "
+                    "else array() end"
+                )
+            ).alias("term"),
+        )
+    per = (
+        terms.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    stats = per.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("tf_total")
+    )
+    if min_df > 1:
+        stats = stats.filter(F.col("df") >= int(min_df))
+    lists_src = per
+    if max_postings is not None:
+        over = stats.filter(F.col("df") > int(max_postings)).select("term")
+        lists_src = per.join(F.broadcast(over), "term", "left_anti")
+    grouped = lists_src.groupBy("term").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("doc_id"), F.col("tf")))
+        ).alias("postings")
+    )
+    return stats.join(grouped, "term", "left").select(
+        "term", "df", "tf_total", "postings"
+    )
+
+
+def histogram_drift(
+    df_a,
+    df_b,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+):
+    """Distribution drift between two snapshots of the same column (crawl
+    N vs crawl N+1, train vs incoming) as an equi-width histogram
+    comparison — integer-exact end to end, so the whole report is
+    hash-gateable with no float-summation-order risk: per bucket
+    [bucket, count_a, count_b, rate_ppm_a, rate_ppm_b, drift_ppm] where
+    rate_ppm = count * 1_000_000 DIV side_total (exact integer
+    parts-per-million) and drift_ppm = |rate_ppm_a - rate_ppm_b|.
+    Consumers needing chi-square/PSI derive it from the exact counts.
+
+    Bucketing: floor((x - lo) / w), w = (hi - lo) / n_buckets baked as a
+    repr'd double literal — the same two single-rounded IEEE ops in any
+    engine, so bucket boundaries are bit-identical. Underflow clamps to
+    bucket -1, overflow to n_buckets; NULLs are excluded on both sides.
+
+    Scale shape: each side reduces map-side to <= n_buckets+2 rows in its
+    scan pass (union + ONE tiny groupBy(bucket); no join of raw rows);
+    side totals ride the same aggregate — nothing row-count-sized ever
+    shuffles. Buckets absent from both sides are absent from the output.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    w = (float(hi) - float(lo)) / int(n_buckets)
+    lo_lit = f"CAST('{float(lo)!r}' AS DOUBLE)"
+    w_lit = f"CAST('{w!r}' AS DOUBLE)"
+    bucket = (
+        f"least(greatest(CAST(floor((CAST({value_col} AS DOUBLE) - {lo_lit})"
+        f" / {w_lit}) AS BIGINT), -1L), {int(n_buckets)}L)"
+    )
+    sides = []
+    for tag, d in (("a", df_a), ("b", df_b)):
+        sides.append(
+            d.filter(F.col(value_col).isNotNull()).select(
+                F.expr(bucket).alias("bucket"), F.lit(tag).alias("__side")
+            )
+        )
+    per = (
+        reduce(lambda x, y: x.unionByName(y), sides)
+        .groupBy("bucket")
+        .agg(
+            F.sum((F.col("__side") == "a").cast("long")).alias("count_a"),
+            F.sum((F.col("__side") == "b").cast("long")).alias("count_b"),
+        )
+    )
+    totals = per.agg(
+        F.sum("count_a").alias("__ta"), F.sum("count_b").alias("__tb")
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "count_a",
+            "count_b",
+            F.expr("count_a * 1000000L div __ta").alias("rate_ppm_a"),
+            F.expr("count_b * 1000000L div __tb").alias("rate_ppm_b"),
+            F.expr(
+                "abs(count_a * 1000000L div __ta - count_b * 1000000L div __tb)"
+            ).alias("drift_ppm"),
+        )
+    )
+
+
+def quota_sample(
+    df,
+    quotas,
+    by: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+):
+    """Sample to a TARGET MIX: per stratum ``g``, the ``quotas[g]`` rows
+    with the smallest ``md5(seed|id)`` digest (ties on id) — the
+    domain-reweighting stage that turns an as-crawled corpus into a
+    prescribed training mixture. Strata absent from ``quotas`` are
+    dropped; a stratum with population below its quota yields its whole
+    population (the shortfall is visible as a smaller group — callers
+    audit it with one groupBy count). Same engine-reproducible digest
+    contract as ``deterministic_sample``, so reruns, retries, cluster
+    resizes, AND the DuckDB twin select identical rows.
+
+    Scale shape: the quota table is a literal broadcast join (dims-sized);
+    one shuffle on ``by`` + per-group row_number over the digest sort,
+    rank <= quota pruned inside the window stage. Rows with NULL id are
+    excluded (no stable identity); NULL strata match no quota key.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(quotas.items())],
+        f"{by} string, __quota long",
+    )
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
+    w = Window.partitionBy(by).orderBy("sample_key", id_col)
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .join(F.broadcast(qdf), by, "inner")
+        .withColumn("sample_key", h)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("__quota"))
+        .drop("__rk", "__quota")
+    )

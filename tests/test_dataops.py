@@ -2193,3 +2193,129 @@ def test_fk_audit_constructed(spark):
         "n_orphans": 0,
         "n_distinct_orphan_keys": 0,
     }
+
+
+def test_fd_profile_constructed(spark):
+    """Hand-checkable: key over [1,1,2,NULL] -> 3 non-null rows, 2 groups,
+    1 duplicate row, max group 2; fd a->b with a=1 mapping to {x,y} and
+    a=2 to {x, NULL} -> 2 groups, exactly 1 violating group (NULL rhs is
+    ignored, so a=2 stays clean), max distinct rhs 2."""
+    from ddsparkle.spark.dataops import fd_profile
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, None), (None, "z")],
+        "a long, b string",
+    )
+    out = {
+        r["constraint_name"]: r.asDict()
+        for r in fd_profile(df, keys=[("a",)], fds=[(("a",), "b")]).collect()
+    }
+    assert out["key(a)"] == {
+        "constraint_name": "key(a)",
+        "kind": "key",
+        "n_rows": 5,
+        "n_groups": 2,
+        "n_violations": 2,
+        "max_cardinality": 2,
+    }
+    assert out["fd(a->b)"] == {
+        "constraint_name": "fd(a->b)",
+        "kind": "fd",
+        "n_rows": 5,
+        "n_groups": 2,
+        "n_violations": 1,
+        "max_cardinality": 2,
+    }
+
+
+class TestInvertedIndex:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "a b a b c"),
+                (2, "a b x"),
+                (3, "a b"),
+                (4, "z"),
+                (5, None),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_unigram_counts_and_postings(self, spark):
+        from ddsparkle.spark.dataops import inverted_index
+
+        out = {
+            r["term"]: r.asDict()
+            for r in inverted_index(self._docs(spark)).collect()
+        }
+        assert out["a"]["df"] == 3 and out["a"]["tf_total"] == 4
+        assert [
+            (p["doc_id"], p["tf"]) for p in out["a"]["postings"]
+        ] == [(1, 2), (2, 1), (3, 1)]
+        assert out["z"]["df"] == 1
+        assert "" not in out  # NULL text contributes nothing
+
+    def test_bigram_min_df_and_stopword_bound(self, spark):
+        from ddsparkle.spark.dataops import inverted_index
+
+        out = {
+            r["term"]: r.asDict()
+            for r in inverted_index(
+                self._docs(spark), ngram=2, min_df=2, max_postings=2
+            ).collect()
+        }
+        # 'a b' in docs 1(2x),2,3 -> df=3 > max_postings -> counts kept,
+        # postings NULL; 'b a'/'b c'/'b x' have df=1 -> dropped by min_df;
+        # single-token doc 4 must yield NO reversed-sequence gram
+        assert set(out) == {"a b"}
+        assert out["a b"]["df"] == 3
+        assert out["a b"]["tf_total"] == 4
+        assert out["a b"]["postings"] is None
+
+
+def test_histogram_drift_constructed(spark):
+    """Buckets over [0,10) in 2 buckets of width 5: a=[1,2,7,-3,99],
+    b=[1,6,6]. Underflow clamps to -1, overflow to 2. rate_ppm is exact
+    integer DIV of million-scaled counts."""
+    from ddsparkle.spark.dataops import histogram_drift
+
+    a = spark.createDataFrame([(1.0,), (2.0,), (7.0,), (-3.0,), (99.0,)], "v double")
+    b = spark.createDataFrame([(1.0,), (6.0,), (6.0,), (None,)], "v double")
+    rows = {
+        r["bucket"]: r.asDict()
+        for r in histogram_drift(a, b, "v", lo=0.0, hi=10.0, n_buckets=2).collect()
+    }
+    assert rows[-1]["count_a"] == 1 and rows[-1]["count_b"] == 0
+    assert rows[0] == {
+        "bucket": 0, "count_a": 2, "count_b": 1,
+        "rate_ppm_a": 400000, "rate_ppm_b": 333333, "drift_ppm": 66667,
+    }
+    assert rows[1]["count_a"] == 1 and rows[1]["count_b"] == 2
+    assert rows[2]["count_a"] == 1 and rows[2]["count_b"] == 0
+    assert set(rows) == {-1, 0, 1, 2}
+
+
+def test_quota_sample_constructed(spark):
+    """Quotas: g1 wants 2 of 3 (cut by digest order), g2 wants 5 of 2
+    (shortfall -> whole population), g3 quota 0, g4 unmentioned ->
+    dropped; NULL id excluded. Partition-invariance: repartition(7)
+    selects the identical id set."""
+    from ddsparkle.spark.dataops import quota_sample
+
+    rows = [(i, "g1") for i in (1, 2, 3)] + [(4, "g2"), (5, "g2")]
+    rows += [(6, "g3"), (7, "g4"), (None, "g1")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    quotas = {"g1": 2, "g2": 5, "g3": 0}
+    got = quota_sample(df, quotas, by="source", id_col="doc_id").collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_g.get("g1", ())) == 2 and by_g["g1"] <= {1, 2, 3}
+    assert by_g["g2"] == {4, 5}
+    assert "g3" not in by_g and "g4" not in by_g
+    again = quota_sample(
+        df.repartition(7), quotas, by="source", id_col="doc_id"
+    ).collect()
+    assert sorted((r["doc_id"], r["source"]) for r in got) == sorted(
+        (r["doc_id"], r["source"]) for r in again
+    )
