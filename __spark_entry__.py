@@ -4481,6 +4481,64 @@ def q_doc_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "sample_key").orderBy("source", "doc_id")
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP cube over (event_type, day) — dataops.dimensional_rollup: all
+    four grouping sets in one Expand + one map-side-combined aggregate,
+    grouping_id bitmask verified bit-identical to DuckDB GROUPING().
+    Measures are hash-stable by construction: exact count + SUM of
+    half-up-rounded integer cents (never a cross-row double sum)."""
+    from ddsparkle.spark.dataops import dimensional_rollup
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("__cents"),
+    )
+    return dimensional_rollup(
+        ev,
+        ["event_type", "day"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__cents").alias("cents_total"),
+        ],
+    ).orderBy("grouping_id", "event_type", "day")
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day x event-type crosstab (dataops.pivot_report) with an explicit
+    column universe — ONE groupBy(day) of five conditional counts, no
+    values-discovery job, a single map-side-combined exchange (Spark's
+    native pivot plans two — see the operator docstring). A day with no
+    events of a type counts 0 on both engines."""
+    from ddsparkle.spark.dataops import pivot_report
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    )
+    return pivot_report(
+        ev, "day", "event_type", types,
+        lambda c: F.count(F.when(c, F.lit(1))),
+    ).orderBy("day")
+
+
+def q_doc_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination scores (dataops.contamination_fraction): per
+    non-src0 document, the exact basis-point share of its distinct word
+    8-grams present in the src0 'benchmark' slice — integer DIV, so every
+    row hash-gates. The curation-policy upgrade of the boolean
+    doc_decontamination flag (same shingle expansion, same join shape,
+    one extra count in the same aggregate)."""
+    from ddsparkle.spark.dataops import contamination_fraction
+
+    df = _t(spark, sf_dir, "documents")
+    return contamination_fraction(
+        df.filter(F.col("source") != "src0"),
+        df.filter(F.col("source") == "src0"),
+        shingle_n=8,
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is evidence policy, not alphabetics: the driver
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json, so entries
@@ -4526,6 +4584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_inverted_index": q_doc_inverted_index,
         "events_histogram_drift": q_events_histogram_drift,
         "doc_quota_sample": q_doc_quota_sample,
+        "events_cube": q_events_cube,
+        "events_pivot": q_events_pivot,
+        "doc_contamination_fraction": q_doc_contamination_fraction,
         "events_interval_coverage": q_events_interval_coverage,
         "doc_vocab_stats": q_doc_vocab_stats,
         "graph_kcore": q_graph_kcore,
@@ -6882,6 +6943,57 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT o.o_custkey) FILTER (WHERE p.k IS NULL) "
             "FROM orders o LEFT JOIN bld p ON o.o_custkey = p.k"
             ") ORDER BY relation"
+        ),
+        # fractional contamination twin: same shingle CTE as the boolean
+        # gate, one LEFT join + both counts in one aggregate; '//' mirrors
+        # Spark's integer div; <8-word docs shingle to [text] on both
+        "doc_contamination_fraction": (
+            "WITH sh AS (SELECT doc_id, source, "
+            "CASE WHEN len(string_split(text, ' ')) < 8 THEN [text] "
+            "ELSE list_distinct(list_transform(generate_series(1, "
+            "len(string_split(text, ' ')) - 7), "
+            "i -> concat_ws(' ', string_split(text, ' ')[i], "
+            "string_split(text, ' ')[i+1], string_split(text, ' ')[i+2], "
+            "string_split(text, ' ')[i+3], string_split(text, ' ')[i+4], "
+            "string_split(text, ' ')[i+5], string_split(text, ' ')[i+6], "
+            "string_split(text, ' ')[i+7]))) END AS s FROM documents), "
+            "corpd AS (SELECT DISTINCT doc_id, unnest(s) AS sg FROM sh "
+            "WHERE source != 'src0'), "
+            "ref AS (SELECT DISTINCT unnest(s) AS sg FROM sh "
+            "WHERE source = 'src0'), "
+            "per AS (SELECT c.doc_id, COUNT(*) AS n_grams, "
+            "COUNT(r.sg) AS n_shared FROM corpd c "
+            "LEFT JOIN ref r ON c.sg = r.sg GROUP BY 1) "
+            "SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams, "
+            "COALESCE(n_shared, 0) AS n_shared, "
+            "CASE WHEN COALESCE(n_grams, 0) > 0 "
+            "THEN n_shared * 10000 // n_grams END AS score_bp "
+            "FROM (SELECT doc_id FROM documents WHERE source != 'src0') d "
+            "LEFT JOIN per USING (doc_id) ORDER BY doc_id"
+        ),
+        # cube twin: GROUP BY CUBE + GROUPING() bitmask (verified same
+        # bit order as Spark grouping_id); cents sum cast back from
+        # HUGEINT; ROUND is half-up on both engines
+        "events_cube": (
+            "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+            "COUNT(*) AS n, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS cents_total, "
+            "CAST(GROUPING(event_type, strftime(ts, '%Y-%m-%d')) AS INTEGER) "
+            "AS grouping_id "
+            "FROM events "
+            "GROUP BY CUBE(event_type, strftime(ts, '%Y-%m-%d')) "
+            "ORDER BY grouping_id, event_type, day"
+        ),
+        # pivot twin: FILTER aggregation with the same explicit column
+        # universe; absent slices count 0 on both engines
+        "events_pivot": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+            + ", ".join(
+                "COUNT(*) FILTER (WHERE event_type = '{0}') AS {0}".format(t)
+                for t in ("click", "error", "purchase", "signup", "view")
+            )
+            + " FROM events GROUP BY 1 ORDER BY day"
         ),
         # quota twin: digest + row_number cut recomputed bit-exactly
         "doc_quota_sample": (

@@ -4715,3 +4715,110 @@ def quota_sample(
         .filter(F.col("__rk") <= F.col("__quota"))
         .drop("__rk", "__quota")
     )
+
+
+def dimensional_rollup(df, dims, measures, mode: str = "cube"):
+    """OLAP cube/rollup report: one frame holding every dimension-subset
+    aggregate (mode='cube': all 2^d subsets; mode='rollup': the d+1
+    hierarchical prefixes) with ``grouping_id`` disambiguating which
+    subset each row belongs to (bitmask, first dim = MSB — verified
+    identical between Spark and DuckDB GROUPING()). ``measures`` are
+    aggregate Columns, already aliased.
+
+    Scale shape: Catalyst plans cube/rollup as ONE Expand (each input row
+    replicated per grouping set BEFORE the exchange) + one map-side-
+    combined aggregate — so cost scales as 2^len(dims) x scan rows in the
+    expand; keep dims <= ~4 at corpus scale or use mode='rollup' (d+1
+    replicas). Measures must be decomposable aggregates (count/sum/min/
+    max) for the map-side combine to hold; cross-row float sums are not
+    hash-stable — pass integer-quantized measures (cents, micros).
+    """
+    from pyspark.sql import functions as F
+
+    base = df.cube(*dims) if mode == "cube" else df.rollup(*dims)
+    return base.agg(*measures, F.grouping_id().alias("grouping_id"))
+
+
+def pivot_report(df, row_dim, col_dim, col_values, measure):
+    """Crosstab: one row per ``row_dim`` value, one column per ``col_dim``
+    value in ``col_values`` holding an aggregate over that slice.
+    ``measure`` is a callable mapping a boolean slice condition to an
+    aggregate Column (e.g. ``lambda c: F.count(F.when(c, 1))``). The
+    column universe is EXPLICIT — never inferred — so the output schema
+    is deterministic with no values-discovery job; absent slices produce
+    the aggregate's empty-input value (0 for the count form, NULL for
+    sum/min/max).
+
+    Scale shape: compiles to ONE groupBy(row_dim) of len(col_values)
+    conditional aggregates — a single map-side-combined exchange, the
+    same plan as the DuckDB twin's FILTER aggregation. Spark's native
+    ``.pivot(col, values)`` was measured planning TWO aggregate stages
+    and TWO exchanges (groupBy(row, col) + pivotfirst regroup); the
+    conditional form halves the exchanges for decomposable measures,
+    which is why this does not call it.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [
+        measure(F.col(col_dim) == F.lit(v)).alias(str(v)) for v in col_values
+    ]
+    return df.groupBy(row_dim).agg(*aggs)
+
+
+def contamination_fraction(
+    corpus,
+    reference,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+    join_on_hash: bool = False,
+):
+    """Fractional contamination scoring — the graded extension of
+    ``cross_corpus_contamination``'s boolean flag: per corpus document,
+    what SHARE of its distinct word n-grams appears anywhere in the
+    reference corpus. Returns [id, n_grams, n_shared, score_bp] with
+    score_bp = n_shared * 10000 DIV n_grams (exact integer basis points
+    — never a float ratio, so the whole frame hash-gates). Documents
+    shorter than ``shingle_n`` words shingle to [text] (whole-text
+    membership), matching the boolean operator; curation policies
+    threshold score_bp (e.g. drop >= 8000, audit >= 1000) instead of the
+    all-or-nothing flag.
+
+    Scale shape: identical to the boolean operator — explode to
+    (doc, shingle), LEFT join against the DISTINCT reference shingle set
+    (hash join on the shingle key; with ``join_on_hash`` 8-byte xxhash64
+    keys shuffle instead of strings — collisions can only INFLATE a
+    score, never hide contamination), then ONE groupBy(id) counting both
+    totals in the same pass. No doc x doc comparison anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    sh_c = _ensure_parallelism(corpus.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(ngram_shingles_expr(text_col, shingle_n)).alias("__s"),
+    )
+    sh_r = _ensure_parallelism(reference.select(text_col)).select(
+        F.explode(ngram_shingles_expr(text_col, shingle_n)).alias("__s")
+    )
+    if join_on_hash:
+        sh_c = sh_c.select(id_col, F.xxhash64("__s").alias("__s"))
+        sh_r = sh_r.select(F.xxhash64("__s").alias("__s"))
+    ref = sh_r.distinct().withColumn("__hit", F.lit(1))
+    per = (
+        sh_c.distinct()
+        .join(ref, "__s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("__hit").isNotNull().cast("long")).alias("n_shared"),
+        )
+    )
+    return corpus.select(id_col).join(per, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        F.when(
+            F.coalesce("n_grams", F.lit(0)) > 0,
+            F.expr("n_shared * 10000L div n_grams"),
+        ).alias("score_bp"),
+    )

@@ -2319,3 +2319,69 @@ def test_quota_sample_constructed(spark):
     assert sorted((r["doc_id"], r["source"]) for r in got) == sorted(
         (r["doc_id"], r["source"]) for r in again
     )
+
+
+def test_dimensional_rollup_and_pivot_constructed(spark):
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.dataops import dimensional_rollup, pivot_report
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)], "d1 string, d2 string, v long"
+    )
+    cube = {
+        (r["d1"], r["d2"], r["grouping_id"]): r["s"]
+        for r in dimensional_rollup(
+            df, ["d1", "d2"], [F.sum("v").alias("s")]
+        ).collect()
+    }
+    assert cube[("a", "x", 0)] == 1 and cube[("a", None, 1)] == 3
+    assert cube[(None, "x", 2)] == 4 and cube[(None, None, 3)] == 6
+    roll = dimensional_rollup(
+        df, ["d1", "d2"], [F.sum("v").alias("s")], mode="rollup"
+    ).collect()
+    assert len(roll) == 6  # 3 leaves + 2 d1 subtotals + 1 grand total
+    piv = {
+        r["d1"]: (r["x"], r["y"], r["z"])
+        for r in pivot_report(
+            df, "d1", "d2", ["x", "y", "z"],
+            lambda c: F.sum(F.when(c, F.col("v"))),
+        ).collect()
+    }
+    assert piv["a"] == (1, 2, None)  # absent slice: sum over no rows is NULL
+    assert piv["b"] == (3, None, None)
+    cnt = {
+        r["d1"]: (r["x"], r["y"], r["z"])
+        for r in pivot_report(
+            df, "d1", "d2", ["x", "y", "z"],
+            lambda c: F.count(F.when(c, F.lit(1))),
+        ).collect()
+    }
+    assert cnt["a"] == (1, 1, 0)  # count form: absent slice is 0, not NULL
+    assert cnt["b"] == (1, 0, 0)
+
+
+def test_contamination_fraction_constructed(spark):
+    """3-gram corpus doc 'a b c d' has distinct grams {'a b c','b c d'};
+    reference contains 'a b c' only -> 1/2 shared = 5000 bp. A fully
+    contained doc scores 10000; a disjoint doc 0; a short (<n words) doc
+    shingles to [text] and scores on whole-text membership."""
+    from ddsparkle.spark.dataops import contamination_fraction
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z"), (3, "p q"), (4, "x y z w")],
+        "doc_id long, text string",
+    )
+    reference = spark.createDataFrame(
+        [(10, "a b c"), (11, "x y z"), (12, "p q")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in contamination_fraction(
+            corpus, reference, shingle_n=3
+        ).collect()
+    }
+    assert out[1] == {"doc_id": 1, "n_grams": 2, "n_shared": 1, "score_bp": 5000}
+    assert out[2]["score_bp"] == 10000
+    assert out[3] == {"doc_id": 3, "n_grams": 1, "n_shared": 1, "score_bp": 10000}
+    assert out[4]["n_grams"] == 2 and out[4]["n_shared"] == 1

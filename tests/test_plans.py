@@ -523,3 +523,70 @@ def test_pmi_pairs_band_broadcast_and_single_pair_exchange(spark, sf_dir):
     assert all(b == "Cross BuildRight" for b in bnlj), bnlj
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # band dim broadcasts onto terms
+
+
+def test_cube_single_expand_and_pivot_single_exchange(spark, sf_dir):
+    """dimensional_rollup compiles to exactly ONE Expand feeding one
+    (partial+final) aggregate pair — never per-grouping-set scans; a
+    HashAggregate with a partial mode node proves map-side combine
+    survives the expand. pivot_report with an explicit universe plans
+    exactly one shuffle exchange and no values-discovery subquery."""
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.dataops import dimensional_rollup, pivot_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    plan = plan_of(
+        dimensional_rollup(ev, ["event_type", "day"], [F.count(F.lit(1)).alias("n")])
+    )
+    import re
+
+    assert plan.count("Expand") >= 1
+    # one scan NODE, not one per grouping set (formatted explain prints
+    # each node twice: tree line + "(n) Scan parquet" detail header)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    piv = pivot_report(
+        ev, "day", "event_type", ["click", "view"],
+        lambda c: F.count(F.when(c, F.lit(1))),
+    )
+    pplan = plan_of(piv)
+    assert len(re.findall(r"\(\d+\) Exchange", pplan)) == 1, pplan
+    assert len(re.findall(r"\(\d+\) Scan parquet", pplan)) == 1
+
+
+def test_inverted_index_stopword_antijoin_broadcast(spark, sf_dir):
+    """inverted_index: the over-limit (stopword) set joins back anti-
+    BROADCAST — the plan must contain a BroadcastExchange feeding the
+    anti join and no SortMergeJoin LeftAnti of the vocab-sized side."""
+    from ddsparkle.spark.dataops import inverted_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(inverted_index(docs, ngram=2, min_df=2, max_postings=40))
+    assert "LeftAnti" in plan
+    import re
+    assert not re.search(r"SortMergeJoin [^\n]*LeftAnti", plan), plan
+
+
+def test_contamination_fraction_no_docxdoc_join(spark, sf_dir):
+    """contamination_fraction joins exploded shingles against a DISTINCT
+    reference set — no nested loop / cartesian anywhere, and the corpus
+    text column is pruned out after the first projection (only the
+    shingle key and id survive into the join)."""
+    from ddsparkle.spark.dataops import contamination_fraction
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    plan = plan_of(
+        contamination_fraction(
+            docs.filter(F.col("source") != "src0"),
+            docs.filter(F.col("source") == "src0"),
+            shingle_n=8,
+        )
+    )
+    assert "CartesianProduct" not in plan
+    import re
+    bnlj = re.findall(r"BroadcastNestedLoopJoin (\w+ \w+)", plan)
+    assert all(b == "Cross BuildRight" for b in bnlj), bnlj
