@@ -4539,6 +4539,37 @@ def q_doc_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle skew diagnostics (dataops.key_skew_profile) over four
+    join/group keys spanning the skew spectrum: event_type (5 keys,
+    ~200k ppm each — the 'salt this' regime), user_id (~150 keys),
+    o_custkey, and l_partkey (dim-cardinality, flat). Exact ppm shares;
+    tie-broken argmax top key via one struct max per column — never a
+    sort of the key distribution."""
+    from ddsparkle.spark.dataops import key_skew_profile
+
+    ev = key_skew_profile(
+        _t(spark, sf_dir, "events"), ["event_type", "user_id"]
+    )
+    od = key_skew_profile(_t(spark, sf_dir, "orders"), ["o_custkey"])
+    li = key_skew_profile(_t(spark, sf_dir, "lineitem"), ["l_partkey"])
+    return ev.unionByName(od).unionByName(li).orderBy("column_name")
+
+
+def q_events_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust stats (dataops.group_robust_stats): lower
+    median and MAD as pure ORDER STATISTICS (elements of the data, zero
+    arithmetic — deliberately not interpolated, so both engines return
+    identical bits with no rounding anywhere), plus the |x - med| > 3*MAD
+    outlier count. The robust-scaling/outlier-filter stage a mean/stddev
+    rule gets wrong under the very outliers it hunts."""
+    from ddsparkle.spark.dataops import group_robust_stats
+
+    return group_robust_stats(
+        _t(spark, sf_dir, "events"), "event_type", "value", k=3.0
+    ).orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is evidence policy, not alphabetics: the driver
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json, so entries
@@ -4587,6 +4618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": q_events_cube,
         "events_pivot": q_events_pivot,
         "doc_contamination_fraction": q_doc_contamination_fraction,
+        "events_key_skew": q_events_key_skew,
+        "events_robust_stats": q_events_robust_stats,
         "events_interval_coverage": q_events_interval_coverage,
         "doc_vocab_stats": q_doc_vocab_stats,
         "graph_kcore": q_graph_kcore,
@@ -6943,6 +6976,71 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT o.o_custkey) FILTER (WHERE p.k IS NULL) "
             "FROM orders o LEFT JOIN bld p ON o.o_custkey = p.k"
             ") ORDER BY relation"
+        ),
+        # robust-stats twin: identical lower-median order statistics via
+        # row_number at (n+1)//2 — no interpolation, no arithmetic on the
+        # medians, so equality is bit-exact; 3.0 * mad is one IEEE mul on
+        # both engines
+        "events_robust_stats": (
+            "WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) "
+            "AS v FROM events WHERE value IS NOT NULL), "
+            "r AS (SELECT g, v, row_number() OVER (PARTITION BY g "
+            "ORDER BY v) AS rn, COUNT(*) OVER (PARTITION BY g) AS n "
+            "FROM base), "
+            "med AS (SELECT g, v AS median, n FROM r "
+            "WHERE rn = (n + 1) // 2), "
+            "dev AS (SELECT base.g, base.v, med.median, med.n, "
+            "abs(base.v - med.median) AS d FROM base "
+            "JOIN med ON base.g = med.g), "
+            "r2 AS (SELECT g, d, row_number() OVER (PARTITION BY g "
+            "ORDER BY d) AS rn, n FROM dev), "
+            "mad AS (SELECT g, d AS mad FROM r2 WHERE rn = (n + 1) // 2) "
+            "SELECT dev.g AS event_type, MAX(dev.n) AS n, "
+            "MAX(dev.median) AS median, MAX(mad.mad) AS mad, "
+            "CAST(SUM(CASE WHEN dev.d > CAST('3.0' AS DOUBLE) * mad.mad "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
+            "FROM dev JOIN mad ON dev.g = mad.g "
+            "GROUP BY dev.g ORDER BY event_type"
+        ),
+        # skew twin: per column one group + one reduce; top key via
+        # ORDER BY cnt DESC, k DESC LIMIT 1 (same tie rule as the struct
+        # max); '//' mirrors the integer div
+        "events_key_skew": (
+            "WITH "
+            "g1 AS (SELECT CAST(event_type AS VARCHAR) AS k, COUNT(*) AS c "
+            "FROM events WHERE event_type IS NOT NULL GROUP BY 1), "
+            "g2 AS (SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS c "
+            "FROM events WHERE user_id IS NOT NULL GROUP BY 1), "
+            "g3 AS (SELECT CAST(o_custkey AS VARCHAR) AS k, COUNT(*) AS c "
+            "FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1), "
+            "g4 AS (SELECT CAST(l_partkey AS VARCHAR) AS k, COUNT(*) AS c "
+            "FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1) "
+            "SELECT * FROM ("
+            "SELECT 'event_type' AS column_name, "
+            "(SELECT COUNT(*) FROM events) AS n_rows, "
+            "(SELECT COUNT(*) FROM events WHERE event_type IS NULL) AS n_null, "
+            "COUNT(*) AS n_keys, MAX(c) AS max_count, "
+            "(SELECT k FROM g1 ORDER BY c DESC, k DESC LIMIT 1) AS top_key, "
+            "MAX(c) * 1000000 // CAST(SUM(c) AS BIGINT) AS skew_ppm FROM g1 "
+            "UNION ALL "
+            "SELECT 'user_id', (SELECT COUNT(*) FROM events), "
+            "(SELECT COUNT(*) FROM events WHERE user_id IS NULL), "
+            "COUNT(*), MAX(c), "
+            "(SELECT k FROM g2 ORDER BY c DESC, k DESC LIMIT 1), "
+            "MAX(c) * 1000000 // CAST(SUM(c) AS BIGINT) FROM g2 "
+            "UNION ALL "
+            "SELECT 'o_custkey', (SELECT COUNT(*) FROM orders), "
+            "(SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL), "
+            "COUNT(*), MAX(c), "
+            "(SELECT k FROM g3 ORDER BY c DESC, k DESC LIMIT 1), "
+            "MAX(c) * 1000000 // CAST(SUM(c) AS BIGINT) FROM g3 "
+            "UNION ALL "
+            "SELECT 'l_partkey', (SELECT COUNT(*) FROM lineitem), "
+            "(SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL), "
+            "COUNT(*), MAX(c), "
+            "(SELECT k FROM g4 ORDER BY c DESC, k DESC LIMIT 1), "
+            "MAX(c) * 1000000 // CAST(SUM(c) AS BIGINT) FROM g4"
+            ") ORDER BY column_name"
         ),
         # fractional contamination twin: same shingle CTE as the boolean
         # gate, one LEFT join + both counts in one aggregate; '//' mirrors

@@ -4822,3 +4822,116 @@ def contamination_fraction(
             F.expr("n_shared * 10000L div n_grams"),
         ).alias("score_bp"),
     )
+
+
+def key_skew_profile(df, cols):
+    """Pre-join/pre-groupBy skew diagnostic: per key column, [column_name,
+    n_rows, n_null, n_keys, max_count, top_key, skew_ppm] where skew_ppm
+    = max_count * 1_000_000 DIV n_nonnull — the exact share of the
+    hottest key in parts-per-million. The "should this join be salted"
+    measurement taken BEFORE the shuffle that would hit the hot key
+    (CLAUDE.md skew discipline: the two-stage build + salted pre-merge
+    bound shuffle skew; this operator tells you which keys need it).
+
+    The top key is deterministic under ties: argmax over (count, key
+    string) pairs — a single struct max, never a sort of the key
+    distribution. Scale shape: per column ONE map-side-combined
+    groupBy(key) + one single-row reduce; outputs union to a
+    columns-count-sized frame. All counts exact int64.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    outs = []
+    for c in cols:
+        per = (
+            df.select(F.col(c).cast("string").alias("__k"))
+            .filter(F.col("__k").isNotNull())
+            .groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        total = df.agg(
+            F.count(F.lit(1)).alias("__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias("__nulls"),
+        )
+        outs.append(
+            per.agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("__n").alias("max_count"),
+                F.max(F.struct(F.col("__n"), F.col("__k")))
+                .getField("__k")
+                .alias("top_key"),
+            )
+            .crossJoin(F.broadcast(total))
+            .select(
+                "column_name",
+                F.col("__rows").alias("n_rows"),
+                F.col("__nulls").alias("n_null"),
+                "n_keys",
+                "max_count",
+                "top_key",
+                F.expr(
+                    "max_count * 1000000L div (__rows - __nulls)"
+                ).alias("skew_ppm"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def group_robust_stats(df, by: str, value_col: str, k: float = 3.0):
+    """Per-group robust location/scale + outlier accounting: [group, n,
+    median, mad, n_outliers] where median is the LOWER median (the order
+    statistic at position (n+1) DIV 2 — deliberately not interpolated:
+    an element of the data needs NO arithmetic, so both engines return
+    the identical bits), mad = lower median of |x - median|, and
+    n_outliers counts rows with |x - median| > k * mad (the robust
+    z-score cut that a mean/stddev rule gets wrong under the very
+    outliers it hunts).
+
+    Scale shape: two window passes (rank over value, then rank over
+    deviation) + one join of the group-sized median frame + one final
+    map-side-combined aggregate — every exchange hash-partitions on the
+    SAME group key, so AQE reuses the partitioning; per-row state is one
+    rank, never a per-group collect. NULL values are excluded.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(by).alias("__g"), F.col(value_col).cast("double").alias("__v")
+    )
+    w1 = Window.partitionBy("__g").orderBy("__v")
+    wn = Window.partitionBy("__g")
+    med = (
+        base.withColumn("__rn", F.row_number().over(w1))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select("__g", F.col("__v").alias("median"), F.col("__n").alias("n"))
+    )
+    dev = base.join(med, "__g").select(
+        "__g", "__v", "median", "n", F.abs(F.col("__v") - F.col("median")).alias("__d")
+    )
+    w2 = Window.partitionBy("__g").orderBy("__d")
+    mad = (
+        dev.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") == F.expr("(n + 1) div 2"))
+        .select("__g", F.col("__d").alias("mad"))
+    )
+    k_lit = F.expr(f"CAST('{float(k)!r}' AS DOUBLE)")
+    return (
+        dev.join(mad, "__g")
+        .groupBy("__g")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("median").alias("median"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                (F.col("__d") > k_lit * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            F.col("__g").alias(by), "n", "median", "mad", "n_outliers"
+        )
+    )

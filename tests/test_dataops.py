@@ -2385,3 +2385,48 @@ def test_contamination_fraction_constructed(spark):
     assert out[2]["score_bp"] == 10000
     assert out[3] == {"doc_id": 3, "n_grams": 1, "n_shared": 1, "score_bp": 10000}
     assert out[4]["n_grams"] == 2 and out[4]["n_shared"] == 1
+
+
+def test_key_skew_profile_constructed(spark):
+    """Keys ['a','a','a','b',NULL]: 4 non-null, 2 keys, max 3 ->
+    skew 750000 ppm, top 'a'. Tie column ['x','x','y','y',NULL]:
+    argmax breaks the 2-2 tie to the LARGER key string 'y'."""
+    from ddsparkle.spark.dataops import key_skew_profile
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "y"), (None, None)],
+        "k1 string, k2 string",
+    )
+    out = {
+        r["column_name"]: r.asDict()
+        for r in key_skew_profile(df, ["k1", "k2"]).collect()
+    }
+    assert out["k1"] == {
+        "column_name": "k1", "n_rows": 5, "n_null": 1, "n_keys": 2,
+        "max_count": 3, "top_key": "a", "skew_ppm": 750000,
+    }
+    assert out["k2"]["top_key"] == "y" and out["k2"]["skew_ppm"] == 500000
+
+
+def test_group_robust_stats_constructed(spark):
+    """g1 values [1,2,3,4,100]: lower median 3 (odd n), deviations
+    [2,1,0,1,97] -> MAD 1, outliers (|d| > 3) = {100} -> 1. g2 even n
+    [10,20,30,40]: LOWER median 20 (position (4+1) div 2 = 2), devs
+    [10,0,10,20] sorted [0,10,10,20] -> MAD at pos 2 = 10, outliers
+    (>30): none."""
+    from ddsparkle.spark.dataops import group_robust_stats
+
+    rows = [("g1", v) for v in (1.0, 2.0, 3.0, 4.0, 100.0)]
+    rows += [("g2", v) for v in (10.0, 20.0, 30.0, 40.0)]
+    rows += [("g1", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["g"]: r.asDict()
+        for r in group_robust_stats(df, "g", "v", k=3.0).collect()
+    }
+    assert out["g1"] == {
+        "g": "g1", "n": 5, "median": 3.0, "mad": 1.0, "n_outliers": 1,
+    }
+    assert out["g2"] == {
+        "g": "g2", "n": 4, "median": 20.0, "mad": 10.0, "n_outliers": 0,
+    }
