@@ -4935,3 +4935,104 @@ def group_robust_stats(df, by: str, value_col: str, k: float = 3.0):
             F.col("__g").alias(by), "n", "median", "mad", "n_outliers"
         )
     )
+
+
+def sparse_similarity_topk(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    min_df: int = 2,
+    max_df: int = 50,
+    top_k: int = 5,
+):
+    """Sparse tf-idf similarity join over posting lists — the canonical
+    inverted-index consumer: for each document, its ``top_k`` neighbors
+    by the INTEGER dot product of tf-idf weights over the banded term
+    vocabulary (``min_df <= df <= max_df``). Weights are exact int64 —
+    ``tf * bitlen(n_docs DIV df)`` (the tfidf_top_terms idf trick) — so
+    dots sum order-free and the whole result hash-gates; ties rank by
+    neighbor id. Returns [doc_id, neighbor_id, dot, rank].
+
+    The df band IS the scale contract (the prefix-filtering idea): pair
+    generation self-joins each term's posting list, so the partial-pair
+    count is sum(df^2) over kept terms <= n_terms * max_df^2 — bounded
+    regardless of corpus size; stopword-class terms (df > max_df) are
+    excluded exactly as in ``inverted_index``, and tail terms below
+    ``min_df`` cannot form a pair anyway. Docs sharing ONLY out-of-band
+    terms never become candidates — documented recall bound, mirrored
+    by the twin.
+
+    Scale shape: one (term, doc, tf) aggregate; one vocab-sized df
+    aggregate joined back on the term key; one posting self-join (the
+    bounded expansion); one groupBy(pair) sum; one window for the
+    per-doc top-k. Text never moves past the first projection.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("__a"),
+    )
+    terms = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"case when size(__a) >= {int(ngram)} then "
+                f"transform(sequence(1, size(__a) - {int(ngram) - 1}), "
+                f"i -> concat_ws(' ', slice(__a, i, {int(ngram)}))) "
+                "else array() end"
+            )
+        ).alias("term"),
+    )
+    per = terms.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    kept = (
+        per.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(
+            (F.col("__df") >= int(min_df)) & (F.col("__df") <= int(max_df))
+        )
+    )
+    nd = toks.agg(F.count(F.lit(1)).alias("__nd"))
+    w = (
+        per.join(kept, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term",
+            "doc_id",
+            F.expr("tf * length(bin(__nd div __df))").alias("__w"),
+        )
+    )
+    wa = w.select(
+        "term", F.col("doc_id").alias("id_a"), F.col("__w").alias("__wa")
+    )
+    wb = w.select(
+        "term", F.col("doc_id").alias("id_b"), F.col("__w").alias("__wb")
+    )
+    dots = (
+        wa.join(wb, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.expr("__wa * __wb")).alias("dot"))
+    )
+    sym = dots.unionByName(
+        dots.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "dot",
+        )
+    )
+    rk = Window.partitionBy("id_a").orderBy(
+        F.col("dot").desc(), F.col("id_b")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= int(top_k))
+        .select(
+            F.col("id_a").alias("doc_id"),
+            F.col("id_b").alias("neighbor_id"),
+            "dot",
+            "rank",
+        )
+    )

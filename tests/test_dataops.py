@@ -2430,3 +2430,33 @@ def test_group_robust_stats_constructed(spark):
     assert out["g2"] == {
         "g": "g2", "n": 4, "median": 20.0, "mad": 10.0, "n_outliers": 0,
     }
+
+
+def test_sparse_similarity_topk_constructed(spark):
+    """4 docs over unigram 'terms' (ngram=1 keeps the arithmetic
+    checkable): docs 1/2 share {b}, docs 1/3 share nothing in-band
+    (their only common term 'a' is in all 4 docs -> df=4 > max_df=3,
+    banded out — the documented recall bound). Weights tf*bitlen(N//df),
+    N=4: term b df=2 -> w=tf*2."""
+    from ddsparkle.spark.dataops import sparse_similarity_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b b"),
+            (2, "a b"),
+            (3, "a c"),
+            (4, "a c"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sparse_similarity_topk(
+        df, ngram=1, min_df=2, max_df=3, top_k=5
+    ).collect()
+    pairs = {(r["doc_id"], r["neighbor_id"]): r["dot"] for r in out}
+    # b: df=2, idf=bitlen(4//2)=2 -> doc1 w=4 (tf2), doc2 w=2 -> dot 8
+    assert pairs[(1, 2)] == 8 and pairs[(2, 1)] == 8
+    # c: df=2 -> docs 3,4 each w=2 -> dot 4
+    assert pairs[(3, 4)] == 4
+    # 'a' is banded out: no (1,3) pair despite sharing it
+    assert (1, 3) not in pairs
+    assert all(r["rank"] == 1 for r in out)  # each doc has ONE neighbor
