@@ -4594,6 +4594,51 @@ def q_doc_sparse_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "rank")
 
 
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full snowflake-schema join showcase (TPC-H Q5 shape): lineitem ⋈
+    orders ⋈ customer ⋈ supplier (local-supplier condition c_nationkey =
+    s_nationkey) ⋈ nation ⋈ region, revenue by region + nation. Every
+    dimension side carries an explicit broadcast hint, so the fact table
+    streams through five BroadcastHashJoins with ZERO shuffle before the
+    final group — the canonical star-join plan at 100 TB. Revenue is
+    exact int64: cents(price) x (100 - hundredths(discount)) — prices and
+    discounts are 2-decimal, so both quantizations are exact and the
+    cross-row SUM is order-free (never a double sum)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100L - CAST(round(l_discount * 100) AS BIGINT))"
+        ).alias("__rev"),
+    )
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = _t(spark, sf_dir, "nation")
+    re_ = _t(spark, sf_dir, "region")
+    j = (
+        li.join(F.broadcast(od), li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(
+            F.broadcast(su),
+            (li.l_suppkey == su.s_suppkey)
+            & (cu.c_nationkey == su.s_nationkey),
+        )
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re_), na.n_regionkey == re_.r_regionkey)
+    )
+    return (
+        j.groupBy("r_name", "n_name")
+        .agg(
+            F.sum("__rev").alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is evidence policy, not alphabetics: the driver
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json; every
@@ -4627,10 +4672,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     streaming_moments/events_moments,
     transcripts_streaming_countsketch + transcripts_streaming_f2_ams /
     their batch gates); second-table twins share one expression
-    (doc_pii_redaction/transcripts_pii_by_role is the exception left
-    out-of-window on receipts alone, with doc_shard_packing,
+    (the pii pair — transcripts_pii_by_role + doc_pii_redaction — is the
+    family left out-of-window on receipts alone; doc_shard_packing,
     events_value_percentile, doc_bpe_vocab_tokens,
-    events_json_key_profile citing in-window firsts); composite
+    events_json_key_profile cite in-window firsts); composite
     pipelines cite their in-window stage scorers (doc_curation_lm/model
     _pipeline); the split/mix family (transcripts_split, doc_domain_mix,
     doc_split_assignment) shares one row-local md5-bucket expression
@@ -4654,12 +4699,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_key_skew": q_events_key_skew,
         "events_robust_stats": q_events_robust_stats,
         "doc_sparse_similarity": q_doc_sparse_similarity,
-        # --- window 12-15: part 8 ---
+        "revenue_by_nation": q_revenue_by_nation,
+        # --- window 13-16: part 8 ---
         "events_interval_coverage": q_events_interval_coverage,
         "doc_vocab_stats": q_doc_vocab_stats,
         "graph_kcore": q_graph_kcore,
         "customer_name_editdist": q_customer_name_editdist,
-        # --- window 16-22: part 7 ---
+        # --- window 17-23: part 7 ---
         "transcripts_snapshot_diff": q_transcripts_snapshot_diff,
         "events_apply_changes": q_events_apply_changes,
         "transcripts_scd2_history": q_transcripts_scd2_history,
@@ -4667,13 +4713,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
         "orders_frequent_pairs": q_orders_frequent_pairs,
-        # --- window 23-27: part 6 ---
+        # --- window 24-28: part 6 ---
         "events_profile": q_events_profile,
         "events_asof_attribution": q_events_asof_attribution,
         "events_range_windows": q_events_range_windows,
         "doc_pmi_pairs": q_doc_pmi_pairs,
         "emb_fd_covariance": q_emb_fd_covariance,
-        # --- window 28-41: evidence anchors (cited by rotated entries) ---
+        # --- window 29-42: evidence anchors (cited by rotated entries) ---
         "doc_model_quality": q_doc_model_quality,
         "media_image_dhash": q_media_image_dhash,
         "events_funnel_windowed": q_events_funnel_windowed,
@@ -4688,7 +4734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_corpus_line_dedup": q_doc_corpus_line_dedup,
         "doc_kmv_set_algebra": q_doc_kmv_set_algebra,
         "transcripts_shard_packing": q_transcripts_shard_packing,
-        # --- window 42-50: unique families by recency ---
+        # --- window 43-50: unique families by recency ---
         "transcripts_boilerplate_turns": q_transcripts_boilerplate_turns,
         "transcripts_latency_percentile": q_transcripts_latency_percentile,
         "doc_readability": q_doc_readability,
@@ -4697,9 +4743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "events_top_paths": q_events_top_paths,
         "events_burn_rate": q_events_burn_rate,
-        "transcripts_pii_by_role": q_transcripts_pii_by_role,
         # --- rotated out (window=50): both-SF replay receipts; anchors
         # named in the docstring ---
+        "transcripts_pii_by_role": q_transcripts_pii_by_role,
         "transcripts_turn_model_quality": q_transcripts_turn_model_quality,
         "transcripts_conv_model_quality": q_transcripts_conv_model_quality,
         "transcripts_validation": q_transcripts_validation,
@@ -7012,6 +7058,24 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT o.o_custkey) FILTER (WHERE p.k IS NULL) "
             "FROM orders o LEFT JOIN bld p ON o.o_custkey = p.k"
             ") ORDER BY relation"
+        ),
+        # snowflake twin: same 6-table join + exact integer revenue
+        # quantization (2-decimal prices/discounts -> cents x (100-d100));
+        # SUM cast back from HUGEINT
+        "revenue_by_nation": (
+            "SELECT r_name, n_name, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_e4, "
+            "COUNT(*) AS n_items, COUNT(DISTINCT o_orderkey) AS n_orders "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # sparse-similarity twin: same trigram tf, df band, bitlen idf,
         # posting self-join, symmetric union, row_number cut; DuckDB

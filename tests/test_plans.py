@@ -590,3 +590,22 @@ def test_contamination_fraction_no_docxdoc_join(spark, sf_dir):
     import re
     bnlj = re.findall(r"BroadcastNestedLoopJoin (\w+ \w+)", plan)
     assert all(b == "Cross BuildRight" for b in bnlj), bnlj
+
+
+def test_snowflake_star_join_all_broadcast(spark, sf_dir):
+    """revenue_by_nation: the fact table must stream through
+    BroadcastHashJoins only — no SortMergeJoin, no cartesian — and the
+    only shuffle exchanges are the final aggregation's (count_distinct
+    plans partial+final over one hash exchange pair), never a join
+    exchange of the fact table."""
+    import __spark_entry__ as E
+
+    plan = plan_of(E.q_revenue_by_nation(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 5, plan
+    # every Exchange is a hashpartitioning for the group-by keys, not a
+    # join requirement on the fact side
+    for args in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "r_name" in args or "n_name" in args, args
