@@ -2858,6 +2858,95 @@ def q_transcripts_selfjoin_size_ams(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_transcripts_planner_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-informed JOIN PLANNING decision (planner.py): price the
+    turns->conversation-dim equijoin from one probe pass per side (exact
+    row counts + AMS inner-product join-size estimate + Misra-Gries hot-key
+    candidates), verify the candidates with exact counts, and pick the
+    physical strategy. Everything gated is a deterministic integer function
+    of the data: rows are exact, ``join_est_num`` is the integer AMS dot
+    (the twin replays both sketches and the dot in HUGEINT SQL, the
+    orders_join_size_ams machinery over conv_id), and the hot set is
+    deterministic because membership requires the exact-count floor
+    ``cnt*(mg_k+1) > rows_a`` — above the merged MG summary's error bound,
+    so candidacy is guaranteed regardless of partitioning/merge topology —
+    plus the integer output-share rule ``cnt_a*cnt_b*parts*n_counters >=
+    skew_factor*max(dot, n_counters)``. On the bench profile (0.1% of
+    conversations hold ~30% of turns) the two planted hot conversations
+    each hold ~15% of the output >= skew_factor/parts = 2/32, so the pick is
+    'salted' with exactly those conv_ids; the twin recomputes the same
+    CASE from exact SQL counts + the replayed dot."""
+    from ddsparkle.spark.planner import sketch_informed_join
+
+    df = _transcripts(spark, sf_dir)
+    turns = df.select("conv_id")
+    dim = df.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    _, d = sketch_informed_join(
+        turns,
+        dim,
+        left_on="conv_id",
+        right_on="conv_id",
+        broadcast_rows=0,
+        skew_factor=2,
+        parts=32,
+        mg_k=64,
+        n_counters=256,
+        seed=0,
+    )
+    return spark.createDataFrame(
+        [
+            (
+                d["strategy"],
+                d["rows_a"],
+                d["rows_b"],
+                d["join_est_num"],
+                len(d["hot_keys"]),
+                ",".join(str(k) for k in d["hot_keys"]),
+            )
+        ],
+        "strategy string, rows_a bigint, rows_b bigint, join_est_num bigint, "
+        "n_hot int, hot_keys string",
+    )
+
+
+def q_transcripts_planner_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-informed join RESULT gate: the planner's salted plan (hot
+    conversations split 16 ways — probe side scattered, build side
+    replicated) must produce row-for-row the plain equijoin, so the twin
+    is an ordinary SQL join + aggregation. Salting changes only the
+    physical task-size distribution; the per-role counts, total text
+    length, and the n_turns-weighted length (exercising the dim payload
+    through the salted exchange) are integer-exact under any plan."""
+    from ddsparkle.spark.planner import sketch_informed_join
+
+    df = _transcripts(spark, sf_dir)
+    turns = df.select("conv_id", "role", F.length("text").alias("tl"))
+    dim = (
+        df.groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"))
+        .withColumnRenamed("conv_id", "cid")
+    )
+    joined, d = sketch_informed_join(
+        turns,
+        dim,
+        left_on="conv_id",
+        right_on="cid",
+        broadcast_rows=0,
+        skew_factor=2,
+        parts=32,
+        salt=16,
+    )
+    return (
+        joined.groupBy("role")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("tl").alias("sum_len"),
+            F.sum(F.col("tl") * F.col("n_turns")).alias("weighted_len"),
+        )
+        .orderBy("role")
+    )
+
+
 def q_transcripts_conv_freq_countsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Sketch point-frequency probes on the north-star table: "how
     many turns does THIS conversation have", answered from one scan plus a
@@ -4688,6 +4777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Veterans (driver-green r1-r4) rotate behind."""
     return {
         # --- window 1-11: this session's new families (part 9) ---
+        "transcripts_planner_decision": q_transcripts_planner_decision,
+        "transcripts_planner_salted_join": q_transcripts_planner_salted_join,
         "fk_audit_integrity": q_fk_audit,
         "fd_profile_constraints": q_fd_profile,
         "doc_inverted_index": q_doc_inverted_index,
@@ -5864,6 +5955,56 @@ def oracle_sql() -> dict[str, str]:
         "((d - 256 * je) * (d - 256 * je) <= 32 * 256 * f2a * f2b) AS within_bound "
         "FROM dt, ex, fa, fb"
     )
+    # planner decision twin: replay the AMS dot (same coefficient CTEs over
+    # conv_id; the dim side reuses the fact side's parities with weight 1 —
+    # one conversation each) + the deterministic hot rule from EXACT counts:
+    # cnt*(mg_k+1) > rows_a (MG-guarantee floor, mg_k=64) AND
+    # cnt_a*cnt_b*parts*n_counters >= skew_factor*max(dot, n_counters)
+    # (cnt_b = 1: unique dim). broadcast_rows=0, so the CASE is salted/smj.
+    planner_decision_sql = (
+        "WITH ka AS MATERIALIZED (SELECT conv_id AS rk, "
+        "('0x' || substr(md5(conv_id), 1, 15))::BIGINT::HUGEINT AS x, "
+        f"COUNT(*)::HUGEINT AS cnt FROM {tr_src} "
+        "WHERE conv_id IS NOT NULL GROUP BY conv_id), "
+        "coeff AS (SELECT j, "
+        "('0x' || substr(md5('ams:0:' || j || ':3'), 1, 15))::BIGINT::HUGEINT AS a3, "
+        "('0x' || substr(md5('ams:0:' || j || ':2'), 1, 15))::BIGINT::HUGEINT AS a2, "
+        "('0x' || substr(md5('ams:0:' || j || ':1'), 1, 15))::BIGINT::HUGEINT AS a1, "
+        "('0x' || substr(md5('ams:0:' || j || ':0'), 1, 15))::BIGINT::HUGEINT AS a0 "
+        "FROM generate_series(0, 255) AS t(j)), "
+        "sg AS MATERIALIZED (SELECT j, cnt, "
+        "((((a3 * x % 2305843009213693951 + a2) * x % 2305843009213693951 "
+        "+ a1) * x % 2305843009213693951 + a0) % 2305843009213693951) % 2 AS par "
+        "FROM ka CROSS JOIN coeff), "
+        "ca AS (SELECT j, SUM(CASE WHEN par = 1 THEN cnt ELSE -cnt END) AS cj "
+        "FROM sg GROUP BY j), "
+        "cb AS (SELECT j, SUM(CASE WHEN par = 1 THEN 1::HUGEINT "
+        "ELSE -1::HUGEINT END) AS cj FROM sg GROUP BY j), "
+        "dt AS (SELECT SUM(a.cj * b.cj)::HUGEINT AS d FROM ca a "
+        "JOIN cb b ON a.j = b.j), "
+        "tot AS (SELECT SUM(cnt)::HUGEINT AS rows_a, "
+        "COUNT(*)::HUGEINT AS rows_b FROM ka), "
+        "hot AS (SELECT rk FROM ka, dt, tot "
+        "WHERE cnt * 65 > rows_a "
+        "AND cnt * 1 * 32 * 256 >= 2 * GREATEST(d, 256::HUGEINT)), "
+        "hagg AS (SELECT COUNT(*) AS n_hot, "
+        "COALESCE(string_agg(rk, ',' ORDER BY rk), '') AS hot_keys FROM hot) "
+        "SELECT CASE WHEN n_hot > 0 THEN 'salted' ELSE 'smj' END AS strategy, "
+        "rows_a::BIGINT AS rows_a, rows_b::BIGINT AS rows_b, "
+        "d::BIGINT AS join_est_num, n_hot::INT AS n_hot, hot_keys "
+        "FROM hagg, dt, tot"
+    )
+    # salted-join RESULT twin: salting never changes the join's rows, so
+    # the twin is the plain equijoin + the same integer aggregation
+    planner_salted_sql = (
+        f"WITH dim AS (SELECT conv_id AS cid, COUNT(*)::BIGINT AS n_turns "
+        f"FROM {tr_src} GROUP BY conv_id) "
+        f"SELECT role, COUNT(*) AS n, "
+        "CAST(SUM(length(text)) AS BIGINT) AS sum_len, "
+        "CAST(SUM(length(text) * n_turns) AS BIGINT) AS weighted_len "
+        f"FROM {tr_src} t JOIN dim ON t.conv_id = dim.cid "
+        "GROUP BY role ORDER BY role"
+    )
     return {
         # interval union: integer-micros episode merge — FLOOR before the
         # BIGINT cast (Spark CAST truncates, DuckDB rounds half-even);
@@ -5912,6 +6053,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "transcripts_conv_freq_countsketch": csk_sql,
         "orders_join_size_ams": joinsz_sql,
+        "transcripts_planner_decision": planner_decision_sql,
+        "transcripts_planner_salted_join": planner_salted_sql,
         "transcripts_streaming_countsketch": csk_sql,
         "doc_readability": (
             "WITH r AS (SELECT doc_id, replace(text, ' the ', '. ') AS text "
