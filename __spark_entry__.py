@@ -4749,8 +4749,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     transcripts_shard_packing for doc_shard_packing, media_image_dhash
     for the image near-dup, events_funnel_windowed / doc_bpe_merges /
     events_json_extract for their siblings);
-    (2) the newest gates (sessions 6-7: parts 8-9) — least soak time,
-    most benefit from an independent runner;
+    (2) the newest gates (sessions 6-8: parts 8-10, the part-10 planner
+    pair first) — least soak time, most benefit from an independent
+    runner;
     (3) unique families by recency until the window is full.
     Every rotated-out entry keeps BOTH-SF evidence of the same rigor —
     the recorded hash-exact harness replays (the identical comparison the
@@ -4773,7 +4774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     doc_sparse_similarity; kmeans/validation/turn_merge/truncation/
     rollup_sliding_distinct/rollup_anomaly_days/self_repetition/
     repetition_signals/quantile_rollup_sets rest on receipts + their
-    dedicated pytest suites. All are first in line for an r6 window.
+    dedicated pytest suites; events_top_paths and events_burn_rate
+    (displaced by the part-10 planner pair) rest on their addendum
+    41/45/46 both-SF receipts. All are first in line for an r6 window.
     Veterans (driver-green r1-r4) rotate behind."""
     return {
         # --- window 1-11: this session's new families (part 9) ---
