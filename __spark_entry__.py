@@ -26,6 +26,7 @@ from ddsparkle.oracle import (
     fd_covariance_sql,
     ddsketch_quantile_sql,
     ddsketch_row_rank_sql,
+    ddsketch_trimmed_mean_sql,
     kcore_sql,
     kmeans_sql,
     pagerank_sql,
@@ -80,6 +81,30 @@ def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "events")
     res = quantiles(df, "value", by="event_type", qs=(0.5, 0.99), config=_cfg())
     return _round_result(res, ["event_type"], ["q50", "q99"])
+
+
+def q_events_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location estimates off the sketch: 10%-trimmed and
+    10%-winsorized mean of event value per event_type, computed from ONE
+    merged DDSketch's bucket walk (``DDSketch.trimmed_means``) — the exact
+    versions need a per-group sort, this needs the same two-stage
+    no-raw-shuffle plan as every quantile gate. The twin replays the
+    bucket model and the kernel's exact arithmetic: kept counts are
+    integer-exact, the dot folds left-to-right over ascending
+    representatives starting from 0.0 (``list_reduce(list_prepend(0.0,
+    list(k*val ORDER BY val)))`` == the kernel's Python loop), and the
+    winsorize boundaries resolve with the same searchsorted-right
+    convention — hash-exact at round-4, both SFs."""
+    from ddsparkle.spark.agg import trimmed_means
+
+    df = _t(spark, sf_dir, "events")
+    res = trimmed_means(df, "value", 0.1, 0.1, by="event_type", config=_cfg())
+    return res.select(
+        "event_type",
+        F.round("trimmed_mean", 4).alias("trimmed_mean"),
+        F.round("winsorized_mean", 4).alias("winsorized_mean"),
+        F.col("count"),
+    ).orderBy("event_type")
 
 
 def q_events_mixed_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4774,12 +4799,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     doc_sparse_similarity; kmeans/validation/turn_merge/truncation/
     rollup_sliding_distinct/rollup_anomaly_days/self_repetition/
     repetition_signals/quantile_rollup_sets rest on receipts + their
-    dedicated pytest suites; events_top_paths and events_burn_rate
-    (displaced by the part-10 planner pair) rest on their addendum
-    41/45/46 both-SF receipts. All are first in line for an r6 window.
+    dedicated pytest suites; events_top_paths, events_burn_rate, and
+    events_retention (displaced by the part-10 planner pair +
+    trimmed-mean gate) rest on their addendum 41/43/45/46 both-SF
+    receipts. All are first in line for an r6 window.
     Veterans (driver-green r1-r4) rotate behind."""
     return {
         # --- window 1-11: this session's new families (part 9) ---
+        "events_trimmed_mean": q_events_trimmed_mean,
         "transcripts_planner_decision": q_transcripts_planner_decision,
         "transcripts_planner_salted_join": q_transcripts_planner_salted_join,
         "fk_audit_integrity": q_fk_audit,
@@ -6058,6 +6085,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_join_size_ams": joinsz_sql,
         "transcripts_planner_decision": planner_decision_sql,
         "transcripts_planner_salted_join": planner_salted_sql,
+        "events_trimmed_mean": ddsketch_trimmed_mean_sql(
+            "events", "value", 0.1, 0.1, group_col="event_type"
+        ),
         "transcripts_streaming_countsketch": csk_sql,
         "doc_readability": (
             "WITH r AS (SELECT doc_id, replace(text, ' the ', '. ') AS text "

@@ -174,6 +174,84 @@ FROM cumw {g_group1}
 """
 
 
+def ddsketch_trimmed_mean_sql(
+    source_sql: str,
+    value_expr: str,
+    lo: float,
+    hi: float,
+    alpha: float = 0.01,
+    group_col: Optional[str] = None,
+    round_digits: int = 4,
+) -> str:
+    """SQL replaying ``DDSketch.trimmed_means`` over the same bucket model
+    as the quantile/CDF twins: per-bucket kept counts are exact double
+    arithmetic on exact integers (``LEAST(cum, n-k_hi) - GREATEST(cum-c,
+    k_lo)`` clipped to [0, c]), and the dot ``sum(kept*val)`` folds
+    LEFT-TO-RIGHT over ascending representative values starting from 0.0
+    via ``list_reduce(list_prepend(0.0, list(... ORDER BY val)))`` — the
+    identical IEEE expression tree the kernel's Python loop evaluates, so
+    the means hash-match at round-4. Winsorized boundary values resolve
+    with the kernel's ``searchsorted(cum, r, 'right')`` convention: the
+    first (ascending) bucket whose cumulative count exceeds the rank.
+
+    Pairs with ``track_exact_stats=False`` configs (no [min,max] clamp in
+    the walk). Groups whose values are all NULL have no walk rows and are
+    absent (the kernel keeps them with NULL means — don't gate on such
+    groups). Output: [group_col?, trimmed_mean, winsorized_mean, count].
+    """
+    p = _oracle_preamble(alpha, group_col, None, value_expr, source_sql)
+    g_cols, g_part, g_group1 = p["g_cols"], p["g_part"], p["g_group1"]
+    mult, a = p["mult"], p["a"]
+    lo_r, hi_r = repr(float(lo)), repr(float(hi))
+
+    return f"""
+{p["prologue"]},
+walk AS (
+  SELECT {g_cols}-EXP(i / {mult}) * (1.0 + {a}) AS val, c FROM neg
+  UNION ALL
+  SELECT {g_cols}0.0 AS val, c FROM zero WHERE c > 0
+  UNION ALL
+  SELECT {g_cols}EXP(i / {mult}) * (1.0 + {a}) AS val, c FROM pos
+),
+cumw AS (
+  SELECT {g_cols}val, c,
+         SUM(c) OVER ({g_part} ORDER BY val) AS cum,
+         SUM(c) OVER ({g_part}) AS n
+  FROM walk
+),
+cuts AS (
+  SELECT {g_cols}val, c, cum, n,
+         FLOOR({lo_r} * n) AS klo, FLOOR({hi_r} * n) AS khi
+  FROM cumw
+),
+kept AS (
+  SELECT {g_cols}val, cum, n, klo, khi,
+         GREATEST(LEAST(cum, n - khi) - GREATEST(cum - c, klo), 0.0) AS k
+  FROM cuts
+),
+bounds AS (
+  SELECT {g_cols}
+         MIN(CASE WHEN cum > klo THEN val END) AS vlo,
+         MIN(CASE WHEN cum > n - khi - 1 THEN val END) AS vhi,
+         MAX(val) AS vmax
+  FROM kept {g_group1}
+),
+tsum AS (
+  SELECT {g_cols}
+         list_reduce(list_prepend(0.0, list(k * val ORDER BY val)),
+                     (acc, x) -> acc + x) AS t,
+         MAX(n) AS n, MAX(klo) AS klo, MAX(khi) AS khi
+  FROM kept {g_group1}
+)
+SELECT {p["final_g"]}
+  ROUND(t / (n - klo - khi), {round_digits}) AS trimmed_mean,
+  ROUND(((klo * coalesce(vlo, vmax) + t) + khi * coalesce(vhi, vmax)) / n,
+        {round_digits}) AS winsorized_mean,
+  CAST(n AS DOUBLE) AS count
+FROM tsum {"JOIN bounds USING (g)" if group_col else "CROSS JOIN bounds"}
+"""
+
+
 def ddsketch_row_rank_sql(
     source_sql: str,
     value_expr: str,

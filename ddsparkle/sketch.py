@@ -349,6 +349,65 @@ class DDSketch:
         # yields no mass rather than full mass
         return np.where(np.isnan(xs), np.nan, out)
 
+    def trimmed_means(self, lo: float, hi: float) -> tuple[float, float]:
+        """(trimmed mean, winsorized mean) of the sketched mass after
+        cutting the lowest ``floor(lo*n)`` and highest ``floor(hi*n)``
+        observations — robust location estimates straight off the bucket
+        representation, no raw data needed. The reference stops at the
+        rank walk (`DDSketch.java:343-388`); the trimmed/winsorized means
+        are that walk's natural integral: each bucket contributes its
+        representative value times its count clipped to the kept rank
+        window ``[k_lo, n - k_hi)``; winsorizing re-adds the cut tails at
+        the boundary-rank representatives (rank ``k_lo`` and
+        ``n - k_hi - 1`` under the same ``searchsorted(cum, r, 'right')``
+        convention as the quantile walk).
+
+        Cross-engine determinism contract (the reason this is hash-
+        gateable): the kept-count arithmetic is exact (doubles on exact
+        integers), and the dot ``sum(kept_i * v_i)`` folds LEFT-TO-RIGHT
+        over buckets in ascending-value order starting from 0.0 — the
+        DuckDB twin replays the identical fold with
+        ``list_reduce(list_prepend(0.0, list(k*val ORDER BY val)))``, so
+        both engines evaluate the same IEEE expression tree
+        (`oracle.ddsketch_trimmed_mean_sql`). Estimates carry the
+        mapping's relative-accuracy contract: every representative is
+        within alpha of its true values, so both means are within
+        relative ~alpha of the exact trimmed/winsorized means over the
+        same rank cuts. With exact stats tracked, results clamp into the
+        exact [min, max] like the quantile walk.
+        """
+        if not (0.0 <= lo and 0.0 <= hi and lo + hi < 1.0):
+            raise ValueError("trim fractions must satisfy 0 <= lo, hi and lo + hi < 1")
+        n = (
+            self.zero_count
+            + self.negative_store.total_count
+            + self.positive_store.total_count
+        )
+        if n == 0:
+            raise LookupError("The sketch is empty.")
+        values, counts = self._walk_arrays()
+        cum = np.cumsum(counts)
+        k_lo = math.floor(lo * n)
+        k_hi = math.floor(hi * n)
+        kept = np.clip(
+            np.minimum(cum, n - k_hi) - np.maximum(cum - counts, k_lo), 0.0, None
+        )
+        # deterministic left-to-right fold (ascending values, 0.0 start):
+        # bucket counts are small, the Python loop is finalize-side only
+        t = 0.0
+        for kc, v in zip(kept.tolist(), values.tolist()):
+            t += kc * v
+        trimmed = t / (n - k_lo - k_hi)
+        v_lo = values[min(int(np.searchsorted(cum, k_lo, side="right")), values.size - 1)]
+        v_hi = values[min(int(np.searchsorted(cum, n - k_hi - 1, side="right")), values.size - 1)]
+        winsorized = ((float(k_lo) * float(v_lo) + t) + float(k_hi) * float(v_hi)) / n
+        if self.exact_stats is not None and self.exact_stats.count > 0:
+            trimmed = float(np.clip(trimmed, self.exact_stats.min, self.exact_stats.max))
+            winsorized = float(
+                np.clip(winsorized, self.exact_stats.min, self.exact_stats.max)
+            )
+        return float(trimmed), float(winsorized)
+
     # -- config identity ---------------------------------------------------
     def config_tuple(self) -> tuple:
         return (

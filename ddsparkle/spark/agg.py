@@ -1148,6 +1148,71 @@ def cdf_finalize_sketch_rows(merged, key_cols, xs, x_names=None):
     return merged.mapInPandas(fin, schema=schema)
 
 
+def trimmed_means(
+    df,
+    value_col: str,
+    lo: float,
+    hi: float,
+    by: Sequence[str] | str | None = None,
+    config: Optional[SketchConfig] = None,
+    weight_col: Optional[str] = None,
+):
+    """Robust location estimates per group from ONE sketch build: the
+    trimmed mean (drop the lowest ``floor(lo*n)`` and highest
+    ``floor(hi*n)`` observations) and the winsorized mean (clamp them to
+    the boundary-rank values) of ``value_col``, read off the merged
+    DDSketch's bucket walk (``DDSketch.trimmed_means``). The exact
+    computation needs a per-group sort; this needs the same two-stage
+    no-raw-shuffle plan as ``quantiles`` — scan-local partial sketches,
+    KB-sized sketch rows on the wire, one mapInPandas finalize — so it
+    holds at any group cardinality and 10^12 rows.
+
+    Returns [*by, trimmed_mean, winsorized_mean, count], unrounded
+    doubles (gates round). Count-0 groups (all-NULL values) yield NULL
+    means like the CDF finalize. Estimates are within relative ~alpha of
+    the exact means over the same rank cuts (every bucket representative
+    is within alpha of the values it stands for)."""
+    from pyspark.sql import types as T
+
+    config = config or SketchConfig()
+    if not (0.0 <= lo and 0.0 <= hi and lo + hi < 1.0):
+        raise ValueError("trim fractions must satisfy 0 <= lo, hi and lo + hi < 1")
+    key_cols = [by] if isinstance(by, str) else list(by or [])
+    partials = build_partial_sketches(df, value_col, key_cols, config, weight_col)
+    merged = merge_partials_to_sketch_rows(partials, key_cols)
+    key_fields = [merged.schema[c] for c in key_cols]
+    schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("trimmed_mean", T.DoubleType()),
+            T.StructField("winsorized_mean", T.DoubleType()),
+            T.StructField("count", T.DoubleType()),
+        ]
+    )
+    out_cols = key_cols + ["trimmed_mean", "winsorized_mean", "count"]
+
+    def fin(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for i in range(len(pdf)):
+                sk = row_to_sketch(pdf[SKETCH_ROW_FIELDS].iloc[i])
+                row = {c: pdf[c].iloc[i] for c in key_cols}
+                if sk.count > 0:
+                    tm, wm = sk.trimmed_means(lo, hi)
+                    row["trimmed_mean"] = tm
+                    row["winsorized_mean"] = wm
+                else:
+                    row["trimmed_mean"] = None
+                    row["winsorized_mean"] = None
+                row["count"] = float(sk.count)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return merged.mapInPandas(fin, schema=schema)
+
+
 def _sorted_fused_quantiles(df, value_col, key_cols, qs, q_names, config, weight_col):
     """mode='sorted': repartition by key + sortWithinPartitions, then a
     STREAMING fused build+finalize — each Arrow batch's completed keys
