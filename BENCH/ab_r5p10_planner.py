@@ -19,24 +19,40 @@ digest over every output column plus exact counts (Catalyst would rewrite
 a bare count() over the join; the digest forces full evaluation).
 """
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession, functions as F
 
+import argparse
+
 ROUNDS = 3
 HOT_FACT = 200_000  # fact rows per hot conv
-HOT_BUILD = 64  # build rows per hot conv
+HOT_BUILD = 64  # build rows per hot conv (CLI-overridable: the fanout knob)
 N_UNIF = 1_600_000  # uniform fact rows
 N_CONVS = 100_000  # uniform conv universe
 BUILD_PER_CONV = 8
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hot-build", type=int, default=HOT_BUILD)
+    ap.add_argument("--out", default="BENCH/ab_r5p10_planner.json")
+    args = ap.parse_args()
+    hot_build = args.hot_build
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "12g")
+        # the 100 TB regime under test: BOTH sides too big to broadcast —
+        # locally Spark would broadcast the 800k-row build side and no
+        # skew would exist, so pin the shuffle-join physical space
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -56,7 +72,7 @@ def main():
         F.concat(F.lit("c"), (F.col("id") % N_CONVS).cast("string")).alias("cid"),
         (F.col("id") % 97).alias("bv"),
     )
-    bhot = spark.range(2 * HOT_BUILD).select(
+    bhot = spark.range(2 * hot_build).select(
         F.concat(F.lit("hot"), (F.col("id") % 2).cast("string")).alias("cid"),
         (F.col("id") % 97).alias("bv"),
     )
@@ -108,8 +124,9 @@ def main():
         "bench": "planner salted join vs plain SMJ (fanout skew)",
         "fact_rows": n_fact,
         "build_rows": n_build,
-        "hot_output_rows": 2 * HOT_FACT * HOT_BUILD,
-        "total_output_rows": N_UNIF * BUILD_PER_CONV + 2 * HOT_FACT * HOT_BUILD,
+        "hot_build_rows_per_conv": hot_build,
+        "hot_output_rows": 2 * HOT_FACT * hot_build,
+        "total_output_rows": N_UNIF * BUILD_PER_CONV + 2 * HOT_FACT * hot_build,
         "decision": {
             "strategy": decision["strategy"],
             "hot_keys": sorted(map(str, decision["hot_keys"])),
@@ -123,7 +140,7 @@ def main():
         "digests_equal_all_rounds": digests_equal,
     }
     print(json.dumps(report))
-    with open("BENCH/ab_r5p10_planner.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     spark.stop()
 
