@@ -92,12 +92,14 @@ class _JoinProbe:
         self.mg = MisraGries(k=mg_k)
         self.n_rows = 0
 
-    def update(self, keys_raw: pd.Series, keys60: pd.Series) -> None:
+    def update(
+        self, keys_raw: pd.Series, keys60: pd.Series, counts=None
+    ) -> None:
         import numpy as np
 
-        self.ams.update(keys60.to_numpy(np.int64))
-        self.mg.update(keys_raw)
-        self.n_rows += int(len(keys_raw))
+        self.ams.update(keys60.to_numpy(np.int64), counts)
+        self.mg.update(keys_raw, counts)
+        self.n_rows += int(len(keys_raw) if counts is None else counts.sum())
 
     def merge(self, other: "_JoinProbe") -> None:
         self.ams.merge(other.ams)
@@ -122,9 +124,27 @@ class _JoinProbe:
         return out
 
 
-def _probe_side(df, key: str, n_counters: int, seed: int, mg_k: int) -> _JoinProbe:
+def _probe_side(
+    df,
+    key: str,
+    n_counters: int,
+    seed: int,
+    mg_k: int,
+    flush_distincts: int = 1 << 18,
+) -> _JoinProbe:
     """One scan: NULL keys dropped (an equijoin never matches them), one
-    payload row per task, salted fan-in reduce (approx._reduce_payloads)."""
+    payload row per task, salted fan-in reduce (approx._reduce_payloads).
+
+    Per-partition batches pre-aggregate to (key, count) before touching
+    the sketches: the AMS Horner pass costs n_counters x distinct COLUMNS,
+    so a key recurring across Arrow batches must not pay it per batch (a
+    per-batch update measured ~5x slower on a 2M-row/100k-key probe).
+    The accumulator flushes whenever it holds ``flush_distincts`` distinct
+    keys, so task memory stays bounded at any key cardinality; the probe
+    result is flush-topology-invariant where it is gated (AMS counters are
+    exact sums; MG candidacy above the n/(k+1) floor is guaranteed under
+    ANY update/merge topology, and the floor is re-checked on exact
+    counts)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -137,9 +157,31 @@ def _probe_side(df, key: str, n_counters: int, seed: int, mg_k: int) -> _JoinPro
 
     def build(batches):
         acc = _JoinProbe(n_counters=n_counters, seed=seed, mg_k=mg_k)
+        pieces: list = []
+        held = 0
+
+        def flush():
+            nonlocal pieces, held
+            if not pieces:
+                return
+            g = pd.concat(pieces, ignore_index=True)
+            g = g.groupby("__k", sort=False, as_index=False).agg(
+                __k60=("__k60", "first"), __c=("__c", "sum")
+            )
+            acc.update(g["__k"], g["__k60"], g["__c"].to_numpy())
+            pieces, held = [], 0
+
         for pdf in batches:
-            if len(pdf):
-                acc.update(pdf["__k"], pdf["__k60"])
+            if not len(pdf):
+                continue
+            g = pdf.groupby("__k", sort=False, as_index=False).agg(
+                __k60=("__k60", "first"), __c=("__k60", "size")
+            )
+            pieces.append(g)
+            held += len(g)
+            if held >= flush_distincts:
+                flush()
+        flush()
         yield pd.DataFrame({"payload": [acc.to_bytes()]})
 
     partials = src.mapInPandas(build, schema=schema)
