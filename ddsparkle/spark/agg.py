@@ -1148,6 +1148,101 @@ def cdf_finalize_sketch_rows(merged, key_cols, xs, x_names=None):
     return merged.mapInPandas(fin, schema=schema)
 
 
+def ddsketch_trimmed_spark_sql(
+    source: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    config=None,
+    by=None,
+    weight_col=None,
+):
+    """``trimmed_means`` as ONE Spark-SQL string (the ``mode='sql'``
+    surface): the same scan -> map-side-combined bucket aggregate ->
+    per-group window cumsum physical shape as ``ddsketch_spark_sql``, with
+    the trimmed/winsorized finals computed by a DETERMINISTIC left fold —
+    ``aggregate(array_sort(collect_list(struct(part, ord, kept*val))),
+    0.0D, (acc, x) -> acc + x.t)`` — over the ascending-value bucket walk,
+    starting from 0.0: the identical IEEE expression tree the kernel's
+    Python loop and the DuckDB twin's ``list_reduce`` evaluate, so all
+    three paths agree at round-4. The HOF evaluates interpretively, but
+    only over per-group BUCKET arrays (~hundreds of elements at
+    alpha=0.01), never per input row — the packing-fold cost class, not
+    the per-shingle one.
+
+    Stats-less log configs only (``sql_mode_eligible(config)``); the
+    winsorize boundary values resolve as the first ascending bucket whose
+    cumulative count exceeds the rank (the kernel's searchsorted-right).
+    Returns [*by, trimmed_mean, winsorized_mean, count]."""
+    config = config or SketchConfig(mapping_kind="log", track_exact_stats=False)
+    if not sql_mode_eligible(config):
+        raise ValueError(
+            "trimmed_means mode='sql' requires a stats-less log config "
+            "(exact-stats clamping has no bucket-only SQL form)"
+        )
+    if not (0.0 <= lo and 0.0 <= hi and lo + hi < 1.0):
+        raise ValueError("trim fractions must satisfy 0 <= lo, hi and lo + hi < 1")
+    key_cols = [by] if isinstance(by, str) else list(by or [])
+
+    fr = _sql_store_fragments(config, key_cols, value_col, weight_col)
+    _d = fr["d"]
+    g, gby, g_part = fr["g"], fr["gby"], fr["g_part"]
+    w_src, bucket_val = fr["w_src"], fr["bucket_val"]
+    buckets_cte, store_rel = fr["buckets_cte"], fr["store_rel"]
+    lo_d, hi_d = _d(float(lo)), _d(float(hi))
+
+    live = "__n > 0 AND __c > 0"
+    fold = (
+        "aggregate(array_sort(collect_list(CASE WHEN __c > 0 THEN "
+        "struct(__part AS p, __ord AS o, __kept * __val AS t) END)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.t)"
+    )
+    vlo = f"MIN(CASE WHEN {live} AND __cum > __klo THEN __val END)"
+    vhi = f"MIN(CASE WHEN {live} AND __cum > __n - __khi - 1 THEN __val END)"
+
+    sql = f"""
+WITH vals AS (
+  SELECT {g}CAST(`{value_col}` AS DOUBLE) AS __v, {w_src} AS __w
+  FROM {source}
+),{buckets_cte},
+walk AS (
+  SELECT {g}__part,
+         CASE WHEN __part = 0 THEN -__i WHEN __part = 1 THEN 0 ELSE __i END AS __ord,
+         CASE WHEN __part = 1 THEN CAST(0.0 AS DOUBLE)
+              WHEN __part = 0 THEN -{bucket_val}
+              ELSE {bucket_val} END AS __val,
+         __c
+  FROM {store_rel}
+),
+cumw AS (
+  SELECT {g}__part, __ord, __val, __c,
+         SUM(__c) OVER ({g_part} ORDER BY __part, __ord ROWS UNBOUNDED PRECEDING) AS __cum,
+         SUM(__c) OVER ({g_part}) AS __n
+  FROM walk
+),
+kept AS (
+  SELECT {g}__part, __ord, __val, __c, __cum, __n, __klo, __khi,
+         GREATEST(LEAST(__cum, __n - __khi) - GREATEST(__cum - __c, __klo),
+                  CAST(0.0 AS DOUBLE)) AS __kept
+  FROM (
+    SELECT *, FLOOR({lo_d} * __n) AS __klo, FLOOR({hi_d} * __n) AS __khi
+    FROM cumw
+  )
+)
+SELECT {g}
+  CASE WHEN MAX(__n) > 0
+       THEN {fold} / (MAX(__n) - MAX(__klo) - MAX(__khi)) END AS trimmed_mean,
+  CASE WHEN MAX(__n) > 0
+       THEN ((MAX(__klo) * {vlo} + {fold}) + MAX(__khi) * {vhi}) / MAX(__n)
+       END AS winsorized_mean,
+  CAST(MAX(__n) AS DOUBLE) AS count
+FROM kept {gby}"""
+
+    if not key_cols:
+        sql = f"SELECT * FROM ({sql}\n) WHERE count IS NOT NULL"
+    return sql
+
+
 def trimmed_means(
     df,
     value_col: str,
@@ -1156,6 +1251,7 @@ def trimmed_means(
     by: Sequence[str] | str | None = None,
     config: Optional[SketchConfig] = None,
     weight_col: Optional[str] = None,
+    mode: str = "auto",
 ):
     """Robust location estimates per group from ONE sketch build: the
     trimmed mean (drop the lowest ``floor(lo*n)`` and highest
@@ -1171,13 +1267,34 @@ def trimmed_means(
     doubles (gates round). Count-0 groups (all-NULL values) yield NULL
     means like the CDF finalize. Estimates are within relative ~alpha of
     the exact means over the same rank cuts (every bucket representative
-    is within alpha of the values it stands for)."""
+    is within alpha of the values it stands for).
+
+    ``mode``: 'sql' (the 'auto' default for stats-less log configs) runs
+    the whole thing as a pure-Catalyst plan — bucket hash aggregate +
+    window cumsum + a deterministic left fold over per-group BUCKET
+    arrays (``ddsketch_trimmed_spark_sql``), no Python anywhere; 'kernel'
+    is the Arrow partial-sketch path (required for interpolated mappings
+    and exact-stats configs, whose means clamp into the exact [min, max]).
+    Both paths and the DuckDB twin evaluate the identical fold TREE; the
+    leaf representative values are exp() of the two runtimes (JVM vs
+    numpy), so kernel and sql agree at round-4, not bit-level — the same
+    reassociation-dust caveat ``ddsketch_spark_sql`` documents."""
     from pyspark.sql import types as T
 
     config = config or SketchConfig()
     if not (0.0 <= lo and 0.0 <= hi and lo + hi < 1.0):
         raise ValueError("trim fractions must satisfy 0 <= lo, hi and lo + hi < 1")
     key_cols = [by] if isinstance(by, str) else list(by or [])
+    if mode not in ("auto", "kernel", "sql"):
+        raise ValueError(f"unknown mode {mode!r}; one of auto|kernel|sql")
+    if mode == "auto":
+        mode = "sql" if sql_mode_eligible(config) else "kernel"
+    if mode == "sql":
+        sql = ddsketch_trimmed_spark_sql(
+            "{__ddsparkle_src__}", value_col, lo, hi,
+            config=config, by=key_cols, weight_col=weight_col,
+        )
+        return df.sparkSession.sql(sql, __ddsparkle_src__=df)
     partials = build_partial_sketches(df, value_col, key_cols, config, weight_col)
     merged = merge_partials_to_sketch_rows(partials, key_cols)
     key_fields = [merged.schema[c] for c in key_cols]

@@ -103,3 +103,80 @@ def test_weighted_counts():
     # n=10.0, k_lo=k_hi=2: kept mass 0.5@1, 5@10, 0.5@100 -> ~ (0.5+50+50)/6
     assert abs(tm - (0.5 * 1 + 5 * 10 + 0.5 * 100) / 6.0) / tm <= 2 * ALPHA
     assert wm >= tm * 0.5  # winsorized stays in the data range
+
+
+class TestSqlMode:
+    """mode='sql' (pure Catalyst) vs mode='kernel' parity + routing."""
+
+    def test_modes_agree_round4(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from ddsparkle.config import SketchConfig
+        from ddsparkle.spark.agg import trimmed_means
+
+        cfg = SketchConfig(
+            mapping_kind="log", relative_accuracy=0.01,
+            store_policy="unbounded", max_bins=0, track_exact_stats=False,
+        )
+        rng = np.random.default_rng(5)
+        pdf = pd.DataFrame(
+            {
+                "g": ["a", "b", "c", None] * 2500,
+                "v": np.concatenate(
+                    [rng.lognormal(2, 1, 5000), -(rng.lognormal(1, 1, 2500)),
+                     np.zeros(1500), [np.nan] * 1000]
+                ),
+            }
+        )
+        pdf.loc[pdf["v"].isna(), "v"] = None
+        df = spark.createDataFrame(pdf)
+        args = dict(by="g", config=cfg)
+        srt = lambda d: d.sort_values("g", na_position="last").reset_index(drop=True)
+        k = srt(trimmed_means(df, "v", 0.05, 0.15, mode="kernel", **args).toPandas())
+        s = srt(trimmed_means(df, "v", 0.05, 0.15, mode="sql", **args).toPandas())
+        assert k["count"].tolist() == s["count"].tolist()
+        for col in ("trimmed_mean", "winsorized_mean"):
+            assert np.allclose(k[col].astype(float), s[col].astype(float),
+                               rtol=0, atol=5e-5, equal_nan=True)
+
+    def test_sql_plan_is_pure_catalyst_and_auto_routes(self, spark):
+        import re
+
+        from ddsparkle.config import SketchConfig
+        from ddsparkle.spark.agg import trimmed_means
+
+        cfg = SketchConfig(mapping_kind="log", track_exact_stats=False,
+                           store_policy="unbounded", max_bins=0)
+        df = spark.range(1000).selectExpr("CAST(id % 7 AS STRING) AS g",
+                                          "CAST(id % 100 + 1 AS DOUBLE) AS v")
+        q = trimmed_means(df, "v", 0.1, 0.1, by="g", config=cfg)  # auto -> sql
+        plan = q._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert not re.findall(
+            r"\(\d+\) (ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas)", plan
+        )
+
+    def test_sql_mode_rejects_stats_config(self, spark):
+        from ddsparkle.config import SketchConfig
+        from ddsparkle.spark.agg import ddsketch_trimmed_spark_sql
+
+        with pytest.raises(ValueError):
+            ddsketch_trimmed_spark_sql(
+                "t", "v", 0.1, 0.1,
+                config=SketchConfig(mapping_kind="log", track_exact_stats=True),
+            )
+
+    def test_sql_global_empty_and_zero_trim(self, spark):
+        from ddsparkle.config import SketchConfig
+        from ddsparkle.spark.agg import trimmed_means
+
+        cfg = SketchConfig(mapping_kind="log", track_exact_stats=False,
+                           store_policy="unbounded", max_bins=0)
+        empty = spark.range(0).selectExpr("CAST(id AS DOUBLE) AS v")
+        assert trimmed_means(empty, "v", 0.1, 0.1, config=cfg).count() == 0
+        one = spark.range(1, 4).selectExpr("CAST(id AS DOUBLE) AS v")
+        row = trimmed_means(one, "v", 0.0, 0.0, config=cfg).collect()[0]
+        assert row["trimmed_mean"] == row["winsorized_mean"]
+        assert abs(row["trimmed_mean"] - 2.0) < 2.0 * 0.01 * 2
