@@ -4753,6 +4753,99 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust rate-anomaly detection: hourly per-type counts, trailing
+    24-bucket baseline via a RANGE frame ending at -1 (a spike never
+    shifts its own median), lower-median/MAD as order statistics at
+    (n+1)//2 — exact int64 end-to-end, so every column incl. the alert
+    boolean hash-matches the DuckDB twin (45 alerts fire at sf0.01, so
+    the boolean is exercised, not vacuous)."""
+    from ddsparkle.spark.dataops import rate_anomaly
+
+    df = _t(spark, sf_dir, "events")
+    return rate_anomaly(
+        df, bucket_seconds=3600, baseline_buckets=24, min_baseline=12,
+        mad_mult=4,
+    ).orderBy("event_type", "bucket_epoch_s")
+
+
+def q_doc_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-atomic train/val/test split: near-dup clusters resolve
+    first (same 32/32 LSH recall setup as doc_dedup_fuzzy_representatives,
+    skew cap off so the oracle's uncapped all-pairs graph is the same
+    graph), then the portable md5 split hash keys on rep_id — per-doc
+    (doc_id, rep_id, split) rows hash-match the recursive-CC twin, which
+    IS the proof no near-dup pair straddles a split boundary (equal
+    rep_id forces equal split on both engines)."""
+    from ddsparkle.spark.dataops import leakage_safe_split
+
+    df = _t(spark, sf_dir, "documents")
+    return leakage_safe_split(
+        df, num_perm=32, bands=32, shingle_n=3, jaccard_threshold=0.7,
+        max_bucket_size=None,
+    ).orderBy("doc_id")
+
+
+def q_events_dgim_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DGIM sliding-window counts (the time-decayed sketch family member):
+    per event type, events in the trailing 1d/7d of the corpus, answered
+    from O(r log n) exponential-histogram buckets. Oracle pattern for a
+    sequential stream sketch (not SQL-replicable): exact window counts
+    hash-matched + the THEOREM bound booleans — 2*true - est2 within
+    [2-oldest, oldest] (half the straddling bucket, exact integers, zero
+    asymptotics) and the logarithmic space invariant
+    n_buckets <= r * bitlen(n_seen). Window membership pinned on epoch
+    micros: in-window <=> ts_us > max_us - window_s*1e6."""
+    from ddsparkle.spark.approx import dgim_window_counts
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mx = int(ev.agg(F.max(us).alias("m")).collect()[0]["m"])
+    windows = (86_400, 7 * 86_400)
+    r = 4
+    res = dgim_window_counts(
+        ev, windows_s=windows, r=r, as_of_micros=mx
+    )
+    exact = (
+        ev.select("event_type", us.alias("__us"))
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("__us") > mx - w * 1_000_000, 1).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"__w{w}")
+                for w in windows
+            ]
+        )
+        .selectExpr(
+            "event_type",
+            f"stack(2, {windows[0]}L, __w{windows[0]}, {windows[1]}L, "
+            f"__w{windows[1]}) AS (window_s, exact_in_window)",
+        )
+    )
+    d = 2 * F.col("exact_in_window") - F.col("est2")
+    joined = res.join(F.broadcast(exact), ["event_type", "window_s"])
+    return joined.select(
+        "event_type",
+        "window_s",
+        "exact_in_window",
+        F.when(
+            F.col("oldest_size") == 0,
+            (F.col("exact_in_window") == 0) & (F.col("est2") == 0),
+        )
+        .otherwise(
+            (d >= 2 - F.col("oldest_size")) & (d <= F.col("oldest_size"))
+        )
+        .alias("within_bound"),
+        (
+            F.col("n_buckets")
+            <= F.col("r") * F.length(F.bin(F.col("n_seen")))
+        ).alias("space_ok"),
+    ).orderBy("event_type", "window_s")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is evidence policy, not alphabetics: the driver
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json; every
@@ -4803,9 +4896,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_retention (displaced by the part-10 planner pair +
     trimmed-mean gate) rest on their addendum 41/43/45/46 both-SF
     receipts. All are first in line for an r6 window.
+    Part 11 (ninth session) adds events_rate_anomaly /
+    doc_split_leakage_safe / events_dgim_window_counts at positions 1-3;
+    displaced veterans doc_readability, emb_semdedup,
+    events_exact_quantiles carry fresh same-session both-SF replay
+    receipts (GATES_sf01_r05.md addendum 54).
     Veterans (driver-green r1-r4) rotate behind."""
     return {
-        # --- window 1-11: this session's new families (part 9) ---
+        # --- window 1-3: part 11 (ninth session) new families ---
+        "events_rate_anomaly": q_events_rate_anomaly,
+        "doc_split_leakage_safe": q_doc_split_leakage_safe,
+        "events_dgim_window_counts": q_events_dgim_window_counts,
+        # --- window 4-14: part 9/10 families ---
         "events_trimmed_mean": q_events_trimmed_mean,
         "transcripts_planner_decision": q_transcripts_planner_decision,
         "transcripts_planner_salted_join": q_transcripts_planner_salted_join,
@@ -6036,6 +6138,75 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY role ORDER BY role"
     )
     return {
+        # rate anomaly: everything exact int64 (counts, order-statistic
+        # lower median/MAD at (n+1)//2, the |n-med| comparison); DuckDB
+        # list() over an EMPTY RANGE frame is NULL, Spark collect_list is
+        # [] — COALESCE pins the first bucket of each series
+        "events_rate_anomaly": (
+            "WITH perb AS (SELECT event_type, "
+            "epoch_us(ts) // 3600000000 AS b, COUNT(*) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "win AS (SELECT event_type, b, n, "
+            "list_sort(COALESCE(list(n) OVER (PARTITION BY event_type "
+            "ORDER BY b RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), [])) "
+            "AS base FROM perb), "
+            "st AS (SELECT event_type, b, n, len(base) AS baseline_n, base, "
+            "CASE WHEN len(base) > 0 THEN base[(len(base)+1)//2] "
+            "ELSE -1 END AS med FROM win), "
+            "st2 AS (SELECT *, CASE WHEN baseline_n > 0 THEN "
+            "list_sort(list_transform(base, x -> abs(x - med)))"
+            "[(baseline_n+1)//2] ELSE -1 END AS mad FROM st) "
+            "SELECT event_type, b*3600 AS bucket_epoch_s, n, baseline_n, "
+            "med, mad, baseline_n >= 12 AND abs(n - med) > "
+            "4 * greatest(mad, 1) AS is_anomaly "
+            "FROM st2 ORDER BY event_type, bucket_epoch_s"
+        ),
+        # leakage-safe split: the fuzzy-representatives recursive-CC twin
+        # (same uncapped all-pairs graph) + the portable 60-bit md5 split
+        # hash keyed on rep_id — equal rep_id forces equal split, so the
+        # per-doc hash match IS the no-leakage proof
+        "doc_split_leakage_safe": (
+            "WITH RECURSIVE sh AS ("
+            "  SELECT doc_id, CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]"
+            "    ELSE list_distinct(list_transform("
+            "      generate_series(1, len(string_split(text, ' ')) - 2),"
+            "      i -> concat_ws(' ', string_split(text, ' ')[i],"
+            "        string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))"
+            "  END AS s FROM documents"
+            f"), {_cand_cte()}"
+            ", pairs AS ("
+            "  SELECT ia, ib FROM cand"
+            "  JOIN sh a ON a.doc_id = ia JOIN sh b ON b.doc_id = ib"
+            "  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+            "        / len(list_distinct(list_concat(a.s, b.s))) >= 0.7"
+            "), edges AS ("
+            "  SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs"
+            "), walk(id, reach) AS ("
+            "  SELECT doc_id, doc_id FROM documents"
+            "  UNION"
+            "  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach"
+            "), rep AS (SELECT id AS doc_id, MIN(reach) AS rep_id "
+            "FROM walk GROUP BY id) "
+            "SELECT doc_id, rep_id, CASE WHEN h < 80 THEN 'train' "
+            "WHEN h < 90 THEN 'val' ELSE 'test' END AS split FROM ("
+            "SELECT doc_id, rep_id, ('0x' || substr(md5('split:' || "
+            "CAST(rep_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS h FROM rep) "
+            "ORDER BY doc_id"
+        ),
+        # DGIM twin: exact window counts on pinned epoch-micros membership;
+        # the sequential histogram itself is not SQL-replicable, so the
+        # sketch columns enter as THEOREM-bound booleans (TRUE literals
+        # here — the established hll/kll bound-gate pattern)
+        "events_dgim_window_counts": (
+            "WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events), "
+            "w(window_s) AS (VALUES (86400), (604800)) "
+            "SELECT event_type, CAST(window_s AS BIGINT) AS window_s, "
+            "COUNT(*) FILTER (WHERE epoch_us(ts) > "
+            "m - CAST(window_s AS BIGINT) * 1000000) "
+            "AS exact_in_window, TRUE AS within_bound, TRUE AS space_ok "
+            "FROM events, w, mx GROUP BY event_type, window_s "
+            "ORDER BY event_type, window_s"
+        ),
         # interval union: integer-micros episode merge — FLOOR before the
         # BIGINT cast (Spark CAST truncates, DuckDB rounds half-even);
         # HUGEINT sums cast back to BIGINT (the pagerank lesson)

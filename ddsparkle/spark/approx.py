@@ -575,6 +575,86 @@ def reservoir_sample(df, value_col: str, m: int = 10_000, seed: int = 0):
     )
 
 
+def dgim_window_counts(
+    df,
+    ts_col: str = "ts",
+    by: str = "event_type",
+    id_col: str = "event_id",
+    windows_s=(86_400, 7 * 86_400),
+    r: int = 4,
+    as_of_micros: int | None = None,
+):
+    """Sliding-window event counts per key via the DGIM exponential
+    histogram (:class:`ddsparkle.sketches.dgim.DgimSketch`): for each
+    ``by`` series, how many events landed in the trailing ``window_s``
+    seconds as of ``as_of_micros`` (default: the corpus max timestamp),
+    answered from O(r*log n) buckets per key instead of the window's raw
+    rows. Window membership is pinned integer-exact on epoch micros:
+    in-window <=> ts_us > as_of_us - window_s*1_000_000.
+
+    Returns one row per (key, window): [by, window_s, r, est2,
+    oldest_size, n_buckets, n_seen]. ``est2`` is TWICE the estimate
+    (integral), ``oldest_size`` the straddling bucket's size; the theorem
+    bound ``2*true - est2 in [2 - oldest_size, oldest_size]`` (est exact
+    when oldest_size = 0) is what gates check — see the module docstring
+    for why the asymptotic 1/(2(r-1)) relative bound is NOT gated.
+
+    Scale shape: the scan ships only (key, epoch-micros) — 12 bytes/row —
+    into one exchange keyed on the series; each series then builds ONE
+    sequential histogram (arrival order is the sketch's semantics; a
+    per-key stream cannot be split, so parallelism comes from key count —
+    the per-entity streaming-state contract). Deterministic: replay order
+    is pinned by (ts, id). This is the batch replay of a streaming sketch;
+    a live deployment holds the same O(r*log W) bucket state per key in a
+    stateful streaming op. For fine key grids (millions of tiny series)
+    route through repartition+mapInPandas with a pandas groupby instead of
+    applyInPandas's ~1ms/group Python overhead (the
+    merge_partials_to_sketch_rows pattern)."""
+    from pyspark.sql import functions as F
+
+    from ..sketches.dgim import DgimSketch
+
+    windows = [int(w) for w in windows_s]
+    if as_of_micros is None:
+        as_of_micros = df.select(
+            F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("m")
+        ).collect()[0]["m"]  # post-reduce scalar, not a data collect
+    as_of = int(as_of_micros)
+
+    slim = df.select(
+        F.col(by).cast("string").alias("__k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+        F.col(id_col).cast("long").alias("__id"),
+    )
+
+    def build(pdf):
+        pdf = pdf.sort_values(["__us", "__id"], kind="mergesort")
+        sk = DgimSketch(r=r)
+        sk.update_batch(pdf["__us"].to_numpy())
+        key = pdf["__k"].iloc[0]
+        rows = []
+        for w in windows:
+            est2, oldest = sk.estimate2(as_of - w * 1_000_000)
+            rows.append(
+                (key, w, r, est2, oldest, sk.n_buckets, sk.n_seen)
+            )
+        import pandas as pd
+
+        return pd.DataFrame(
+            rows,
+            columns=[
+                by, "window_s", "r", "est2", "oldest_size",
+                "n_buckets", "n_seen",
+            ],
+        )
+
+    schema = (
+        f"{by} string, window_s long, r long, est2 long, "
+        "oldest_size long, n_buckets long, n_seen long"
+    )
+    return slim.groupBy("__k").applyInPandas(build, schema)
+
+
 def validate_quantiles(df, value_col: str, result_row, q_map, alpha: float, m: int = 50_000, seed: int = 0):
     """Self-check a quantiles() result against a held-out uniform sample:
     returns {q_name: estimated relative rank-interval error}. Sampling error

@@ -2639,6 +2639,46 @@ def assign_split(
     return df.withColumn(split_col, col)
 
 
+def leakage_safe_split(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights=(("train", 80), ("val", 10), ("test", 10)),
+    salt: str = "split",
+    split_col: str = "split",
+    **near_dup_kwargs,
+):
+    """Train/val/test split that cannot leak near-duplicates across the
+    boundary: resolve fuzzy-dup clusters first (``near_dup_clusters`` —
+    MinHash/LSH candidates, exact-Jaccard verify, connected components),
+    then key ``assign_split``'s portable hash on the CLUSTER REPRESENTATIVE
+    id instead of the document id — every member of a near-dup cluster
+    lands in the same split BY CONSTRUCTION. A plain id-hash split puts two
+    97%-identical documents in train and test with probability
+    2·p·(1−p) each — the classic eval-contamination path that survives
+    exact dedup; clustering first closes it at the same granularity the
+    dedup pipeline already computes. Returns [id_col, rep_id, split] for
+    EVERY input document (callers usually also drop ``keep = false`` rows;
+    kept here so audits can see where discarded dups would have gone).
+
+    Scale shape: all heavy lifting is the near-dup stack (bucketed LSH
+    joins, once-per-doc verify hashing, semi-joined CC — the 100-TB design
+    receipts live on those operators); the split itself is a row-local
+    integer hash of ``rep_id`` in the projection, zero additional shuffle,
+    and membership is stable under corpus growth EXCEPT when new documents
+    merge two clusters (then the merged cluster follows its new min-id rep
+    — unavoidable under any cluster-atomic rule, documented contract).
+    ``near_dup_kwargs`` pass through to ``near_dup_clusters``.
+    """
+    clusters = near_dup_clusters(
+        df, text_col=text_col, id_col=id_col, **near_dup_kwargs
+    )
+    return assign_split(
+        clusters, id_col="rep_id", weights=weights, salt=salt,
+        split_col=split_col,
+    ).select(id_col, "rep_id", split_col)
+
+
 def assign_shards(
     df,
     id_col: str = "doc_id",
@@ -3304,6 +3344,108 @@ def exact_quantiles_histogram(df, value_col: str = "value", qs=(0.5, 0.95, 0.99)
         for q in qs
     ]
     return cum.agg(*sel, F.max("__n").cast("double").alias("count"))
+
+
+def rate_anomaly(
+    df,
+    ts_col: str = "ts",
+    by: str = "event_type",
+    bucket_seconds: int = 3600,
+    baseline_buckets: int = 24,
+    min_baseline: int = 12,
+    mad_mult: int = 4,
+):
+    """Robust time-series anomaly detection on event rates: bucket events
+    into ``bucket_seconds`` windows per ``by`` series, then flag a bucket
+    whose count deviates from the trailing baseline's MEDIAN by more than
+    ``mad_mult`` x the baseline's MAD (median absolute deviation) — the
+    median/MAD pair is outlier-proof where mean/stddev would let one spike
+    poison its own baseline. Returns one row per active bucket:
+    [by, bucket_epoch_s, n, baseline_n, med, mad, is_anomaly]; ``med`` and
+    ``mad`` are LOWER medians (order statistics at (n+1)//2 — exact
+    integers, no interpolation, bit-equal cross-engine) and -1 when the
+    baseline is empty; ``is_anomaly`` requires >= ``min_baseline`` observed
+    baseline buckets (a cold series never alerts) and uses max(mad, 1) so
+    a constant-rate baseline (mad 0) still needs an integer deviation.
+
+    Correctness shape: the baseline frame is a RANGE frame over the integer
+    bucket key ending at -1 (the current bucket NEVER sees itself —
+    otherwise every spike shifts its own median), so gap buckets with zero
+    events are skipped, not stretched over, and only OBSERVED buckets enter
+    the median (zero-count buckets are not imputed; for sparse series pass
+    a coarser ``bucket_seconds``). Everything is exact int64 — counts,
+    order-statistic medians, the |n-med| comparison — so the DuckDB twin
+    hash-matches with zero float risk. Baselines stay tiny
+    (``baseline_buckets`` elements max), the one documented place a sorted
+    Catalyst HOF array is the right tool.
+
+    Scale shape: one map-side-combined (series, bucket) groupBy — the frame
+    after it is corpus-size-independent (#series x #active buckets) — then
+    one narrow window partitioned BY SERIES (each series' timeline is one
+    partition: fine for entity-granularity series; a single global series
+    at 10^12 turns would serialize, shard the bucket range first). No raw
+    rows shuffle; payload columns never leave the scan.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    per_b = (
+        df.select(
+            F.col(by),
+            (
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                / F.lit(int(bucket_seconds) * 1_000_000)
+            )
+            .cast("long")
+            .alias("__b"),
+        )
+        .groupBy(by, "__b")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy("__b")
+        .rangeBetween(-int(baseline_buckets), -1)
+    )
+    base = per_b.withColumn(
+        "__base", F.array_sort(F.collect_list("n").over(w))
+    ).withColumn("baseline_n", F.size("__base"))
+    med = base.withColumn(
+        "med",
+        F.when(
+            F.col("baseline_n") > 0,
+            F.element_at("__base", ((F.col("baseline_n") + 1) / 2).cast("int")),
+        ).otherwise(F.lit(-1).cast("long")),
+    )
+    mad = med.withColumn(
+        "__devs",
+        F.array_sort(
+            F.transform("__base", lambda x: F.abs(x - F.col("med")))
+        ),
+    ).withColumn(
+        "mad",
+        F.when(
+            F.col("baseline_n") > 0,
+            F.element_at("__devs", ((F.col("baseline_n") + 1) / 2).cast("int")),
+        ).otherwise(F.lit(-1).cast("long")),
+    )
+    return mad.select(
+        by,
+        (F.col("__b") * F.lit(int(bucket_seconds))).cast("long").alias(
+            "bucket_epoch_s"
+        ),
+        "n",
+        "baseline_n",
+        "med",
+        "mad",
+        (
+            (F.col("baseline_n") >= F.lit(int(min_baseline)))
+            & (
+                F.abs(F.col("n") - F.col("med"))
+                > F.lit(int(mad_mult)) * F.greatest(F.col("mad"), F.lit(1).cast("long"))
+            )
+        ).alias("is_anomaly"),
+    )
 
 
 def burn_rate_alerts(

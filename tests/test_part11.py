@@ -1,0 +1,116 @@
+"""Part-11 operators: rate_anomaly, leakage_safe_split, dgim_window_counts."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ddsparkle.spark.approx import dgim_window_counts
+from ddsparkle.spark.dataops import leakage_safe_split, rate_anomaly
+
+pytestmark = pytest.mark.spark
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+
+
+def test_rate_anomaly_planted_spike(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 30 steady hours of 5 events, then one 50-event spike hour
+    for h in range(30):
+        for _ in range(5):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=1), "a"))
+            eid += 1
+    for _ in range(50):
+        rows.append((eid, base + dt.timedelta(hours=30, minutes=1), "a"))
+        eid += 1
+    out = rate_anomaly(
+        _events(spark, rows), bucket_seconds=3600, baseline_buckets=24,
+        min_baseline=12, mad_mult=4,
+    ).orderBy("bucket_epoch_s").collect()
+    assert len(out) == 31
+    # cold-start rows never alert; first bucket has the -1 sentinel
+    assert out[0].baseline_n == 0 and out[0].med == -1 and out[0].mad == -1
+    assert not any(r.is_anomaly for r in out[:30])
+    spike = out[30]
+    assert spike.n == 50 and spike.med == 5 and spike.mad == 0
+    assert spike.is_anomaly  # |50-5| > 4*max(0,1)
+    # steady rows have exact order-statistic medians
+    assert out[15].med == 5 and out[15].mad == 0 and not out[15].is_anomaly
+
+
+def test_rate_anomaly_spike_not_in_own_baseline(spark):
+    # frame ends at -1: the spike's own bucket must not shift its median,
+    # and the bucket AFTER a spike sees it in the baseline but the median
+    # absorbs it (robustness — a mean-based gate would alert on the echo)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(20):
+        n = 100 if h == 18 else 5
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h), "a"))
+            eid += 1
+    out = rate_anomaly(
+        _events(spark, rows), bucket_seconds=3600, baseline_buckets=24,
+        min_baseline=12, mad_mult=4,
+    ).orderBy("bucket_epoch_s").collect()
+    assert out[18].med == 5 and out[18].is_anomaly
+    after = out[19]
+    assert after.med == 5 and after.mad == 0 and not after.is_anomaly
+
+
+def test_leakage_safe_split_cluster_atomic(spark):
+    # two planted near-dup pairs + singletons: every cluster lands in ONE
+    # split, and membership is keyed on the representative's hash
+    long_a = " ".join(f"tok{i}" for i in range(40))
+    long_b = " ".join(f"tok{i}" for i in range(39)) + " tokX"
+    rows = [(0, long_a), (1, long_b), (2, "totally different text here"),
+            (3, "another unrelated document entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(
+        df, num_perm=32, bands=32, max_bucket_size=None
+    ).collect()
+    assert len(out) == 4
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[0].rep_id == 0 and by_id[1].rep_id == 0
+    assert by_id[0].split == by_id[1].split
+    splits = {r.rep_id: set() for r in out}
+    for r in out:
+        splits[r.rep_id].add(r.split)
+    assert all(len(s) == 1 for s in splits.values())
+
+
+def test_dgim_window_counts_bounds(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(500):
+        rows.append((i, base + dt.timedelta(minutes=7 * i), "a"))
+    for i in range(80):
+        rows.append((10_000 + i, base + dt.timedelta(minutes=31 * i), "b"))
+    df = _events(spark, rows)
+    mx = df.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+    ).collect()[0][0]
+    windows = (3600, 86_400)
+    out = dgim_window_counts(
+        df, windows_s=windows, r=4, as_of_micros=mx
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        cut = mx - r.window_s * 1_000_000
+        true = df.filter(
+            (F.col("event_type") == r.event_type)
+            & (F.unix_micros(F.col("ts").cast("timestamp")) > cut)
+        ).count()
+        if r.oldest_size == 0:
+            assert true == 0 and r.est2 == 0
+        else:
+            d = 2 * true - r.est2
+            assert 2 - r.oldest_size <= d <= r.oldest_size
+        assert r.n_buckets <= 4 * max(r.n_seen, 1).bit_length()
