@@ -4846,6 +4846,124 @@ def q_events_dgim_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "window_s")
 
 
+def q_streaming_dgim_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DGIM's STREAMING leg: per-key exponential-histogram state across
+    micro-batches via applyInPandasWithState; the drained single-batch
+    replay of the sorted table must BIT-EQUAL the batch build (est2,
+    oldest bucket, bucket count, n_seen — the stream_equals_batch
+    boolean), on top of the batch gate's exact-count hash + theorem-bound
+    booleans. Shares the exact-count twin shape with
+    events_dgim_window_counts (its in-window batch anchor)."""
+    import tempfile
+
+    from ddsparkle.sketches.dgim import DgimSketch
+    from ddsparkle.spark.approx import dgim_window_counts
+    from ddsparkle.spark.streaming import streaming_dgim_counts
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+    states: dict = {}
+
+    def sink(batch_df, _batch_id):
+        for r in batch_df.collect():  # <= one row per key per trigger
+            states[r["event_type"]] = r
+
+    with tempfile.TemporaryDirectory(prefix="ddsparkle-dgimstream-") as tmp:
+        q = (
+            streaming_dgim_counts(stream, r=4)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mx = int(ev.agg(F.max(us).alias("m")).collect()[0]["m"])
+    windows = (86_400, 7 * 86_400)
+    sk_rows = []
+    for key, s in states.items():
+        sk = DgimSketch(
+            r=4, sizes=list(s["sizes"]), ts=list(s["ts"]),
+            n_seen=int(s["n_seen"]),
+        )
+        for w in windows:
+            est2, oldest = sk.estimate2(mx - w * 1_000_000)
+            sk_rows.append(
+                (key, w, est2, oldest, int(s["n_buckets"]), int(s["n_seen"]))
+            )
+    sdf = spark.createDataFrame(
+        sk_rows,
+        "event_type string, window_s long, est2 long, oldest_size long, "
+        "n_buckets long, n_seen long",
+    )
+    batch = dgim_window_counts(ev, windows_s=windows, r=4, as_of_micros=mx)
+    eq = (
+        sdf.alias("s")
+        .join(batch.alias("b"), ["event_type", "window_s"])
+        .select(
+            "event_type",
+            "window_s",
+            F.col("s.est2").alias("est2"),
+            F.col("s.oldest_size").alias("oldest_size"),
+            F.col("s.n_buckets").alias("n_buckets"),
+            F.col("s.n_seen").alias("n_seen"),
+            (
+                (F.col("s.est2") == F.col("b.est2"))
+                & (F.col("s.oldest_size") == F.col("b.oldest_size"))
+                & (F.col("s.n_buckets") == F.col("b.n_buckets"))
+                & (F.col("s.n_seen") == F.col("b.n_seen"))
+            ).alias("stream_equals_batch"),
+        )
+    )
+    exact = (
+        ev.select("event_type", us.alias("__us"))
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("__us") > mx - w * 1_000_000, 1).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"__w{w}")
+                for w in windows
+            ]
+        )
+        .selectExpr(
+            "event_type",
+            f"stack(2, {windows[0]}L, __w{windows[0]}, {windows[1]}L, "
+            f"__w{windows[1]}) AS (window_s, exact_in_window)",
+        )
+    )
+    d = 2 * F.col("exact_in_window") - F.col("est2")
+    joined = eq.join(F.broadcast(exact), ["event_type", "window_s"])
+    return joined.select(
+        "event_type",
+        "window_s",
+        "exact_in_window",
+        F.when(
+            F.col("oldest_size") == 0,
+            (F.col("exact_in_window") == 0) & (F.col("est2") == 0),
+        )
+        .otherwise(
+            (d >= 2 - F.col("oldest_size")) & (d <= F.col("oldest_size"))
+        )
+        .alias("within_bound"),
+        (
+            F.col("n_buckets") <= F.lit(4) * F.length(F.bin(F.col("n_seen")))
+        ).alias("space_ok"),
+        "stream_equals_batch",
+    ).orderBy("event_type", "window_s")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is evidence policy, not alphabetics: the driver
     snapshots the FIRST 50 entries into CORRECTNESS_r{N}.json; every
@@ -4897,17 +5015,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     trimmed-mean gate) rest on their addendum 41/43/45/46 both-SF
     receipts. All are first in line for an r6 window.
     Part 11 (ninth session) adds events_rate_anomaly /
-    doc_split_leakage_safe / events_dgim_window_counts at positions 1-3;
-    displaced veterans doc_readability, emb_semdedup,
-    events_exact_quantiles carry fresh same-session both-SF replay
-    receipts (GATES_sf01_r05.md addendum 54).
+    doc_split_leakage_safe / events_dgim_window_counts /
+    streaming_dgim_window_counts at positions 1-4; displaced veterans
+    doc_readability, emb_semdedup, events_exact_quantiles,
+    transcripts_latency_percentile carry fresh same-session both-SF
+    replay receipts (GATES_sf01_r05.md addenda 54-55).
     Veterans (driver-green r1-r4) rotate behind."""
     return {
         # --- window 1-3: part 11 (ninth session) new families ---
         "events_rate_anomaly": q_events_rate_anomaly,
         "doc_split_leakage_safe": q_doc_split_leakage_safe,
         "events_dgim_window_counts": q_events_dgim_window_counts,
-        # --- window 4-14: part 9/10 families ---
+        "streaming_dgim_window_counts": q_streaming_dgim_window_counts,
+        # --- window 5-15: part 9/10 families ---
         "events_trimmed_mean": q_events_trimmed_mean,
         "transcripts_planner_decision": q_transcripts_planner_decision,
         "transcripts_planner_salted_join": q_transcripts_planner_salted_join,
@@ -6197,6 +6317,19 @@ def oracle_sql() -> dict[str, str]:
         # the sequential histogram itself is not SQL-replicable, so the
         # sketch columns enter as THEOREM-bound booleans (TRUE literals
         # here — the established hll/kll bound-gate pattern)
+        # streaming leg: same exact-count twin + the stream==batch parity
+        # boolean (bit-equal single-batch replay of the sorted table)
+        "streaming_dgim_window_counts": (
+            "WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events), "
+            "w(window_s) AS (VALUES (86400), (604800)) "
+            "SELECT event_type, CAST(window_s AS BIGINT) AS window_s, "
+            "COUNT(*) FILTER (WHERE epoch_us(ts) > "
+            "m - CAST(window_s AS BIGINT) * 1000000) "
+            "AS exact_in_window, TRUE AS within_bound, TRUE AS space_ok, "
+            "TRUE AS stream_equals_batch "
+            "FROM events, w, mx GROUP BY event_type, window_s "
+            "ORDER BY event_type, window_s"
+        ),
         "events_dgim_window_counts": (
             "WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events), "
             "w(window_s) AS (VALUES (86400), (604800)) "

@@ -28,6 +28,7 @@ __all__ = [
     "windowed_streaming_quantiles",
     "windowed_streaming_counts",
     "streaming_dedup",
+    "streaming_dgim_counts",
 ]
 
 
@@ -357,5 +358,96 @@ def windowed_streaming_quantiles(
         return iter([pd.DataFrame([row])])
 
     return src.groupBy(*group_cols).applyInPandasWithState(
+        update_fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_dgim_counts(
+    df,
+    ts_col: str = "ts",
+    by: str = "event_type",
+    id_col: str = "event_id",
+    r: int = 4,
+):
+    """Streaming leg of the DGIM sliding-window counter
+    (:class:`ddsparkle.sketches.dgim.DgimSketch`): per-key exponential-
+    histogram state held in ``applyInPandasWithState`` across micro-
+    batches; each trigger folds the batch's (epoch-micros-sorted) arrivals
+    into the state and emits the key's updated histogram — [by, n_seen,
+    n_buckets, sizes, ts] with the bucket arrays exposed so any consumer
+    (or the parity gate) can answer ``estimate2(cutoff)`` for ANY window
+    from the row without touching the stream again. State is the same
+    O(r*log n) bucket pair the batch build holds — bytes, not events.
+
+    Order contract (the sketch's semantics, not a limitation of this
+    wrapper): DGIM consumes its stream in time order, so micro-batches
+    must arrive in non-decreasing event time per key (file-per-trigger
+    over time-ordered files, the rollup ingestion assumption; rows WITHIN
+    a batch are sorted here). A late row below the key's high-water mark
+    raises in the kernel rather than silently corrupting bucket history —
+    pair with a watermark/reorder stage upstream if the source can stray.
+    Single-batch replay of a sorted table therefore bit-equals the batch
+    ``approx.dgim_window_counts`` build (the parity the gate pins).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..sketches.dgim import DgimSketch
+
+    src = df.select(
+        F.col(by).cast("string").alias("__k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+        F.col(id_col).cast("long").alias("__id"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(by, T.StringType()),
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("n_buckets", T.LongType()),
+            T.StructField("sizes", T.ArrayType(T.LongType())),
+            T.StructField("ts", T.ArrayType(T.LongType())),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("sizes", T.ArrayType(T.LongType())),
+            T.StructField("ts", T.ArrayType(T.LongType())),
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("last_ts", T.LongType()),
+        ]
+    )
+
+    def update_fn(key, pdfs, state):
+        batch = [pdf[["__us", "__id"]] for pdf in pdfs]
+        if not batch:
+            return iter(())
+        rows = pd.concat(batch, ignore_index=True)
+        if not len(rows):
+            return iter(())
+        rows = rows.sort_values(["__us", "__id"], kind="mergesort")
+        if state.exists:
+            sizes, ts, n_seen, last_ts = state.get
+            sk = DgimSketch(r=r, sizes=list(sizes), ts=list(ts), n_seen=int(n_seen))
+            sk._last_ts = int(last_ts)
+        else:
+            sk = DgimSketch(r=r)
+        sk.update_batch(rows["__us"].to_numpy())
+        state.update((list(sk.sizes), list(sk.ts), sk.n_seen, sk._last_ts))
+        out = pd.DataFrame(
+            [
+                (
+                    key[0],
+                    sk.n_seen,
+                    sk.n_buckets,
+                    list(sk.sizes),
+                    list(sk.ts),
+                )
+            ],
+            columns=[by, "n_seen", "n_buckets", "sizes", "ts"],
+        )
+        return iter([out])
+
+    return src.groupBy("__k").applyInPandasWithState(
         update_fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )

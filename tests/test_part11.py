@@ -114,3 +114,70 @@ def test_dgim_window_counts_bounds(spark):
             d = 2 * true - r.est2
             assert 2 - r.oldest_size <= d <= r.oldest_size
         assert r.n_buckets <= 4 * max(r.n_seen, 1).bit_length()
+
+
+def test_streaming_dgim_multibatch_equals_batch(spark, tmp_path):
+    # two time-ordered files -> two micro-batches: cross-batch state must
+    # continue the histogram exactly where batch replay of the union ends
+    import os
+    import time
+
+    from ddsparkle.sketches.dgim import DgimSketch
+    from ddsparkle.spark.approx import dgim_window_counts
+    from ddsparkle.spark.streaming import streaming_dgim_counts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=3 * i), "a" if i % 3 else "b")
+        for i in range(400)
+    ]
+    df = _events(spark, rows)
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    early = df.filter(F.col("event_id") < 200)
+    late = df.filter(F.col("event_id") >= 200)
+    early.coalesce(1).write.parquet(f"{src}/f0.parquet")
+    time.sleep(1.1)  # file-source ordering is modification-time based
+    late.coalesce(1).write.parquet(f"{src}/f1.parquet")
+
+    schema = df.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    states = {}
+    n_batches = [0]
+
+    def sink(bdf, _bid):
+        n_batches[0] += 1
+        for r in bdf.collect():
+            states[r["event_type"]] = r
+
+    q = (
+        streaming_dgim_counts(stream, r=3)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert n_batches[0] == 2  # the cross-batch path actually ran
+
+    mx = df.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+    ).collect()[0][0]
+    batch = dgim_window_counts(
+        df, windows_s=(3600, 7200), r=3, as_of_micros=mx
+    ).collect()
+    for b in batch:
+        s = states[b.event_type]
+        sk = DgimSketch(
+            r=3, sizes=list(s["sizes"]), ts=list(s["ts"]),
+            n_seen=int(s["n_seen"]),
+        )
+        est2, oldest = sk.estimate2(mx - b.window_s * 1_000_000)
+        assert (est2, oldest, sk.n_buckets, sk.n_seen) == (
+            b.est2, b.oldest_size, b.n_buckets, b.n_seen,
+        )
