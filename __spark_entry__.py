@@ -4846,6 +4846,55 @@ def q_events_dgim_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "window_s")
 
 
+def q_events_chi2_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: Pearson chi-square independence on two
+    user-level contingencies — arm (user_id parity, independent of
+    behavior by construction -> NOT significant) and heavy-usage
+    (>= 70 events) vs conversion (>= 14 purchases; purchases scale with
+    activity, so dependent by construction -> significant). Both
+    thresholds sit near the medians so all four cells are populated at
+    both SFs. Cells are exact int64; the statistic is DECIMAL(38,0)
+    integer algebra with ONE pinned division, so chi2 AND both
+    significance booleans hash-match the twin (exercised in BOTH
+    directions across the SFs: heavy is significant at both — chi2
+    20.2 / 146.6; arm reads significant at sf0.01 (chi2 7.76 — a real
+    chance imbalance in 150 users, exactly the small-sample false
+    positive the test exists to quantify) and NOT significant at sf0.1
+    (chi2 1.68), the two-SF rule's data-dependence check)."""
+    from ddsparkle.spark.dataops import chi2_2x2
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 14
+            ).alias("converted"),
+            (F.count("*") >= 70).alias("heavy"),
+        )
+        .withColumn("arm", F.col("user_id") % 2 == 1)
+    )
+    rows = []
+    for name, xcol in (("arm_vs_purchase", "arm"), ("heavy_vs_purchase", "heavy")):
+        rows.append(
+            chi2_2x2(per_user, xcol, "converted").select(
+                F.lit(name).alias("test_name"),
+                "n",
+                "n_x0_y0",
+                "n_x0_y1",
+                "n_x1_y0",
+                "n_x1_y1",
+                F.round("chi2", 4).alias("chi2"),
+                "significant_95",
+            )
+        )
+    return rows[0].unionByName(rows[1]).orderBy("test_name")
+
+
 def q_streaming_dgim_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DGIM's STREAMING leg: per-key exponential-histogram state across
     micro-batches via applyInPandasWithState; the drained single-batch
@@ -5016,10 +5065,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     receipts. All are first in line for an r6 window.
     Part 11 (ninth session) adds events_rate_anomaly /
     doc_split_leakage_safe / events_dgim_window_counts /
-    streaming_dgim_window_counts at positions 1-4; displaced veterans
-    doc_readability, emb_semdedup, events_exact_quantiles,
-    transcripts_latency_percentile carry fresh same-session both-SF
-    replay receipts (GATES_sf01_r05.md addenda 54-55).
+    streaming_dgim_window_counts / events_chi2_ab_test at positions
+    1-5; displaced veterans transcripts_boilerplate_turns,
+    transcripts_latency_percentile, doc_readability, emb_semdedup,
+    events_exact_quantiles carry fresh same-session both-SF replay
+    receipts (GATES_sf01_r05.md addenda 54-56).
     Veterans (driver-green r1-r4) rotate behind."""
     return {
         # --- window 1-3: part 11 (ninth session) new families ---
@@ -5027,7 +5077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_leakage_safe": q_doc_split_leakage_safe,
         "events_dgim_window_counts": q_events_dgim_window_counts,
         "streaming_dgim_window_counts": q_streaming_dgim_window_counts,
-        # --- window 5-15: part 9/10 families ---
+        "events_chi2_ab_test": q_events_chi2_ab_test,
+        # --- window 6-16: part 9/10 families ---
         "events_trimmed_mean": q_events_trimmed_mean,
         "transcripts_planner_decision": q_transcripts_planner_decision,
         "transcripts_planner_salted_join": q_transcripts_planner_salted_join,
@@ -6317,6 +6368,42 @@ def oracle_sql() -> dict[str, str]:
         # the sequential histogram itself is not SQL-replicable, so the
         # sketch columns enter as THEOREM-bound booleans (TRUE literals
         # here — the established hll/kll bound-gate pattern)
+        # chi-square A/B test: HUGEINT mirrors Spark's DECIMAL(38,0) cell
+        # algebra; ONE pinned division -> chi2 and both significance
+        # booleans hash-gate (one true, one false by construction)
+        "events_chi2_ab_test": (
+            "WITH pu AS (SELECT user_id, user_id % 2 = 1 AS arm, "
+            "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14 "
+            "AS converted, COUNT(*) >= 70 AS heavy "
+            "FROM events WHERE user_id IS NOT NULL GROUP BY user_id), "
+            "t(test_name) AS (VALUES ('arm_vs_purchase'), "
+            "('heavy_vs_purchase')), "
+            "cells AS (SELECT test_name, "
+            "SUM(CASE WHEN NOT x AND NOT converted THEN 1 ELSE 0 END)"
+            "::BIGINT AS a, "
+            "SUM(CASE WHEN NOT x AND converted THEN 1 ELSE 0 END)"
+            "::BIGINT AS b, "
+            "SUM(CASE WHEN x AND NOT converted THEN 1 ELSE 0 END)"
+            "::BIGINT AS c, "
+            "SUM(CASE WHEN x AND converted THEN 1 ELSE 0 END)"
+            "::BIGINT AS d FROM (SELECT t.test_name, "
+            "CASE WHEN t.test_name = 'arm_vs_purchase' THEN pu.arm "
+            "ELSE pu.heavy END AS x, pu.converted FROM pu, t) "
+            "GROUP BY test_name), "
+            "st AS (SELECT test_name, a + b + c + d AS n, a AS n_x0_y0, "
+            "b AS n_x0_y1, c AS n_x1_y0, d AS n_x1_y1, "
+            "CAST(CAST(a+b+c+d AS HUGEINT) * "
+            "(CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c) * "
+            "(CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c) AS DOUBLE) "
+            "AS num, "
+            "CAST(CAST(a+b AS HUGEINT) * (c+d) * (a+c) * (b+d) AS DOUBLE) "
+            "AS den FROM cells) "
+            "SELECT test_name, n, n_x0_y0, n_x0_y1, n_x1_y0, n_x1_y1, "
+            "ROUND(CASE WHEN den > 0 THEN num / den END, 4) AS chi2, "
+            "COALESCE(CASE WHEN den > 0 THEN num / den END > 3.8415, "
+            "FALSE) AS significant_95 "
+            "FROM st ORDER BY test_name"
+        ),
         # streaming leg: same exact-count twin + the stream==batch parity
         # boolean (bit-equal single-batch replay of the sorted table)
         "streaming_dgim_window_counts": (

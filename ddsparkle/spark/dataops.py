@@ -2639,6 +2639,68 @@ def assign_split(
     return df.withColumn(split_col, col)
 
 
+def chi2_2x2(df, x_col: str, y_col: str):
+    """Pearson chi-square independence test for two BOOLEAN columns — the
+    A/B-experiment readout (arm x converted) next to the funnel/retention
+    family. Returns ONE row [n, n_x0_y0, n_x0_y1, n_x1_y0, n_x1_y1, chi2,
+    significant_95] where chi2 is the closed 2x2 form
+    n*(ad-bc)^2 / (r0*r1*c0*c1) and significant_95 compares it to the
+    1-dof 95% critical value 3.8415 (pinned constant).
+
+    Correctness shape: the four cells are one map-side-combined global
+    aggregate of exact int64 conditional counts; numerator and denominator
+    build in DECIMAL(38,0) (n*(ad-bc)^2 overflows int64 near ~10^9 rows —
+    the exact_moments lesson), each casts to double (round-to-nearest,
+    identical in both engines), and chi2 is ONE pinned division — so even
+    the significance boolean hash-gates. Degenerate margins (an empty row
+    or column) yield chi2 NULL and significant_95 false on both engines.
+    Rows with NULL in either column are excluded (documented, mirrored by
+    the twin).
+
+    Scale shape: a single scan projecting two booleans into one global
+    aggregate — no shuffle at all beyond the 4-counter partial merge;
+    corpus-size-independent thereafter."""
+    from pyspark.sql import functions as F
+
+    x = F.col(x_col).cast("boolean")
+    y = F.col(y_col).cast("boolean")
+    base = df.filter(x.isNotNull() & y.isNotNull())
+
+    def cell(xv, yv):
+        return F.sum(
+            F.when((x == xv) & (y == yv), 1).otherwise(0)
+        ).cast("long")
+
+    agg = base.agg(
+        cell(False, False).alias("n_x0_y0"),
+        cell(False, True).alias("n_x0_y1"),
+        cell(True, False).alias("n_x1_y0"),
+        cell(True, True).alias("n_x1_y1"),
+    )
+    a, b = F.col("n_x0_y0"), F.col("n_x0_y1")
+    c, d = F.col("n_x1_y0"), F.col("n_x1_y1")
+    n = (a + b + c + d).alias("n")
+    dec = "decimal(38,0)"
+    det = a.cast(dec) * d.cast(dec) - b.cast(dec) * c.cast(dec)
+    num = ((a + b + c + d).cast(dec) * det * det).cast("double")
+    den = (
+        (a + b).cast(dec) * (c + d).cast(dec)
+        * (a + c).cast(dec) * (b + d).cast(dec)
+    ).cast("double")
+    chi2 = F.when(den > 0, num / den)
+    return agg.select(
+        n,
+        "n_x0_y0",
+        "n_x0_y1",
+        "n_x1_y0",
+        "n_x1_y1",
+        chi2.alias("chi2"),
+        F.coalesce(chi2 > F.lit(3.8415), F.lit(False)).alias(
+            "significant_95"
+        ),
+    )
+
+
 def leakage_safe_split(
     df,
     text_col: str = "text",

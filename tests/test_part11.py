@@ -181,3 +181,43 @@ def test_streaming_dgim_multibatch_equals_batch(spark, tmp_path):
         assert (est2, oldest, sk.n_buckets, sk.n_seen) == (
             b.est2, b.oldest_size, b.n_buckets, b.n_seen,
         )
+
+
+def test_chi2_2x2_hand_computed(spark):
+    from ddsparkle.spark.dataops import chi2_2x2
+
+    # classic textbook table: a=10 b=20 c=30 d=40 -> chi2 = 100*(400-600)^2
+    # / (30*70*40*60) = 4e6/5.04e6 = 0.7936...
+    rows = (
+        [(False, False)] * 10 + [(False, True)] * 20
+        + [(True, False)] * 30 + [(True, True)] * 40
+    )
+    df = spark.createDataFrame(rows, "x boolean, y boolean")
+    r = chi2_2x2(df, "x", "y").collect()[0]
+    assert (r.n, r.n_x0_y0, r.n_x0_y1, r.n_x1_y0, r.n_x1_y1) == (
+        100, 10, 20, 30, 40,
+    )
+    assert abs(r.chi2 - 100 * (10 * 40 - 20 * 30) ** 2 / (30 * 70 * 40 * 60)) < 1e-12
+    assert not r.significant_95
+    # strongly dependent -> significant
+    dep = spark.createDataFrame(
+        [(False, False)] * 50 + [(True, True)] * 50, "x boolean, y boolean"
+    )
+    assert chi2_2x2(dep, "x", "y").collect()[0].significant_95
+
+
+def test_chi2_2x2_degenerate_and_nulls(spark):
+    from ddsparkle.spark.dataops import chi2_2x2
+
+    # empty column margin (everyone converted) -> chi2 NULL, not significant
+    df = spark.createDataFrame(
+        [(False, True)] * 5 + [(True, True)] * 5, "x boolean, y boolean"
+    )
+    r = chi2_2x2(df, "x", "y").collect()[0]
+    assert r.chi2 is None and not r.significant_95
+    # NULL rows excluded
+    df2 = spark.createDataFrame(
+        [(None, True), (False, None), (False, True), (True, False)],
+        "x boolean, y boolean",
+    )
+    assert chi2_2x2(df2, "x", "y").collect()[0].n == 2
