@@ -4895,6 +4895,51 @@ def q_events_chi2_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionByName(rows[1]).orderBy("test_name")
 
 
+def q_transcripts_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum, three contingencies on the transcript
+    corpus: assistant-vs-rest on TURN INDEX (assistant turns sit
+    systematically later in the alternation — a pure location shift on a
+    tie-heavy integer, significant at both SFs), assistant-vs-rest on
+    text length (the fixture generates lengths role-independently — an
+    honest negative), and conv-parity arms on text length (independent
+    by construction — negative). Doubled midranks keep tie-heavy
+    integers exact; z2 / effect size / the significance booleans
+    evaluate ONE shared expression string on both engines
+    (MANN_WHITNEY_Z2_EXPR), so everything hash-gates."""
+    from ddsparkle.spark.dataops import _portable_line_key, mann_whitney_u
+
+    df = _transcripts(spark, sf_dir)
+    base = df.select(
+        (F.col("role") == "assistant").alias("is_assistant"),
+        (_portable_line_key(F.col("conv_id")) % 2 == 1).alias("arm"),
+        F.length("text").alias("text_len"),
+        F.col("turn_idx").cast("long").alias("tidx"),
+    )
+    legs = (
+        ("role_vs_turnidx", "is_assistant", "tidx"),
+        ("role_vs_len", "is_assistant", "text_len"),
+        ("convparity_vs_len", "arm", "text_len"),
+    )
+    rows = []
+    for name, gcol, vcol in legs:
+        rows.append(
+            mann_whitney_u(base, gcol, vcol).select(
+                F.lit(name).alias("test_name"),
+                "n_true",
+                "n_false",
+                "u2_true",
+                "tie_term",
+                F.round("z2", 4).alias("z2"),
+                F.round("rank_biserial", 4).alias("rank_biserial"),
+                "significant_95",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("test_name")
+
+
 def q_streaming_dgim_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DGIM's STREAMING leg: per-key exponential-histogram state across
     micro-batches via applyInPandasWithState; the drained single-batch
@@ -5065,11 +5110,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     receipts. All are first in line for an r6 window.
     Part 11 (ninth session) adds events_rate_anomaly /
     doc_split_leakage_safe / events_dgim_window_counts /
-    streaming_dgim_window_counts / events_chi2_ab_test at positions
-    1-5; displaced veterans transcripts_boilerplate_turns,
+    streaming_dgim_window_counts / events_chi2_ab_test /
+    transcripts_mannwhitney at positions 1-6; displaced veterans
+    transcripts_shard_packing, transcripts_boilerplate_turns,
     transcripts_latency_percentile, doc_readability, emb_semdedup,
     events_exact_quantiles carry fresh same-session both-SF replay
-    receipts (GATES_sf01_r05.md addenda 54-56).
+    receipts (GATES_sf01_r05.md addenda 54-57).
     Veterans (driver-green r1-r4) rotate behind."""
     return {
         # --- window 1-3: part 11 (ninth session) new families ---
@@ -5078,7 +5124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dgim_window_counts": q_events_dgim_window_counts,
         "streaming_dgim_window_counts": q_streaming_dgim_window_counts,
         "events_chi2_ab_test": q_events_chi2_ab_test,
-        # --- window 6-16: part 9/10 families ---
+        "transcripts_mannwhitney": q_transcripts_mannwhitney,
+        # --- window 7-17: part 9/10 families ---
         "events_trimmed_mean": q_events_trimmed_mean,
         "transcripts_planner_decision": q_transcripts_planner_decision,
         "transcripts_planner_salted_join": q_transcripts_planner_salted_join,
@@ -6130,6 +6177,49 @@ def _validation_sql(tr_src: str) -> str:
     )
 
 
+def _mannwhitney_sql(tr_src: str) -> str:
+    """DuckDB twin of q_transcripts_mannwhitney_textlen: the rank algebra
+    in exact integers (HUGEINT sums cast back — the pagerank lesson), the
+    z2/effect-size finals evaluating the Spark plan's expression strings
+    VERBATIM (MANN_WHITNEY_*_EXPR) so the IEEE trees are identical."""
+    from ddsparkle.spark.dataops import (
+        MANN_WHITNEY_RB_EXPR,
+        MANN_WHITNEY_Z2_EXPR,
+    )
+
+    def leg(name: str, gexpr: str, vexpr: str) -> str:
+        return (
+            f"SELECT '{name}' AS test_name, n1 AS n_true, n2 AS n_false, "
+            f"u2_true, tie_term, ROUND({MANN_WHITNEY_Z2_EXPR}, 4) AS z2, "
+            f"ROUND({MANN_WHITNEY_RB_EXPR}, 4) AS rank_biserial, "
+            f"COALESCE({MANN_WHITNEY_Z2_EXPR} > 3.8416, FALSE) "
+            "AS significant_95 FROM ("
+            "SELECT n1, n2, u2_true, tie_term, u2_true - n1*n2 AS __d, "
+            "n1 + n2 AS __n FROM ("
+            "SELECT n1, n2, two_r1 - n1*(n1+1) AS u2_true, tie_term FROM ("
+            "SELECT CAST(SUM(g1) AS BIGINT) AS n1, "
+            "CAST(SUM(c - g1) AS BIGINT) AS n2, "
+            "CAST(SUM(g1 * (2*cum + c + 1)) AS BIGINT) AS two_r1, "
+            "CAST(SUM(c*c*c - c) AS BIGINT) AS tie_term FROM ("
+            "SELECT v, c, g1, COALESCE(SUM(c) OVER (ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum "
+            f"FROM (SELECT {vexpr} AS v, COUNT(*) AS c, "
+            f"SUM(CASE WHEN {gexpr} THEN 1 ELSE 0 END) AS g1 "
+            "FROM base GROUP BY 1)))))"
+        )
+
+    return (
+        "WITH base AS (SELECT role = 'assistant' AS g_role, "
+        "('0x' || substr(md5(conv_id), 1, 15))::BIGINT % 2 = 1 AS g_arm, "
+        "length(text) AS v_len, CAST(turn_idx AS BIGINT) AS v_idx "
+        f"FROM {tr_src}) "
+        f"SELECT * FROM ({leg('role_vs_turnidx', 'g_role', 'v_idx')} "
+        f"UNION ALL {leg('role_vs_len', 'g_role', 'v_len')} "
+        f"UNION ALL {leg('convparity_vs_len', 'g_arm', 'v_len')}) "
+        "ORDER BY test_name"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     lat_src = (
         "(SELECT (epoch_us(ts) - LAG(epoch_us(ts)) OVER "
@@ -6368,6 +6458,10 @@ def oracle_sql() -> dict[str, str]:
         # the sequential histogram itself is not SQL-replicable, so the
         # sketch columns enter as THEOREM-bound booleans (TRUE literals
         # here — the established hll/kll bound-gate pattern)
+        # Mann-Whitney: doubled midranks from one groupBy(value) + one
+        # cumulative window over DISTINCT values; z2 / effect size reuse
+        # the Spark plan's expression string VERBATIM
+        "transcripts_mannwhitney": _mannwhitney_sql(tr_src),
         # chi-square A/B test: HUGEINT mirrors Spark's DECIMAL(38,0) cell
         # algebra; ONE pinned division -> chi2 and both significance
         # booleans hash-gate (one true, one false by construction)

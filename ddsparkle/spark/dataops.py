@@ -2701,6 +2701,104 @@ def chi2_2x2(df, x_col: str, y_col: str):
     )
 
 
+# ONE expression string shared VERBATIM by mann_whitney_u's Spark plan and
+# its DuckDB twin (the _moment_final_exprs discipline): exact integers cast
+# to double, then +,-,*,/ only — identical IEEE tree on both engines.
+# z^2 = 3*D^2*n*(n-1) / (n1*n2*((n+1)*n*(n-1) - tie_term)), D = 2U - n1*n2
+# (the 12 from the tie-corrected Var(U) and the 4 from (D/2)^2 reduce to 3).
+MANN_WHITNEY_Z2_EXPR = (
+    "(3.0 * CAST(__d AS DOUBLE) * CAST(__d AS DOUBLE) "
+    "* CAST(__n AS DOUBLE) * (CAST(__n AS DOUBLE) - 1.0)) / "
+    "(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * "
+    "((CAST(__n AS DOUBLE) + 1.0) * CAST(__n AS DOUBLE) "
+    "* (CAST(__n AS DOUBLE) - 1.0) - CAST(tie_term AS DOUBLE)))"
+)
+MANN_WHITNEY_RB_EXPR = (
+    "CAST(__d AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+)
+
+
+def mann_whitney_u(df, group_col: str, value_col: str):
+    """Mann-Whitney U rank-sum test — the nonparametric two-sample
+    comparison beside :func:`chi2_2x2`'s contingency test: does the
+    ``group_col``-TRUE sample tend to larger ``value_col`` than the FALSE
+    sample, with no distributional assumption. Returns ONE row [n_true,
+    n_false, u2_true, tie_term, z2, rank_biserial, significant_95]:
+    ``u2_true`` is 2*U for the TRUE group (doubled so midranks — halves
+    under ties — stay exact integers), ``tie_term`` = sum(t^3 - t) over
+    tie groups, ``z2`` the squared normal-approximation statistic WITH the
+    tie-corrected variance (no continuity correction — pinned convention,
+    mirrored by the twin), ``rank_biserial`` = (2U - n1*n2)/(n1*n2) the
+    effect size, and ``significant_95`` compares z2 to 1.96^2 = 3.8416.
+
+    Correctness shape: midranks never materialize per row — per distinct
+    value, the doubled midrank is 2*cum + c + 1 (cum = count of smaller
+    rows, c = tie size), so 2*R1 = sum(g1 * (2*cum + c + 1)) is exact
+    int64 from ONE groupBy(value) + one cumulative window over DISTINCT
+    values + one global aggregate. z2's inputs are those exact integers
+    cast to double (exact <= 2^53, i.e. ~9e15 rows) and the formula is
+    ONE shared expression string evaluated by both engines — the
+    _moment_final_exprs discipline — so z2, the effect size, and the
+    significance boolean all hash-gate. NULL group or value rows are
+    excluded.
+
+    Scale shape: the scan reduces to (value, count, true-count) partials
+    map-side; the only sort is the cumulative window over DISTINCT
+    values — bounded by outcome cardinality, not corpus size (typical
+    metric outcomes: thousands). For ultra-high-cardinality continuous
+    outcomes shard the prefix sum first (``assign_shards``' top-bit
+    bucket pattern) before this window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    g = F.col(group_col).cast("boolean")
+    v = F.col(value_col)
+    per_v = (
+        df.filter(g.isNotNull() & v.isNotNull())
+        .groupBy(v.alias("__v"))
+        .agg(
+            F.count("*").alias("__c"),
+            F.sum(g.cast("long")).alias("__g1"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.withColumn(
+        "__cum", F.coalesce(F.sum("__c").over(w), F.lit(0).cast("long"))
+    )
+    tot = ranked.agg(
+        F.sum("__g1").alias("n1"),
+        F.sum(F.col("__c") - F.col("__g1")).alias("n2"),
+        F.sum(
+            F.col("__g1") * (2 * F.col("__cum") + F.col("__c") + 1)
+        ).alias("__two_r1"),
+        F.sum(
+            F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c")
+        ).alias("tie_term"),
+    )
+    two_u = (
+        F.col("__two_r1") - F.col("n1") * (F.col("n1") + 1)
+    ).alias("u2_true")
+    staged = tot.select("n1", "n2", two_u, "tie_term").select(
+        "n1",
+        "n2",
+        "u2_true",
+        "tie_term",
+        (F.col("u2_true") - F.col("n1") * F.col("n2")).alias("__d"),
+        (F.col("n1") + F.col("n2")).alias("__n"),
+    )
+    return staged.select(
+        F.col("n1").alias("n_true"),
+        F.col("n2").alias("n_false"),
+        "u2_true",
+        "tie_term",
+        F.expr(MANN_WHITNEY_Z2_EXPR).alias("z2"),
+        F.expr(MANN_WHITNEY_RB_EXPR).alias("rank_biserial"),
+        F.coalesce(
+            F.expr(MANN_WHITNEY_Z2_EXPR) > F.lit(3.8416), F.lit(False)
+        ).alias("significant_95"),
+    )
+
+
 def leakage_safe_split(
     df,
     text_col: str = "text",

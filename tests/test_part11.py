@@ -221,3 +221,62 @@ def test_chi2_2x2_degenerate_and_nulls(spark):
         "x boolean, y boolean",
     )
     assert chi2_2x2(df2, "x", "y").collect()[0].n == 2
+
+
+def test_mann_whitney_vs_brute_force(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from ddsparkle.spark.dataops import mann_whitney_u
+
+    def brute(pairs):
+        vals = sorted(v for _, v in pairs)
+        n = len(vals)
+        rank = {}
+        i = 0
+        while i < n:
+            j = i
+            while j < n and vals[j] == vals[i]:
+                j += 1
+            rank[vals[i]] = (i + 1 + j) / 2
+            i = j
+        r1 = sum(rank[v] for g, v in pairs if g)
+        n1 = sum(1 for g, _ in pairs if g)
+        n2 = n - n1
+        u1 = r1 - n1 * (n1 + 1) / 2
+        t = sum(c**3 - c for c in Counter(vals).values())
+        var = n1 * n2 / 12 * ((n + 1) - t / (n * (n - 1)))
+        z = (u1 - n1 * n2 / 2) / math.sqrt(var)
+        return n1, n2, int(2 * u1), t, z * z
+
+    rng = random.Random(11)
+    for _ in range(4):
+        pairs = [
+            (rng.random() < 0.5, rng.randrange(0, 10))
+            for _ in range(rng.randrange(30, 150))
+        ]
+        df = spark.createDataFrame(pairs, "g boolean, v long")
+        r = mann_whitney_u(df, "g", "v").collect()[0]
+        n1, n2, u2, t, z2 = brute(pairs)
+        assert (r.n_true, r.n_false, r.u2_true, r.tie_term) == (n1, n2, u2, t)
+        assert abs(r.z2 - z2) < 1e-9
+        assert abs(r.rank_biserial - (u2 - n1 * n2) / (n1 * n2)) < 1e-12
+
+
+def test_mann_whitney_shift_detected_and_nulls(spark):
+    from ddsparkle.spark.dataops import mann_whitney_u
+
+    # clear location shift -> significant, positive effect
+    rows = [(False, v) for v in range(50)] + [(True, v + 30) for v in range(50)]
+    r = mann_whitney_u(
+        spark.createDataFrame(rows, "g boolean, v long"), "g", "v"
+    ).collect()[0]
+    assert r.significant_95 and r.rank_biserial > 0.5
+    # NULLs excluded
+    df = spark.createDataFrame(
+        [(None, 1), (True, None), (True, 2), (False, 1)],
+        "g boolean, v long",
+    )
+    r2 = mann_whitney_u(df, "g", "v").collect()[0]
+    assert r2.n_true == 1 and r2.n_false == 1
