@@ -4895,6 +4895,20 @@ def q_events_chi2_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionByName(rows[1]).orderBy("test_name")
 
 
+def q_events_rate_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline rate anomaly: hourly buckets scored against the
+    last 14 days' SAME-HOUR history (phase partition + stretched RANGE
+    frame — gap-safe). Same exact-int64 median/MAD fold as the in-window
+    events_rate_anomaly anchor; only the baseline frame differs."""
+    from ddsparkle.spark.dataops import rate_anomaly
+
+    df = _t(spark, sf_dir, "events")
+    return rate_anomaly(
+        df, bucket_seconds=3600, baseline_buckets=14, min_baseline=7,
+        mad_mult=4, seasonal_period=24,
+    ).orderBy("event_type", "bucket_epoch_s")
+
+
 def q_transcripts_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney rank-sum, three contingencies on the transcript
     corpus: assistant-vs-rest on TURN INDEX (assistant turns sit
@@ -5110,19 +5124,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     receipts. All are first in line for an r6 window.
     Part 11 (ninth session) adds events_rate_anomaly /
     doc_split_leakage_safe / events_dgim_window_counts /
-    streaming_dgim_window_counts / events_chi2_ab_test /
-    transcripts_mannwhitney at positions 1-6; displaced veterans
-    transcripts_shard_packing, transcripts_boilerplate_turns,
+    events_chi2_ab_test / transcripts_mannwhitney at positions 1-5
+    (the five NEW families); the DGIM streaming leg and the seasonal
+    anomaly variant sit out-of-window on their in-window anchors
+    (events_dgim_window_counts / events_rate_anomaly) + both-SF
+    receipts; displaced veterans transcripts_boilerplate_turns,
     transcripts_latency_percentile, doc_readability, emb_semdedup,
-    events_exact_quantiles carry fresh same-session both-SF replay
-    receipts (GATES_sf01_r05.md addenda 54-57).
+    events_exact_quantiles (none anchors) carry fresh same-session
+    both-SF replay receipts (GATES_sf01_r05.md addenda 54-58).
     Veterans (driver-green r1-r4) rotate behind."""
     return {
         # --- window 1-3: part 11 (ninth session) new families ---
         "events_rate_anomaly": q_events_rate_anomaly,
         "doc_split_leakage_safe": q_doc_split_leakage_safe,
         "events_dgim_window_counts": q_events_dgim_window_counts,
-        "streaming_dgim_window_counts": q_streaming_dgim_window_counts,
         "events_chi2_ab_test": q_events_chi2_ab_test,
         "transcripts_mannwhitney": q_transcripts_mannwhitney,
         # --- window 7-17: part 9/10 families ---
@@ -5193,6 +5208,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": q_emb_kmeans,
         "transcripts_split": q_transcripts_split,
         "streaming_udd_quantiles": q_streaming_udd_quantiles,
+        # out-of-window part-11 legs: streaming DGIM cites its in-window
+        # batch anchor (events_dgim_window_counts) + addendum 55 receipts;
+        # the seasonal anomaly variant cites events_rate_anomaly (identical
+        # median/MAD fold, only the baseline frame differs) + addendum 58
+        "streaming_dgim_window_counts": q_streaming_dgim_window_counts,
+        "events_rate_anomaly_seasonal": q_events_rate_anomaly_seasonal,
         "events_decayed_quantiles": q_events_decayed_quantiles,
         "rollup_sliding_distinct": q_rollup_sliding_distinct,
         "transcripts_self_repetition": q_transcripts_self_repetition,
@@ -6419,6 +6440,28 @@ def oracle_sql() -> dict[str, str]:
             "[(baseline_n+1)//2] ELSE -1 END AS mad FROM st) "
             "SELECT event_type, b*3600 AS bucket_epoch_s, n, baseline_n, "
             "med, mad, baseline_n >= 12 AND abs(n - med) > "
+            "4 * greatest(mad, 1) AS is_anomaly "
+            "FROM st2 ORDER BY event_type, bucket_epoch_s"
+        ),
+        # seasonal variant: phase partition (b % 24) + stretched RANGE
+        # bounds [-336, -24]; same COALESCE-empty-frame and order-statistic
+        # conventions as the base twin
+        "events_rate_anomaly_seasonal": (
+            "WITH perb AS (SELECT event_type, "
+            "epoch_us(ts) // 3600000000 AS b, COUNT(*) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "win AS (SELECT event_type, b, n, "
+            "list_sort(COALESCE(list(n) OVER (PARTITION BY event_type, "
+            "b % 24 ORDER BY b RANGE BETWEEN 336 PRECEDING AND "
+            "24 PRECEDING), [])) AS base FROM perb), "
+            "st AS (SELECT event_type, b, n, len(base) AS baseline_n, base, "
+            "CASE WHEN len(base) > 0 THEN base[(len(base)+1)//2] "
+            "ELSE -1 END AS med FROM win), "
+            "st2 AS (SELECT *, CASE WHEN baseline_n > 0 THEN "
+            "list_sort(list_transform(base, x -> abs(x - med)))"
+            "[(baseline_n+1)//2] ELSE -1 END AS mad FROM st) "
+            "SELECT event_type, b*3600 AS bucket_epoch_s, n, baseline_n, "
+            "med, mad, baseline_n >= 7 AND abs(n - med) > "
             "4 * greatest(mad, 1) AS is_anomaly "
             "FROM st2 ORDER BY event_type, bucket_epoch_s"
         ),

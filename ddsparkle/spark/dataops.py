@@ -3514,6 +3514,7 @@ def rate_anomaly(
     baseline_buckets: int = 24,
     min_baseline: int = 12,
     mad_mult: int = 4,
+    seasonal_period: int = 0,
 ):
     """Robust time-series anomaly detection on event rates: bucket events
     into ``bucket_seconds`` windows per ``by`` series, then flag a bucket
@@ -3539,12 +3540,24 @@ def rate_anomaly(
     (``baseline_buckets`` elements max), the one documented place a sorted
     Catalyst HOF array is the right tool.
 
+    ``seasonal_period`` > 0 switches the baseline to SAME-PHASE history
+    (the daily/weekly-pattern upgrade: with hourly buckets, period 24
+    compares 3 pm against the last ``baseline_buckets`` days' 3 pm, not
+    the last N hours): the window partitions additionally by
+    ``bucket % period`` and the RANGE bounds stretch to
+    [-baseline_buckets*period, -period] — still gap-safe, because within
+    a phase partition the RANGE frame admits exactly the same-phase
+    buckets in that span whether or not intermediate periods were
+    observed. ``baseline_buckets`` then counts PERIODS of history and
+    ``min_baseline`` observed same-phase buckets.
+
     Scale shape: one map-side-combined (series, bucket) groupBy — the frame
     after it is corpus-size-independent (#series x #active buckets) — then
     one narrow window partitioned BY SERIES (each series' timeline is one
     partition: fine for entity-granularity series; a single global series
-    at 10^12 turns would serialize, shard the bucket range first). No raw
-    rows shuffle; payload columns never leave the scan.
+    at 10^12 turns would serialize, shard the bucket range first; the
+    seasonal mode multiplies partitions by ``period``, which only helps).
+    No raw rows shuffle; payload columns never leave the scan.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -3562,11 +3575,19 @@ def rate_anomaly(
         .groupBy(by, "__b")
         .agg(F.count("*").alias("n"))
     )
-    w = (
-        Window.partitionBy(by)
-        .orderBy("__b")
-        .rangeBetween(-int(baseline_buckets), -1)
-    )
+    if seasonal_period:
+        p = int(seasonal_period)
+        w = (
+            Window.partitionBy(by, F.col("__b") % p)
+            .orderBy("__b")
+            .rangeBetween(-int(baseline_buckets) * p, -p)
+        )
+    else:
+        w = (
+            Window.partitionBy(by)
+            .orderBy("__b")
+            .rangeBetween(-int(baseline_buckets), -1)
+        )
     base = per_b.withColumn(
         "__base", F.array_sort(F.collect_list("n").over(w))
     ).withColumn("baseline_n", F.size("__base"))

@@ -280,3 +280,46 @@ def test_mann_whitney_shift_detected_and_nulls(spark):
     )
     r2 = mann_whitney_u(df, "g", "v").collect()[0]
     assert r2.n_true == 1 and r2.n_false == 1
+
+
+def test_rate_anomaly_seasonal_same_phase_only(spark):
+    # hourly series with a strong daily pattern: hour-6 always runs hot
+    # (50/hour), every other hour 5/hour. A trailing baseline would flag
+    # every hour-6 bucket; the seasonal baseline (same-hour history) sees
+    # 50 as that phase's NORMAL level and stays quiet — until one day the
+    # hour-6 bucket spikes to 200, which only the same-phase median catches
+    # as anomalous relative to 50.
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(20):
+        for h in range(24):
+            n = 50 if h == 6 else 5
+            if day == 19 and h == 6:
+                n = 200
+            for _ in range(n):
+                rows.append((eid, base + dt.timedelta(days=day, hours=h), "a"))
+                eid += 1
+    df = _events(spark, rows)
+    seasonal = rate_anomaly(
+        df, bucket_seconds=3600, baseline_buckets=14, min_baseline=7,
+        mad_mult=4, seasonal_period=24,
+    ).orderBy("bucket_epoch_s").collect()
+    hot = [r for r in seasonal if (r.bucket_epoch_s // 3600) % 24 == 6]
+    # steady hot hours: same-phase median is 50 -> no alert
+    mature = [r for r in hot if r.baseline_n >= 7 and r.n == 50]
+    assert mature and all(r.med == 50 and not r.is_anomaly for r in mature)
+    # the planted 200-spike against the 50-median phase IS anomalous
+    spike = [r for r in hot if r.n == 200]
+    assert len(spike) == 1 and spike[0].med == 50 and spike[0].is_anomaly
+    # trailing mode would alert on EVERY mature hot hour (50 vs med 5)
+    trailing = rate_anomaly(
+        df, bucket_seconds=3600, baseline_buckets=24, min_baseline=12,
+        mad_mult=4,
+    ).orderBy("bucket_epoch_s").collect()
+    tr_hot = [
+        r for r in trailing
+        if (r.bucket_epoch_s // 3600) % 24 == 6 and r.baseline_n >= 12
+        and r.n == 50
+    ]
+    assert tr_hot and all(r.is_anomaly for r in tr_hot)
