@@ -4909,6 +4909,23 @@ def q_events_rate_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy("event_type", "bucket_epoch_s")
 
 
+def q_events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection on hourly per-type rates: prefix-sum
+    minus running-min closed form (the max(0,...) recursion as two
+    cumulative windows), per-series lower-median reference via the
+    row_number order statistic — exact int64 end-to-end, every column
+    incl. both alarm booleans hash-gated (exercised both directions at
+    both SFs: hi 286/770, lo 1600/65 — ref = lower median sits a hair
+    above the mean, so the downward side accumulates drift at sf0.01;
+    characteristic zero-slack CUSUM behavior, not noise in the gate)."""
+    from ddsparkle.spark.dataops import cusum_changepoints
+
+    df = _t(spark, sf_dir, "events")
+    return cusum_changepoints(
+        df, bucket_seconds=3600, slack=0, h_mult=8
+    ).orderBy("event_type", "bucket_epoch_s")
+
+
 def q_transcripts_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney rank-sum, three contingencies on the transcript
     corpus: assistant-vs-rest on TURN INDEX (assistant turns sit
@@ -5124,14 +5141,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     receipts. All are first in line for an r6 window.
     Part 11 (ninth session) adds events_rate_anomaly /
     doc_split_leakage_safe / events_dgim_window_counts /
-    events_chi2_ab_test / transcripts_mannwhitney at positions 1-5
-    (the five NEW families); the DGIM streaming leg and the seasonal
-    anomaly variant sit out-of-window on their in-window anchors
+    events_chi2_ab_test / transcripts_mannwhitney /
+    events_cusum_shift at positions 1-6 (the six NEW families); the
+    DGIM streaming leg and the seasonal anomaly variant sit
+    out-of-window on their in-window anchors
     (events_dgim_window_counts / events_rate_anomaly) + both-SF
     receipts; displaced veterans transcripts_boilerplate_turns,
     transcripts_latency_percentile, doc_readability, emb_semdedup,
     events_exact_quantiles (none anchors) carry fresh same-session
-    both-SF replay receipts (GATES_sf01_r05.md addenda 54-58).
+    both-SF replay receipts (GATES_sf01_r05.md addenda 54-59).
     Veterans (driver-green r1-r4) rotate behind."""
     return {
         # --- window 1-3: part 11 (ninth session) new families ---
@@ -5140,6 +5158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dgim_window_counts": q_events_dgim_window_counts,
         "events_chi2_ab_test": q_events_chi2_ab_test,
         "transcripts_mannwhitney": q_transcripts_mannwhitney,
+        "events_cusum_shift": q_events_cusum_shift,
         # --- window 7-17: part 9/10 families ---
         "events_trimmed_mean": q_events_trimmed_mean,
         "transcripts_planner_decision": q_transcripts_planner_decision,
@@ -6442,6 +6461,36 @@ def oracle_sql() -> dict[str, str]:
             "med, mad, baseline_n >= 12 AND abs(n - med) > "
             "4 * greatest(mad, 1) AS is_anomaly "
             "FROM st2 ORDER BY event_type, bucket_epoch_s"
+        ),
+        # CUSUM: the max(0,...) recursion in closed prefix form — two
+        # cumulative windows per direction (DuckDB cannot nest window
+        # calls: p_* in one CTE, the running min in the next)
+        "events_cusum_shift": (
+            "WITH perb AS (SELECT event_type, "
+            "epoch_us(ts) // 3600000000 AS b, COUNT(*) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "rk AS (SELECT event_type, b, n, ROW_NUMBER() OVER "
+            "(PARTITION BY event_type ORDER BY n, b) AS rn, "
+            "COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM perb), "
+            "ref AS (SELECT event_type, n AS ref FROM rk "
+            "WHERE rn = (cnt + 1) // 2), "
+            "j AS (SELECT p.event_type, p.b, p.n, r.ref "
+            "FROM perb p JOIN ref r USING (event_type)), "
+            "pre AS (SELECT event_type, b, n, ref, "
+            "SUM(n - ref) OVER w AS p_hi, SUM(ref - n) OVER w AS p_lo "
+            "FROM j WINDOW w AS (PARTITION BY event_type ORDER BY b "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+            "st AS (SELECT event_type, b, n, ref, p_hi, p_lo, "
+            "LEAST(0, MIN(p_hi) OVER w) AS m_hi, "
+            "LEAST(0, MIN(p_lo) OVER w) AS m_lo "
+            "FROM pre WINDOW w AS (PARTITION BY event_type ORDER BY b "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+            "SELECT event_type, b*3600 AS bucket_epoch_s, n, ref, "
+            "CAST(p_hi - m_hi AS BIGINT) AS cusum_hi, "
+            "CAST(p_lo - m_lo AS BIGINT) AS cusum_lo, "
+            "(p_hi - m_hi) > 8 * greatest(ref, 1) AS alarm_hi, "
+            "(p_lo - m_lo) > 8 * greatest(ref, 1) AS alarm_lo "
+            "FROM st ORDER BY event_type, bucket_epoch_s"
         ),
         # seasonal variant: phase partition (b % 24) + stretched RANGE
         # bounds [-336, -24]; same COALESCE-empty-frame and order-statistic

@@ -3629,6 +3629,105 @@ def rate_anomaly(
     )
 
 
+def cusum_changepoints(
+    df,
+    ts_col: str = "ts",
+    by: str = "event_type",
+    bucket_seconds: int = 3600,
+    slack: int = 0,
+    h_mult: int = 8,
+):
+    """CUSUM change-point detection on event rates — the sequential
+    level-SHIFT detector beside :func:`rate_anomaly`'s point-outlier
+    gate (a sustained +20% drift never trips a median/MAD rule; CUSUM
+    accumulates it). Per series: reference = the series' global LOWER
+    MEDIAN bucket count (order statistic — exact), then the classic
+    one-sided statistics
+    ``S_hi_t = max(0, S_hi_{t-1} + (x_t - ref - slack))`` and the
+    mirrored ``S_lo`` for downward shifts; alarm when S exceeds
+    ``h_mult * max(ref, 1)``. Returns one row per active bucket:
+    [by, bucket_epoch_s, n, ref, cusum_hi, cusum_lo, alarm_hi, alarm_lo].
+
+    Correctness shape: the max(0, ...) recursion is NOT a window
+    aggregate, but it has a closed prefix form — with P_t = cumsum(x - ref
+    - slack), ``S_hi_t = P_t - min(0, running_min(P))`` — so the whole
+    operator is two cumulative windows per direction over the bucket
+    frame, all exact int64 (counts, order-statistic reference, prefix
+    sums), hash-exact cross-engine. Buckets with zero events are absent
+    from the frame and contribute nothing (documented; for gap-dense
+    series pick coarser buckets — a true zero-rate regime SHOULD pull
+    S_lo, so choose bucket_seconds so active series fill their buckets).
+
+    Scale shape: one map-side-combined (series, bucket) groupBy, then
+    three narrow windows partitioned by series over the corpus-size-
+    independent bucket frame (reference via row_number order statistic,
+    no arrays); same single-series caveat as rate_anomaly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    per_b = (
+        df.select(
+            F.col(by),
+            (
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                / F.lit(int(bucket_seconds) * 1_000_000)
+            )
+            .cast("long")
+            .alias("__b"),
+        )
+        .groupBy(by, "__b")
+        .agg(F.count("*").alias("n"))
+    )
+    # per-series lower-median reference: row_number at (cnt+1)//2 over
+    # (n, __b) — the group_robust_stats order-statistic pattern
+    w_ord = Window.partitionBy(by).orderBy("n", "__b")
+    w_all = Window.partitionBy(by)
+    ranked = per_b.withColumn("__rn", F.row_number().over(w_ord)).withColumn(
+        "__cnt", F.count("*").over(w_all)
+    )
+    ref = ranked.filter(
+        F.col("__rn") == ((F.col("__cnt") + 1) / 2).cast("long")
+    ).select(F.col(by).alias("__kref"), F.col("n").alias("ref"))
+    joined = per_b.join(
+        F.broadcast(ref), per_b[by] == ref["__kref"]
+    ).drop("__kref")
+    w_cum = (
+        Window.partitionBy(by)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = int(slack)
+    staged = (
+        joined.withColumn(
+            "__p_hi",
+            F.sum(F.col("n") - F.col("ref") - F.lit(s)).over(w_cum),
+        )
+        .withColumn(
+            "__p_lo",
+            F.sum(F.col("ref") - F.col("n") - F.lit(s)).over(w_cum),
+        )
+        .withColumn(
+            "__m_hi", F.least(F.lit(0).cast("long"), F.min("__p_hi").over(w_cum))
+        )
+        .withColumn(
+            "__m_lo", F.least(F.lit(0).cast("long"), F.min("__p_lo").over(w_cum))
+        )
+    )
+    thr = F.lit(int(h_mult)) * F.greatest(F.col("ref"), F.lit(1).cast("long"))
+    return staged.select(
+        by,
+        (F.col("__b") * F.lit(int(bucket_seconds))).cast("long").alias(
+            "bucket_epoch_s"
+        ),
+        "n",
+        "ref",
+        (F.col("__p_hi") - F.col("__m_hi")).alias("cusum_hi"),
+        (F.col("__p_lo") - F.col("__m_lo")).alias("cusum_lo"),
+        ((F.col("__p_hi") - F.col("__m_hi")) > thr).alias("alarm_hi"),
+        ((F.col("__p_lo") - F.col("__m_lo")) > thr).alias("alarm_lo"),
+    )
+
+
 def burn_rate_alerts(
     df,
     error_type: str = "error",

@@ -323,3 +323,67 @@ def test_rate_anomaly_seasonal_same_phase_only(spark):
         and r.n == 50
     ]
     assert tr_hot and all(r.is_anomaly for r in tr_hot)
+
+
+def test_cusum_detects_sustained_shift_median_misses(spark):
+    # a sustained +40% level shift: each bucket is individually unremarkable
+    # (|n - med| small), so the median/MAD point-outlier rule stays quiet,
+    # while CUSUM accumulates the drift and alarms — the two detectors'
+    # complementary contract
+    from ddsparkle.spark.dataops import cusum_changepoints
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(75):
+        n = 10 if h < 40 else 14  # shift at h=40
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h), "a"))
+            eid += 1
+    df = _events(spark, rows)
+    out = cusum_changepoints(
+        df, bucket_seconds=3600, slack=0, h_mult=8
+    ).orderBy("bucket_epoch_s").collect()
+    assert len(out) == 75
+    # reference is the lower median over the whole series (mostly 10s)
+    assert out[0].ref == 10
+    pre = [r for r in out[:40]]
+    assert not any(r.alarm_hi for r in pre)
+    # post-shift the hi statistic accumulates +4/hour: alarm once
+    # cusum_hi > 8*10, i.e. 21 shifted buckets in
+    assert any(r.alarm_hi for r in out[40:])
+    assert out[-1].cusum_hi == 35 * 4  # 35 shifted buckets accumulated
+    # the point-outlier rule never fires: each shifted bucket is only +4
+    # against a med/MAD of (10, ~0) -> |14-10| > 4*max(mad,1) is false
+    point = rate_anomaly(
+        df, bucket_seconds=3600, baseline_buckets=24, min_baseline=12,
+        mad_mult=4,
+    ).collect()
+    assert not any(r.is_anomaly for r in point)
+
+
+def test_cusum_prefix_form_matches_recursion(spark):
+    # the closed form S_t = P_t - min(0, running_min(P)) must equal the
+    # textbook recursion S_t = max(0, S_{t-1} + d_t) on an arbitrary series
+    import random
+
+    from ddsparkle.spark.dataops import cusum_changepoints
+
+    rng = random.Random(5)
+    base = dt.datetime(2024, 1, 1)
+    counts = [rng.randrange(1, 12) for _ in range(50)]
+    rows = []
+    eid = 0
+    for h, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h), "a"))
+            eid += 1
+    out = cusum_changepoints(
+        _events(spark, rows), bucket_seconds=3600, slack=0, h_mult=8
+    ).orderBy("bucket_epoch_s").collect()
+    ref = out[0].ref
+    s_hi = s_lo = 0
+    for r, n in zip(out, counts):
+        s_hi = max(0, s_hi + (n - ref))
+        s_lo = max(0, s_lo + (ref - n))
+        assert (r.cusum_hi, r.cusum_lo) == (s_hi, s_lo)
