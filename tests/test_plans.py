@@ -609,3 +609,91 @@ def test_snowflake_star_join_all_broadcast(spark, sf_dir):
     # join requirement on the fact side
     for args in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
         assert "r_name" in args or "n_name" in args, args
+
+
+def test_rate_anomaly_one_agg_one_window_pruned_scan(spark, sf_dir):
+    """rate_anomaly: the scan projects only (series, ts) — payload columns
+    never leave it — one partial+final hash aggregate pair for the bucket
+    counts, then ONE window over the bucket frame; no join, no extra
+    exchange beyond the aggregate pair + the window's partitioning."""
+    import re
+
+    from ddsparkle.spark.dataops import rate_anomaly
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = plan_of(rate_anomaly(df))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"event_type", "ts"}, cols
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+
+
+def test_cusum_windows_share_series_partitioning(spark, sf_dir):
+    """cusum_changepoints: the reference join broadcasts (#series rows),
+    and every Exchange hashes on the series key or is the aggregate pair —
+    the cumulative windows and the order-statistic window reuse ONE
+    series-keyed exchange, never a re-shuffle per window."""
+    import re
+
+    from ddsparkle.spark.dataops import cusum_changepoints
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = plan_of(cusum_changepoints(df))
+    assert "SortMergeJoin" not in plan
+    assert re.findall(r"\(\d+\) BroadcastHashJoin", plan), plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"event_type", "ts"}, cols
+    # exchanges: the bucket-count aggregate pair (x2 branches of the
+    # self-consumed frame) — all hashpartitioning args are series/bucket
+    for args in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "event_type" in args, args
+
+
+def test_mann_whitney_window_over_distinct_values_only(spark, sf_dir):
+    """mann_whitney_u: the only sort feeding a Window is over the DISTINCT
+    value frame (post-aggregate), never the raw rows — the design that
+    bounds the single-partition window by outcome cardinality; the final
+    statistic is one single-row aggregate."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.dataops import mann_whitney_u
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("user_id") % 2 == 1).alias("g"),
+        F.length("props").alias("v"),
+    )
+    plan = plan_of(mann_whitney_u(df, "g", "v"))
+    # the Window consumes the aggregate's output: exactly one Window node,
+    # and the aggregate pair sits below it (HashAggregate before Window in
+    # the formatted tree's numbering)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    win_id = int(re.search(r"\((\d+)\) Window\b", plan).group(1))
+    agg_ids = [int(x) for x in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    assert agg_ids and min(agg_ids) < win_id, plan
+    assert "Join" not in plan
+
+
+def test_chi2_single_global_aggregate_no_shuffle_of_rows(spark, sf_dir):
+    """chi2_2x2: one partial+final global aggregate — the only Exchange is
+    the SinglePartition gather of the 4-counter partials; raw rows never
+    shuffle."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.dataops import chi2_2x2
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("user_id") % 2 == 1).alias("x"),
+        (F.col("event_type") == "purchase").alias("y"),
+    )
+    plan = plan_of(chi2_2x2(df, "x", "y"))
+    ex = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(ex) == 1, plan
+    assert "SinglePartition" in plan
+    assert "Join" not in plan
