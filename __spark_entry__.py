@@ -4909,6 +4909,44 @@ def q_events_rate_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy("event_type", "bucket_epoch_s")
 
 
+def q_events_ks_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS on event values, two legs: purchase values vs the
+    SAME values scaled x1.25 (a planted distribution change — the
+    emb_near_dup overlay precedent; x1.25 is exact in binary so both
+    engines union identical doubles -> significant) and purchase vs
+    click (iid by generation -> not significant). ks_numer is the
+    cross-multiplied sup distance (exact int64), significance is the
+    DECIMAL(38,0) rejection inequality — every column hash-gates."""
+    from ddsparkle.spark.dataops import ks_2sample
+
+    ev = _t(spark, sf_dir, "events")
+    pur = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("value")
+    overlay = pur.select(F.lit(True).alias("g"), F.col("value").alias("v")).unionAll(
+        pur.select(F.lit(False).alias("g"), (F.col("value") * 1.25).alias("v"))
+    )
+    click = ev.filter(
+        (F.col("event_type") == "click") & F.col("value").isNotNull()
+    ).select("value")
+    iid = pur.select(F.lit(True).alias("g"), F.col("value").alias("v")).unionAll(
+        click.select(F.lit(False).alias("g"), F.col("value").alias("v"))
+    )
+    rows = []
+    for name, base in (("scale_overlay", overlay), ("purchase_vs_click", iid)):
+        rows.append(
+            ks_2sample(base, "g", "v").select(
+                F.lit(name).alias("test_name"),
+                "n_true",
+                "n_false",
+                "ks_numer",
+                F.round("ks", 4).alias("ks"),
+                "significant_95",
+            )
+        )
+    return rows[0].unionByName(rows[1]).orderBy("test_name")
+
+
 def q_events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM level-shift detection on hourly per-type rates: prefix-sum
     minus running-min closed form (the max(0,...) recursion as two
@@ -5146,10 +5184,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DGIM streaming leg and the seasonal anomaly variant sit
     out-of-window on their in-window anchors
     (events_dgim_window_counts / events_rate_anomaly) + both-SF
-    receipts; displaced veterans transcripts_boilerplate_turns,
+    receipts; events_ks_2sample likewise sits out-of-window on its
+    machinery anchors (the transcripts_mannwhitney distinct-value
+    chassis + events_chi2_ab_test's decimal rejection algebra);
+    displaced veterans transcripts_boilerplate_turns,
     transcripts_latency_percentile, doc_readability, emb_semdedup,
     events_exact_quantiles (none anchors) carry fresh same-session
-    both-SF replay receipts (GATES_sf01_r05.md addenda 54-59).
+    both-SF replay receipts (GATES_sf01_r05.md addenda 54-60).
     Veterans (driver-green r1-r4) rotate behind."""
     return {
         # --- window 1-3: part 11 (ninth session) new families ---
@@ -5233,6 +5274,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # median/MAD fold, only the baseline frame differs) + addendum 58
         "streaming_dgim_window_counts": q_streaming_dgim_window_counts,
         "events_rate_anomaly_seasonal": q_events_rate_anomaly_seasonal,
+        # KS shares the distinct-value chassis with in-window
+        # transcripts_mannwhitney and the DECIMAL rejection algebra with
+        # events_chi2_ab_test (machinery anchors) + addendum 60 receipts
+        "events_ks_2sample": q_events_ks_2sample,
         "events_decayed_quantiles": q_events_decayed_quantiles,
         "rollup_sliding_distinct": q_rollup_sliding_distinct,
         "transcripts_self_repetition": q_transcripts_self_repetition,
@@ -6461,6 +6506,40 @@ def oracle_sql() -> dict[str, str]:
             "med, mad, baseline_n >= 12 AND abs(n - med) > "
             "4 * greatest(mad, 1) AS is_anomaly "
             "FROM st2 ORDER BY event_type, bucket_epoch_s"
+        ),
+        # KS: cross-multiplied sup distance over the distinct-value CDF
+        # frame (exact int64); rejection rule in HUGEINT mirroring Spark's
+        # DECIMAL(38,0); value*1.25 is exact binary on both engines
+        "events_ks_2sample": (
+            "WITH pur AS (SELECT value FROM events "
+            "WHERE event_type = 'purchase' AND value IS NOT NULL), "
+            "clk AS (SELECT value FROM events "
+            "WHERE event_type = 'click' AND value IS NOT NULL), "
+            "base AS ("
+            "SELECT 'scale_overlay' AS t, TRUE AS g, value AS v FROM pur "
+            "UNION ALL SELECT 'scale_overlay', FALSE, value * 1.25 FROM pur "
+            "UNION ALL SELECT 'purchase_vs_click', TRUE, value FROM pur "
+            "UNION ALL SELECT 'purchase_vs_click', FALSE, value FROM clk), "
+            "perv AS (SELECT t, v, COUNT(*) AS c, "
+            "SUM(CASE WHEN g THEN 1 ELSE 0 END) AS g1 "
+            "FROM base GROUP BY t, v), "
+            "cdf AS (SELECT t, "
+            "SUM(g1) OVER w AS cum1, SUM(c - g1) OVER w AS cum2, "
+            "SUM(g1) OVER (PARTITION BY t) AS n1, "
+            "SUM(c - g1) OVER (PARTITION BY t) AS n2 "
+            "FROM perv WINDOW w AS (PARTITION BY t ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+            "agg AS (SELECT t, CAST(n1 AS BIGINT) AS n1, "
+            "CAST(n2 AS BIGINT) AS n2, "
+            "CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_numer "
+            "FROM cdf GROUP BY t, n1, n2) "
+            "SELECT t AS test_name, n1 AS n_true, n2 AS n_false, ks_numer, "
+            "ROUND(CAST(ks_numer AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 4) "
+            "AS ks, "
+            "COALESCE(CAST(ks_numer AS HUGEINT) * ks_numer * 1000000 > "
+            "CAST(1844164 AS HUGEINT) * (n1 + n2) * n1 * n2, FALSE) "
+            "AS significant_95 "
+            "FROM agg ORDER BY test_name"
         ),
         # CUSUM: the max(0,...) recursion in closed prefix form — two
         # cumulative windows per direction (DuckDB cannot nest window

@@ -2701,6 +2701,83 @@ def chi2_2x2(df, x_col: str, y_col: str):
     )
 
 
+def ks_2sample(df, group_col: str, value_col: str):
+    """Two-sample Kolmogorov-Smirnov test — the distribution-SHAPE member
+    of the testing trio (chi2_2x2: contingency; mann_whitney_u: location
+    shift; this: any CDF difference, including equal-median variance or
+    tail changes neither sibling sees). Returns ONE row [n_true, n_false,
+    ks_numer, ks, significant_95]: ``ks_numer`` = max over distinct
+    values of |cum_true*n_false - cum_false*n_true| (the KS sup-distance
+    cross-multiplied to exact int64 — no per-value division anywhere),
+    ``ks`` = ks_numer/(n_true*n_false) (ONE pinned division), and
+    ``significant_95`` evaluates the large-sample rejection rule
+    KS > 1.358*sqrt((n1+n2)/(n1*n2)) squared and cross-multiplied into
+    DECIMAL(38,0) integer arithmetic — ks_numer^2 * 10^6 >
+    1844164 * (n1+n2) * n1 * n2 (1.358^2 = 1.844164, the pinned
+    alpha=0.05 two-sample constant) — so the boolean hash-gates with
+    zero float risk (exact through ~3e8 rows; past that widen the
+    decimal). Both one-sided distances reduce to the same |.| because
+    cum differences cover all values. NULL rows excluded.
+
+    Scale shape: identical chassis to mann_whitney_u — one map-side
+    (value, count, true-count) aggregate, cumulative sums over the
+    DISTINCT-value frame (bounded by outcome cardinality; shard the
+    prefix sum for continuous ultra-high-cardinality outcomes), one
+    global max. The 12.5x distinct-vs-per-row A/B receipt
+    (BENCH/ab_r5p11_mw.json) prices this design choice."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    g = F.col(group_col).cast("boolean")
+    v = F.col(value_col)
+    per_v = (
+        df.filter(g.isNotNull() & v.isNotNull())
+        .groupBy(v.alias("__v"))
+        .agg(
+            F.count("*").alias("__c"),
+            F.sum(g.cast("long")).alias("__g1"),
+        )
+    )
+    w_cdf = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cums = per_v.select(
+        F.sum("__g1").over(w_cdf).alias("__cum1"),
+        F.sum(F.col("__c") - F.col("__g1")).over(w_cdf).alias("__cum2"),
+        F.sum("__g1").over(w_all).alias("n1"),
+        F.sum(F.col("__c") - F.col("__g1")).over(w_all).alias("n2"),
+    )
+    agg = cums.groupBy("n1", "n2").agg(
+        F.max(
+            F.abs(
+                F.col("__cum1") * F.col("n2") - F.col("__cum2") * F.col("n1")
+            )
+        ).alias("ks_numer")
+    )
+    dec = "decimal(38,0)"
+    lhs = (
+        F.col("ks_numer").cast(dec) * F.col("ks_numer").cast(dec)
+        * F.lit(1_000_000).cast(dec)
+    )
+    rhs = (
+        F.lit(1_844_164).cast(dec)
+        * (F.col("n1") + F.col("n2")).cast(dec)
+        * F.col("n1").cast(dec)
+        * F.col("n2").cast(dec)
+    )
+    return agg.select(
+        F.col("n1").alias("n_true"),
+        F.col("n2").alias("n_false"),
+        "ks_numer",
+        (
+            F.col("ks_numer").cast("double")
+            / (F.col("n1") * F.col("n2")).cast("double")
+        ).alias("ks"),
+        F.coalesce(lhs > rhs, F.lit(False)).alias("significant_95"),
+    )
+
+
 # ONE expression string shared VERBATIM by mann_whitney_u's Spark plan and
 # its DuckDB twin (the _moment_final_exprs discipline): exact integers cast
 # to double, then +,-,*,/ only — identical IEEE tree on both engines.

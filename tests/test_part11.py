@@ -387,3 +387,59 @@ def test_cusum_prefix_form_matches_recursion(spark):
         s_hi = max(0, s_hi + (n - ref))
         s_lo = max(0, s_lo + (ref - n))
         assert (r.cusum_hi, r.cusum_lo) == (s_hi, s_lo)
+
+
+def test_ks_2sample_vs_brute_force(spark):
+    import bisect
+    import random
+
+    from ddsparkle.spark.dataops import ks_2sample
+
+    def brute(pairs):
+        a = sorted(v for g, v in pairs if g)
+        b = sorted(v for g, v in pairs if not g)
+        n1, n2 = len(a), len(b)
+        m = 0
+        for v in sorted(set(v for _, v in pairs)):
+            c1 = bisect.bisect_right(a, v)
+            c2 = bisect.bisect_right(b, v)
+            m = max(m, abs(c1 * n2 - c2 * n1))
+        sig = m * m * 1_000_000 > 1_844_164 * (n1 + n2) * n1 * n2
+        return n1, n2, m, m / (n1 * n2), sig
+
+    rng = random.Random(9)
+    for trial in range(4):
+        shift = trial % 2 == 0
+        pairs = (
+            [(True, rng.gauss(0, 1)) for _ in range(rng.randrange(60, 250))]
+            + [
+                (False, rng.gauss(0.8 if shift else 0, 1))
+                for _ in range(rng.randrange(60, 250))
+            ]
+            + [(rng.random() < 0.5, float(rng.randrange(3))) for _ in range(40)]
+        )
+        df = spark.createDataFrame(pairs, "g boolean, v double")
+        r = ks_2sample(df, "g", "v").collect()[0]
+        n1, n2, m, ks, sig = brute(pairs)
+        assert (r.n_true, r.n_false, r.ks_numer, r.significant_95) == (
+            n1, n2, m, sig,
+        )
+        assert abs(r.ks - ks) < 1e-12
+        assert r.significant_95 == shift  # planted shifts detected, nulls not
+
+
+def test_ks_2sample_sees_shape_mann_whitney_misses(spark):
+    # equal medians/means, different VARIANCE: the rank test reads ~no
+    # location shift while KS flags the shape change — the trio's
+    # division of labor
+    import random
+
+    from ddsparkle.spark.dataops import ks_2sample, mann_whitney_u
+
+    rng = random.Random(4)
+    pairs = [(True, rng.gauss(0, 1)) for _ in range(900)] + [
+        (False, rng.gauss(0, 4)) for _ in range(900)
+    ]
+    df = spark.createDataFrame(pairs, "g boolean, v double")
+    assert ks_2sample(df, "g", "v").collect()[0].significant_95
+    assert not mann_whitney_u(df, "g", "v").collect()[0].significant_95
