@@ -5189,8 +5189,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     chassis + events_chi2_ab_test's decimal rejection algebra);
     displaced veterans transcripts_boilerplate_turns,
     transcripts_latency_percentile, doc_readability, emb_semdedup,
-    events_exact_quantiles (none anchors) carry fresh same-session
-    both-SF replay receipts (GATES_sf01_r05.md addenda 54-60).
+    events_exact_quantiles, revenue_by_nation (none anchors; the last
+    rotated out so the transcripts_shard_packing ANCHOR stays in the
+    window — it keeps its all-broadcast plan pin) carry fresh
+    same-session both-SF replay receipts (GATES_sf01_r05.md addenda
+    54-61; all 14 anchors verified inside positions 1-50).
     Veterans (driver-green r1-r4) rotate behind."""
     return {
         # --- window 1-3: part 11 (ninth session) new families ---
@@ -5215,7 +5218,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_key_skew": q_events_key_skew,
         "events_robust_stats": q_events_robust_stats,
         "doc_sparse_similarity": q_doc_sparse_similarity,
-        "revenue_by_nation": q_revenue_by_nation,
         # --- window 13-16: part 8 ---
         "events_interval_coverage": q_events_interval_coverage,
         "doc_vocab_stats": q_doc_vocab_stats,
@@ -5274,6 +5276,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # median/MAD fold, only the baseline frame differs) + addendum 58
         "streaming_dgim_window_counts": q_streaming_dgim_window_counts,
         "events_rate_anomaly_seasonal": q_events_rate_anomaly_seasonal,
+        # revenue_by_nation rotates out as the non-anchor with the
+        # strongest alternative evidence (plan pin
+        # tests/test_plans.py::test_snowflake_star_join_all_broadcast +
+        # both-SF receipts) so the transcripts_shard_packing ANCHOR stays
+        # in the 50-row window
+        "revenue_by_nation": q_revenue_by_nation,
         # KS shares the distinct-value chassis with in-window
         # transcripts_mannwhitney and the DECIMAL rejection algebra with
         # events_chi2_ab_test (machinery anchors) + addendum 60 receipts
