@@ -4947,6 +4947,39 @@ def q_events_ks_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionByName(rows[1]).orderBy("test_name")
 
 
+def q_transcripts_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman monotone-association screening, two legs at conversation
+    granularity: n_turns vs total_chars (longer conversations have more
+    text -> strong positive, significant) and n_turns vs the conv_id's
+    portable md5 hash (independent of structure -> null). Doubled
+    midranks + DECIMAL(38,0) power sums; rho2/sign/significance all
+    hash-gate via the shared expression tree (SPEARMAN_RHO2_EXPR)."""
+    from ddsparkle.spark.dataops import _portable_line_key, spearman_rho
+
+    df = _transcripts(spark, sf_dir)
+    per_conv = df.groupBy("conv_id").agg(
+        F.count("*").cast("double").alias("n_turns"),
+        F.sum(F.length("text")).cast("double").alias("total_chars"),
+    ).withColumn(
+        "hash_noise", _portable_line_key(F.col("conv_id")).cast("double")
+    )
+    rows = []
+    for name, xc, yc in (
+        ("conv_turns_vs_chars", "n_turns", "total_chars"),
+        ("conv_turns_vs_hash", "n_turns", "hash_noise"),
+    ):
+        rows.append(
+            spearman_rho(per_conv, xc, yc).select(
+                F.lit(name).alias("test_name"),
+                "n",
+                F.round("rho2", 4).alias("rho2"),
+                "sign",
+                "significant_95",
+            )
+        )
+    return rows[0].unionByName(rows[1]).orderBy("test_name")
+
+
 def q_events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM level-shift detection on hourly per-type rates: prefix-sum
     minus running-min closed form (the max(0,...) recursion as two
@@ -5282,6 +5315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both-SF receipts) so the transcripts_shard_packing ANCHOR stays
         # in the 50-row window
         "revenue_by_nation": q_revenue_by_nation,
+        # Spearman shares the midrank chassis + shared-expr finals with
+        # the in-window stats anchors; out-of-window, addendum 62 receipts
+        "transcripts_spearman": q_transcripts_spearman,
         # KS shares the distinct-value chassis with in-window
         # transcripts_mannwhitney and the DECIMAL rejection algebra with
         # events_chi2_ab_test (machinery anchors) + addendum 60 receipts
@@ -6270,6 +6306,54 @@ def _validation_sql(tr_src: str) -> str:
     )
 
 
+def _spearman_sql(tr_src: str) -> str:
+    """DuckDB twin of q_transcripts_spearman: doubled-midrank lookup joins
+    + HUGEINT power sums; rho2 finals evaluate SPEARMAN_RHO2_EXPR
+    verbatim (identical IEEE tree)."""
+    from ddsparkle.spark.dataops import SPEARMAN_RHO2_EXPR
+
+    def leg(name: str, xe: str, ye: str) -> str:
+        return (
+            f"SELECT '{name}' AS test_name, CAST(__n AS BIGINT) AS n, "
+            f"ROUND(CASE WHEN __d1 > 0 AND __d2 > 0 THEN "
+            f"{SPEARMAN_RHO2_EXPR} END, 4) AS rho2, "
+            "CAST(CASE WHEN __num > 0 THEN 1 WHEN __num < 0 THEN -1 "
+            "ELSE 0 END AS INTEGER) AS sign, "
+            "COALESCE(CASE WHEN __d1 > 0 AND __d2 > 0 THEN "
+            f"{SPEARMAN_RHO2_EXPR} END * (CAST(__n AS DOUBLE) - 1.0) "
+            "> 3.8416, FALSE) AS significant_95 FROM ("
+            "SELECT __n, __n*sxy - sx*sy AS __num, "
+            "__n*sxx - sx*sx AS __d1, __n*syy - sy*sy AS __d2 FROM ("
+            "SELECT CAST(COUNT(*) AS HUGEINT) AS __n, "
+            "SUM(CAST(rx AS HUGEINT)) AS sx, "
+            "SUM(CAST(ry AS HUGEINT)) AS sy, "
+            "SUM(CAST(rx AS HUGEINT)*rx) AS sxx, "
+            "SUM(CAST(ry AS HUGEINT)*ry) AS syy, "
+            "SUM(CAST(rx AS HUGEINT)*ry) AS sxy FROM ("
+            f"SELECT {xe} AS x, {ye} AS y FROM pc) b "
+            "JOIN (SELECT v, 2*COALESCE(SUM(c) OVER (ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "+ c + 1 AS rx FROM ("
+            f"SELECT {xe} AS v, COUNT(*) AS c FROM pc GROUP BY 1)) fx "
+            "ON b.x = fx.v "
+            "JOIN (SELECT v, 2*COALESCE(SUM(c) OVER (ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "+ c + 1 AS ry FROM ("
+            f"SELECT {ye} AS v, COUNT(*) AS c FROM pc GROUP BY 1)) fy "
+            "ON b.y = fy.v))"
+        )
+
+    return (
+        "WITH pc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_turns, "
+        "CAST(SUM(length(text)) AS DOUBLE) AS total_chars, "
+        "CAST(('0x' || substr(md5(conv_id), 1, 15))::BIGINT AS DOUBLE) "
+        f"AS hash_noise FROM {tr_src} GROUP BY conv_id) "
+        f"SELECT * FROM ({leg('conv_turns_vs_chars', 'n_turns', 'total_chars')} "
+        f"UNION ALL {leg('conv_turns_vs_hash', 'n_turns', 'hash_noise')}) "
+        "ORDER BY test_name"
+    )
+
+
 def _mannwhitney_sql(tr_src: str) -> str:
     """DuckDB twin of q_transcripts_mannwhitney_textlen: the rank algebra
     in exact integers (HUGEINT sums cast back — the pagerank lesson), the
@@ -6637,6 +6721,7 @@ def oracle_sql() -> dict[str, str]:
         # the sequential histogram itself is not SQL-replicable, so the
         # sketch columns enter as THEOREM-bound booleans (TRUE literals
         # here — the established hll/kll bound-gate pattern)
+        "transcripts_spearman": _spearman_sql(tr_src),
         # Mann-Whitney: doubled midranks from one groupBy(value) + one
         # cumulative window over DISTINCT values; z2 / effect size reuse
         # the Spark plan's expression string VERBATIM

@@ -2778,6 +2778,107 @@ def ks_2sample(df, group_col: str, value_col: str):
     )
 
 
+# Spearman finals: ONE expression tree shared VERBATIM with the SQL twin
+# (exact decimal sums cast to double; rho^2 as (num/d1)*(num/d2) — two
+# pinned divisions and one multiply, never sqrt)
+SPEARMAN_RHO2_EXPR = (
+    "(CAST(__num AS DOUBLE) / CAST(__d1 AS DOUBLE)) * "
+    "(CAST(__num AS DOUBLE) / CAST(__d2 AS DOUBLE))"
+)
+
+
+def spearman_rho(df, x_col: str, y_col: str):
+    """Spearman rank correlation — monotone-association screening (the
+    feature-selection staple: robust to outliers and any monotone
+    transform, unlike Pearson on raw values). Pearson on DOUBLED MIDRANKS
+    (ties handled exactly, same convention as :func:`mann_whitney_u`):
+    per variable the distinct-value frame assigns each value the doubled
+    midrank 2*cum + c + 1, rows pick their ranks up via two BROADCAST
+    value->rank joins, and one global aggregate accumulates the exact
+    DECIMAL(38,0) power sums. Returns ONE row [n, rho2, sign,
+    significant_95]: rho2 = rho^2 evaluated as (num/d1)*(num/d2) — the
+    shared-expression-tree discipline, num = n*Sxy - Sx*Sy etc., all
+    inputs exact — ``sign`` in {-1,0,1} carries rho's direction
+    (rho = sign * sqrt(rho2), left to the caller because sqrt is not
+    cross-engine bit-stable), and ``significant_95`` uses the large-n
+    normal approximation z^2 = rho2*(n-1) > 3.8416. NULL rows excluded;
+    degenerate variance (a constant column) yields rho2 NULL and
+    significant false on both engines.
+
+    Scale shape: two map-side distinct-value aggregates (outcome
+    cardinality each), two broadcast joins onto the row frame (rank
+    lookup — rows never shuffle), one global aggregate. DECIMAL(38,0)
+    keeps n*Sxy exact to ~2e9 rows (the exact_moments bound note)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    x = F.col(x_col)
+    y = F.col(y_col)
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x"), y.alias("__y")
+    )
+
+    def rank_frame(col, out):
+        per_v = base.groupBy(F.col(col).alias("__v")).agg(
+            F.count("*").alias("__c")
+        )
+        w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+        return per_v.select(
+            F.col("__v"),
+            (
+                2 * F.coalesce(F.sum("__c").over(w), F.lit(0).cast("long"))
+                + F.col("__c")
+                + 1
+            ).alias(out),
+        )
+
+    rx = rank_frame("__x", "__rx")
+    ry = rank_frame("__y", "__ry")
+    ranked = (
+        base.join(F.broadcast(rx), base["__x"] == rx["__v"])
+        .drop("__v")
+        .join(F.broadcast(ry), base["__y"] == ry["__v"])
+        .drop("__v")
+    )
+    dec = "decimal(38,0)"
+    sums = ranked.agg(
+        F.count("*").cast(dec).alias("__n"),
+        F.sum(F.col("__rx").cast(dec)).alias("__sx"),
+        F.sum(F.col("__ry").cast(dec)).alias("__sy"),
+        F.sum(F.col("__rx").cast(dec) * F.col("__rx").cast(dec)).alias("__sxx"),
+        F.sum(F.col("__ry").cast(dec) * F.col("__ry").cast(dec)).alias("__syy"),
+        F.sum(F.col("__rx").cast(dec) * F.col("__ry").cast(dec)).alias("__sxy"),
+    )
+    staged = sums.select(
+        F.col("__n"),
+        (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).alias(
+            "__num"
+        ),
+        (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).alias(
+            "__d1"
+        ),
+        (F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")).alias(
+            "__d2"
+        ),
+    )
+    rho2 = F.when(
+        (F.col("__d1") > 0) & (F.col("__d2") > 0), F.expr(SPEARMAN_RHO2_EXPR)
+    )
+    return staged.select(
+        F.col("__n").cast("long").alias("n"),
+        rho2.alias("rho2"),
+        F.when(F.col("__num") > 0, 1)
+        .when(F.col("__num") < 0, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("sign"),
+        F.coalesce(
+            rho2 * (F.col("__n").cast("double") - F.lit(1.0)) > F.lit(3.8416),
+            F.lit(False),
+        ).alias("significant_95"),
+    )
+
+
 # ONE expression string shared VERBATIM by mann_whitney_u's Spark plan and
 # its DuckDB twin (the _moment_final_exprs discipline): exact integers cast
 # to double, then +,-,*,/ only — identical IEEE tree on both engines.

@@ -443,3 +443,62 @@ def test_ks_2sample_sees_shape_mann_whitney_misses(spark):
     df = spark.createDataFrame(pairs, "g boolean, v double")
     assert ks_2sample(df, "g", "v").collect()[0].significant_95
     assert not mann_whitney_u(df, "g", "v").collect()[0].significant_95
+
+
+def test_spearman_vs_brute_force_and_degenerate(spark):
+    import bisect
+    import random
+
+    from ddsparkle.spark.dataops import spearman_rho
+
+    def brute(pairs):
+        def midranks(vals):
+            sv = sorted(vals)
+            return [
+                bisect.bisect_left(sv, v) + bisect.bisect_right(sv, v) + 1
+                for v in vals
+            ]
+
+        rx = midranks([p[0] for p in pairs])
+        ry = midranks([p[1] for p in pairs])
+        n = len(pairs)
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(a * a for a in rx)
+        syy = sum(a * a for a in ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        rho2 = (num / d1) * (num / d2)
+        return n, rho2, (num > 0) - (num < 0), rho2 * (n - 1) > 3.8416
+
+    rng = random.Random(13)
+    for trial in range(4):
+        mono = trial % 2 == 0
+        pairs = []
+        for _ in range(rng.randrange(50, 200)):
+            xv = rng.randrange(0, 20)
+            yv = xv + rng.randrange(0, 8) if mono else rng.randrange(0, 20)
+            pairs.append((float(xv), float(yv)))
+        df = spark.createDataFrame(pairs, "x double, y double")
+        r = spearman_rho(df, "x", "y").collect()[0]
+        n, rho2, sign, sig = brute(pairs)
+        assert (r.n, r.sign, r.significant_95) == (n, sign, sig)
+        assert abs(r.rho2 - rho2) < 1e-12
+        if mono:
+            assert r.significant_95 and r.sign == 1
+    # monotone-transform invariance: spearman(x, exp-like y) == spearman(x, y)
+    pairs = [(float(i % 17), float((i * 7) % 23)) for i in range(120)]
+    df1 = spark.createDataFrame(pairs, "x double, y double")
+    df2 = spark.createDataFrame(
+        [(x, y * y * y + 5) for x, y in pairs], "x double, y double"
+    )
+    a = spearman_rho(df1, "x", "y").collect()[0]
+    b = spearman_rho(df2, "x", "y").collect()[0]
+    assert a.rho2 == b.rho2 and a.sign == b.sign
+    # constant column -> NULL rho2, not significant
+    dfc = spark.createDataFrame(
+        [(1.0, float(i)) for i in range(10)], "x double, y double"
+    )
+    rc = spearman_rho(dfc, "x", "y").collect()[0]
+    assert rc.rho2 is None and not rc.significant_95
