@@ -697,3 +697,44 @@ def test_chi2_single_global_aggregate_no_shuffle_of_rows(spark, sf_dir):
     assert len(ex) == 1, plan
     assert "SinglePartition" in plan
     assert "Join" not in plan
+
+
+def test_ks_window_over_distinct_values_only(spark, sf_dir):
+    """ks_2sample: same chassis contract as mann_whitney — the two Window
+    nodes (CDF frame + totals frame) consume the distinct-value aggregate,
+    never raw rows; no join."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.dataops import ks_2sample
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("user_id") % 2 == 1).alias("g"),
+        F.col("value").alias("v"),
+    )
+    plan = plan_of(ks_2sample(df, "g", "v"))
+    win_ids = [int(x) for x in re.findall(r"\((\d+)\) Window\b", plan)]
+    assert len(win_ids) == 2, plan
+    agg_ids = [int(x) for x in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    assert agg_ids and min(agg_ids) < min(win_ids), plan
+    assert "Join" not in plan
+
+
+def test_spearman_broadcast_rank_lookups_no_row_shuffle(spark, sf_dir):
+    """spearman_rho: both value->rank lookups must be BroadcastHashJoins
+    (rows never shuffle for a join) and no SortMergeJoin exists; the only
+    hash exchanges belong to the two distinct-value aggregates."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ddsparkle.spark.dataops import spearman_rho
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("value").alias("x"),
+        (F.col("user_id") % 97).cast("double").alias("y"),
+    )
+    plan = plan_of(spearman_rho(df, "x", "y"))
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
