@@ -4980,6 +4980,38 @@ def q_transcripts_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionByName(rows[1]).orderBy("test_name")
 
 
+def q_transcripts_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis across the FOUR roles (one test, not 6 pairwise):
+    on turn_idx (roles occupy systematically different positions ->
+    significant) and on text length (role-independent generation ->
+    honest negative). Doubled-midrank chassis + the pinned
+    left-to-right-by-group fold; h and the boolean hash-gate."""
+    from ddsparkle.spark.dataops import kruskal_wallis
+
+    df = _transcripts(spark, sf_dir)
+    base = df.select(
+        "role",
+        F.col("turn_idx").cast("double").alias("tidx"),
+        F.length("text").cast("double").alias("text_len"),
+    )
+    rows = []
+    for name, vcol in (
+        ("role_vs_turnidx", "tidx"),
+        ("role_vs_len", "text_len"),
+    ):
+        rows.append(
+            kruskal_wallis(base, "role", vcol).select(
+                F.lit(name).alias("test_name"),
+                "k",
+                "n",
+                "tie_term",
+                F.round("h", 4).alias("h"),
+                "significant_95",
+            )
+        )
+    return rows[0].unionByName(rows[1]).orderBy("test_name")
+
+
 def q_events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM level-shift detection on hourly per-type rates: prefix-sum
     minus running-min closed form (the max(0,...) recursion as two
@@ -5318,6 +5350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Spearman shares the midrank chassis + shared-expr finals with
         # the in-window stats anchors; out-of-window, addendum 62 receipts
         "transcripts_spearman": q_transcripts_spearman,
+        # Kruskal-Wallis: same chassis + the trimmed-means pinned fold;
+        # out-of-window, addendum 63 receipts
+        "transcripts_kruskal": q_transcripts_kruskal,
         # KS shares the distinct-value chassis with in-window
         # transcripts_mannwhitney and the DECIMAL rejection algebra with
         # events_chi2_ab_test (machinery anchors) + addendum 60 receipts
@@ -6354,6 +6389,65 @@ def _spearman_sql(tr_src: str) -> str:
     )
 
 
+def _kruskal_sql(tr_src: str) -> str:
+    """DuckDB twin of q_transcripts_kruskal: midrank group sums in
+    HUGEINT, the per-group terms folded left-to-right ascending by group
+    name from 0.0 (list_reduce(list_prepend(0.0, list(t ORDER BY g)))),
+    finals mirroring the Spark expression tree token-for-token."""
+
+    def leg(name: str, vexpr: str) -> str:
+        return (
+            f"SELECT '{name}' AS test_name, k, n, tie_term, "
+            "ROUND(CASE WHEN 1.0 - CAST(tie_term AS DOUBLE) / "
+            "(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE) "
+            "- CAST(n AS DOUBLE)) > 0 THEN "
+            "(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) "
+            "* fold - 3.0 * (CAST(n AS DOUBLE) + 1.0)) / "
+            "(1.0 - CAST(tie_term AS DOUBLE) / "
+            "(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE) "
+            "- CAST(n AS DOUBLE))) END, 4) AS h, "
+            "COALESCE(CASE WHEN 1.0 - CAST(tie_term AS DOUBLE) / "
+            "(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE) "
+            "- CAST(n AS DOUBLE)) > 0 THEN "
+            "(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) "
+            "* fold - 3.0 * (CAST(n AS DOUBLE) + 1.0)) / "
+            "(1.0 - CAST(tie_term AS DOUBLE) / "
+            "(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE) "
+            "- CAST(n AS DOUBLE))) END > 7.8147, FALSE) AS significant_95 "
+            "FROM ("
+            "SELECT (SELECT CAST(COUNT(*) AS INTEGER) FROM perg) AS k, "
+            "(SELECT CAST(SUM(ng) AS BIGINT) FROM perg) AS n, "
+            "(SELECT CAST(SUM(c*c*c - c) AS BIGINT) FROM perv) AS tie_term, "
+            "(SELECT list_reduce(list_prepend(0.0, "
+            "list(CAST(CAST(sg2 AS HUGEINT) * sg2 AS DOUBLE) / "
+            "(4.0 * CAST(ng AS DOUBLE)) ORDER BY g)), "
+            "(a, b) -> a + b) FROM perg) AS fold) "
+        ).replace("perg", f"perg_{name}").replace("perv", f"perv_{name}")
+
+    def chain(name: str, vexpr: str) -> str:
+        return (
+            f"pergv_{name} AS (SELECT role AS g, {vexpr} AS v, "
+            f"COUNT(*) AS cgv FROM {tr_src} "
+            f"WHERE role IS NOT NULL AND {vexpr} IS NOT NULL "
+            "GROUP BY 1, 2), "
+            f"perv_{name} AS (SELECT v, SUM(cgv) AS c FROM pergv_{name} "
+            "GROUP BY v), "
+            f"cums_{name} AS (SELECT v, c, COALESCE(SUM(c) OVER ("
+            "ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+            f"0) AS cum FROM perv_{name}), "
+            f"perg_{name} AS (SELECT g, CAST(SUM(cgv) AS BIGINT) AS ng, "
+            "CAST(SUM(cgv * (2*cum + c + 1)) AS BIGINT) AS sg2 "
+            f"FROM pergv_{name} JOIN cums_{name} USING (v) GROUP BY g)"
+        )
+
+    return (
+        f"WITH {chain('role_vs_turnidx', 'CAST(turn_idx AS DOUBLE)')}, "
+        f"{chain('role_vs_len', 'CAST(length(text) AS DOUBLE)')} "
+        f"SELECT * FROM ({leg('role_vs_turnidx', '')} "
+        f"UNION ALL {leg('role_vs_len', '')}) ORDER BY test_name"
+    )
+
+
 def _mannwhitney_sql(tr_src: str) -> str:
     """DuckDB twin of q_transcripts_mannwhitney_textlen: the rank algebra
     in exact integers (HUGEINT sums cast back — the pagerank lesson), the
@@ -6722,6 +6816,7 @@ def oracle_sql() -> dict[str, str]:
         # sketch columns enter as THEOREM-bound booleans (TRUE literals
         # here — the established hll/kll bound-gate pattern)
         "transcripts_spearman": _spearman_sql(tr_src),
+        "transcripts_kruskal": _kruskal_sql(tr_src),
         # Mann-Whitney: doubled midranks from one groupBy(value) + one
         # cumulative window over DISTINCT values; z2 / effect size reuse
         # the Spark plan's expression string VERBATIM

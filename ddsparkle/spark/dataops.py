@@ -2778,6 +2778,115 @@ def ks_2sample(df, group_col: str, value_col: str):
     )
 
 
+# chi-square upper critical values at alpha=0.05 by degrees of freedom —
+# the pinned constants kruskal_wallis compares H against (k groups -> k-1)
+CHI2_CRIT_95 = {
+    1: 3.8415, 2: 5.9915, 3: 7.8147, 4: 9.4877,
+    5: 11.0705, 6: 12.5916, 7: 14.0671, 8: 15.5073,
+}
+
+
+def kruskal_wallis(df, group_col: str, value_col: str, crit: float | None = None):
+    """Kruskal-Wallis H test — the k-sample extension of
+    :func:`mann_whitney_u` (does ANY of k groups tend to larger values,
+    one test instead of k(k-1)/2 pairwise comparisons). Doubled midranks
+    from the shared distinct-value chassis; per-group rank sums S_g are
+    exact int64; H folds SUM_g (S_g/2)^2/n_g in ONE pinned order
+    (left-to-right ascending by group name from 0.0 — the trimmed-means
+    fold recipe, k elements) and applies the tie correction
+    H' = H / (1 - tie_term/(n^3 - n)). Returns ONE row [k, n, tie_term,
+    h, significant_95] with ``h`` the tie-corrected statistic and the
+    boolean comparing against the pinned alpha=0.05 chi-square critical
+    value at k-1 dof (CHI2_CRIT_95; pass ``crit`` explicitly for k > 9).
+    Every float op is +,-,*,/ on exact integers in one shared expression
+    shape, so h and the boolean hash-gate. NULL rows excluded.
+
+    Scale shape: one distinct-(group, value) aggregate, one cumulative
+    window over DISTINCT values (outcome cardinality), one k-row group
+    aggregate, one fold over k terms — rows never shuffle; the only sort
+    feeding a window is the distinct-value frame."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    g = F.col(group_col)
+    v = F.col(value_col)
+    per_gv = (
+        df.filter(g.isNotNull() & v.isNotNull())
+        .groupBy(g.cast("string").alias("__g"), v.alias("__v"))
+        .agg(F.count("*").alias("__cgv"))
+    )
+    w_v = Window.partitionBy().orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # per distinct value (across groups): total count + cum of smaller
+    per_v = per_gv.groupBy("__v").agg(F.sum("__cgv").alias("__c"))
+    cums = per_v.select(
+        "__v",
+        "__c",
+        F.coalesce(F.sum("__c").over(w_v), F.lit(0).cast("long")).alias(
+            "__cum"
+        ),
+    )
+    joined = per_gv.join(F.broadcast(cums), "__v")
+    per_g = joined.groupBy("__g").agg(
+        F.sum("__cgv").alias("__ng"),
+        F.sum(
+            F.col("__cgv") * (2 * F.col("__cum") + F.col("__c") + 1)
+        ).alias("__sg2"),  # sum of DOUBLED midranks in the group
+    )
+    dec = "decimal(38,0)"
+    # term_g = (S_g/2)^2 / n_g = (sg2^2 / 4) / n_g, computed as
+    # double(sg2^2_exact) / (4*n_g) — one division per group
+    term = (
+        F.col("__sg2").cast(dec) * F.col("__sg2").cast(dec)
+    ).cast("double") / (F.lit(4.0) * F.col("__ng").cast("double"))
+    tie_v = per_v.agg(
+        F.sum(
+            F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c")
+        ).alias("tie_term")
+    )
+    folded = per_g.select(
+        F.struct(F.col("__g"), term.alias("__t")).alias("__s")
+    ).agg(
+        F.count("*").alias("k"),
+        F.expr(
+            "aggregate(array_sort(collect_list(__s)), CAST(0.0 AS DOUBLE),"
+            " (a, x) -> a + x.__t)"
+        ).alias("__fold"),
+    )
+    totals = per_g.agg(F.sum("__ng").alias("n"))
+    out = folded.crossJoin(totals).crossJoin(tie_v)
+    dn = F.col("n").cast("double")
+    h_raw = (
+        F.lit(12.0) / (dn * (dn + F.lit(1.0))) * F.col("__fold")
+        - F.lit(3.0) * (dn + F.lit(1.0))
+    )
+    denom = F.lit(1.0) - F.col("tie_term").cast("double") / (
+        dn * dn * dn - dn
+    )
+    h = F.when(denom > 0, h_raw / denom)
+    k_col = F.col("k").cast("int")
+    if crit is None:
+        crit_expr = None
+        for dof, c in CHI2_CRIT_95.items():
+            cond = k_col == (dof + 1)
+            crit_expr = (
+                F.when(cond, F.lit(c))
+                if crit_expr is None
+                else crit_expr.when(cond, F.lit(c))
+            )
+        crit_col = crit_expr
+    else:
+        crit_col = F.lit(float(crit))
+    return out.select(
+        k_col.alias("k"),
+        F.col("n").cast("long").alias("n"),
+        "tie_term",
+        h.alias("h"),
+        F.coalesce(h > crit_col, F.lit(False)).alias("significant_95"),
+    )
+
+
 # Spearman finals: ONE expression tree shared VERBATIM with the SQL twin
 # (exact decimal sums cast to double; rho^2 as (num/d1)*(num/d2) — two
 # pinned divisions and one multiply, never sqrt)

@@ -502,3 +502,51 @@ def test_spearman_vs_brute_force_and_degenerate(spark):
     )
     rc = spearman_rho(dfc, "x", "y").collect()[0]
     assert rc.rho2 is None and not rc.significant_95
+
+
+def test_kruskal_wallis_vs_brute_force(spark):
+    import bisect
+    import random
+    from collections import Counter
+
+    from ddsparkle.spark.dataops import kruskal_wallis
+
+    def brute(pairs):
+        vals = sorted(v for _, v in pairs)
+        n = len(pairs)
+
+        def mr2(v):
+            return bisect.bisect_left(vals, v) + bisect.bisect_right(vals, v) + 1
+
+        groups = {}
+        for g, v in pairs:
+            groups.setdefault(g, []).append(v)
+        fold = 0.0
+        for g in sorted(groups):  # the pinned fold order
+            sg2 = sum(mr2(v) for v in groups[g])
+            fold = fold + (sg2 * sg2) / (4.0 * len(groups[g]))
+        t = sum(c**3 - c for c in Counter(vals).values())
+        h_raw = 12.0 / (n * (n + 1.0)) * fold - 3.0 * (n + 1.0)
+        return len(groups), n, t, h_raw / (1.0 - t / (float(n) ** 3 - n))
+
+    rng = random.Random(21)
+    for trial in range(4):
+        shift = trial % 2 == 0
+        pairs = []
+        for gi, gname in enumerate(["a", "b", "c", "d"]):
+            off = gi * 3 if shift else 0
+            for _ in range(rng.randrange(40, 120)):
+                pairs.append((gname, float(rng.randrange(0, 25) + off)))
+        df = spark.createDataFrame(pairs, "g string, v double")
+        r = kruskal_wallis(df, "g", "v").collect()[0]
+        k, n, t, h = brute(pairs)
+        assert (r.k, r.n, r.tie_term) == (k, n, t)
+        assert abs(r.h - h) < 1e-9
+        assert r.significant_95 == (h > 7.8147) == shift
+    # explicit crit overrides the dof table
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 9.0), ("b", 10.0)], "g string, v double"
+    )
+    loose = kruskal_wallis(df, "g", "v", crit=0.1).collect()[0]
+    strict = kruskal_wallis(df, "g", "v", crit=1e9).collect()[0]
+    assert loose.significant_95 and not strict.significant_95
