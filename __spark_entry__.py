@@ -4980,6 +4980,42 @@ def q_transcripts_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionByName(rows[1]).orderBy("test_name")
 
 
+def q_events_wilcoxon_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank on planted paired overlays of event values
+    (the deterministic-overlay precedent): x = value + (md5-hash % 3)
+    vs y = value — differences all >= 0, zeros drop -> significant,
+    sign +1; and x = value + (md5-hash % 3 - 1) vs y = value —
+    symmetric {-1,0,+1} differences -> not significant. Both engines
+    build identical doubles (same IEEE add), so every column incl. z2
+    hash-gates."""
+    from ddsparkle.spark.dataops import (
+        _portable_line_key,
+        wilcoxon_signed_rank,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    h = _portable_line_key(F.col("event_id").cast("string"))
+    base = ev.filter(F.col("value").isNotNull()).select(
+        (F.col("value") + (h % 3).cast("double")).alias("x_biased"),
+        (F.col("value") + (h % 3 - 1).cast("double")).alias("x_sym"),
+        F.col("value").alias("y"),
+    )
+    rows = []
+    for name, xc in (("biased_pair", "x_biased"), ("symmetric_pair", "x_sym")):
+        rows.append(
+            wilcoxon_signed_rank(base, xc, "y").select(
+                F.lit(name).alias("test_name"),
+                "n_nonzero",
+                "w2_pos",
+                "tie_term",
+                F.round("z2", 4).alias("z2"),
+                "sign",
+                "significant_95",
+            )
+        )
+    return rows[0].unionByName(rows[1]).orderBy("test_name")
+
+
 def q_transcripts_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kruskal-Wallis across the FOUR roles (one test, not 6 pairwise):
     on turn_idx (roles occupy systematically different positions ->
@@ -5353,6 +5389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Kruskal-Wallis: same chassis + the trimmed-means pinned fold;
         # out-of-window, addendum 63 receipts
         "transcripts_kruskal": q_transcripts_kruskal,
+        # Wilcoxon signed-rank: the PAIRED rank member, same chassis;
+        # out-of-window, addendum 64 receipts
+        "events_wilcoxon_paired": q_events_wilcoxon_paired,
         # KS shares the distinct-value chassis with in-window
         # transcripts_mannwhitney and the DECIMAL rejection algebra with
         # events_chi2_ab_test (machinery anchors) + addendum 60 receipts
@@ -6389,6 +6428,73 @@ def _spearman_sql(tr_src: str) -> str:
     )
 
 
+def _wilcoxon_sql() -> str:
+    """DuckDB twin of q_events_wilcoxon_paired: identical IEEE overlay
+    construction (same md5 hash, same add/subtract tree), midrank chassis
+    in exact integers, z2 finals token-matched to the Spark tree."""
+
+    def leg(name: str, kexpr: str) -> str:
+        p = name
+        return (
+            f"SELECT '{name}' AS test_name, n_nonzero, w2_pos, tie_term, "
+            "ROUND(CASE WHEN n_nonzero > 0 AND "
+            "2.0 * CAST(n_nonzero AS DOUBLE) * "
+            "(CAST(n_nonzero AS DOUBLE) + 1.0) * "
+            "(2.0 * CAST(n_nonzero AS DOUBLE) + 1.0) "
+            "- CAST(tie_term AS DOUBLE) > 0 THEN "
+            "3.0 * CAST(CAST(__d2 AS HUGEINT) * __d2 AS DOUBLE) / "
+            "(2.0 * CAST(n_nonzero AS DOUBLE) * "
+            "(CAST(n_nonzero AS DOUBLE) + 1.0) * "
+            "(2.0 * CAST(n_nonzero AS DOUBLE) + 1.0) "
+            "- CAST(tie_term AS DOUBLE)) END, 4) AS z2, "
+            "CAST(CASE WHEN __d2 > 0 THEN 1 WHEN __d2 < 0 THEN -1 "
+            "ELSE 0 END AS INTEGER) AS sign, "
+            "COALESCE(CASE WHEN n_nonzero > 0 AND "
+            "2.0 * CAST(n_nonzero AS DOUBLE) * "
+            "(CAST(n_nonzero AS DOUBLE) + 1.0) * "
+            "(2.0 * CAST(n_nonzero AS DOUBLE) + 1.0) "
+            "- CAST(tie_term AS DOUBLE) > 0 THEN "
+            "3.0 * CAST(CAST(__d2 AS HUGEINT) * __d2 AS DOUBLE) / "
+            "(2.0 * CAST(n_nonzero AS DOUBLE) * "
+            "(CAST(n_nonzero AS DOUBLE) + 1.0) * "
+            "(2.0 * CAST(n_nonzero AS DOUBLE) + 1.0) "
+            "- CAST(tie_term AS DOUBLE)) END > 3.8416, FALSE) "
+            "AS significant_95 FROM ("
+            "SELECT n_nonzero, w2_pos, tie_term, "
+            "2*w2_pos - n_nonzero*(n_nonzero + 1) AS __d2 FROM ("
+            f"SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nz_{p}) "
+            "AS n_nonzero, "
+            f"(SELECT CAST(SUM(CASE WHEN pos THEN mr2 ELSE 0 END) AS BIGINT) "
+            f"FROM nz_{p} JOIN rk_{p} USING (ad)) AS w2_pos, "
+            f"(SELECT CAST(SUM(c*c*c - c) AS BIGINT) FROM perv_{p}) "
+            "AS tie_term))"
+        )
+
+    def chain(name: str, kexpr: str) -> str:
+        p = name
+        return (
+            f"d_{p} AS (SELECT (value + CAST({kexpr} AS DOUBLE)) - value "
+            "AS d FROM h), "
+            f"nz_{p} AS (SELECT ABS(d) AS ad, d > 0 AS pos FROM d_{p} "
+            "WHERE d != 0), "
+            f"perv_{p} AS (SELECT ad, COUNT(*) AS c FROM nz_{p} "
+            "GROUP BY ad), "
+            f"rk_{p} AS (SELECT ad, 2*COALESCE(SUM(c) OVER (ORDER BY ad "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            f"+ c + 1 AS mr2 FROM perv_{p})"
+        )
+
+    return (
+        "WITH h AS (SELECT value, ('0x' || substr(md5(CAST(event_id AS "
+        "VARCHAR)), 1, 15))::BIGINT AS hh FROM events "
+        "WHERE value IS NOT NULL), "
+        f"{chain('biased_pair', 'hh % 3')}, "
+        f"{chain('symmetric_pair', 'hh % 3 - 1')} "
+        f"SELECT * FROM ({leg('biased_pair', '')} "
+        f"UNION ALL {leg('symmetric_pair', '')}) ORDER BY test_name"
+    )
+
+
 def _kruskal_sql(tr_src: str) -> str:
     """DuckDB twin of q_transcripts_kruskal: midrank group sums in
     HUGEINT, the per-group terms folded left-to-right ascending by group
@@ -6817,6 +6923,7 @@ def oracle_sql() -> dict[str, str]:
         # here — the established hll/kll bound-gate pattern)
         "transcripts_spearman": _spearman_sql(tr_src),
         "transcripts_kruskal": _kruskal_sql(tr_src),
+        "events_wilcoxon_paired": _wilcoxon_sql(),
         # Mann-Whitney: doubled midranks from one groupBy(value) + one
         # cumulative window over DISTINCT values; z2 / effect size reuse
         # the Spark plan's expression string VERBATIM

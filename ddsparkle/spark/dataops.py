@@ -2778,6 +2778,96 @@ def ks_2sample(df, group_col: str, value_col: str):
     )
 
 
+def wilcoxon_signed_rank(df, x_col: str, y_col: str):
+    """Wilcoxon signed-rank test — the PAIRED member of the rank family
+    (before/after on the same unit; :func:`mann_whitney_u` assumes
+    independent samples). Per row d = x - y; zero differences drop (the
+    standard convention, mirrored by the twin); |d| takes doubled
+    midranks from the shared distinct-value chassis; ``w2_pos`` = the
+    doubled rank sum over POSITIVE d (exact int64). With
+    d2 = 2*w2_pos - n*(n+1) (= 4*(W+ - E[W+]), exact), the tie-corrected
+    normal approximation is z^2 = 3*d2^2 / (2n(n+1)(2n+1) - tie_term) —
+    numerator in DECIMAL(38,0), ONE pinned division, so z2, the sign,
+    and ``significant_95`` (z2 > 3.8416) all hash-gate. Returns ONE row
+    [n_nonzero, w2_pos, tie_term, z2, sign, significant_95]; NULL rows
+    excluded; n_nonzero = 0 yields NULL z2 / false.
+
+    Scale shape: one row-local difference in the scan projection, one
+    distinct-|d| aggregate + cumulative window (outcome cardinality),
+    one broadcast rank lookup, one global aggregate — rows never
+    shuffle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    x = F.col(x_col)
+    y = F.col(y_col)
+    base = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .select((x - y).alias("__d"))
+        .filter(F.col("__d") != 0)
+        .select(
+            F.abs(F.col("__d")).alias("__ad"),
+            (F.col("__d") > 0).cast("long").alias("__pos"),
+        )
+    )
+    per_v = base.groupBy("__ad").agg(F.count("*").alias("__c"))
+    w = Window.orderBy("__ad").rowsBetween(Window.unboundedPreceding, -1)
+    ranks = per_v.select(
+        "__ad",
+        "__c",
+        (
+            2 * F.coalesce(F.sum("__c").over(w), F.lit(0).cast("long"))
+            + F.col("__c")
+            + 1
+        ).alias("__mr2"),
+    )
+    joined = base.join(F.broadcast(ranks), "__ad")
+    sums = joined.agg(
+        F.count("*").alias("n_nonzero"),
+        F.sum(F.col("__pos") * F.col("__mr2")).alias("w2_pos"),
+        # tie_term from the rank frame would double-count per row; compute
+        # it from the distinct frame via max over the broadcast columns
+    )
+    tie = per_v.agg(
+        F.sum(
+            F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c")
+        ).alias("tie_term")
+    )
+    dec = "decimal(38,0)"
+    staged = sums.crossJoin(tie).select(
+        "n_nonzero",
+        "w2_pos",
+        "tie_term",
+        (
+            2 * F.col("w2_pos")
+            - F.col("n_nonzero") * (F.col("n_nonzero") + 1)
+        ).alias("__d2"),
+    )
+    dn = F.col("n_nonzero").cast("double")
+    denom = (
+        F.lit(2.0) * dn * (dn + F.lit(1.0)) * (F.lit(2.0) * dn + F.lit(1.0))
+        - F.col("tie_term").cast("double")
+    )
+    z2 = F.when(
+        (F.col("n_nonzero") > 0) & (denom > 0),
+        F.lit(3.0)
+        * (F.col("__d2").cast(dec) * F.col("__d2").cast(dec)).cast("double")
+        / denom,
+    )
+    return staged.select(
+        "n_nonzero",
+        "w2_pos",
+        "tie_term",
+        z2.alias("z2"),
+        F.when(F.col("__d2") > 0, 1)
+        .when(F.col("__d2") < 0, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("sign"),
+        F.coalesce(z2 > F.lit(3.8416), F.lit(False)).alias("significant_95"),
+    )
+
+
 # chi-square upper critical values at alpha=0.05 by degrees of freedom —
 # the pinned constants kruskal_wallis compares H against (k groups -> k-1)
 CHI2_CRIT_95 = {

@@ -550,3 +550,47 @@ def test_kruskal_wallis_vs_brute_force(spark):
     loose = kruskal_wallis(df, "g", "v", crit=0.1).collect()[0]
     strict = kruskal_wallis(df, "g", "v", crit=1e9).collect()[0]
     assert loose.significant_95 and not strict.significant_95
+
+
+def test_wilcoxon_signed_rank_vs_brute_force(spark):
+    import bisect
+    import random
+    from collections import Counter
+
+    from ddsparkle.spark.dataops import wilcoxon_signed_rank
+
+    def brute(pairs):
+        ds = [x - y for x, y in pairs if x != y]
+        n = len(ds)
+        ads = sorted(abs(d) for d in ds)
+
+        def mr2(v):
+            return bisect.bisect_left(ads, v) + bisect.bisect_right(ads, v) + 1
+
+        w2 = sum(mr2(abs(d)) for d in ds if d > 0)
+        t = sum(c**3 - c for c in Counter(ads).values())
+        d2 = 2 * w2 - n * (n + 1)
+        denom = 2.0 * n * (n + 1.0) * (2.0 * n + 1.0) - t
+        z2 = 3.0 * d2 * d2 / denom
+        return n, w2, t, z2, (d2 > 0) - (d2 < 0), z2 > 3.8416
+
+    rng = random.Random(31)
+    for trial in range(4):
+        biased = trial % 2 == 0
+        pairs = []
+        for _ in range(rng.randrange(60, 200)):
+            xv = float(rng.randrange(0, 30))
+            yv = xv - (
+                rng.randrange(0, 4) if biased else rng.randrange(-3, 4)
+            )
+            pairs.append((xv, yv))
+        df = spark.createDataFrame(pairs, "x double, y double")
+        r = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+        n, w2, t, z2, sign, sig = brute(pairs)
+        assert (r.n_nonzero, r.w2_pos, r.tie_term, r.sign) == (n, w2, t, sign)
+        assert abs(r.z2 - z2) < 1e-9
+        assert r.significant_95 == sig == biased
+    # all-equal pairs -> everything drops, NULL z2, not significant
+    dfz = spark.createDataFrame([(1.0, 1.0)] * 5, "x double, y double")
+    rz = wilcoxon_signed_rank(dfz, "x", "y").collect()[0]
+    assert rz.n_nonzero == 0 and rz.z2 is None and not rz.significant_95
