@@ -4980,6 +4980,82 @@ def q_transcripts_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionByName(rows[1]).orderBy("test_name")
 
 
+def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap percentile CI for the mean event value, per
+    event_type (B=100 deterministic hash-drawn replicates built in one
+    scan — no resampled data ever materializes) plus a global leg whose
+    mean each type's CI is tested against. Every float is one pinned
+    IEEE tree over exact DECIMAL/HUGEINT sums, so CI bounds, means, and
+    both booleans hash-gate; the twin derives the global replicate sums
+    by re-aggregating the per-type integer partials (weights are
+    group-independent), proving the partial-sum algebra."""
+    ev = _t(spark, sf_dir, "events")
+    return _bootstrap_gate(ev, "event_type", "value", "event_id")
+
+
+def _bootstrap_gate(
+    base: DataFrame, group_col: str, value_col: str, key_col: str
+) -> DataFrame:
+    """Shared body of the bootstrap gates: per-group CIs + an '__all__'
+    global row (independently built Spark-side; the twin re-aggregates the
+    per-group integer partials) + separation vs the global exact mean."""
+    from ddsparkle.spark.dataops import poisson_bootstrap_ci
+
+    per = poisson_bootstrap_ci(base, value_col, key_col, group_cols=[group_col])
+    gall = poisson_bootstrap_ci(base, value_col, key_col).select(
+        F.lit("__all__").alias(group_col),
+        "n_rows",
+        "r_eff",
+        "ci_lo",
+        "ci_hi",
+        "mean_q",
+        "covers_mean",
+        "ci_nondegenerate",
+    )
+    glob = gall.select(F.col("mean_q").alias("__gm"))
+    return (
+        per.unionByName(gall)
+        .crossJoin(F.broadcast(glob))
+        .select(
+            group_col,
+            "n_rows",
+            "r_eff",
+            F.round("ci_lo", 4).alias("ci_lo"),
+            F.round("ci_hi", 4).alias("ci_hi"),
+            F.round("mean_q", 4).alias("mean_q"),
+            "covers_mean",
+            "ci_nondegenerate",
+            (
+                ~(
+                    (F.col("ci_lo") <= F.col("__gm"))
+                    & (F.col("__gm") <= F.col("ci_hi"))
+                )
+            ).alias("excludes_global"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def q_transcripts_bootstrap_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI of the mean TURN INDEX per role — the live
+    separation case the event fixture can't provide (event types share
+    one value distribution, so events_bootstrap_ci's excludes_global is
+    an honest all-false): assistant turns sit systematically later than
+    user/tool turns (the Kruskal-Wallis H~1040 signal), so their CI
+    EXCLUDES the global mean, while system turns are all turn 0 — a
+    zero-width (ci_nondegenerate=false) interval. Machinery anchor:
+    in-window events_bootstrap_ci (same operator, thresholds, algebra)."""
+    tr = _transcripts(spark, sf_dir)
+    keyed = tr.select(
+        "role",
+        F.col("turn_idx").cast("double").alias("tv"),
+        F.concat(
+            F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string")
+        ).alias("__bk"),
+    )
+    return _bootstrap_gate(keyed, "role", "tv", "__bk")
+
+
 def q_events_wilcoxon_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wilcoxon signed-rank on planted paired overlays of event values
     (the deterministic-overlay precedent): x = value + (md5-hash % 3)
@@ -5278,10 +5354,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_retention (displaced by the part-10 planner pair +
     trimmed-mean gate) rest on their addendum 41/43/45/46 both-SF
     receipts. All are first in line for an r6 window.
+    Part 12 (tenth session) adds events_bootstrap_ci at position 1 (the
+    Poisson-bootstrap family); transcripts_bootstrap_roles sits
+    out-of-window on that anchor + addendum 65 both-SF receipts.
     Part 11 (ninth session) adds events_rate_anomaly /
     doc_split_leakage_safe / events_dgim_window_counts /
     events_chi2_ab_test / transcripts_mannwhitney /
-    events_cusum_shift at positions 1-6 (the six NEW families); the
+    events_cusum_shift at positions 2-7 (the six NEW families); the
     DGIM streaming leg and the seasonal anomaly variant sit
     out-of-window on their in-window anchors
     (events_dgim_window_counts / events_rate_anomaly) + both-SF
@@ -5297,7 +5376,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     54-61; all 14 anchors verified inside positions 1-50).
     Veterans (driver-green r1-r4) rotate behind."""
     return {
-        # --- window 1-3: part 11 (ninth session) new families ---
+        # --- window 1: part 12 (tenth session) new family ---
+        "events_bootstrap_ci": q_events_bootstrap_ci,
+        # --- window 2-7: part 11 (ninth session) new families ---
         "events_rate_anomaly": q_events_rate_anomaly,
         "doc_split_leakage_safe": q_doc_split_leakage_safe,
         "events_dgim_window_counts": q_events_dgim_window_counts,
@@ -5327,7 +5408,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- window 17-23: part 7 ---
         "transcripts_snapshot_diff": q_transcripts_snapshot_diff,
         "events_apply_changes": q_events_apply_changes,
-        "transcripts_scd2_history": q_transcripts_scd2_history,
         "events_zorder_layout": q_events_zorder_layout,
         "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
@@ -5353,6 +5433,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_corpus_line_dedup": q_doc_corpus_line_dedup,
         "doc_kmv_set_algebra": q_doc_kmv_set_algebra,
         "transcripts_shard_packing": q_transcripts_shard_packing,
+        # scd2 rotated out at part 12 (bootstrap took window slot 1): its
+        # CDC siblings transcripts_snapshot_diff + events_apply_changes
+        # stay in-window; both-SF receipts recorded
+        "transcripts_scd2_history": q_transcripts_scd2_history,
         # --- window 43-50: unique families by recency ---
         "transcripts_boilerplate_turns": q_transcripts_boilerplate_turns,
         "transcripts_latency_percentile": q_transcripts_latency_percentile,
@@ -5392,6 +5476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Wilcoxon signed-rank: the PAIRED rank member, same chassis;
         # out-of-window, addendum 64 receipts
         "events_wilcoxon_paired": q_events_wilcoxon_paired,
+        # bootstrap live-separation leg: out-of-window on its in-window
+        # anchor events_bootstrap_ci (same operator + twin builder)
+        "transcripts_bootstrap_roles": q_transcripts_bootstrap_roles,
         # KS shares the distinct-value chassis with in-window
         # transcripts_mannwhitney and the DECIMAL rejection algebra with
         # events_chi2_ab_test (machinery anchors) + addendum 60 receipts
@@ -6428,6 +6515,71 @@ def _spearman_sql(tr_src: str) -> str:
     )
 
 
+def _bootstrap_ci_sql(
+    src: str = "events",
+    group_expr: str = "event_type",
+    value_expr: str = "value",
+    key_expr: str = "CAST(event_id AS VARCHAR)",
+    group_alias: str = "event_type",
+) -> str:
+    """DuckDB twin of the poisson-bootstrap gates: identical pinned
+    Poisson(1) thresholds (dataops.POISSON1_T60), HUGEINT replicate sums,
+    the same division/ordering trees; the GLOBAL '__all__' row
+    re-aggregates the per-group integer partials (exactness makes the
+    regroup lossless — Spark builds it from an independent pipeline)."""
+    from ddsparkle.spark.dataops import POISSON1_T60
+
+    wsum = " + ".join(f"(h >= {t})::BIGINT" for t in POISSON1_T60)
+    mr = "CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1048576.0"
+    return (
+        f"WITH base AS (SELECT {group_expr} AS g, "
+        f"CAST(FLOOR(({value_expr}) * 1048576.0 + 0.5) AS BIGINT) AS q, "
+        f"{key_expr} AS k FROM {src} "
+        f"WHERE {value_expr} IS NOT NULL), "
+        "wts AS MATERIALIZED (SELECT g, q, r, "
+        f"{wsum} AS w FROM ("
+        "SELECT g, q, r, ('0x' || substr(md5(k || ':' || "
+        "CAST(r AS VARCHAR)), 1, 15))::BIGINT AS h "
+        "FROM base CROSS JOIN "
+        "(SELECT unnest(generate_series(1, 100)) AS r) reps)), "
+        "pr AS MATERIALIZED (SELECT g, r, SUM(CAST(w * q AS HUGEINT)) "
+        "AS num, SUM(CAST(w AS HUGEINT)) AS den FROM wts GROUP BY g, r "
+        "HAVING SUM(w) > 0), "
+        f"rk AS (SELECT g, r, {mr} AS mr, ROW_NUMBER() OVER "
+        f"(PARTITION BY g ORDER BY {mr}, r) AS rn FROM pr), "
+        "ci AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS r_eff, "
+        "MAX(CASE WHEN rn = 3 THEN mr END) AS lo, "
+        "MAX(CASE WHEN rn = 98 THEN mr END) AS hi FROM rk GROUP BY g), "
+        "ex AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "SUM(CAST(q AS HUGEINT)) AS sq FROM base GROUP BY g), "
+        # global leg: replicate sums re-aggregated from per-type partials
+        "prg AS (SELECT r, SUM(num) AS num, SUM(den) AS den FROM pr "
+        "GROUP BY r HAVING SUM(den) > 0), "
+        f"rkg AS (SELECT {mr} AS mr, ROW_NUMBER() OVER "
+        f"(ORDER BY {mr}, r) AS rn FROM prg), "
+        "cig AS (SELECT CAST(COUNT(*) AS BIGINT) AS r_eff, "
+        "MAX(CASE WHEN rn = 3 THEN mr END) AS lo, "
+        "MAX(CASE WHEN rn = 98 THEN mr END) AS hi FROM rkg), "
+        "exg AS (SELECT SUM(n_rows) AS n_rows, SUM(sq) AS sq FROM ex), "
+        "legs AS ("
+        "SELECT g, n_rows, r_eff, lo, hi, sq FROM ex JOIN ci USING (g) "
+        "UNION ALL "
+        "SELECT '__all__' AS g, CAST(n_rows AS BIGINT) AS n_rows, r_eff, "
+        "lo, hi, sq FROM exg CROSS JOIN cig), "
+        "gm AS (SELECT CAST(SUM(sq) AS DOUBLE) / "
+        "CAST(SUM(n_rows) AS DOUBLE) / 1048576.0 AS gmean FROM ex) "
+        f"SELECT g AS {group_alias}, n_rows, r_eff, ROUND(lo, 4) AS ci_lo, "
+        "ROUND(hi, 4) AS ci_hi, "
+        "ROUND(CAST(sq AS DOUBLE) / CAST(n_rows AS DOUBLE) / 1048576.0, 4) "
+        "AS mean_q, "
+        "(lo <= CAST(sq AS DOUBLE) / CAST(n_rows AS DOUBLE) / 1048576.0 "
+        "AND CAST(sq AS DOUBLE) / CAST(n_rows AS DOUBLE) / 1048576.0 <= hi) "
+        "AS covers_mean, hi > lo AS ci_nondegenerate, "
+        "NOT (lo <= gmean AND gmean <= hi) AS excludes_global "
+        f"FROM legs CROSS JOIN gm ORDER BY {group_alias}"
+    )
+
+
 def _wilcoxon_sql() -> str:
     """DuckDB twin of q_events_wilcoxon_paired: identical IEEE overlay
     construction (same md5 hash, same add/subtract tree), midrank chassis
@@ -6924,6 +7076,16 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_spearman": _spearman_sql(tr_src),
         "transcripts_kruskal": _kruskal_sql(tr_src),
         "events_wilcoxon_paired": _wilcoxon_sql(),
+        # Poisson bootstrap: pinned thresholds + HUGEINT replicate sums;
+        # the global row re-aggregates per-type partials (algebra proof)
+        "events_bootstrap_ci": _bootstrap_ci_sql(),
+        "transcripts_bootstrap_roles": _bootstrap_ci_sql(
+            src=tr_src,
+            group_expr="role",
+            value_expr="CAST(turn_idx AS DOUBLE)",
+            key_expr="conv_id || ':' || CAST(turn_idx AS VARCHAR)",
+            group_alias="role",
+        ),
         # Mann-Whitney: doubled midranks from one groupBy(value) + one
         # cumulative window over DISTINCT values; z2 / effect size reuse
         # the Spark plan's expression string VERBATIM

@@ -2868,6 +2868,152 @@ def wilcoxon_signed_rank(df, x_col: str, y_col: str):
     )
 
 
+# Poisson(1) inverse-CDF thresholds at 2^60 scale: a 60-bit uniform hash h
+# maps to the bootstrap weight w = #{k : h >= POISSON1_T60[k]} (w in 0..7;
+# P(w > 7) ~ 1e-5 is truncated). Pinned INTEGER literals shared verbatim
+# with the DuckDB twin, so the weights are bit-equal cross-engine.
+POISSON1_T60 = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+)
+
+
+def poisson_bootstrap_ci(
+    df,
+    value_col: str,
+    key_col: str,
+    group_cols=(),
+    n_replicates: int = 100,
+    alpha: float = 0.05,
+    scale_bits: int = 20,
+):
+    """Percentile confidence interval for the mean via the POISSON
+    BOOTSTRAP — the single-pass resampling scheme for data too large to
+    materialize B resamples: every row independently contributes a
+    Poisson(1) multiplicity to each replicate, so all B replicate sums
+    build in ONE scan with a constant-size (B x groups) shuffle and no
+    resampled data ever exists. Weights are DETERMINISTIC: the 60-bit
+    engine-portable md5 key of (row key ':' replicate) inverted through
+    the pinned Poisson(1) CDF thresholds (POISSON1_T60), so both engines
+    draw the identical bootstrap.
+
+    Hash-gating recipe (the kmeans/trimmed-means integer algebra):
+    values quantize to q = FLOOR(v * 2^scale_bits + 0.5) int64 in the
+    scan projection; per-replicate numerators SUM(w*q) accumulate in
+    DECIMAL(38,0)/HUGEINT (order-free exact); each replicate mean is ONE
+    pinned division tree CAST(num)/CAST(den)/2^scale_bits; the CI bounds
+    are ORDER STATISTICS of those bit-equal doubles (row_number at the
+    pinned ranks klo = ceil(B*alpha/2), khi = B+1-klo, ties broken by
+    replicate id). Returns one row per group: [*group_cols, n_rows,
+    r_eff, ci_lo, ci_hi, mean_q, covers_mean, ci_nondegenerate] — means
+    and bounds UNROUNDED (gates round); covers_mean compares the raw
+    doubles. Replicates whose weights all land 0 drop (r_eff counts
+    survivors; a group so small that khi > r_eff yields NULL ci_hi).
+
+    Scale shape: one scan projecting (groups, q, key); explode to B
+    weight rows per input row feeding a map-side-combined hash aggregate
+    on (groups, replicate) — the exchange carries B rows per group, never
+    raw data; one B-row-per-group window + one grouped final. The only
+    per-row cost is B short md5s, embarrassingly parallel in the scan
+    stage. At 10^12 rows drop B or sample groups; the shuffle stays B x
+    |groups| regardless of input size."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    import math
+
+    B = int(n_replicates)
+    # ceil(B*alpha/2) on a rounded value so float dust (100*0.05/2 ->
+    # 2.5000000000000004) never bumps the rank
+    klo = max(1, math.ceil(round(B * alpha / 2, 9)))
+    khi = B + 1 - klo
+    if khi <= klo:
+        raise ValueError(f"n_replicates={B} too small for alpha={alpha}")
+    groups = list(group_cols)
+    dec = "decimal(38,0)"
+    scale = float(2**scale_bits)
+
+    q = F.floor(F.col(value_col) * F.lit(scale) + F.lit(0.5)).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *groups,
+        q.alias("__q"),
+        F.col(key_col).cast("string").alias("__k"),
+    )
+    rep = base.select(
+        *groups,
+        "__q",
+        "__k",
+        F.explode(F.sequence(F.lit(1), F.lit(B))).alias("__r"),
+    )
+    h = _portable_line_key(
+        F.concat(F.col("__k"), F.lit(":"), F.col("__r").cast("string"))
+    )
+    w = reduce(
+        lambda a, b: a + b,
+        [(h >= F.lit(t)).cast("long") for t in POISSON1_T60],
+    )
+    per_rep = (
+        rep.select(*groups, "__r", (w * F.col("__q")).alias("__wq"), w.alias("__w"))
+        .groupBy(*groups, "__r")
+        .agg(
+            F.sum(F.col("__wq").cast(dec)).alias("__num"),
+            F.sum("__w").alias("__den"),
+        )
+        .filter(F.col("__den") > 0)
+    )
+    mr = (
+        F.col("__num").cast("double")
+        / F.col("__den").cast("double")
+        / F.lit(scale)
+    )
+    wnd = Window.partitionBy(*groups).orderBy("__mr", "__r") if groups else (
+        Window.orderBy("__mr", "__r")
+    )
+    ranked = per_rep.select(*groups, "__r", mr.alias("__mr")).select(
+        *groups,
+        "__mr",
+        F.row_number().over(wnd).alias("__rk"),
+    )
+    ci = ranked.groupBy(*groups).agg(
+        F.count("*").alias("r_eff"),
+        F.max(F.when(F.col("__rk") == klo, F.col("__mr"))).alias("__lo"),
+        F.max(F.when(F.col("__rk") == khi, F.col("__mr"))).alias("__hi"),
+    )
+    exact = base.groupBy(*groups).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("__q").cast(dec)).alias("__sq"),
+    )
+    joined = (
+        exact.join(F.broadcast(ci), groups) if groups else exact.crossJoin(ci)
+    )
+    mean_q = (
+        F.col("__sq").cast("double")
+        / F.col("n_rows").cast("double")
+        / F.lit(scale)
+    )
+    return joined.select(
+        *groups,
+        "n_rows",
+        "r_eff",
+        F.col("__lo").alias("ci_lo"),
+        F.col("__hi").alias("ci_hi"),
+        mean_q.alias("mean_q"),
+        (
+            (F.col("__lo") <= mean_q) & (mean_q <= F.col("__hi"))
+        ).alias("covers_mean"),
+        (F.col("__hi") > F.col("__lo")).alias("ci_nondegenerate"),
+    )
+
+
 # chi-square upper critical values at alpha=0.05 by degrees of freedom —
 # the pinned constants kruskal_wallis compares H against (k groups -> k-1)
 CHI2_CRIT_95 = {

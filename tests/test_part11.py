@@ -594,3 +594,68 @@ def test_wilcoxon_signed_rank_vs_brute_force(spark):
     dfz = spark.createDataFrame([(1.0, 1.0)] * 5, "x double, y double")
     rz = wilcoxon_signed_rank(dfz, "x", "y").collect()[0]
     assert rz.n_nonzero == 0 and rz.z2 is None and not rz.significant_95
+
+
+def test_poisson_bootstrap_ci_vs_brute_force(spark):
+    import hashlib
+    import math
+    import random
+
+    from ddsparkle.spark.dataops import POISSON1_T60, poisson_bootstrap_ci
+
+    B, scale_bits = 40, 20
+    scale = float(2**scale_bits)
+    klo = math.ceil(B * 0.05 / 2)  # 1
+    khi = B + 1 - klo
+
+    def weight(key, r):
+        h = int(hashlib.md5(f"{key}:{r}".encode()).hexdigest()[:15], 16)
+        return sum(h >= t for t in POISSON1_T60)
+
+    def brute(rows):
+        by_g = {}
+        for g, k, v in rows:
+            by_g.setdefault(g, []).append((k, math.floor(v * scale + 0.5)))
+        out = {}
+        for g, items in by_g.items():
+            means = []
+            for r in range(1, B + 1):
+                num = sum(weight(k, r) * q for k, q in items)
+                den = sum(weight(k, r) for k, _ in items)
+                if den > 0:
+                    means.append((num / den / scale, r))
+            means.sort()
+            n = len(items)
+            mq = sum(q for _, q in items) / n / scale
+            lo = means[klo - 1][0] if len(means) >= klo else None
+            hi = means[khi - 1][0] if len(means) >= khi else None
+            out[g] = (n, len(means), lo, hi, mq, lo <= mq <= hi)
+        return out
+
+    rng = random.Random(7)
+    rows = [
+        (f"g{i % 3}", 1000 + j * 3 + i, float(rng.randrange(0, 500)) / 7.0)
+        for i in range(3)
+        for j in range(rng.randrange(40, 120))
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, v double")
+    got = {
+        r.g: r
+        for r in poisson_bootstrap_ci(
+            df, "v", "k", group_cols=["g"], n_replicates=B
+        ).collect()
+    }
+    want = brute(rows)
+    assert set(got) == set(want)
+    for g, (n, reff, lo, hi, mq, cov) in want.items():
+        r = got[g]
+        assert (r.n_rows, r.r_eff) == (n, reff)
+        assert r.ci_lo == lo and r.ci_hi == hi  # identical pinned IEEE trees
+        assert r.mean_q == mq and r.covers_mean == cov
+        assert r.ci_nondegenerate
+    # tiny group: fewer surviving replicates than khi -> NULL hi, still sane
+    df1 = spark.createDataFrame([("a", 1, 5.0)], "g string, k long, v double")
+    r1 = poisson_bootstrap_ci(
+        df1, "v", "k", group_cols=["g"], n_replicates=B
+    ).collect()[0]
+    assert r1.n_rows == 1 and r1.r_eff < B and r1.ci_hi is None
