@@ -5056,6 +5056,77 @@ def q_transcripts_bootstrap_roles(spark: SparkSession, sf_dir: str) -> DataFrame
     return _bootstrap_gate(keyed, "role", "tv", "__bk")
 
 
+def q_emb_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL +/-1 random projection of the 64-dim embeddings to k=16, one
+    exploded (vec_id, j, yj) row per output coordinate — every yj is an
+    exact int64 dot of quantized coordinates against the pinned sign
+    matrix, so the whole surface hash-gates with zero float risk. The
+    twin recomputes the same dots relationally (unnest + a 1024-row
+    pinned VALUES sign table)."""
+    from ddsparkle.spark.dataops import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = jl_project(emb, "embedding", "vec_id", d_in=64, k=16)
+    return (
+        proj.select("vec_id", F.posexplode("proj").alias("j0", "yj"))
+        .select("vec_id", (F.col("j0") + 1).alias("j"), "yj")
+        .orderBy("vec_id", "j")
+    )
+
+
+def q_emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL distortion receipt over a deterministic sample (vec_id % 13):
+    for every sampled pair, ratio_ppm = (||ya-yb||^2 * 10^6) DIV
+    (k * ||qa-qb||^2) — the integer-DIV rate recipe (E[ratio] = 10^6 for
+    +/-1 signs). scale_bits=10 keeps dproj*10^6 inside int64. n/min/max/
+    sum are exact integers; the bound booleans pin the JL concentration
+    (validated live at both SFs). Anchor: emb_jl_projection (same
+    operator + sign matrix)."""
+    from ddsparkle.spark.dataops import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = emb.filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == 64)
+        & (F.col("vec_id") % 13 == 0)
+    )
+    proj = jl_project(sample, "embedding", "vec_id", d_in=64, k=16, scale_bits=10)
+    orig = sample.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(FLOOR(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT))"
+        ).alias("q"),
+    )
+    both = orig.join(proj, "vec_id")
+    a = both.select(
+        F.col("vec_id").alias("ida"),
+        F.col("q").alias("qa"),
+        F.col("proj").alias("pa"),
+    )
+    b = both.select(
+        F.col("vec_id").alias("idb"),
+        F.col("q").alias("qb"),
+        F.col("proj").alias("pb"),
+    )
+    sq = "aggregate(zip_with({0}, {1}, (x, y) -> (x - y) * (x - y)), 0L, (acc, t) -> acc + t)"
+    pairs = a.join(F.broadcast(b), F.col("ida") < F.col("idb")).select(
+        F.expr(sq.format("qa", "qb")).alias("dorig"),
+        F.expr(sq.format("pa", "pb")).alias("dproj"),
+    )
+    r = pairs.filter(F.col("dorig") > 0).select(
+        F.expr("(dproj * 1000000) DIV (16 * dorig)").alias("ratio_ppm")
+    )
+    return r.agg(
+        F.count("*").alias("n_pairs"),
+        F.min("ratio_ppm").alias("min_ppm"),
+        F.max("ratio_ppm").alias("max_ppm"),
+        F.sum("ratio_ppm").alias("sum_ppm"),
+        (F.min("ratio_ppm") >= F.lit(100000)).alias("min_in_bound"),
+        (F.max("ratio_ppm") <= F.lit(10000000)).alias("max_in_bound"),
+    )
+
+
 def q_events_wilcoxon_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wilcoxon signed-rank on planted paired overlays of event values
     (the deterministic-overlay precedent): x = value + (md5-hash % 3)
@@ -5354,13 +5425,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_retention (displaced by the part-10 planner pair +
     trimmed-mean gate) rest on their addendum 41/43/45/46 both-SF
     receipts. All are first in line for an r6 window.
-    Part 12 (tenth session) adds events_bootstrap_ci at position 1 (the
-    Poisson-bootstrap family); transcripts_bootstrap_roles sits
-    out-of-window on that anchor + addendum 65 both-SF receipts.
+    Part 12 (tenth session) adds events_bootstrap_ci and
+    emb_jl_projection at positions 1-2 (the Poisson-bootstrap and
+    JL-projection families); transcripts_bootstrap_roles and
+    emb_jl_distortion sit out-of-window on those anchors + addenda
+    65-66 both-SF receipts. The two slots came from the CDC family
+    (transcripts_snapshot_diff stays in-window; events_apply_changes +
+    transcripts_scd2_history rotated with fresh sf0.1 replays).
     Part 11 (ninth session) adds events_rate_anomaly /
     doc_split_leakage_safe / events_dgim_window_counts /
     events_chi2_ab_test / transcripts_mannwhitney /
-    events_cusum_shift at positions 2-7 (the six NEW families); the
+    events_cusum_shift at positions 3-8 (the six NEW families); the
     DGIM streaming leg and the seasonal anomaly variant sit
     out-of-window on their in-window anchors
     (events_dgim_window_counts / events_rate_anomaly) + both-SF
@@ -5376,9 +5451,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     54-61; all 14 anchors verified inside positions 1-50).
     Veterans (driver-green r1-r4) rotate behind."""
     return {
-        # --- window 1: part 12 (tenth session) new family ---
+        # --- window 1-2: part 12 (tenth session) new families ---
         "events_bootstrap_ci": q_events_bootstrap_ci,
-        # --- window 2-7: part 11 (ninth session) new families ---
+        "emb_jl_projection": q_emb_jl_projection,
+        # --- window 3-8: part 11 (ninth session) new families ---
         "events_rate_anomaly": q_events_rate_anomaly,
         "doc_split_leakage_safe": q_doc_split_leakage_safe,
         "events_dgim_window_counts": q_events_dgim_window_counts,
@@ -5407,7 +5483,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_name_editdist": q_customer_name_editdist,
         # --- window 17-23: part 7 ---
         "transcripts_snapshot_diff": q_transcripts_snapshot_diff,
-        "events_apply_changes": q_events_apply_changes,
         "events_zorder_layout": q_events_zorder_layout,
         "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
@@ -5433,9 +5508,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_corpus_line_dedup": q_doc_corpus_line_dedup,
         "doc_kmv_set_algebra": q_doc_kmv_set_algebra,
         "transcripts_shard_packing": q_transcripts_shard_packing,
-        # scd2 rotated out at part 12 (bootstrap took window slot 1): its
-        # CDC siblings transcripts_snapshot_diff + events_apply_changes
-        # stay in-window; both-SF receipts recorded
+        # CDC rotation for the two part-12 slots (bootstrap + JL): the
+        # family keeps transcripts_snapshot_diff in-window;
+        # events_apply_changes and transcripts_scd2_history rest on
+        # fresh both-SF receipts (addendum 65)
+        "events_apply_changes": q_events_apply_changes,
         "transcripts_scd2_history": q_transcripts_scd2_history,
         # --- window 43-50: unique families by recency ---
         "transcripts_boilerplate_turns": q_transcripts_boilerplate_turns,
@@ -5479,6 +5556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bootstrap live-separation leg: out-of-window on its in-window
         # anchor events_bootstrap_ci (same operator + twin builder)
         "transcripts_bootstrap_roles": q_transcripts_bootstrap_roles,
+        # JL distortion receipt: out-of-window on its in-window anchor
+        # emb_jl_projection (same operator + pinned sign matrix)
+        "emb_jl_distortion": q_emb_jl_distortion,
         # KS shares the distinct-value chassis with in-window
         # transcripts_mannwhitney and the DECIMAL rejection algebra with
         # events_chi2_ab_test (machinery anchors) + addendum 60 receipts
@@ -6580,6 +6660,65 @@ def _bootstrap_ci_sql(
     )
 
 
+def _jl_sign_values() -> str:
+    """The pinned 64x16 +/-1 sign matrix as a DuckDB VALUES list —
+    generated from the SAME dataops.jl_sign_matrix the Spark operator
+    embeds, so both engines hold identical literals."""
+    from ddsparkle.spark.dataops import jl_sign_matrix
+
+    S = jl_sign_matrix(64, 16)
+    return ", ".join(
+        f"({d + 1},{j + 1},{S[d][j]})" for d in range(64) for j in range(16)
+    )
+
+
+def _jl_projection_sql() -> str:
+    """DuckDB twin of q_emb_jl_projection: unnest + subscript ordinality,
+    the identical quantization tree, and SUM(qd * sgn) against the pinned
+    sign VALUES table — exact int64 on both engines."""
+    return (
+        "WITH q AS (SELECT vec_id, d, "
+        "CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS qd "
+        "FROM (SELECT vec_id, unnest(embedding) AS x, "
+        "generate_subscripts(embedding, 1) AS d FROM embeddings "
+        "WHERE embedding IS NOT NULL AND len(embedding) = 64)), "
+        f"s(d, j, sgn) AS (VALUES {_jl_sign_values()}) "
+        "SELECT vec_id, j, CAST(SUM(qd * sgn) AS BIGINT) AS yj "
+        "FROM q JOIN s USING (d) GROUP BY vec_id, j ORDER BY vec_id, j"
+    )
+
+
+def _jl_distortion_sql() -> str:
+    """DuckDB twin of q_emb_jl_distortion: per-pair squared distances as
+    grouped integer sums over the dimension-aligned self-joins, the same
+    integer-DIV ppm ratio (// == DIV for non-negative ints)."""
+    return (
+        "WITH q AS (SELECT vec_id, d, "
+        "CAST(FLOOR(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT) AS qd "
+        "FROM (SELECT vec_id, unnest(embedding) AS x, "
+        "generate_subscripts(embedding, 1) AS d FROM embeddings "
+        "WHERE embedding IS NOT NULL AND len(embedding) = 64 "
+        "AND vec_id % 13 = 0)), "
+        f"s(d, j, sgn) AS (VALUES {_jl_sign_values()}), "
+        "y AS (SELECT vec_id, j, SUM(qd * sgn) AS yj FROM q JOIN s "
+        "USING (d) GROUP BY vec_id, j), "
+        "do2 AS (SELECT a.vec_id AS ida, b.vec_id AS idb, "
+        "SUM((a.qd - b.qd) * (a.qd - b.qd)) AS dorig FROM q a JOIN q b "
+        "ON a.d = b.d AND a.vec_id < b.vec_id GROUP BY 1, 2), "
+        "dp2 AS (SELECT a.vec_id AS ida, b.vec_id AS idb, "
+        "SUM((a.yj - b.yj) * (a.yj - b.yj)) AS dproj FROM y a JOIN y b "
+        "ON a.j = b.j AND a.vec_id < b.vec_id GROUP BY 1, 2), "
+        "r AS (SELECT (CAST(dproj AS BIGINT) * 1000000) // "
+        "(16 * CAST(dorig AS BIGINT)) AS ratio_ppm "
+        "FROM do2 JOIN dp2 USING (ida, idb) WHERE dorig > 0) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "MIN(ratio_ppm) AS min_ppm, MAX(ratio_ppm) AS max_ppm, "
+        "CAST(SUM(ratio_ppm) AS BIGINT) AS sum_ppm, "
+        "MIN(ratio_ppm) >= 100000 AS min_in_bound, "
+        "MAX(ratio_ppm) <= 10000000 AS max_in_bound FROM r"
+    )
+
+
 def _wilcoxon_sql() -> str:
     """DuckDB twin of q_events_wilcoxon_paired: identical IEEE overlay
     construction (same md5 hash, same add/subtract tree), midrank chassis
@@ -7079,6 +7218,9 @@ def oracle_sql() -> dict[str, str]:
         # Poisson bootstrap: pinned thresholds + HUGEINT replicate sums;
         # the global row re-aggregates per-type partials (algebra proof)
         "events_bootstrap_ci": _bootstrap_ci_sql(),
+        # JL projection: pinned sign matrix shared via jl_sign_matrix
+        "emb_jl_projection": _jl_projection_sql(),
+        "emb_jl_distortion": _jl_distortion_sql(),
         "transcripts_bootstrap_roles": _bootstrap_ci_sql(
             src=tr_src,
             group_expr="role",

@@ -3014,6 +3014,79 @@ def poisson_bootstrap_ci(
     )
 
 
+def jl_sign_matrix(d_in: int, k: int, seed_tag: str = "jl"):
+    """Deterministic +/-1 Johnson-Lindenstrauss sign matrix (d_in x k):
+    sign(d, j) = +1 iff the last md5 byte of ``{seed_tag}:{d}:{j}`` is
+    even. Engine-independent by construction — the signs are computed
+    ONCE driver-side and pinned as literals into both the Spark plan and
+    the DuckDB twin, so no cross-engine hash contract is needed."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"{seed_tag}:{d}:{j}".encode()).digest()[-1] % 2
+            == 0
+            else -1
+            for j in range(k)
+        ]
+        for d in range(d_in)
+    ]
+
+
+def jl_project(
+    df,
+    emb_col: str,
+    id_col: str,
+    d_in: int,
+    k: int = 16,
+    scale_bits: int = 20,
+    seed_tag: str = "jl",
+):
+    """Johnson-Lindenstrauss random projection of an embedding column to
+    k dimensions under the pinned +/-1 sign matrix — the dimensionality
+    reducer in front of ANN / clustering (distances are preserved within
+    the JL distortion bound in expectation: E||y_a - y_b||^2 =
+    k * ||q_a - q_b||^2 for +/-1 signs). INTEGER-EXACT end to end:
+    coordinates quantize to q_d = FLOOR(x_d * 2^scale_bits + 0.5) int64
+    (the k-means recipe) and y_j = SUM_d sign(d,j) * q_d is an exact
+    int64 dot — the output hash-gates with zero float risk. Returns
+    (id_col, proj array<bigint> length k); NULL/short embeddings are
+    dropped (length must equal d_in).
+
+    Per-element work over the d_in-long arrays goes through ONE
+    Arrow-batched numpy matmul in mapInPandas (the
+    _batch_shingle_hashes precedent — Catalyst HOFs evaluate
+    interpretively per element and measured 13x slower on long arrays);
+    the stage is scan-fused, nothing shuffles. At 10^12 rows the cost is
+    one (batch x d_in) @ (d_in x k) int64 matmul per Arrow batch,
+    embarrassingly parallel."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    S = np.array(jl_sign_matrix(d_in, k, seed_tag), dtype=np.int64)
+    scale = float(2**scale_bits)
+    schema = f"{id_col} long, proj array<bigint>"
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            Q = np.floor(E * scale + 0.5).astype(np.int64)
+            Y = Q @ S
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "proj": list(Y)}
+            )
+
+    base = df.filter(
+        F.col(emb_col).isNotNull() & (F.size(F.col(emb_col)) == d_in)
+    ).select(id_col, emb_col)
+    return base.mapInPandas(fn, schema)
+
+
 # chi-square upper critical values at alpha=0.05 by degrees of freedom —
 # the pinned constants kruskal_wallis compares H against (k groups -> k-1)
 CHI2_CRIT_95 = {

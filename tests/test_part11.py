@@ -659,3 +659,37 @@ def test_poisson_bootstrap_ci_vs_brute_force(spark):
         df1, "v", "k", group_cols=["g"], n_replicates=B
     ).collect()[0]
     assert r1.n_rows == 1 and r1.r_eff < B and r1.ci_hi is None
+
+
+def test_jl_project_vs_numpy_brute_force(spark):
+    import math
+    import random
+
+    import numpy as np
+
+    from ddsparkle.spark.dataops import jl_project, jl_sign_matrix
+
+    d_in, k = 12, 6
+    S = np.array(jl_sign_matrix(d_in, k), dtype=np.int64)
+    assert set(S.flatten().tolist()) == {-1, 1}
+    # the matrix is pinned: same call, same literals
+    assert jl_sign_matrix(d_in, k) == jl_sign_matrix(d_in, k)
+    assert jl_sign_matrix(d_in, k, "other") != jl_sign_matrix(d_in, k)
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(d_in)]) for i in range(80)
+    ]
+    rows.append((900, None))  # dropped
+    rows.append((901, [0.5] * (d_in - 1)))  # wrong length -> dropped
+    df = spark.createDataFrame(rows, "vid long, emb array<double>")
+    got = {
+        r.vid: list(r.proj)
+        for r in jl_project(df, "emb", "vid", d_in=d_in, k=k).collect()
+    }
+    assert set(got) == {i for i, _ in rows[:80]}
+    for vid, emb in rows[:80]:
+        q = np.array(
+            [math.floor(x * 1048576.0 + 0.5) for x in emb], dtype=np.int64
+        )
+        assert got[vid] == (q @ S).tolist()

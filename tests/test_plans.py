@@ -738,3 +738,35 @@ def test_spearman_broadcast_rank_lookups_no_row_shuffle(spark, sf_dir):
     plan = plan_of(spearman_rho(df, "x", "y"))
     assert "SortMergeJoin" not in plan
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
+
+
+def test_bootstrap_constant_size_shuffle_broadcast_final(spark, sf_dir):
+    """poisson_bootstrap_ci: the explode(Generate) must sit BELOW the
+    first HashAggregate (replicate sums partial-aggregate map-side, so
+    only B x groups rows reach the exchange — never B x input rows), the
+    exact-stats join must be a BroadcastHashJoin, and no SortMergeJoin
+    exists. Hash exchanges: (group, replicate) partials, the window's
+    group re-partition, and the exact-stats aggregate."""
+    import re
+
+    from ddsparkle.spark.dataops import poisson_bootstrap_ci
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = plan_of(
+        poisson_bootstrap_ci(
+            df, "value", "event_id", group_cols=["event_type"]
+        )
+    )
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    # the Generate's output feeds a partial HashAggregate before any
+    # exchange: formatted plans list nodes bottom-up per stage, so the
+    # first Exchange AFTER the Generate line must come after at least one
+    # HashAggregate (map-side combine of the exploded weight rows)
+    gen_pos = plan.index(") Generate")
+    exch_pos = plan.index(") Exchange", gen_pos)
+    assert ") HashAggregate" in plan[gen_pos:exch_pos], plan[
+        gen_pos:exch_pos
+    ]
+    assert len(re.findall(r"hashpartitioning", plan)) == 3, plan
