@@ -5012,6 +5012,13 @@ def _bootstrap_gate(
         "covers_mean",
         "ci_nondegenerate",
     )
+    return _bootstrap_present(per, gall, group_col)
+
+
+def _bootstrap_present(per: DataFrame, gall: DataFrame, group_col: str) -> DataFrame:
+    """Presentation half of the bootstrap gates (shared by the batch and
+    streaming legs): union the '__all__' row, round, and test each
+    group's CI against the global exact mean."""
     glob = gall.select(F.col("mean_q").alias("__gm"))
     return (
         per.unionByName(gall)
@@ -5034,6 +5041,92 @@ def _bootstrap_gate(
         )
         .orderBy(group_col)
     )
+
+
+def q_streaming_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap's STREAMING leg: each micro-batch computes its
+    (event_type, replicate) DECIMAL(38,0)/int64 partials via
+    ``bootstrap_partials`` and merges into a driver accumulator by exact
+    integer addition — associative and bit-for-bit, so the drained
+    stream's partials equal the one-shot batch build's and the finalized
+    CIs match q_events_bootstrap_ci EXACTLY (this gate shares its twin
+    verbatim; the '__all__' row re-aggregates the accumulated per-type
+    partials — the same regroup the twin performs). At scale: a running
+    CI maintained from B x |groups| integers of state, no raw retention."""
+    import decimal
+    import tempfile
+
+    from ddsparkle.spark.dataops import bootstrap_finalize, bootstrap_partials
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    acc: dict = {}
+    eacc: dict = {}
+
+    def sink(batch_df, _batch_id):
+        pr, ex = bootstrap_partials(
+            batch_df, "value", "event_id", ["event_type"], 100, 20
+        )
+        for r in pr.collect():
+            st = acc.setdefault((r["event_type"], r["__r"]), [0, 0])
+            st[0] += int(r["__num"])
+            st[1] += r["__den"]
+        for r in ex.collect():
+            st = eacc.setdefault(r["event_type"], [0, 0])
+            st[0] += r["n_rows"]
+            st[1] += int(r["__sq"])
+
+    with tempfile.TemporaryDirectory(prefix="ddsparkle-bootstream-") as tmp:
+        sq = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sf_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+
+    dec = decimal.Decimal
+    pr_schema = "event_type string, __r int, __num decimal(38,0), __den long"
+    ex_schema = "event_type string, n_rows long, __sq decimal(38,0)"
+    per_rep = spark.createDataFrame(
+        [(g, r, dec(n), d) for (g, r), (n, d) in sorted(acc.items())],
+        pr_schema,
+    )
+    exact = spark.createDataFrame(
+        [(g, n, dec(s)) for g, (n, s) in sorted(eacc.items())], ex_schema
+    )
+    per = bootstrap_finalize(per_rep, exact, ["event_type"], 3, 98, 20)
+    # the global leg re-aggregates the accumulated per-type partials —
+    # exact integers, so this equals a from-scratch global pipeline
+    gacc: dict = {}
+    for (_g, r), (n, d) in acc.items():
+        st = gacc.setdefault(r, [0, 0])
+        st[0] += n
+        st[1] += d
+    gn = sum(n for n, _ in eacc.values())
+    gs = sum(s for _, s in eacc.values())
+    gper = spark.createDataFrame(
+        [(r, dec(n), d) for r, (n, d) in sorted(gacc.items())],
+        "__r int, __num decimal(38,0), __den long",
+    )
+    gexact = spark.createDataFrame(
+        [(gn, dec(gs))], "n_rows long, __sq decimal(38,0)"
+    )
+    gall = bootstrap_finalize(gper, gexact, [], 3, 98, 20).select(
+        F.lit("__all__").alias("event_type"),
+        "n_rows",
+        "r_eff",
+        "ci_lo",
+        "ci_hi",
+        "mean_q",
+        "covers_mean",
+        "ci_nondegenerate",
+    )
+    return _bootstrap_present(per, gall, "event_type")
 
 
 def q_transcripts_bootstrap_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5429,7 +5522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     emb_jl_projection at positions 1-2 (the Poisson-bootstrap and
     JL-projection families); transcripts_bootstrap_roles and
     emb_jl_distortion sit out-of-window on those anchors + addenda
-    65-66 both-SF receipts. The two slots came from the CDC family
+    65-66 both-SF receipts; streaming_bootstrap_ci is a bit-equal
+    integer merge of the in-window batch build's partials (shared twin,
+    addendum 67). The two slots came from the CDC family
     (transcripts_snapshot_diff stays in-window; events_apply_changes +
     transcripts_scd2_history rotated with fresh sf0.1 replays).
     Part 11 (ninth session) adds events_rate_anomaly /
@@ -5559,6 +5654,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # JL distortion receipt: out-of-window on its in-window anchor
         # emb_jl_projection (same operator + pinned sign matrix)
         "emb_jl_distortion": q_emb_jl_distortion,
+        # bootstrap streaming leg: bit-equal integer merge of the
+        # in-window batch build's partials (shares its twin verbatim)
+        "streaming_bootstrap_ci": q_streaming_bootstrap_ci,
         # KS shares the distinct-value chassis with in-window
         # transcripts_mannwhitney and the DECIMAL rejection algebra with
         # events_chi2_ab_test (machinery anchors) + addendum 60 receipts
@@ -7218,6 +7316,8 @@ def oracle_sql() -> dict[str, str]:
         # Poisson bootstrap: pinned thresholds + HUGEINT replicate sums;
         # the global row re-aggregates per-type partials (algebra proof)
         "events_bootstrap_ci": _bootstrap_ci_sql(),
+        # streaming leg merges the same integer partials -> same twin
+        "streaming_bootstrap_ci": _bootstrap_ci_sql(),
         # JL projection: pinned sign matrix shared via jl_sign_matrix
         "emb_jl_projection": _jl_projection_sql(),
         "emb_jl_distortion": _jl_distortion_sql(),

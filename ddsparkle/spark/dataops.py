@@ -2922,11 +2922,6 @@ def poisson_bootstrap_ci(
     per-row cost is B short md5s, embarrassingly parallel in the scan
     stage. At 10^12 rows drop B or sample groups; the shuffle stays B x
     |groups| regardless of input size."""
-    from functools import reduce
-
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
     if not 0 < alpha < 1:
         raise ValueError(f"alpha must be in (0,1), got {alpha}")
     import math
@@ -2939,9 +2934,26 @@ def poisson_bootstrap_ci(
     if khi <= klo:
         raise ValueError(f"n_replicates={B} too small for alpha={alpha}")
     groups = list(group_cols)
+    per_rep, exact = bootstrap_partials(
+        df, value_col, key_col, groups, B, scale_bits
+    )
+    return bootstrap_finalize(per_rep, exact, groups, klo, khi, scale_bits)
+
+
+def bootstrap_partials(df, value_col, key_col, groups, B, scale_bits):
+    """Stage 1 of the Poisson bootstrap: the MERGEABLE integer partials.
+    Returns (per_rep, exact) — per_rep = (groups, __r, __num DECIMAL(38,0),
+    __den long) replicate sums, exact = (groups, n_rows, __sq) — all
+    exact integers, so partials from disjoint row sets (partitions OR
+    micro-batches) merge by plain addition, bit-for-bit associative.
+    No den>0 filter here: a replicate that drew all-zero weights in one
+    slice may gain weight in the next; the finalizer filters."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
     dec = "decimal(38,0)"
     scale = float(2**scale_bits)
-
     q = F.floor(F.col(value_col) * F.lit(scale) + F.lit(0.5)).cast("long")
     base = df.filter(F.col(value_col).isNotNull()).select(
         *groups,
@@ -2968,8 +2980,24 @@ def poisson_bootstrap_ci(
             F.sum(F.col("__wq").cast(dec)).alias("__num"),
             F.sum("__w").alias("__den"),
         )
-        .filter(F.col("__den") > 0)
     )
+    exact = base.groupBy(*groups).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("__q").cast(dec)).alias("__sq"),
+    )
+    return per_rep, exact
+
+
+def bootstrap_finalize(per_rep, exact, groups, klo, khi, scale_bits):
+    """Stage 2 of the Poisson bootstrap: rank the replicate means (one
+    pinned division tree each) and pick the CI order statistics. Input
+    partials may come straight from :func:`bootstrap_partials` or from
+    integer-merged accumulations of them (the streaming leg)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    scale = float(2**scale_bits)
+    per_rep = per_rep.filter(F.col("__den") > 0)
     mr = (
         F.col("__num").cast("double")
         / F.col("__den").cast("double")
@@ -2987,10 +3015,6 @@ def poisson_bootstrap_ci(
         F.count("*").alias("r_eff"),
         F.max(F.when(F.col("__rk") == klo, F.col("__mr"))).alias("__lo"),
         F.max(F.when(F.col("__rk") == khi, F.col("__mr"))).alias("__hi"),
-    )
-    exact = base.groupBy(*groups).agg(
-        F.count("*").alias("n_rows"),
-        F.sum(F.col("__q").cast(dec)).alias("__sq"),
     )
     joined = (
         exact.join(F.broadcast(ci), groups) if groups else exact.crossJoin(ci)
