@@ -4980,6 +4980,48 @@ def q_transcripts_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionByName(rows[1]).orderBy("test_name")
 
 
+def q_transcripts_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact OLS trend estimation at conversation granularity, two legs
+    (the spearman-gate construction): total_chars regressed on n_turns
+    (strong positive slope — each turn adds text — significant) and a
+    bounded hash target (hash % 10^6 — independent of structure, flat).
+    Power sums in DECIMAL(38,0)/HUGEINT, finals through the shared
+    _linreg_final_exprs trees, slope sign from the exact integer
+    numerator — every column hash-gates."""
+    from ddsparkle.spark.dataops import _portable_line_key, linreg
+
+    df = _transcripts(spark, sf_dir)
+    per_conv = (
+        df.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("double").alias("n_turns"),
+            F.sum(F.length("text")).cast("double").alias("total_chars"),
+        )
+        .withColumn(
+            "hash_mod",
+            (_portable_line_key(F.col("conv_id")) % 1000000).cast("double"),
+        )
+    )
+    rows = []
+    for name, yc in (
+        ("conv_turns_vs_chars", "total_chars"),
+        ("conv_turns_vs_hashmod", "hash_mod"),
+    ):
+        rows.append(
+            linreg(per_conv, "n_turns", yc, x_decimals=0, y_decimals=0).select(
+                F.lit(name).alias("test_name"),
+                "n",
+                F.round("slope", 4).alias("slope"),
+                F.round("intercept", 4).alias("intercept"),
+                F.round("r2", 4).alias("r2"),
+                F.round("t2", 4).alias("t2"),
+                "slope_sign",
+                "significant_95",
+            )
+        )
+    return rows[0].unionByName(rows[1]).orderBy("test_name")
+
+
 def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap percentile CI for the mean event value, per
     event_type (B=100 deterministic hash-drawn replicates built in one
@@ -5518,15 +5560,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_retention (displaced by the part-10 planner pair +
     trimmed-mean gate) rest on their addendum 41/43/45/46 both-SF
     receipts. All are first in line for an r6 window.
-    Part 12 (tenth session) adds events_bootstrap_ci and
-    emb_jl_projection at positions 1-2 (the Poisson-bootstrap and
-    JL-projection families); transcripts_bootstrap_roles and
-    emb_jl_distortion sit out-of-window on those anchors + addenda
-    65-66 both-SF receipts; streaming_bootstrap_ci is a bit-equal
+    Part 12 (tenth session) adds events_bootstrap_ci, emb_jl_projection,
+    and transcripts_linreg at positions 1-3 (the Poisson-bootstrap,
+    JL-projection, and exact-OLS families); transcripts_bootstrap_roles
+    and emb_jl_distortion sit out-of-window on those anchors + addenda
+    65-68 both-SF receipts; streaming_bootstrap_ci is a bit-equal
     integer merge of the in-window batch build's partials (shared twin,
-    addendum 67). The two slots came from the CDC family
+    addendum 67). The slots came from the CDC family
     (transcripts_snapshot_diff stays in-window; events_apply_changes +
-    transcripts_scd2_history rotated with fresh sf0.1 replays).
+    transcripts_scd2_history rotated with fresh sf0.1 replays) and the
+    graph module (graph_pagerank + graph_kcore stay; graph_triangles
+    rotated, fresh sf0.1 replay).
     Part 11 (ninth session) adds events_rate_anomaly /
     doc_split_leakage_safe / events_dgim_window_counts /
     events_chi2_ab_test / transcripts_mannwhitney /
@@ -5546,10 +5590,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     54-61; all 14 anchors verified inside positions 1-50).
     Veterans (driver-green r1-r4) rotate behind."""
     return {
-        # --- window 1-2: part 12 (tenth session) new families ---
+        # --- window 1-3: part 12 (tenth session) new families ---
         "events_bootstrap_ci": q_events_bootstrap_ci,
         "emb_jl_projection": q_emb_jl_projection,
-        # --- window 3-8: part 11 (ninth session) new families ---
+        "transcripts_linreg": q_transcripts_linreg,
+        # --- window 4-9: part 11 (ninth session) new families ---
         "events_rate_anomaly": q_events_rate_anomaly,
         "doc_split_leakage_safe": q_doc_split_leakage_safe,
         "events_dgim_window_counts": q_events_dgim_window_counts,
@@ -5579,7 +5624,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- window 17-23: part 7 ---
         "transcripts_snapshot_diff": q_transcripts_snapshot_diff,
         "events_zorder_layout": q_events_zorder_layout,
-        "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
         "orders_frequent_pairs": q_orders_frequent_pairs,
         # --- window 24-28: part 6 ---
@@ -5609,6 +5653,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fresh both-SF receipts (addendum 65)
         "events_apply_changes": q_events_apply_changes,
         "transcripts_scd2_history": q_transcripts_scd2_history,
+        # graph-module rotation for the linreg slot: in-window siblings
+        # graph_pagerank + graph_kcore carry the module's machinery;
+        # fresh sf0.1 replay recorded (addendum 68)
+        "graph_triangles": q_graph_triangles,
         # --- window 43-50: unique families by recency ---
         "transcripts_boilerplate_turns": q_transcripts_boilerplate_turns,
         "transcripts_latency_percentile": q_transcripts_latency_percentile,
@@ -6693,6 +6741,48 @@ def _spearman_sql(tr_src: str) -> str:
     )
 
 
+def _linreg_sql(tr_src: str) -> str:
+    """DuckDB twin of q_transcripts_linreg: the identical per-conversation
+    frame, HUGEINT power sums of the fixed-point values, and the finals
+    interpolated VERBATIM from dataops._linreg_final_exprs (identical
+    IEEE trees); slope sign from the exact integer numerator."""
+    from ddsparkle.spark.dataops import _linreg_final_exprs
+
+    e = _linreg_final_exprs(0, 0)
+
+    def leg(name: str, ye: str) -> str:
+        return (
+            f"SELECT '{name}' AS test_name, n, "
+            f"ROUND({e['slope']}, 4) AS slope, "
+            f"ROUND({e['intercept']}, 4) AS intercept, "
+            f"ROUND({e['r2']}, 4) AS r2, "
+            f"ROUND({e['t2']}, 4) AS t2, "
+            "CAST(CASE WHEN __dnum > 0 THEN 1 WHEN __dnum < 0 THEN -1 "
+            "ELSE 0 END AS INTEGER) AS slope_sign, "
+            f"COALESCE({e['t2']} > 3.8416, FALSE) AS significant_95 "
+            "FROM (SELECT *, CAST(n AS HUGEINT)*sxy - sx*sy AS __dnum "
+            "FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(CAST(qx AS HUGEINT)) AS sx, "
+            "SUM(CAST(qy AS HUGEINT)) AS sy, "
+            "SUM(CAST(qx AS HUGEINT)*qx) AS sxx, "
+            "SUM(CAST(qy AS HUGEINT)*qy) AS syy, "
+            "SUM(CAST(qx AS HUGEINT)*qy) AS sxy FROM ("
+            "SELECT CAST(ROUND(n_turns * 1.0) AS BIGINT) AS qx, "
+            f"CAST(ROUND({ye} * 1.0) AS BIGINT) AS qy FROM pc "
+            f"WHERE n_turns IS NOT NULL AND {ye} IS NOT NULL)))"
+        )
+
+    return (
+        "WITH pc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_turns, "
+        "CAST(SUM(length(text)) AS DOUBLE) AS total_chars, "
+        "CAST(('0x' || substr(md5(conv_id), 1, 15))::BIGINT % 1000000 "
+        f"AS DOUBLE) AS hash_mod FROM {tr_src} GROUP BY conv_id) "
+        f"SELECT * FROM ({leg('conv_turns_vs_chars', 'total_chars')} "
+        f"UNION ALL {leg('conv_turns_vs_hashmod', 'hash_mod')}) "
+        "ORDER BY test_name"
+    )
+
+
 def _bootstrap_ci_sql(
     src: str = "events",
     group_expr: str = "event_type",
@@ -7318,6 +7408,8 @@ def oracle_sql() -> dict[str, str]:
         "events_bootstrap_ci": _bootstrap_ci_sql(),
         # streaming leg merges the same integer partials -> same twin
         "streaming_bootstrap_ci": _bootstrap_ci_sql(),
+        # OLS finals share _linreg_final_exprs verbatim
+        "transcripts_linreg": _linreg_sql(tr_src),
         # JL projection: pinned sign matrix shared via jl_sign_matrix
         "emb_jl_projection": _jl_projection_sql(),
         "emb_jl_distortion": _jl_distortion_sql(),

@@ -3038,6 +3038,109 @@ def bootstrap_finalize(per_rep, exact, groups, klo, khi, scale_bits):
     )
 
 
+def _linreg_final_exprs(x_decimals: int, y_decimals: int) -> dict:
+    """SHARED final-stage formula strings for :func:`linreg` (the
+    _moment_final_exprs discipline): inputs n, sx, sy, sxx, syy, sxy are
+    exact integer power sums of the fixed-point values; every float op is
+    +,-,*,/ in ONE tree used verbatim by F.expr and the DuckDB twin, so
+    slope/intercept/r2/t2 are bit-identical cross-engine. The fixed-point
+    rescale folds in as literal power-of-ten factors. Edit HERE, never a
+    call site."""
+    nd = "CAST(n AS DOUBLE)"
+    mx = f"(CAST(sx AS DOUBLE) / {nd})"
+    my = f"(CAST(sy AS DOUBLE) / {nd})"
+    cov = f"(CAST(sxy AS DOUBLE) / {nd} - {mx} * {my})"
+    varx = f"(CAST(sxx AS DOUBLE) / {nd} - {mx} * {mx})"
+    vary = f"(CAST(syy AS DOUBLE) / {nd} - {my} * {my})"
+    # slope_fp relates qy to qx; real slope = slope_fp * 10^(dx - dy),
+    # real intercept = intercept_fp / 10^dy
+    sl_scale = repr(float(10.0 ** (x_decimals - y_decimals)))
+    ic_scale = repr(float(10.0**y_decimals))
+    slope_fp = f"({cov} / {varx})"
+    r2 = f"(({cov} / {varx}) * ({cov} / {vary}))"
+    return {
+        "slope": f"CASE WHEN {varx} > 0 THEN {slope_fp} * {sl_scale} END",
+        "intercept": (
+            f"CASE WHEN {varx} > 0 THEN "
+            f"({my} - {slope_fp} * {mx}) / {ic_scale} END"
+        ),
+        "r2": f"CASE WHEN {varx} > 0 AND {vary} > 0 THEN {r2} END",
+        "t2": (
+            f"CASE WHEN {varx} > 0 AND {vary} > 0 "
+            f"AND n > 2 AND 1.0 - {r2} > 0 THEN "
+            f"{r2} * ({nd} - 2.0) / (1.0 - {r2}) END"
+        ),
+    }
+
+
+def linreg(
+    df,
+    x_col: str,
+    y_col: str,
+    group_cols=(),
+    x_decimals: int = 4,
+    y_decimals: int = 4,
+):
+    """EXACT distributed simple linear regression (OLS y on x), per group:
+    both variables fix-point to ``round(v * 10^d)`` int64 (the
+    exact_moments recipe — recovers stored decimals exactly), the five
+    cross/power sums accumulate as DECIMAL(38,0) integers (ORDER-FREE, so
+    the fit is bit-reproducible under any partitioning — no float
+    summation-order risk), and slope / intercept / r2 / t2 evaluate
+    through the shared ``_linreg_final_exprs`` trees. The slope SIGN
+    comes from the exact integer n*sxy - sx*sy (never the double), and
+    ``significant_95`` is the large-n normal approximation t2 > 3.8416
+    (documented; exact t quantiles need n-dependent tables). Returns one
+    row per group: [*group_cols, n, slope, intercept, r2, t2, slope_sign,
+    significant_95] — slope/intercept/r2/t2 UNROUNDED doubles (gates
+    round); degenerate var(x)=0 yields NULLs and slope_sign 0 semantics
+    via the exact numerator.
+
+    Scale shape: one scan projecting the two quantized columns, ONE
+    map-side-combined grouped aggregate (six integer sums of state per
+    group), one row per group out — nothing else moves."""
+    from pyspark.sql import functions as F
+
+    groups = list(group_cols)
+    dec = "decimal(38,0)"
+    qx = F.round(F.col(x_col) * F.lit(float(10**x_decimals))).cast("long")
+    qy = F.round(F.col(y_col) * F.lit(float(10**y_decimals))).cast("long")
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(*groups, qx.alias("__qx"), qy.alias("__qy"))
+    x, y = F.col("__qx").cast(dec), F.col("__qy").cast(dec)
+    sums = base.groupBy(*groups).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    e = _linreg_final_exprs(x_decimals, y_decimals)
+    dnum = (
+        F.col("n").cast(dec) * F.col("sxy")
+        - F.col("sx") * F.col("sy")
+    )
+    t2 = F.expr(e["t2"])
+    return sums.select(
+        *groups,
+        "n",
+        F.expr(e["slope"]).alias("slope"),
+        F.expr(e["intercept"]).alias("intercept"),
+        F.expr(e["r2"]).alias("r2"),
+        t2.alias("t2"),
+        F.when(dnum > 0, 1)
+        .when(dnum < 0, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("slope_sign"),
+        F.coalesce(t2 > F.lit(3.8416), F.lit(False)).alias(
+            "significant_95"
+        ),
+    )
+
+
 def jl_sign_matrix(d_in: int, k: int, seed_tag: str = "jl"):
     """Deterministic +/-1 Johnson-Lindenstrauss sign matrix (d_in x k):
     sign(d, j) = +1 iff the last md5 byte of ``{seed_tag}:{d}:{j}`` is

@@ -693,3 +693,70 @@ def test_jl_project_vs_numpy_brute_force(spark):
             [math.floor(x * 1048576.0 + 0.5) for x in emb], dtype=np.int64
         )
         assert got[vid] == (q @ S).tolist()
+
+
+def test_linreg_vs_brute_force(spark):
+    import random
+
+    from ddsparkle.spark.dataops import linreg
+
+    def brute(pts, dx, dy):
+        import math
+
+        # Spark ROUND is HALF-UP; python round() is half-even
+        def hu(v):
+            return math.floor(v + 0.5)
+
+        n = len(pts)
+        qs = [
+            (hu(x * 10**dx), hu(y * 10**dy)) for x, y in pts
+        ]
+        sx = sum(q for q, _ in qs)
+        sy = sum(q for _, q in qs)
+        sxx = sum(q * q for q, _ in qs)
+        syy = sum(q * q for _, q in qs)
+        sxy = sum(a * b for a, b in qs)
+        nd = float(n)
+        mx, my = float(sx) / nd, float(sy) / nd
+        cov = float(sxy) / nd - mx * my
+        varx = float(sxx) / nd - mx * mx
+        vary = float(syy) / nd - my * my
+        dnum = n * sxy - sx * sy
+        if varx <= 0:
+            return n, None, None, None, None, (dnum > 0) - (dnum < 0), False
+        slope = (cov / varx) * float(10.0 ** (dx - dy))
+        ic = (my - (cov / varx) * mx) / float(10.0**dy)
+        r2 = (cov / varx) * (cov / vary) if vary > 0 else None
+        t2 = (
+            r2 * (nd - 2.0) / (1.0 - r2)
+            if r2 is not None and n > 2 and 1.0 - r2 > 0
+            else None
+        )
+        return (
+            n, slope, ic, r2, t2,
+            (dnum > 0) - (dnum < 0),
+            t2 is not None and t2 > 3.8416,
+        )
+
+    rng = random.Random(23)
+    # x, y on a 1/8 grid -> *10^d is exact, no rounding edge
+    pts = [
+        (rng.randrange(0, 400) / 8.0, 0.0) for _ in range(150)
+    ]
+    pts = [(x, 3.25 * x + 10.0 + rng.randrange(-80, 81) / 8.0) for x, _ in pts]
+    for dx, dy in ((0, 0), (2, 1)):
+        df = spark.createDataFrame(pts, "x double, y double")
+        r = linreg(df, "x", "y", x_decimals=dx, y_decimals=dy).collect()[0]
+        n, slope, ic, r2, t2, sign, sig = brute(pts, dx, dy)
+        assert r.n == n and r.slope_sign == sign and r.significant_95 == sig
+        assert r.slope == slope and r.intercept == ic  # identical IEEE trees
+        assert r.r2 == r2 and r.t2 == t2
+        assert sig and 3.0 < r.slope < 3.5 and r.r2 > 0.9
+    # grouped + degenerate: one group is a vertical line (var(x)=0)
+    rows = [("a", x, y) for (x, y) in pts] + [("b", 5.0, float(i)) for i in range(9)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in linreg(df, "x", "y", group_cols=["g"], x_decimals=0, y_decimals=0).collect()}
+    assert got["a"].significant_95 and got["a"].slope is not None
+    b = got["b"]
+    assert b.slope is None and b.r2 is None and not b.significant_95
+    assert b.slope_sign == 0

@@ -770,3 +770,20 @@ def test_bootstrap_constant_size_shuffle_broadcast_final(spark, sf_dir):
         gen_pos:exch_pos
     ]
     assert len(re.findall(r"hashpartitioning", plan)) == 3, plan
+
+
+def test_linreg_single_grouped_aggregate(spark, sf_dir):
+    """linreg: ONE map-side-combined grouped aggregate — exactly one hash
+    exchange, no join, no window; the scan projects only the two
+    quantized columns plus the group key."""
+    import re
+
+    from ddsparkle.spark.dataops import linreg
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = plan_of(
+        linreg(df, "value", "user_id", group_cols=["event_type"])
+    )
+    assert len(re.findall(r"hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan and "Window" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
