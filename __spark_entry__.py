@@ -4980,6 +4980,75 @@ def q_transcripts_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionByName(rows[1]).orderBy("test_name")
 
 
+def q_ddsketch_bootstrap_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLING-uncertainty CI on the flagship sketch quantile — the
+    composition the two layers were built for: DDSketch guarantees
+    relative error vs the sample's exact q95, the Poisson bootstrap
+    quantifies the sample's own noise. B=100 deterministic replicates
+    share the bootstrap gates' hash-drawn weights; each replicate is a
+    WEIGHTED DDSketch built by the engine's grouped weighted aggregation
+    (by=replicate — mode='sql' makes this one hash aggregate on
+    (r, sign, bucket) + per-replicate window walks; the shuffle carries
+    <= B x ~900 bucket rows no matter the input size). CI = order
+    statistics of the per-replicate q95s (ranks 3/98, ties broken by
+    replicate id); the point sketch's q95 must land inside. The twin runs
+    the established bucket-walk oracle per replicate (group_col='r',
+    weight_expr='w') — every column hash-gates."""
+    from ddsparkle.spark.dataops import POISSON1_T60, _portable_line_key
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    rep = ev.select("value", "event_id").withColumn(
+        "__r", F.explode(F.sequence(F.lit(1), F.lit(100)))
+    )
+    h = _portable_line_key(
+        F.concat(
+            F.col("event_id").cast("string"),
+            F.lit(":"),
+            F.col("__r").cast("string"),
+        )
+    )
+    w = None
+    for t in POISSON1_T60:
+        term = (h >= F.lit(t)).cast("long")
+        w = term if w is None else w + term
+    rep = rep.select(
+        "value", "__r", w.alias("__w")
+    ).filter(F.col("__w") > 0)
+    res = quantiles(
+        rep,
+        "value",
+        by="__r",
+        weight_col="__w",
+        qs=(0.95,),
+        config=_cfg(),
+    ).select(F.round("q95", 4).alias("q95r"), "__r")
+    from pyspark.sql import Window as W
+
+    ranked = res.select(
+        "q95r",
+        F.row_number().over(W.orderBy("q95r", "__r")).alias("__rk"),
+    )
+    ci = ranked.agg(
+        F.count("*").alias("b_eff"),
+        F.max(F.when(F.col("__rk") == 3, F.col("q95r"))).alias("ci_lo"),
+        F.max(F.when(F.col("__rk") == 98, F.col("q95r"))).alias("ci_hi"),
+    )
+    point = quantiles(ev, "value", qs=(0.95,), config=_cfg()).select(
+        F.round("q95", 4).alias("point_q95")
+    )
+    return ci.crossJoin(point).select(
+        "b_eff",
+        "ci_lo",
+        "ci_hi",
+        "point_q95",
+        (
+            (F.col("ci_lo") <= F.col("point_q95"))
+            & (F.col("point_q95") <= F.col("ci_hi"))
+        ).alias("ci_covers_point"),
+        (F.col("ci_hi") > F.col("ci_lo")).alias("ci_nondegenerate"),
+    )
+
+
 def q_transcripts_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact OLS trend estimation at conversation granularity, two legs
     (the spearman-gate construction): total_chars regressed on n_turns
@@ -5705,6 +5774,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bootstrap streaming leg: bit-equal integer merge of the
         # in-window batch build's partials (shares its twin verbatim)
         "streaming_bootstrap_ci": q_streaming_bootstrap_ci,
+        # sketch-quantile sampling CI: out-of-window on in-window
+        # events_bootstrap_ci (weights) + the 11-driver-row quantile
+        # machinery; per-replicate oracle walks
+        "ddsketch_bootstrap_q95": q_ddsketch_bootstrap_q95,
         # KS shares the distinct-value chassis with in-window
         # transcripts_mannwhitney and the DECIMAL rejection algebra with
         # events_chi2_ab_test (machinery anchors) + addendum 60 receipts
@@ -6741,6 +6814,46 @@ def _spearman_sql(tr_src: str) -> str:
     )
 
 
+def _ddsketch_bootstrap_sql() -> str:
+    """DuckDB twin of q_ddsketch_bootstrap_q95: the established bucket-walk
+    oracle (ddsketch_quantile_sql) run PER REPLICATE via group_col='r' +
+    weight_expr='w' over the exploded Poisson-weight frame (identical
+    pinned thresholds), then the same rank-3/98 order statistics and the
+    point walk."""
+    from ddsparkle.oracle import ddsketch_quantile_sql
+    from ddsparkle.spark.dataops import POISSON1_T60
+
+    wsum = " + ".join(f"(h >= {t})::BIGINT" for t in POISSON1_T60)
+    src = (
+        "(SELECT value AS v, r, w FROM (SELECT value, r, "
+        f"{wsum} AS w FROM ("
+        "SELECT value, r, ('0x' || substr(md5(CAST(event_id AS VARCHAR) "
+        "|| ':' || CAST(r AS VARCHAR)), 1, 15))::BIGINT AS h "
+        "FROM (SELECT value, event_id FROM events WHERE value IS NOT NULL) "
+        "CROSS JOIN (SELECT unnest(generate_series(1, 100)) AS r) reps)) "
+        "WHERE w > 0)"
+    )
+    rep_stmt = ddsketch_quantile_sql(
+        src, "v", [0.95], group_col="r", weight_expr="w"
+    )
+    point_stmt = ddsketch_quantile_sql(
+        "(SELECT value FROM events WHERE value IS NOT NULL)",
+        "value",
+        [0.95],
+    )
+    return (
+        "SELECT CAST(rq.b_eff AS BIGINT) AS b_eff, rq.ci_lo, rq.ci_hi, "
+        "pq.q95 AS point_q95, "
+        "(rq.ci_lo <= pq.q95 AND pq.q95 <= rq.ci_hi) AS ci_covers_point, "
+        "rq.ci_hi > rq.ci_lo AS ci_nondegenerate "
+        "FROM (SELECT COUNT(*) AS b_eff, "
+        "MAX(CASE WHEN rk = 3 THEN q95 END) AS ci_lo, "
+        "MAX(CASE WHEN rk = 98 THEN q95 END) AS ci_hi FROM ("
+        "SELECT q95, ROW_NUMBER() OVER (ORDER BY q95, r) AS rk "
+        f"FROM ({rep_stmt}))) rq, ({point_stmt}) pq"
+    )
+
+
 def _linreg_sql(tr_src: str) -> str:
     """DuckDB twin of q_transcripts_linreg: the identical per-conversation
     frame, HUGEINT power sums of the fixed-point values, and the finals
@@ -7410,6 +7523,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_bootstrap_ci": _bootstrap_ci_sql(),
         # OLS finals share _linreg_final_exprs verbatim
         "transcripts_linreg": _linreg_sql(tr_src),
+        # per-replicate bucket walks via group_col='r' + weight_expr='w'
+        "ddsketch_bootstrap_q95": _ddsketch_bootstrap_sql(),
         # JL projection: pinned sign matrix shared via jl_sign_matrix
         "emb_jl_projection": _jl_projection_sql(),
         "emb_jl_distortion": _jl_distortion_sql(),
