@@ -4996,8 +4996,10 @@ def q_ddsketch_bootstrap_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight_expr='w') — every column hash-gates."""
     from ddsparkle.spark.dataops import POISSON1_T60, _portable_line_key
 
+    from ddsparkle.spark.dataops import _ensure_parallelism
+
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    rep = ev.select("value", "event_id").withColumn(
+    rep = _ensure_parallelism(ev.select("value", "event_id")).withColumn(
         "__r", F.explode(F.sequence(F.lit(1), F.lit(100)))
     )
     h = _portable_line_key(

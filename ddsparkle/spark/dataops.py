@@ -2960,6 +2960,10 @@ def bootstrap_partials(df, value_col, key_col, groups, B, scale_bits):
         q.alias("__q"),
         F.col(key_col).cast("string").alias("__k"),
     )
+    # B short md5s per row are CPU-bound; a single-split scan (one-file
+    # parquet) would serialize them onto one core — structural no-op at
+    # scale, where scans already have >= cores splits
+    base = _ensure_parallelism(base)
     rep = base.select(
         *groups,
         "__q",
@@ -3211,7 +3215,7 @@ def jl_project(
     base = df.filter(
         F.col(emb_col).isNotNull() & (F.size(F.col(emb_col)) == d_in)
     ).select(id_col, emb_col)
-    return base.mapInPandas(fn, schema)
+    return _ensure_parallelism(base).mapInPandas(fn, schema)
 
 
 # chi-square upper critical values at alpha=0.05 by degrees of freedom —
