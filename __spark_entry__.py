@@ -5093,6 +5093,41 @@ def q_transcripts_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionByName(rows[1]).orderBy("test_name")
 
 
+def q_transcripts_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation screen over the four per-conversation
+    measures (n_turns, total_chars, n_tool_turns, duration_s) — ONE
+    aggregate, six pair rows off its single-row result. Structure pairs
+    (turns-chars, turns-duration, chars-duration) read near-1 r2 (the
+    fixture's conversations are structurally proportional); the bounded
+    hash-noise control column supplies the live contrast — its four
+    pairs must read r2~0, not significant. Machinery anchor: in-window
+    transcripts_linreg (same sums + shared final trees)."""
+    from ddsparkle.spark.dataops import (
+        _portable_line_key,
+        corr_matrix,
+    )
+    from ddsparkle.spark.transcript_ops import conversation_stats
+
+    df = _transcripts(spark, sf_dir)
+    stats = conversation_stats(df).withColumn(
+        "hash_mod",
+        (_portable_line_key(F.col("conv_id")) % 1000000).cast("double"),
+    )
+    res = corr_matrix(
+        stats,
+        ["n_turns", "total_chars", "n_tool_turns", "duration_s", "hash_mod"],
+    )
+    return res.select(
+        "x_col",
+        "y_col",
+        "n",
+        F.round("r2", 4).alias("r2"),
+        F.round("t2", 4).alias("t2"),
+        "sign",
+        "significant_95",
+    ).orderBy("x_col", "y_col")
+
+
 def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap percentile CI for the mean event value, per
     event_type (B=100 deterministic hash-drawn replicates built in one
@@ -5780,6 +5815,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events_bootstrap_ci (weights) + the 11-driver-row quantile
         # machinery; per-replicate oracle walks
         "ddsketch_bootstrap_q95": q_ddsketch_bootstrap_q95,
+        # correlation screen: out-of-window on in-window
+        # transcripts_linreg (same sums + shared final trees)
+        "transcripts_corr_matrix": q_transcripts_corr_matrix,
         # KS shares the distinct-value chassis with in-window
         # transcripts_mannwhitney and the DECIMAL rejection algebra with
         # events_chi2_ab_test (machinery anchors) + addendum 60 receipts
@@ -6816,6 +6854,60 @@ def _spearman_sql(tr_src: str) -> str:
     )
 
 
+def _corr_matrix_sql(tr_src: str) -> str:
+    """DuckDB twin of q_transcripts_corr_matrix: the conv_stats frame,
+    one HUGEINT sums CTE (MATERIALIZED — six pair legs reference it),
+    finals interpolated verbatim from _linreg_final_exprs per pair."""
+    from ddsparkle.spark.dataops import _linreg_final_exprs
+
+    e = _linreg_final_exprs(0, 0)
+    cols = [
+        "n_turns",
+        "total_chars",
+        "n_tool_turns",
+        "duration_s",
+        "hash_mod",
+    ]
+    k = len(cols)
+    qsel = ", ".join(
+        f"CAST(ROUND({c} * 1.0) AS BIGINT) AS q_{i}"
+        for i, c in enumerate(cols)
+    )
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for i in range(k):
+        aggs.append(f"SUM(CAST(q_{i} AS HUGEINT)) AS s_{i}")
+        aggs.append(f"SUM(CAST(q_{i} AS HUGEINT)*q_{i}) AS s_{i}_{i}")
+        for j in range(i + 1, k):
+            aggs.append(f"SUM(CAST(q_{i} AS HUGEINT)*q_{j}) AS s_{i}_{j}")
+    legs = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            legs.append(
+                f"SELECT '{cols[i]}' AS x_col, '{cols[j]}' AS y_col, n, "
+                f"ROUND({e['r2']}, 4) AS r2, ROUND({e['t2']}, 4) AS t2, "
+                "CAST(CASE WHEN __dnum > 0 THEN 1 WHEN __dnum < 0 "
+                "THEN -1 ELSE 0 END AS INTEGER) AS sign, "
+                f"COALESCE({e['t2']} > 3.8416, FALSE) AS significant_95 "
+                f"FROM (SELECT n, s_{i} AS sx, s_{j} AS sy, "
+                f"s_{i}_{i} AS sxx, s_{j}_{j} AS syy, s_{i}_{j} AS sxy, "
+                f"CAST(n AS HUGEINT)*s_{i}_{j} - s_{i}*s_{j} AS __dnum "
+                "FROM sums)"
+            )
+    return (
+        "WITH pc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_turns, "
+        "CAST(SUM(LENGTH(text)) AS DOUBLE) AS total_chars, "
+        "CAST(COUNT(tool) AS DOUBLE) AS n_tool_turns, "
+        "(MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1e6 AS duration_s, "
+        "CAST(('0x' || substr(md5(conv_id), 1, 15))::BIGINT % 1000000 "
+        "AS DOUBLE) AS hash_mod "
+        f"FROM {tr_src} GROUP BY conv_id), "
+        f"q AS (SELECT {qsel} FROM pc WHERE {notnull}), "
+        f"sums AS MATERIALIZED (SELECT {', '.join(aggs)} FROM q) "
+        f"SELECT * FROM ({' UNION ALL '.join(legs)}) ORDER BY x_col, y_col"
+    )
+
+
 def _ddsketch_bootstrap_sql() -> str:
     """DuckDB twin of q_ddsketch_bootstrap_q95: the established bucket-walk
     oracle (ddsketch_quantile_sql) run PER REPLICATE via group_col='r' +
@@ -7527,6 +7619,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_linreg": _linreg_sql(tr_src),
         # per-replicate bucket walks via group_col='r' + weight_expr='w'
         "ddsketch_bootstrap_q95": _ddsketch_bootstrap_sql(),
+        "transcripts_corr_matrix": _corr_matrix_sql(tr_src),
         # JL projection: pinned sign matrix shared via jl_sign_matrix
         "emb_jl_projection": _jl_projection_sql(),
         "emb_jl_distortion": _jl_distortion_sql(),

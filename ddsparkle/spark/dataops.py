@@ -3145,6 +3145,94 @@ def linreg(
     )
 
 
+def corr_matrix(df, cols, decimals=0):
+    """EXACT pairwise Pearson correlation screen over k numeric columns —
+    the feature-correlation audit before model/mixture decisions — in ONE
+    map-side-combined global aggregate: every column fixed-points to
+    ``round(v * 10^d)`` int64 and the k + k + k(k-1)/2 power/cross sums
+    accumulate as DECIMAL(38,0) integers (order-free — bit-reproducible
+    under any partitioning). Each pair's r2/t2 then evaluates through the
+    SAME shared trees as :func:`linreg` (``_linreg_final_exprs``), the
+    sign from the exact integer n*sxy - sx*sy. Rows with ANY NULL among
+    ``cols`` are excluded (complete-case, mirrored by twins). Returns
+    k(k-1)/2 rows [x_col, y_col, n, r2, t2, sign, significant_95] with
+    x_col < y_col in ``cols`` order; degenerate variance -> NULL r2/t2.
+    ``decimals`` is an int applied to all columns or a dict per column.
+
+    Scale shape: one scan, ONE grouped-less aggregate (O(k^2) integer
+    sums of state), k(k-1)/2 single-row selects off the one-row result —
+    nothing else moves."""
+    from pyspark.sql import functions as F
+
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    dmap = (
+        dict(decimals)
+        if isinstance(decimals, dict)
+        else {c: int(decimals) for c in cols}
+    )
+    dec = "decimal(38,0)"
+    cond = None
+    for c in cols:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else (cond & nn)
+    qs = {
+        c: F.round(F.col(c) * F.lit(float(10 ** dmap[c]))).cast("long")
+        for c in cols
+    }
+    base = df.filter(cond).select(
+        *[qs[c].alias(f"__q_{i}") for i, c in enumerate(cols)]
+    )
+    aggs = [F.count("*").alias("n")]
+    for i in range(len(cols)):
+        ci = F.col(f"__q_{i}").cast(dec)
+        aggs.append(F.sum(ci).alias(f"s_{i}"))
+        aggs.append(F.sum(ci * ci).alias(f"s_{i}_{i}"))
+        for j in range(i + 1, len(cols)):
+            cj = F.col(f"__q_{j}").cast(dec)
+            aggs.append(F.sum(ci * cj).alias(f"s_{i}_{j}"))
+    sums = base.agg(*aggs)
+    e = _linreg_final_exprs(0, 0)  # r2/t2 are scale-invariant
+    # ONE explode over pair structs — a per-pair select-union would
+    # recompute the aggregate (and the scan) k(k-1)/2 times
+    pair_structs = [
+        F.struct(
+            F.lit(cols[i]).alias("x_col"),
+            F.lit(cols[j]).alias("y_col"),
+            F.col(f"s_{i}").alias("sx"),
+            F.col(f"s_{j}").alias("sy"),
+            F.col(f"s_{i}_{i}").alias("sxx"),
+            F.col(f"s_{j}_{j}").alias("syy"),
+            F.col(f"s_{i}_{j}").alias("sxy"),
+        )
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    pairs = sums.select(
+        "n", F.explode(F.array(*pair_structs)).alias("p")
+    ).select("n", "p.*")
+    dnum = (
+        F.col("n").cast(dec) * F.col("sxy") - F.col("sx") * F.col("sy")
+    )
+    t2 = F.expr(e["t2"])
+    return pairs.select(
+        "x_col",
+        "y_col",
+        "n",
+        F.expr(e["r2"]).alias("r2"),
+        t2.alias("t2"),
+        F.when(dnum > 0, 1)
+        .when(dnum < 0, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("sign"),
+        F.coalesce(t2 > F.lit(3.8416), F.lit(False)).alias(
+            "significant_95"
+        ),
+    )
+
+
 def jl_sign_matrix(d_in: int, k: int, seed_tag: str = "jl"):
     """Deterministic +/-1 Johnson-Lindenstrauss sign matrix (d_in x k):
     sign(d, j) = +1 iff the last md5 byte of ``{seed_tag}:{d}:{j}`` is

@@ -760,3 +760,40 @@ def test_linreg_vs_brute_force(spark):
     b = got["b"]
     assert b.slope is None and b.r2 is None and not b.significant_95
     assert b.slope_sign == 0
+
+
+def test_corr_matrix_matches_linreg_pairs(spark):
+    import random
+
+    from ddsparkle.spark.dataops import corr_matrix, linreg
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(300):
+        a = float(rng.randrange(0, 100))
+        rows.append(
+            (a, 2.0 * a + rng.randrange(0, 50), float(rng.randrange(0, 9)))
+        )
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    got = {
+        (r.x_col, r.y_col): r
+        for r in corr_matrix(df, ["a", "b", "c"]).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for (x, y), r in got.items():
+        # bit-equal to the pairwise linreg (same sums, same shared trees)
+        lr = linreg(df, x, y, x_decimals=0, y_decimals=0).collect()[0]
+        assert (r.n, r.r2, r.t2, r.sign, r.significant_95) == (
+            lr.n,
+            lr.r2,
+            lr.t2,
+            lr.slope_sign,
+            lr.significant_95,
+        )
+    assert got[("a", "b")].significant_95 and got[("a", "b")].r2 > 0.8
+    assert not got[("a", "c")].significant_95
+    # complete-case: a NULL in any column drops the whole row
+    rows_n = rows + [(None, 1.0, 1.0), (1.0, None, 1.0)]
+    dfn = spark.createDataFrame(rows_n, "a double, b double, c double")
+    rn = corr_matrix(dfn, ["a", "b", "c"]).collect()[0]
+    assert rn.n == len(rows)
