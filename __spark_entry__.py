@@ -5368,6 +5368,110 @@ def q_emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_jl_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JL projection's PURPOSE receipt: how much neighbor structure
+    survives the 64->16 cut. For a deterministic query sample
+    (vec_id % 29), exact top-10 by QUANTIZED full-dim L2 vs top-30 by
+    projected L2 (both exact int64 distances, ties broken by neighbor
+    id) — per-query recall in exact ppm (hits*10^6 DIV k), aggregated as
+    integer min/sum. The fixture's embeddings are near-ISOTROPIC, the
+    adversarial case for rank preservation — absolute recall is honestly
+    modest (mean 26% / 14%), so the pinned claim is vs CHANCE: a random
+    30-subset would recall 30/(N-1) (6.0% / 1.5%); the boolean pins
+    mean >= 3x that in exact HUGEINT algebra (measured 4.2x / 9.3x).
+    Brute-force both sides is the point (a recall oracle); the scale
+    path is the bucketed ANN family. Anchors: in-window
+    emb_jl_projection (operator + sign matrix) + ann_topk_cosine (the
+    top-k chassis)."""
+    from ddsparkle.spark.dataops import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    qz = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(FLOOR(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT))"
+        ).alias("q"),
+    )
+    proj = jl_project(emb, "embedding", "vec_id", d_in=64, k=16, scale_bits=10)
+    full = qz.join(proj, "vec_id")
+    queries_df = full.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("q").alias("qq"),
+        F.col("proj").alias("qp"),
+    )
+    sq = (
+        "aggregate(zip_with({0}, {1}, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, t) -> acc + t)"
+    )
+    pairs = full.join(
+        F.broadcast(queries_df), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "vec_id",
+        F.expr(sq.format("q", "qq")).alias("dfull"),
+        F.expr(sq.format("proj", "qp")).alias("dproj"),
+    )
+    from pyspark.sql import Window as W
+
+    wf = W.partitionBy("qid").orderBy("dfull", "vec_id")
+    wp = W.partitionBy("qid").orderBy("dproj", "vec_id")
+    ranked = pairs.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wp).alias("rp"),
+    )
+    hits = (
+        ranked.filter(F.col("rf") <= 10)
+        .alias("a")
+        .join(
+            ranked.filter(F.col("rp") <= 30).alias("b"),
+            (F.col("a.qid") == F.col("b.qid"))
+            & (F.col("a.vec_id") == F.col("b.vec_id")),
+            "left_semi",
+        )
+        .groupBy("qid")
+        .agg(F.count("*").alias("hits"))
+    )
+    per_q = (
+        queries_df.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            (F.coalesce(F.col("hits"), F.lit(0)) * 100000)
+            .cast("long")
+            .alias("recall_ppm")
+        )
+    )
+    n_total = full.agg(F.count("*").alias("n_total"))
+    dec = "decimal(38,0)"
+    return (
+        per_q.agg(
+            F.count("*").alias("n_queries"),
+            F.min("recall_ppm").alias("min_recall_ppm"),
+            F.max("recall_ppm").alias("max_recall_ppm"),
+            F.sum("recall_ppm").alias("sum_recall_ppm"),
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "n_queries",
+            "n_total",
+            "min_recall_ppm",
+            "max_recall_ppm",
+            "sum_recall_ppm",
+            (
+                F.col("sum_recall_ppm").cast(dec)
+                * (F.col("n_total") - 1).cast(dec)
+                >= F.lit(3).cast(dec)
+                * F.lit(30000000).cast(dec)
+                * F.col("n_queries").cast(dec)
+            ).alias("beats_random_3x"),
+        )
+    )
+
+
 def q_events_wilcoxon_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wilcoxon signed-rank on planted paired overlays of event values
     (the deterministic-overlay precedent): x = value + (md5-hash % 3)
@@ -5818,6 +5922,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # correlation screen: out-of-window on in-window
         # transcripts_linreg (same sums + shared final trees)
         "transcripts_corr_matrix": q_transcripts_corr_matrix,
+        # JL ANN-recall receipt: out-of-window on emb_jl_projection +
+        # the ann_topk chassis
+        "emb_jl_ann_recall": q_emb_jl_ann_recall,
         # KS shares the distinct-value chassis with in-window
         # transcripts_mannwhitney and the DECIMAL rejection algebra with
         # events_chi2_ab_test (machinery anchors) + addendum 60 receipts
@@ -6854,6 +6961,51 @@ def _spearman_sql(tr_src: str) -> str:
     )
 
 
+def _jl_ann_recall_sql() -> str:
+    """DuckDB twin of q_emb_jl_ann_recall: the q/y integer frames from the
+    JL machinery, per-pair distances as dimension-aligned grouped sums,
+    the same (distance, id) row_number ranks and ppm algebra."""
+    return (
+        "WITH q AS MATERIALIZED (SELECT vec_id, d, "
+        "CAST(FLOOR(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT) AS qd "
+        "FROM (SELECT vec_id, unnest(embedding) AS x, "
+        "generate_subscripts(embedding, 1) AS d FROM embeddings "
+        "WHERE embedding IS NOT NULL AND len(embedding) = 64)), "
+        f"s(d, j, sgn) AS (VALUES {_jl_sign_values()}), "
+        "y AS MATERIALIZED (SELECT vec_id, j, SUM(qd * sgn) AS yj "
+        "FROM q JOIN s USING (d) GROUP BY vec_id, j), "
+        "qids AS (SELECT DISTINCT vec_id AS qid FROM q "
+        "WHERE vec_id % 29 = 0), "
+        "dfull AS (SELECT b.vec_id AS qid, a.vec_id, "
+        "SUM((a.qd - b.qd) * (a.qd - b.qd)) AS dist FROM q a "
+        "JOIN q b ON a.d = b.d AND a.vec_id != b.vec_id "
+        "WHERE b.vec_id % 29 = 0 GROUP BY 1, 2), "
+        "dproj AS (SELECT b.vec_id AS qid, a.vec_id, "
+        "SUM((a.yj - b.yj) * (a.yj - b.yj)) AS dist FROM y a "
+        "JOIN y b ON a.j = b.j AND a.vec_id != b.vec_id "
+        "WHERE b.vec_id % 29 = 0 GROUP BY 1, 2), "
+        "rf AS (SELECT qid, vec_id, ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY dist, vec_id) AS r FROM dfull), "
+        "rp AS (SELECT qid, vec_id, ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY dist, vec_id) AS r FROM dproj), "
+        "hits AS (SELECT qid, COUNT(*) AS h FROM "
+        "(SELECT qid, vec_id FROM rf WHERE r <= 10) f "
+        "JOIN (SELECT qid, vec_id FROM rp WHERE r <= 30) p "
+        "USING (qid, vec_id) GROUP BY qid), "
+        "perq AS (SELECT CAST(COALESCE(h, 0) * 100000 AS BIGINT) "
+        "AS recall_ppm FROM qids LEFT JOIN hits USING (qid)), "
+        "tot AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) "
+        "AS n_total FROM q) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, n_total, "
+        "MIN(recall_ppm) AS min_recall_ppm, "
+        "MAX(recall_ppm) AS max_recall_ppm, "
+        "CAST(SUM(recall_ppm) AS BIGINT) AS sum_recall_ppm, "
+        "CAST(SUM(recall_ppm) AS HUGEINT) * (n_total - 1) >= "
+        "CAST(3 AS HUGEINT) * 30000000 * COUNT(*) AS beats_random_3x "
+        "FROM perq CROSS JOIN tot GROUP BY n_total"
+    )
+
+
 def _corr_matrix_sql(tr_src: str) -> str:
     """DuckDB twin of q_transcripts_corr_matrix: the conv_stats frame,
     one HUGEINT sums CTE (MATERIALIZED — six pair legs reference it),
@@ -7620,6 +7772,7 @@ def oracle_sql() -> dict[str, str]:
         # per-replicate bucket walks via group_col='r' + weight_expr='w'
         "ddsketch_bootstrap_q95": _ddsketch_bootstrap_sql(),
         "transcripts_corr_matrix": _corr_matrix_sql(tr_src),
+        "emb_jl_ann_recall": _jl_ann_recall_sql(),
         # JL projection: pinned sign matrix shared via jl_sign_matrix
         "emb_jl_projection": _jl_projection_sql(),
         "emb_jl_distortion": _jl_distortion_sql(),
