@@ -5472,6 +5472,34 @@ def q_emb_jl_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_winsorized_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven winsorization profile per event_type: clamp counts
+    on both tails plus the fixed-point sum of the winsorized column
+    (exact DECIMAL integers — order-free — cast to double under 2^53).
+    The twin clamps against the SAME rounded bucket-walk bounds
+    (ddsketch_quantile_sql per type). Machinery: the quantile engine's
+    11 driver rows + the broadcast-join clamp is scan-fused."""
+    from ddsparkle.spark.dataops import winsorize_by_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    wz = winsorize_by_sketch(ev, "value", "event_type", config=_cfg())
+    dec = "decimal(38,0)"
+    return (
+        wz.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum(F.col("clamped_lo").cast("long")).alias("n_clamped_lo"),
+            F.sum(F.col("clamped_hi").cast("long")).alias("n_clamped_hi"),
+            F.sum(
+                F.round(F.col("value_winsorized") * 10000).cast(dec)
+            )
+            .cast("double")
+            .alias("sum_w4"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_events_wilcoxon_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wilcoxon signed-rank on planted paired overlays of event values
     (the deterministic-overlay precedent): x = value + (md5-hash % 3)
@@ -5772,11 +5800,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     receipts. All are first in line for an r6 window.
     Part 12 (tenth session) adds events_bootstrap_ci, emb_jl_projection,
     and transcripts_linreg at positions 1-3 (the Poisson-bootstrap,
-    JL-projection, and exact-OLS families); transcripts_bootstrap_roles
-    and emb_jl_distortion sit out-of-window on those anchors + addenda
-    65-68 both-SF receipts; streaming_bootstrap_ci is a bit-equal
-    integer merge of the in-window batch build's partials (shared twin,
-    addendum 67). The slots came from the CDC family
+    JL-projection, and exact-OLS families); out-of-window on those
+    anchors + addenda 65-71 both-SF receipts sit
+    transcripts_bootstrap_roles, emb_jl_distortion, emb_jl_ann_recall,
+    transcripts_corr_matrix (bit-equal to pairwise linreg by pytest),
+    ddsketch_bootstrap_q95 (per-replicate weighted walks on the
+    11-driver-row quantile machinery), and streaming_bootstrap_ci (a
+    bit-equal integer merge of the in-window batch build's partials,
+    shared twin, addendum 67). The slots came from the CDC family
     (transcripts_snapshot_diff stays in-window; events_apply_changes +
     transcripts_scd2_history rotated with fresh sf0.1 replays) and the
     graph module (graph_pagerank + graph_kcore stay; graph_triangles
@@ -5925,6 +5956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # JL ANN-recall receipt: out-of-window on emb_jl_projection +
         # the ann_topk chassis
         "emb_jl_ann_recall": q_emb_jl_ann_recall,
+        # sketch-driven winsorization: out-of-window on the quantile
+        # machinery + events_trimmed_mean (the robust-cleaning family)
+        "events_winsorized_profile": q_events_winsorized_profile,
         # KS shares the distinct-value chassis with in-window
         # transcripts_mannwhitney and the DECIMAL rejection algebra with
         # events_chi2_ab_test (machinery anchors) + addendum 60 receipts
@@ -6961,6 +6995,27 @@ def _spearman_sql(tr_src: str) -> str:
     )
 
 
+def _winsorized_profile_sql() -> str:
+    """DuckDB twin of q_events_winsorized_profile: per-type bucket-walk
+    bounds (the established quantile oracle, rounded 4), the identical
+    LEAST/GREATEST clamp, HUGEINT fixed-point sums."""
+    from ddsparkle.oracle import ddsketch_quantile_sql
+
+    bounds = ddsketch_quantile_sql(
+        "events", "value", [0.05, 0.95], group_col="event_type"
+    )
+    return (
+        f"WITH b AS ({bounds}) "
+        "SELECT e.event_type, CAST(COUNT(e.value) AS BIGINT) AS n, "
+        "CAST(SUM((e.value < b.q5)::INT) AS BIGINT) AS n_clamped_lo, "
+        "CAST(SUM((e.value > b.q95)::INT) AS BIGINT) AS n_clamped_hi, "
+        "CAST(SUM(CAST(ROUND(LEAST(GREATEST(e.value, b.q5), b.q95) "
+        "* 10000) AS HUGEINT)) AS DOUBLE) AS sum_w4 "
+        "FROM events e LEFT JOIN b USING (event_type) "
+        "GROUP BY e.event_type ORDER BY event_type"
+    )
+
+
 def _jl_ann_recall_sql() -> str:
     """DuckDB twin of q_emb_jl_ann_recall: the q/y integer frames from the
     JL machinery, per-pair distances as dimension-aligned grouped sums,
@@ -7773,6 +7828,7 @@ def oracle_sql() -> dict[str, str]:
         "ddsketch_bootstrap_q95": _ddsketch_bootstrap_sql(),
         "transcripts_corr_matrix": _corr_matrix_sql(tr_src),
         "emb_jl_ann_recall": _jl_ann_recall_sql(),
+        "events_winsorized_profile": _winsorized_profile_sql(),
         # JL projection: pinned sign matrix shared via jl_sign_matrix
         "emb_jl_projection": _jl_projection_sql(),
         "emb_jl_distortion": _jl_distortion_sql(),

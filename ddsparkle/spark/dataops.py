@@ -3233,6 +3233,58 @@ def corr_matrix(df, cols, decimals=0):
     )
 
 
+def winsorize_by_sketch(
+    df,
+    value_col: str,
+    by,
+    lower_q: float = 0.05,
+    upper_q: float = 0.95,
+    config=None,
+    bound_decimals: int = 4,
+):
+    """Sketch-driven winsorization — the outlier-clamping data-cleaning
+    stage off the flagship: per-group [lower_q, upper_q] bounds come from
+    ONE DDSketch aggregation (two-stage, raw rows never shuffle for the
+    bounds), broadcast back onto the scan, and every row clamps into its
+    group's interval. Bounds are ROUNDED to ``bound_decimals`` before
+    clamping so both engines compare against the identical literal (the
+    oracle's quantile rounding contract). Returns the input columns plus
+    ``<value_col>_winsorized``, ``clamped_lo``, ``clamped_hi``; NULL
+    values pass through unclamped with false flags.
+
+    Scale shape: one sketch aggregation (bucket-row shuffle only) + one
+    broadcast join onto the scan — the clamp itself is a scan-fused
+    projection; nothing about the raw data moves."""
+    from pyspark.sql import functions as F
+
+    from .agg import quantiles
+
+    by_cols = [by] if isinstance(by, str) else list(by)
+    qb = quantiles(
+        df,
+        value_col,
+        by=by_cols,
+        qs=(lower_q, upper_q),
+        config=config,
+        q_names=("__wlo", "__whi"),
+    ).select(
+        *by_cols,
+        F.round("__wlo", bound_decimals).alias("__wlo"),
+        F.round("__whi", bound_decimals).alias("__whi"),
+    )
+    v = F.col(value_col)
+    joined = df.join(F.broadcast(qb), by_cols, "left")
+    return joined.select(
+        *df.columns,
+        F.when(
+            v.isNotNull(),
+            F.least(F.greatest(v, F.col("__wlo")), F.col("__whi")),
+        ).alias(f"{value_col}_winsorized"),
+        F.coalesce(v < F.col("__wlo"), F.lit(False)).alias("clamped_lo"),
+        F.coalesce(v > F.col("__whi"), F.lit(False)).alias("clamped_hi"),
+    )
+
+
 def jl_sign_matrix(d_in: int, k: int, seed_tag: str = "jl"):
     """Deterministic +/-1 Johnson-Lindenstrauss sign matrix (d_in x k):
     sign(d, j) = +1 iff the last md5 byte of ``{seed_tag}:{d}:{j}`` is

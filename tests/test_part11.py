@@ -797,3 +797,33 @@ def test_corr_matrix_matches_linreg_pairs(spark):
     dfn = spark.createDataFrame(rows_n, "a double, b double, c double")
     rn = corr_matrix(dfn, ["a", "b", "c"]).collect()[0]
     assert rn.n == len(rows)
+
+
+def test_winsorize_by_sketch_clamps_and_null_passthrough(spark):
+    from ddsparkle.config import SketchConfig
+    from ddsparkle.spark.dataops import winsorize_by_sketch
+
+    cfg = SketchConfig(
+        mapping_kind="log", relative_accuracy=0.01, track_exact_stats=False
+    )
+    rows = [("g", float(i)) for i in range(1, 201)] + [("g", None)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = winsorize_by_sketch(df, "v", "k", config=cfg).collect()
+    assert len(out) == 201
+    vals = [r for r in out if r.v is not None]
+    lo = min(r.v_winsorized for r in vals)
+    hi = max(r.v_winsorized for r in vals)
+    # bounds within the sketch's relative accuracy of the exact p5/p95
+    assert abs(lo - 10.0) <= 0.01 * 10.0 + 1.5
+    assert abs(hi - 190.0) <= 0.01 * 190.0 + 1.5
+    for r in vals:
+        assert lo <= r.v_winsorized <= hi
+        assert r.clamped_lo == (r.v < lo) and r.clamped_hi == (r.v > hi)
+        if not r.clamped_lo and not r.clamped_hi:
+            assert r.v_winsorized == r.v
+    n_lo = sum(r.clamped_lo for r in vals)
+    n_hi = sum(r.clamped_hi for r in vals)
+    assert 5 <= n_lo <= 15 and 5 <= n_hi <= 15  # ~5% tails of 200
+    nul = [r for r in out if r.v is None][0]
+    assert nul.v_winsorized is None
+    assert not nul.clamped_lo and not nul.clamped_hi
