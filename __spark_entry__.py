@@ -5472,6 +5472,57 @@ def q_emb_jl_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit, two legs: the raw event values (a
+    bounded distribution — NOT Benford) and a deterministic SCALE
+    MIXTURE from the portable hash (2^(h%40) octaves x a [1,2)
+    mantissa — spans 12 decades, near-Benford). The exact test's
+    boolean is SAMPLE-SIZE-scaled on purpose and flips on the mixture
+    between SFs (5.18 consistent at n=10k; 26.1 rejected at n=100k —
+    with enough data chi2 resolves the 40-octave discretization bias:
+    the textbook power-vs-n lesson, recorded live); chi2_per_n is the
+    n-INVARIANT effect size (0.0003-0.0005 mixture vs 0.0062 uniform,
+    stable 12-23x separation both SFs) with its own pinned bound.
+    Digit counts exact int64, everything one shared pinned-literal
+    tree — every column hash-gates."""
+    from ddsparkle.spark.dataops import _portable_line_key, benford_audit
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    keyed = ev.select(
+        "value",
+        _portable_line_key(F.col("event_id").cast("string")).alias("hh"),
+    )
+    mix = keyed.select(
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), CAST(hh % 40 AS INT)) "
+            "AS DOUBLE) * (1.0 + CAST((hh DIV 1024) % 4096 AS DOUBLE) "
+            "/ 4096.0)"
+        ).alias("v")
+    )
+    rows = []
+    for name, frame, col in (
+        ("uniform_values", keyed, "value"),
+        ("scale_mixture", mix, "v"),
+    ):
+        rows.append(
+            benford_audit(frame, col).select(
+                F.lit(name).alias("test_name"),
+                "n",
+                *[f"c{d}" for d in range(1, 10)],
+                F.round("chi2", 4).alias("chi2"),
+                F.round(
+                    F.col("chi2") / F.col("n").cast("double"), 6
+                ).alias("chi2_per_n"),
+                "benford_consistent",
+                (
+                    F.col("chi2")
+                    < F.col("n").cast("double") * F.lit(0.001)
+                ).alias("near_benford_effect"),
+            )
+        )
+    return rows[0].unionByName(rows[1]).orderBy("test_name")
+
+
 def q_events_winsorized_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-driven winsorization profile per event_type: clamp counts
     on both tails plus the fixed-point sum of the winsorized column
@@ -5959,6 +6010,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch-driven winsorization: out-of-window on the quantile
         # machinery + events_trimmed_mean (the robust-cleaning family)
         "events_winsorized_profile": q_events_winsorized_profile,
+        # Benford audit: out-of-window on events_chi2_ab_test (the chi2
+        # data-quality family) + the pinned-literal discipline
+        "events_benford_audit": q_events_benford_audit,
         # KS shares the distinct-value chassis with in-window
         # transcripts_mannwhitney and the DECIMAL rejection algebra with
         # events_chi2_ab_test (machinery anchors) + addendum 60 receipts
@@ -6995,6 +7049,47 @@ def _spearman_sql(tr_src: str) -> str:
     )
 
 
+def _benford_sql() -> str:
+    """DuckDB twin of q_events_benford_audit: identical integer-string
+    first digits, the shared benford_chi2_expr tree verbatim, the same
+    hash-built scale mixture (integer shift + exact mantissa)."""
+    from ddsparkle.spark.dataops import CHI2_CRIT_95, benford_chi2_expr
+
+    chi2 = benford_chi2_expr()
+    crit = repr(CHI2_CRIT_95[8])
+
+    def leg(name: str, vexpr: str) -> str:
+        csel = ", ".join(
+            f"CAST(SUM((d = {d})::BIGINT) AS BIGINT) AS c{d}"
+            for d in range(1, 10)
+        )
+        return (
+            f"SELECT '{name}' AS test_name, n, "
+            + ", ".join(f"c{d}" for d in range(1, 10))
+            + f", ROUND({chi2}, 4) AS chi2, "
+            f"ROUND({chi2} / CAST(n AS DOUBLE), 6) AS chi2_per_n, "
+            f"COALESCE({chi2} <= {crit}, FALSE) AS benford_consistent, "
+            f"{chi2} < CAST(n AS DOUBLE) * 0.001 AS near_benford_effect "
+            f"FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n, {csel} FROM ("
+            "SELECT CAST(SUBSTR(CAST(q AS VARCHAR), 1, 1) AS INTEGER) "
+            "AS d FROM (SELECT CAST(FLOOR(ABS(v) * 10000.0 + 0.5) "
+            f"AS BIGINT) AS q FROM (SELECT {vexpr} AS v FROM h)) "
+            "WHERE q > 0))"
+        )
+
+    mix = (
+        "CAST((1::BIGINT << CAST(hh % 40 AS INTEGER)) AS DOUBLE) "
+        "* (1.0 + CAST((hh // 1024) % 4096 AS DOUBLE) / 4096.0)"
+    )
+    return (
+        "WITH h AS (SELECT value, ('0x' || substr(md5(CAST(event_id AS "
+        "VARCHAR)), 1, 15))::BIGINT AS hh FROM events "
+        "WHERE value IS NOT NULL) "
+        f"SELECT * FROM ({leg('uniform_values', 'value')} "
+        f"UNION ALL {leg('scale_mixture', mix)}) ORDER BY test_name"
+    )
+
+
 def _winsorized_profile_sql() -> str:
     """DuckDB twin of q_events_winsorized_profile: per-type bucket-walk
     bounds (the established quantile oracle, rounded 4), the identical
@@ -7829,6 +7924,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_corr_matrix": _corr_matrix_sql(tr_src),
         "emb_jl_ann_recall": _jl_ann_recall_sql(),
         "events_winsorized_profile": _winsorized_profile_sql(),
+        "events_benford_audit": _benford_sql(),
         # JL projection: pinned sign matrix shared via jl_sign_matrix
         "emb_jl_projection": _jl_projection_sql(),
         "emb_jl_distortion": _jl_distortion_sql(),

@@ -3233,6 +3233,91 @@ def corr_matrix(df, cols, decimals=0):
     )
 
 
+# Benford first-digit probabilities log10(1 + 1/d), d = 1..9 — pinned
+# double literals shared verbatim with the DuckDB twins (the POISSON1_T60
+# discipline: the constants are repr'd into BOTH engines' expressions)
+BENFORD_P10 = (
+    0.3010299956639812,
+    0.17609125905568124,
+    0.12493873660829992,
+    0.09691001300805642,
+    0.07918124604762482,
+    0.06694678963061322,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.04575749056067514,
+)
+
+
+def benford_chi2_expr() -> str:
+    """The SHARED chi-square-vs-Benford expression string over columns
+    ``n`` and ``c1..c9`` (exact integer digit counts): nine
+    (obs - n*p)^2 / (n*p) terms folded left-to-right in digit order —
+    identical IEEE tree under F.expr and in the DuckDB twin. Edit HERE,
+    never a call site."""
+    nd = "CAST(n AS DOUBLE)"
+    terms = []
+    for d, p in enumerate(BENFORD_P10, start=1):
+        e = f"({nd} * {p!r})"
+        terms.append(
+            f"(CAST(c{d} AS DOUBLE) - {e}) * (CAST(c{d} AS DOUBLE) - {e})"
+            f" / {e}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def benford_audit(df, value_col: str, group_cols=(), scale_decimals: int = 4):
+    """Benford's-law first-digit audit — the classic
+    fabrication/aggregation-artifact screen for scale-spanning positive
+    measures. INTEGER-EXACT digit extraction: values fixed-point to
+    ``round(|v| * 10^d)`` int64 and the first significant digit is the
+    first character of the INTEGER's base-10 string (integer rendering is
+    identical across engines — no log10, no float classification);
+    zero/NULL values drop. Returns one row per group: [*group_cols, n,
+    c1..c9, chi2, benford_consistent] where chi2 evaluates the shared
+    :func:`benford_chi2_expr` tree against the pinned ``BENFORD_P10``
+    literals and the boolean compares against the alpha=0.05 chi-square
+    critical value at 8 dof (15.5073, CHI2_CRIT_95). chi2 UNROUNDED
+    (gates round).
+
+    Scale shape: digit extraction in the scan projection, ONE
+    map-side-combined grouped aggregate (ten integers of state per
+    group)."""
+    from pyspark.sql import functions as F
+
+    groups = list(group_cols)
+    scale = float(10**scale_decimals)
+    q = F.floor(F.abs(F.col(value_col)) * F.lit(scale) + F.lit(0.5)).cast(
+        "long"
+    )
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, q.alias("__q"))
+        .filter(F.col("__q") > 0)
+        .select(
+            *groups,
+            F.substring(F.col("__q").cast("string"), 1, 1)
+            .cast("int")
+            .alias("__d"),
+        )
+    )
+    aggs = [F.count("*").alias("n")] + [
+        F.sum((F.col("__d") == d).cast("long")).alias(f"c{d}")
+        for d in range(1, 10)
+    ]
+    sums = base.groupBy(*groups).agg(*aggs)
+    chi2 = F.expr(benford_chi2_expr())
+    return sums.select(
+        *groups,
+        "n",
+        *[f"c{d}" for d in range(1, 10)],
+        chi2.alias("chi2"),
+        F.coalesce(
+            chi2 <= F.lit(CHI2_CRIT_95[8]), F.lit(False)
+        ).alias("benford_consistent"),
+    )
+
+
 def winsorize_by_sketch(
     df,
     value_col: str,

@@ -827,3 +827,45 @@ def test_winsorize_by_sketch_clamps_and_null_passthrough(spark):
     nul = [r for r in out if r.v is None][0]
     assert nul.v_winsorized is None
     assert not nul.clamped_lo and not nul.clamped_hi
+
+
+def test_benford_audit_vs_hand_computed(spark):
+    from ddsparkle.spark.dataops import (
+        BENFORD_P10,
+        benford_audit,
+    )
+
+    # counts proportional to Benford -> consistent; values d * 10^k so
+    # the first digit is unambiguous
+    rows = []
+    counts = [round(1000 * p) for p in BENFORD_P10]
+    for d, c in enumerate(counts, start=1):
+        for i in range(c):
+            rows.append((float(d) * (10.0 ** (i % 3)),))
+    df = spark.createDataFrame(rows, "v double")
+    r = benford_audit(df, "v").collect()[0]
+    assert [getattr(r, f"c{d}") for d in range(1, 10)] == counts
+    n = sum(counts)
+    chi2 = 0.0
+    for d, p in enumerate(BENFORD_P10, start=1):
+        e = float(n) * p
+        chi2 = chi2 + (float(counts[d - 1]) - e) * (
+            float(counts[d - 1]) - e
+        ) / e
+    assert r.n == n and r.chi2 == chi2  # identical pinned IEEE fold
+    assert r.benford_consistent
+    # uniform digits -> wildly inconsistent; zeros and NULLs drop
+    rows_u = [(float(d),) for d in range(1, 10) for _ in range(200)]
+    rows_u += [(0.0,), (None,)]
+    du = spark.createDataFrame(rows_u, "v double")
+    ru = benford_audit(du, "v").collect()[0]
+    assert ru.n == 1800 and ru.c1 == 200
+    assert ru.chi2 > 100 and not ru.benford_consistent
+    # grouped path
+    both = df.withColumn("g", F.lit("a")).unionByName(
+        du.withColumn("g", F.lit("b"))
+    )
+    got = {
+        r.g: r for r in benford_audit(both, "v", group_cols=["g"]).collect()
+    }
+    assert got["a"].benford_consistent and not got["b"].benford_consistent
