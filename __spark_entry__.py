@@ -5852,13 +5852,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Part 12 (tenth session) adds events_bootstrap_ci, emb_jl_projection,
     and transcripts_linreg at positions 1-3 (the Poisson-bootstrap,
     JL-projection, and exact-OLS families); out-of-window on those
-    anchors + addenda 65-71 both-SF receipts sit
+    anchors + addenda 65-73 both-SF receipts sit
     transcripts_bootstrap_roles, emb_jl_distortion, emb_jl_ann_recall,
     transcripts_corr_matrix (bit-equal to pairwise linreg by pytest),
     ddsketch_bootstrap_q95 (per-replicate weighted walks on the
-    11-driver-row quantile machinery), and streaming_bootstrap_ci (a
+    11-driver-row quantile machinery), streaming_bootstrap_ci (a
     bit-equal integer merge of the in-window batch build's partials,
-    shared twin, addendum 67). The slots came from the CDC family
+    shared twin, addendum 67), events_winsorized_profile (quantile
+    machinery + events_trimmed_mean), and events_benford_audit
+    (events_chi2_ab_test's chi2 family). The slots came from the CDC family
     (transcripts_snapshot_diff stays in-window; events_apply_changes +
     transcripts_scd2_history rotated with fresh sf0.1 replays) and the
     graph module (graph_pagerank + graph_kcore stay; graph_triangles
