@@ -5472,6 +5472,66 @@ def q_emb_jl_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transcripts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen vs OLS on the deterministic conversation sample
+    (hash % 13, BANDED to n_turns <= 60 so leverage is comparable across
+    rows — on the raw heavy-tailed frame a random 10% corruption lands
+    on low-leverage small conversations and OLS barely notices, an
+    instructive first-design failure), two legs: clean chars-on-turns
+    and the same frame with ~12% of targets corrupted 100x (hash % 10).
+    The LIVE robustness contrast: OLS inflates 6.7x on the corrupted
+    leg (474.7 -> 3166.1) while the pairwise median moves 0.1%
+    (432.9 -> 433.3) — the breakdown-point story in two rows. Slopes are single divisions of exact integer
+    differences, medians pure order statistics — every column
+    hash-gates. Anchors: in-window transcripts_linreg (the regression
+    family) + the order-statistic discipline of events_robust_stats."""
+    from ddsparkle.spark.dataops import (
+        _portable_line_key,
+        linreg,
+        theil_sen,
+    )
+
+    df = _transcripts(spark, sf_dir)
+    per_conv = (
+        df.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("double").alias("n_turns"),
+            F.sum(F.length("text")).cast("double").alias("total_chars"),
+        )
+        .withColumn("__hh", _portable_line_key(F.col("conv_id")))
+        .filter((F.col("__hh") % 13 == 0) & (F.col("n_turns") <= 60))
+    )
+    corrupted = per_conv.withColumn(
+        "y_corrupt",
+        F.col("total_chars")
+        * F.when(F.col("__hh") % 10 == 0, F.lit(100.0)).otherwise(
+            F.lit(1.0)
+        ),
+    )
+    rows = []
+    for name, frame, yc in (
+        ("clean", per_conv, "total_chars"),
+        ("corrupted_10pct", corrupted, "y_corrupt"),
+    ):
+        ts = theil_sen(
+            frame, "n_turns", yc, "conv_id", x_decimals=0, y_decimals=0
+        )
+        ols = linreg(
+            frame, "n_turns", yc, x_decimals=0, y_decimals=0
+        ).select(F.col("slope").alias("__ols"))
+        rows.append(
+            ts.crossJoin(F.broadcast(ols)).select(
+                F.lit(name).alias("test_name"),
+                "n",
+                "n_pairs",
+                F.round("slope", 4).alias("ts_slope"),
+                F.round("intercept", 4).alias("ts_intercept"),
+                F.round("__ols", 4).alias("ols_slope"),
+            )
+        )
+    return rows[0].unionByName(rows[1]).orderBy("test_name")
+
+
 def q_events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit, two legs: the raw event values (a
     bounded distribution — NOT Benford) and a deterministic SCALE
@@ -6015,6 +6075,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Benford audit: out-of-window on events_chi2_ab_test (the chi2
         # data-quality family) + the pinned-literal discipline
         "events_benford_audit": q_events_benford_audit,
+        # Theil-Sen robust slope: out-of-window on transcripts_linreg +
+        # the events_robust_stats order-statistic discipline
+        "transcripts_theil_sen": q_transcripts_theil_sen,
         # KS shares the distinct-value chassis with in-window
         # transcripts_mannwhitney and the DECIMAL rejection algebra with
         # events_chi2_ab_test (machinery anchors) + addendum 60 receipts
@@ -7051,6 +7114,72 @@ def _spearman_sql(tr_src: str) -> str:
     )
 
 
+def _theil_sen_sql(tr_src: str) -> str:
+    """DuckDB twin of q_transcripts_theil_sen: identical sampled conv
+    frame, pairwise slopes as single divisions of exact integer diffs,
+    lower-median order statistics at rank (n+1)//2 with (slope, id_a,
+    id_b) tie-breaks, OLS from _linreg_final_exprs verbatim."""
+    from ddsparkle.spark.dataops import _linreg_final_exprs
+
+    ols = _linreg_final_exprs(0, 0)["slope"]
+
+    def leg(name: str, ye: str) -> str:
+        return (
+            f"SELECT '{name}' AS test_name, nn AS n, np AS n_pairs, "
+            "ROUND(m, 4) AS ts_slope, ROUND(ic, 4) AS ts_intercept, "
+            "ROUND(ols_slope, 4) AS ols_slope FROM ("
+            "SELECT MAX(nn) AS nn, MAX(np) AS np, MAX(m) AS m, "
+            "MAX(CASE WHEN rn = (nn + 1) // 2 THEN r END) AS ic FROM ("
+            "SELECT nn, np, m, r, ROW_NUMBER() OVER (ORDER BY r, cid) "
+            "AS rn, COUNT(*) OVER () AS cnt FROM ("
+            "SELECT q.cid, q.nn, p.np, p.m, "
+            "CAST(q.qy AS DOUBLE) - p.m * CAST(q.qx AS DOUBLE) AS r "
+            "FROM ("
+            "SELECT cid, qx, qy, COUNT(*) OVER () AS nn FROM ("
+            "SELECT conv_id AS cid, "
+            "CAST(ROUND(n_turns * 1.0) AS BIGINT) AS qx, "
+            f"CAST(ROUND(({ye}) * 1.0) AS BIGINT) AS qy FROM s)) q "
+            "CROSS JOIN ("
+            "SELECT MAX(np) AS np, "
+            "MAX(CASE WHEN rn = (np + 1) // 2 THEN sl END) AS m FROM ("
+            "SELECT sl, ROW_NUMBER() OVER (ORDER BY sl, ia, ib) AS rn, "
+            "COUNT(*) OVER () AS np FROM ("
+            "SELECT a.cid AS ia, b.cid AS ib, "
+            "CAST(b.qy - a.qy AS DOUBLE) / CAST(b.qx - a.qx AS DOUBLE) "
+            "AS sl FROM ("
+            "SELECT conv_id AS cid, "
+            "CAST(ROUND(n_turns * 1.0) AS BIGINT) AS qx, "
+            f"CAST(ROUND(({ye}) * 1.0) AS BIGINT) AS qy FROM s) a "
+            "JOIN ("
+            "SELECT conv_id AS cid, "
+            "CAST(ROUND(n_turns * 1.0) AS BIGINT) AS qx, "
+            f"CAST(ROUND(({ye}) * 1.0) AS BIGINT) AS qy FROM s) b "
+            "ON a.cid < b.cid AND a.qx != b.qx))) p))), "
+            "(SELECT "
+            f"{ols} AS ols_slope FROM ("
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(CAST(qx AS HUGEINT)) AS sx, SUM(CAST(qy AS HUGEINT)) "
+            "AS sy, SUM(CAST(qx AS HUGEINT)*qx) AS sxx, "
+            "SUM(CAST(qy AS HUGEINT)*qy) AS syy, "
+            "SUM(CAST(qx AS HUGEINT)*qy) AS sxy FROM ("
+            "SELECT CAST(ROUND(n_turns * 1.0) AS BIGINT) AS qx, "
+            f"CAST(ROUND(({ye}) * 1.0) AS BIGINT) AS qy FROM s)))"
+        )
+
+    return (
+        "WITH pc AS (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS n_turns, "
+        "CAST(SUM(length(text)) AS DOUBLE) AS total_chars, "
+        "('0x' || substr(md5(conv_id), 1, 15))::BIGINT AS hh "
+        f"FROM {tr_src} GROUP BY conv_id), "
+        "s AS MATERIALIZED (SELECT *, total_chars * (CASE WHEN hh % 10 = 0 "
+        "THEN 100.0 ELSE 1.0 END) AS y_corrupt FROM pc "
+        "WHERE hh % 13 = 0 AND n_turns <= 60) "
+        f"SELECT * FROM ({leg('clean', 'total_chars')} "
+        f"UNION ALL {leg('corrupted_10pct', 'y_corrupt')}) "
+        "ORDER BY test_name"
+    )
+
+
 def _benford_sql() -> str:
     """DuckDB twin of q_events_benford_audit: identical integer-string
     first digits, the shared benford_chi2_expr tree verbatim, the same
@@ -7927,6 +8056,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_jl_ann_recall": _jl_ann_recall_sql(),
         "events_winsorized_profile": _winsorized_profile_sql(),
         "events_benford_audit": _benford_sql(),
+        "transcripts_theil_sen": _theil_sen_sql(tr_src),
         # JL projection: pinned sign matrix shared via jl_sign_matrix
         "emb_jl_projection": _jl_projection_sql(),
         "emb_jl_distortion": _jl_distortion_sql(),

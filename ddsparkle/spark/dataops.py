@@ -3145,6 +3145,115 @@ def linreg(
     )
 
 
+def theil_sen(
+    df,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    x_decimals: int = 4,
+    y_decimals: int = 4,
+):
+    """Theil-Sen robust slope — the median of all pairwise slopes, with
+    up to ~29% outlier breakdown where OLS (:func:`linreg`) has zero.
+    Bit-exact recipe: both variables fix-point to int64; each pair's
+    slope is ONE division of exact integer differences (single-rounded,
+    identical cross-engine), rescaled by a literal power-of-ten factor;
+    the median is a pure ORDER STATISTIC — row_number at (n_pairs+1)//2
+    over (slope, id_i, id_j) — zero further arithmetic, so it
+    hash-gates (the group_robust_stats discipline). The intercept is
+    the median of y_i - slope_med * x_i by the same order-statistic
+    rule. Returns one row [n, n_pairs, slope, intercept] (UNROUNDED;
+    gates round); vertical pairs (equal x) drop; n_pairs = 0 yields
+    NULLs.
+
+    Scale contract: ALL-PAIRS — O(n^2) in the input rows BY DESIGN
+    (the estimator is defined over pairs). Apply it to a deterministic
+    sample (the repo's hash-mod pattern); at 10^12 rows the sample IS
+    the operator, exactly like emb_jl_ann_recall's recall oracle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sx = float(10**x_decimals)
+    sy = float(10**y_decimals)
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.round(F.col(x_col) * F.lit(sx)).cast("long").alias("__qx"),
+        F.round(F.col(y_col) * F.lit(sy)).cast("long").alias("__qy"),
+    )
+    a = base.select(
+        F.col("__id").alias("__ia"),
+        F.col("__qx").alias("__xa"),
+        F.col("__qy").alias("__ya"),
+    )
+    b = base.select(
+        F.col("__id").alias("__ib"),
+        F.col("__qx").alias("__xb"),
+        F.col("__qy").alias("__yb"),
+    )
+    rescale = float(10.0 ** (x_decimals - y_decimals))
+    pairs = (
+        a.join(F.broadcast(b), F.col("__ia") < F.col("__ib"))
+        .filter(F.col("__xa") != F.col("__xb"))
+        .select(
+            "__ia",
+            "__ib",
+            (
+                (F.col("__yb") - F.col("__ya")).cast("double")
+                / (F.col("__xb") - F.col("__xa")).cast("double")
+                * F.lit(rescale)
+            ).alias("__s"),
+        )
+    )
+    w = Window.orderBy("__s", "__ia", "__ib")
+    ranked = pairs.select(
+        "__s",
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(Window.partitionBy()).alias("__np"),
+    )
+    # lower median rank (n+1) DIV 2 expressed exactly
+    med = ranked.agg(
+        F.max("__np").alias("n_pairs"),
+        F.max(
+            F.when(
+                F.col("__rn")
+                == F.expr("(__np + 1) DIV 2"),
+                F.col("__s"),
+            )
+        ).alias("slope"),
+    )
+    joined = base.crossJoin(F.broadcast(med))
+    resid = joined.select(
+        "__id",
+        "n_pairs",
+        "slope",
+        (
+            F.col("__qy").cast("double") / F.lit(sy)
+            - F.col("slope") * (F.col("__qx").cast("double") / F.lit(sx))
+        ).alias("__r"),
+    )
+    wr = Window.orderBy("__r", "__id")
+    rranked = resid.select(
+        "n_pairs",
+        "slope",
+        "__r",
+        F.row_number().over(wr).alias("__rn"),
+        F.count("*").over(Window.partitionBy()).alias("__nn"),
+    )
+    out = rranked.agg(
+        F.max("__nn").alias("n"),
+        F.max("n_pairs").alias("n_pairs"),
+        F.max("slope").alias("slope"),
+        F.max(
+            F.when(
+                F.col("__rn") == F.expr("(__nn + 1) DIV 2"), F.col("__r")
+            )
+        ).alias("intercept"),
+    )
+    return out.select("n", "n_pairs", "slope", "intercept")
+
+
 def corr_matrix(df, cols, decimals=0):
     """EXACT pairwise Pearson correlation screen over k numeric columns —
     the feature-correlation audit before model/mixture decisions — in ONE

@@ -869,3 +869,69 @@ def test_benford_audit_vs_hand_computed(spark):
         r.g: r for r in benford_audit(both, "v", group_cols=["g"]).collect()
     }
     assert got["a"].benford_consistent and not got["b"].benford_consistent
+
+
+def test_theil_sen_vs_brute_force_and_robustness(spark):
+    import math
+    import random
+
+    from ddsparkle.spark.dataops import linreg, theil_sen
+
+    def hu(v):
+        return math.floor(v + 0.5)
+
+    def brute(rows, dx, dy):
+        q = [
+            (i, hu(x * 10**dx), hu(y * 10**dy)) for i, x, y in rows
+        ]
+        slopes = []
+        for ai in range(len(q)):
+            for bi in range(ai + 1, len(q)):
+                ia, xa, ya = q[ai]
+                ib, xb, yb = q[bi]
+                if ia > ib:
+                    ia, xa, ya, ib, xb, yb = ib, xb, yb, ia, xa, ya
+                if xa != xb:
+                    slopes.append(
+                        (
+                            float(yb - ya) / float(xb - xa)
+                            * float(10.0 ** (dx - dy)),
+                            ia,
+                            ib,
+                        )
+                    )
+        slopes.sort()
+        m = slopes[(len(slopes) + 1) // 2 - 1][0]
+        resid = sorted(
+            (
+                float(qy) / 10**dy - m * (float(qx) / 10**dx),
+                i,
+            )
+            for i, qx, qy in q
+        )
+        ic = resid[(len(resid) + 1) // 2 - 1][0]
+        return len(q), len(slopes), m, ic
+
+    rng = random.Random(77)
+    rows = [
+        (i, float(rng.randrange(1, 200)) / 8.0, 0.0) for i in range(60)
+    ]
+    rows = [
+        (i, x, 3.0 * x + 5.0 + rng.randrange(-16, 17) / 8.0)
+        for i, x, _ in rows
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    r = theil_sen(df, "x", "y", "id", x_decimals=1, y_decimals=1).collect()[0]
+    n, npairs, m, ic = brute(rows, 1, 1)
+    assert (r.n, r.n_pairs) == (n, npairs)
+    assert r.slope == m and r.intercept == ic  # pure order statistics
+    assert 2.8 < r.slope < 3.2
+    # robustness: corrupt 10% of y by 100x — OLS slope explodes, TS holds
+    bad = [
+        (i, x, y * (100.0 if i % 10 == 0 else 1.0)) for i, x, y in rows
+    ]
+    dfb = spark.createDataFrame(bad, "id long, x double, y double")
+    rb = theil_sen(dfb, "x", "y", "id", x_decimals=1, y_decimals=1).collect()[0]
+    ols = linreg(dfb, "x", "y", x_decimals=1, y_decimals=1).collect()[0]
+    assert abs(rb.slope - r.slope) < 0.5 * r.slope
+    assert ols.slope > 3.0 * r.slope
