@@ -5472,6 +5472,55 @@ def q_emb_jl_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the deterministic event sample
+    (event_id % 199), two legs: the raw values over time (iid by
+    construction — honest negative) and a planted +5/day drift (the
+    day number from exact epoch-micros integer division, so both
+    engines add identical doubles — significant positive trend). S and
+    the tie-corrected variance are exact integers; z2 is one pinned
+    division. Anchors: transcripts_theil_sen (the same all-pairs sample
+    contract) + the rank-test chassis family."""
+    from ddsparkle.spark.dataops import mann_kendall
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & (F.col("event_id") % 199 == 0)
+    )
+    base = ev.select(
+        "event_id",
+        "ts",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__us"),
+    )
+    drift = base.select(
+        "event_id",
+        "ts",
+        (
+            F.col("value")
+            + F.expr("CAST((__us DIV 86400000000) * 5 AS DOUBLE)")
+        ).alias("v"),
+    )
+    rows = []
+    for name, frame, vc in (
+        ("iid_values", base, "value"),
+        ("planted_drift", drift, "v"),
+    ):
+        rows.append(
+            mann_kendall(frame, "ts", vc, "event_id").select(
+                F.lit(name).alias("test_name"),
+                "n",
+                "s",
+                "var18",
+                F.round("z2", 4).alias("z2"),
+                "trend_sign",
+                "significant_95",
+            )
+        )
+    return rows[0].unionByName(rows[1]).orderBy("test_name")
+
+
 def q_transcripts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen vs OLS on the deterministic conversation sample
     (hash % 13, BANDED to n_turns <= 60 so leverage is comparable across
@@ -6078,6 +6127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Theil-Sen robust slope: out-of-window on transcripts_linreg +
         # the events_robust_stats order-statistic discipline
         "transcripts_theil_sen": q_transcripts_theil_sen,
+        # Mann-Kendall trend test: out-of-window on transcripts_theil_sen
+        # (same all-pairs sample contract) + the rank-test chassis
+        "events_mann_kendall": q_events_mann_kendall,
         # KS shares the distinct-value chassis with in-window
         # transcripts_mannwhitney and the DECIMAL rejection algebra with
         # events_chi2_ab_test (machinery anchors) + addendum 60 receipts
@@ -7114,6 +7166,50 @@ def _spearman_sql(tr_src: str) -> str:
     )
 
 
+def _mann_kendall_sql() -> str:
+    """DuckDB twin of q_events_mann_kendall: identical sample, the same
+    chronological pair order with id tie-breaks, exact integer S /
+    tie-corrected variance, one pinned division."""
+
+    def leg(name: str, vexpr: str) -> str:
+        return (
+            f"SELECT '{name}' AS test_name, n, s, var18, "
+            "ROUND(CASE WHEN s != 0 AND var18 > 0 THEN "
+            "CAST(18 * (ABS(s) - 1) * (ABS(s) - 1) AS DOUBLE) "
+            "/ CAST(var18 AS DOUBLE) END, 4) AS z2, "
+            "CAST(CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END "
+            "AS INTEGER) AS trend_sign, "
+            "COALESCE(CASE WHEN s != 0 AND var18 > 0 THEN "
+            "CAST(18 * (ABS(s) - 1) * (ABS(s) - 1) AS DOUBLE) "
+            "/ CAST(var18 AS DOUBLE) END > 3.8416, FALSE) "
+            "AS significant_95 FROM ("
+            "SELECT n, s, n * (n - 1) * (2 * n + 5) - tt AS var18 FROM "
+            "(SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s0), "
+            "(SELECT CAST(SUM(CASE WHEN vb > va THEN 1 "
+            "WHEN vb < va THEN -1 ELSE 0 END) AS BIGINT) AS s FROM ("
+            f"SELECT {vexpr.replace('@', 'a')} AS va, "
+            f"{vexpr.replace('@', 'b')} AS vb "
+            "FROM s0 a JOIN s0 b ON (a.ts < b.ts OR "
+            "(a.ts = b.ts AND a.event_id < b.event_id)))), "
+            "(SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) "
+            "AS BIGINT) AS tt FROM (SELECT COUNT(*) AS t FROM ("
+            f"SELECT {vexpr.replace('@', 's0')} AS v FROM s0) "
+            "GROUP BY v)))"
+        )
+
+    raw = "@.value"
+    drift = (
+        "@.value + CAST((epoch_us(@.ts) // 86400000000) * 5 AS DOUBLE)"
+    )
+    return (
+        "WITH s0 AS MATERIALIZED (SELECT event_id, ts, value FROM events "
+        "WHERE value IS NOT NULL AND ts IS NOT NULL "
+        "AND event_id % 199 = 0) "
+        f"SELECT * FROM ({leg('iid_values', raw)} "
+        f"UNION ALL {leg('planted_drift', drift)}) ORDER BY test_name"
+    )
+
+
 def _theil_sen_sql(tr_src: str) -> str:
     """DuckDB twin of q_transcripts_theil_sen: identical sampled conv
     frame, pairwise slopes as single divisions of exact integer diffs,
@@ -8057,6 +8153,7 @@ def oracle_sql() -> dict[str, str]:
         "events_winsorized_profile": _winsorized_profile_sql(),
         "events_benford_audit": _benford_sql(),
         "transcripts_theil_sen": _theil_sen_sql(tr_src),
+        "events_mann_kendall": _mann_kendall_sql(),
         # JL projection: pinned sign matrix shared via jl_sign_matrix
         "emb_jl_projection": _jl_projection_sql(),
         "emb_jl_distortion": _jl_distortion_sql(),

@@ -3254,6 +3254,94 @@ def theil_sen(
     return out.select("n", "n_pairs", "slope", "intercept")
 
 
+def mann_kendall(df, order_col: str, value_col: str, id_col: str):
+    """Mann-Kendall trend test — the nonparametric significance
+    companion to :func:`theil_sen` (is there ANY monotone trend over
+    time, no linearity or distribution assumed). S = SUM sign(v_j - v_i)
+    over pairs ordered by (order_col, id_col) — exact int64 (signs via
+    comparisons, never float signum); the tie-corrected variance scaled
+    by 18 is the exact integer n(n-1)(2n+5) - SUM_g t(t-1)(2t+5); the
+    continuity-corrected z^2 = 18 * (|S|-1)^2 / var18 is ONE pinned
+    division of exact integers, so z2, the trend sign, and
+    ``significant_95`` (z2 > 3.8416) all hash-gate. Returns one row
+    [n, s, var18, z2, trend_sign, significant_95]; S = 0 or var18 <= 0
+    yield NULL z2 / false. NULL order/value rows drop.
+
+    Scale contract: ALL-PAIRS by definition (like theil_sen) — apply to
+    a deterministic sample; the O(n log n) inversion-count formulation
+    is a documented alternative for full-table runs."""
+    from pyspark.sql import functions as F
+
+    base = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(order_col).alias("__o"),
+        F.col(id_col).alias("__id"),
+        F.col(value_col).alias("__v"),
+    )
+    a = base.select(
+        F.col("__o").alias("__oa"),
+        F.col("__id").alias("__ia"),
+        F.col("__v").alias("__va"),
+    )
+    b = base.select(
+        F.col("__o").alias("__ob"),
+        F.col("__id").alias("__ib"),
+        F.col("__v").alias("__vb"),
+    )
+    earlier = (F.col("__oa") < F.col("__ob")) | (
+        (F.col("__oa") == F.col("__ob")) & (F.col("__ia") < F.col("__ib"))
+    )
+    sgn = (F.col("__vb") > F.col("__va")).cast("long") - (
+        F.col("__vb") < F.col("__va")
+    ).cast("long")
+    s_row = (
+        a.join(F.broadcast(b), earlier)
+        .agg(F.sum(sgn).alias("s"))
+    )
+    nn = base.agg(F.count("*").alias("n"))
+    ties = (
+        base.groupBy("__v")
+        .agg(F.count("*").alias("__t"))
+        .agg(
+            F.sum(
+                F.col("__t")
+                * (F.col("__t") - 1)
+                * (2 * F.col("__t") + 5)
+            ).alias("__tt")
+        )
+    )
+    joined = nn.crossJoin(s_row).crossJoin(ties)
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.coalesce(F.col("__tt"), F.lit(0))
+    )
+    dec = "decimal(38,0)"
+    num = (
+        (F.abs(F.col("s")) - 1).cast(dec)
+        * (F.abs(F.col("s")) - 1).cast(dec)
+        * 18
+    )
+    z2 = F.when(
+        (F.col("s") != 0) & (var18 > 0),
+        num.cast("double") / var18.cast("double"),
+    )
+    return joined.select(
+        "n",
+        "s",
+        var18.alias("var18"),
+        z2.alias("z2"),
+        F.when(F.col("s") > 0, 1)
+        .when(F.col("s") < 0, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("trend_sign"),
+        F.coalesce(z2 > F.lit(3.8416), F.lit(False)).alias(
+            "significant_95"
+        ),
+    )
+
+
 def corr_matrix(df, cols, decimals=0):
     """EXACT pairwise Pearson correlation screen over k numeric columns —
     the feature-correlation audit before model/mixture decisions — in ONE

@@ -935,3 +935,50 @@ def test_theil_sen_vs_brute_force_and_robustness(spark):
     ols = linreg(dfb, "x", "y", x_decimals=1, y_decimals=1).collect()[0]
     assert abs(rb.slope - r.slope) < 0.5 * r.slope
     assert ols.slope > 3.0 * r.slope
+
+
+def test_mann_kendall_vs_brute_force(spark):
+    import random
+
+    from ddsparkle.spark.dataops import mann_kendall
+
+    def brute(rows):
+        srt = sorted(rows, key=lambda r: (r[0], r[1]))
+        vs = [v for _, _, v in srt]
+        n = len(vs)
+        s = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                s += (vs[j] > vs[i]) - (vs[j] < vs[i])
+        from collections import Counter
+
+        tt = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(vs).values()
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tt
+        z2 = (
+            18.0 * float((abs(s) - 1) ** 2) / float(var18)
+            if s != 0 and var18 > 0
+            else None
+        )
+        return n, s, var18, z2, (s > 0) - (s < 0), bool(z2 and z2 > 3.8416)
+
+    rng = random.Random(13)
+    for trend in (0.0, 0.8):
+        rows = [
+            (float(t), t, float(rng.randrange(0, 40)) + trend * t)
+            for t in range(80)
+        ]
+        df = spark.createDataFrame(rows, "o double, id long, v double")
+        r = mann_kendall(df, "o", "v", "id").collect()[0]
+        n, s, var18, z2, sign, sig = brute(rows)
+        assert (r.n, r.s, r.var18, r.trend_sign) == (n, s, var18, sign)
+        assert r.z2 == z2 and r.significant_95 == sig
+        assert sig == (trend > 0)
+    # all-constant -> S = 0, var18 = 0, NULL z2
+    dfc = spark.createDataFrame(
+        [(float(t), t, 5.0) for t in range(10)], "o double, id long, v double"
+    )
+    rc = mann_kendall(dfc, "o", "v", "id").collect()[0]
+    assert rc.s == 0 and rc.var18 == 0 and rc.z2 is None
+    assert not rc.significant_95
