@@ -5968,8 +5968,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     11-driver-row quantile machinery), streaming_bootstrap_ci (a
     bit-equal integer merge of the in-window batch build's partials,
     shared twin, addendum 67), events_winsorized_profile (quantile
-    machinery + events_trimmed_mean), and events_benford_audit
-    (events_chi2_ab_test's chi2 family). The slots came from the CDC family
+    machinery + events_trimmed_mean), events_benford_audit
+    (events_chi2_ab_test's chi2 family), transcripts_theil_sen
+    (linreg + the order-statistic discipline), and events_mann_kendall
+    (theil_sen's all-pairs sample contract). The slots came from the CDC family
     (transcripts_snapshot_diff stays in-window; events_apply_changes +
     transcripts_scd2_history rotated with fresh sf0.1 replays) and the
     graph module (graph_pagerank + graph_kcore stay; graph_triangles
