@@ -5472,6 +5472,41 @@ def q_emb_jl_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration audit, two legs with a live contrast: per-user
+    event counts (the fixture assigns events near-uniformly -> G ~ 0.1)
+    vs per-conversation turn counts (the deliberately heavy-tailed
+    north-star skew -> G ~ 0.8). Exact order-statistic numerators in
+    DECIMAL(38,0), one pinned division each. Anchors:
+    events_key_skew (the concentration-audit family) +
+    events_robust_stats (order-statistic discipline)."""
+    from ddsparkle.spark.dataops import gini_coefficient
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    users = ev.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    convs = (
+        _transcripts(spark, sf_dir)
+        .groupBy("conv_id")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    rows = []
+    for name, frame, idc in (
+        ("user_event_counts", users, "user_id"),
+        ("conv_turn_counts", convs, "conv_id"),
+    ):
+        rows.append(
+            gini_coefficient(frame, "c", idc).select(
+                F.lit(name).alias("test_name"),
+                "n",
+                "total_q",
+                F.round("gini", 6).alias("gini"),
+            )
+        )
+    return rows[0].unionByName(rows[1]).orderBy("test_name")
+
+
 def q_events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall trend test on the deterministic event sample
     (event_id % 199), two legs: the raw values over time (iid by
@@ -6132,6 +6167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Mann-Kendall trend test: out-of-window on transcripts_theil_sen
         # (same all-pairs sample contract) + the rank-test chassis
         "events_mann_kendall": q_events_mann_kendall,
+        # Gini concentration: out-of-window on events_key_skew (the
+        # concentration-audit family) + the order-statistic discipline
+        "gini_concentration": q_gini_concentration,
         # KS shares the distinct-value chassis with in-window
         # transcripts_mannwhitney and the DECIMAL rejection algebra with
         # events_chi2_ab_test (machinery anchors) + addendum 60 receipts
@@ -7168,6 +7206,38 @@ def _spearman_sql(tr_src: str) -> str:
     )
 
 
+def _gini_sql(tr_src: str) -> str:
+    """DuckDB twin of q_gini_concentration: identical (value, id) rank
+    frames, HUGEINT order-statistic numerators, one pinned division."""
+
+    def leg(name: str, src: str) -> str:
+        return (
+            f"SELECT '{name}' AS test_name, n, "
+            "CAST(tot AS DOUBLE) AS total_q, "
+            "ROUND(CASE WHEN tot > 0 THEN CAST(num AS DOUBLE) / "
+            "CAST(CAST(n AS HUGEINT) * tot AS DOUBLE) END, 6) AS gini "
+            "FROM (SELECT MAX(n) AS n, SUM(CAST(q AS HUGEINT)) AS tot, "
+            "SUM(CAST(2 * rn - n - 1 AS HUGEINT) * q) AS num FROM ("
+            "SELECT q, ROW_NUMBER() OVER (ORDER BY q, id) AS rn, "
+            "COUNT(*) OVER () AS n FROM ("
+            f"SELECT id, CAST(ROUND(v * 1.0) AS BIGINT) AS q FROM {src} "
+            "WHERE v IS NOT NULL) WHERE q >= 0))"
+        )
+
+    users = (
+        "(SELECT user_id AS id, CAST(COUNT(*) AS DOUBLE) AS v "
+        "FROM events WHERE user_id IS NOT NULL GROUP BY user_id)"
+    )
+    convs = (
+        "(SELECT conv_id AS id, CAST(COUNT(*) AS DOUBLE) AS v "
+        f"FROM {tr_src} GROUP BY conv_id)"
+    )
+    return (
+        f"SELECT * FROM ({leg('user_event_counts', users)} "
+        f"UNION ALL {leg('conv_turn_counts', convs)}) ORDER BY test_name"
+    )
+
+
 def _mann_kendall_sql() -> str:
     """DuckDB twin of q_events_mann_kendall: identical sample, the same
     chronological pair order with id tie-breaks, exact integer S /
@@ -8156,6 +8226,7 @@ def oracle_sql() -> dict[str, str]:
         "events_benford_audit": _benford_sql(),
         "transcripts_theil_sen": _theil_sen_sql(tr_src),
         "events_mann_kendall": _mann_kendall_sql(),
+        "gini_concentration": _gini_sql(tr_src),
         # JL projection: pinned sign matrix shared via jl_sign_matrix
         "emb_jl_projection": _jl_projection_sql(),
         "emb_jl_distortion": _jl_distortion_sql(),

@@ -3254,6 +3254,60 @@ def theil_sen(
     return out.select("n", "n_pairs", "slope", "intercept")
 
 
+def gini_coefficient(df, value_col: str, id_col: str, decimals: int = 0):
+    """Gini concentration coefficient — the inequality audit for a
+    training-data pipeline (is the corpus dominated by a few sources /
+    users / conversations?). EXACT order-statistic algebra: non-negative
+    values fix-point to int64, ranked by (value, id) (deterministic
+    ties), and G = SUM (2i - n - 1) * x_(i) / (n * SUM x) — numerator
+    and denominator are exact DECIMAL(38,0) integers, G is ONE pinned
+    division, so it hash-gates. Returns one row [n, total_q, gini]
+    (gini UNROUNDED; NULL when the total is zero). Negative values are
+    rejected (ValueError domain is the caller's job — here they drop
+    with the NULLs, documented).
+
+    Scale shape: the ranking is a single global sort window — correct
+    for the AGGREGATED frames this audits (per-user / per-source /
+    per-conversation counts, orders of magnitude smaller than the raw
+    table); at billions of keys use the assign_shards distributed
+    prefix-rank pattern first."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    scale = float(10**decimals)
+    dec = "decimal(38,0)"
+    q = F.round(F.col(value_col) * F.lit(scale)).cast("long")
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), q.alias("__q"))
+        .filter(F.col("__q") >= 0)
+    )
+    w = Window.orderBy("__q", "__id")
+    ranked = base.select(
+        "__q",
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(Window.partitionBy()).alias("__n"),
+    )
+    sums = ranked.agg(
+        F.max("__n").alias("n"),
+        F.sum(F.col("__q").cast(dec)).alias("total_q"),
+        F.sum(
+            (2 * F.col("__rn") - F.col("__n") - 1).cast(dec)
+            * F.col("__q").cast(dec)
+        ).alias("__num"),
+    )
+    g = F.when(
+        F.col("total_q") > 0,
+        F.col("__num").cast("double")
+        / (F.col("n").cast(dec) * F.col("total_q")).cast("double"),
+    )
+    return sums.select(
+        "n",
+        F.col("total_q").cast("double").alias("total_q"),
+        g.alias("gini"),
+    )
+
+
 def mann_kendall(df, order_col: str, value_col: str, id_col: str):
     """Mann-Kendall trend test — the nonparametric significance
     companion to :func:`theil_sen` (is there ANY monotone trend over

@@ -982,3 +982,36 @@ def test_mann_kendall_vs_brute_force(spark):
     rc = mann_kendall(dfc, "o", "v", "id").collect()[0]
     assert rc.s == 0 and rc.var18 == 0 and rc.z2 is None
     assert not rc.significant_95
+
+
+def test_gini_coefficient_vs_brute_force(spark):
+    import random
+
+    from ddsparkle.spark.dataops import gini_coefficient
+
+    def brute(vals):
+        xs = sorted(vals)
+        n = len(xs)
+        tot = sum(xs)
+        num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+        return n, float(tot), num / float(n * tot)
+
+    rng = random.Random(3)
+    # uniform-ish -> low G; heavy tail -> high G
+    uni = [float(rng.randrange(90, 110)) for _ in range(300)]
+    heavy = [float(rng.randrange(1, 5)) for _ in range(290)] + [
+        float(rng.randrange(5000, 9000)) for _ in range(10)
+    ]
+    for vals, lo, hi in ((uni, 0.0, 0.1), (heavy, 0.7, 1.0)):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id long, v double"
+        )
+        r = gini_coefficient(df, "v", "id").collect()[0]
+        n, tot, g = brute(vals)
+        assert (r.n, r.total_q) == (n, tot)
+        assert abs(r.gini - g) < 1e-12 and lo <= r.gini <= hi
+    # all-equal -> exactly 0; all-zero -> NULL
+    dfe = spark.createDataFrame([(i, 7.0) for i in range(9)], "id long, v double")
+    assert gini_coefficient(dfe, "v", "id").collect()[0].gini == 0.0
+    dfz = spark.createDataFrame([(i, 0.0) for i in range(9)], "id long, v double")
+    assert gini_coefficient(dfz, "v", "id").collect()[0].gini is None
