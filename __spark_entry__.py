@@ -1929,19 +1929,34 @@ def q_orders_join_size_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("k")
         )
 
+    # r6: repartition the RAW key column before the md5 projection so the
+    # portable-key hashing itself parallelizes (an exchange added above
+    # the projection would leave the md5 on the single scan split)
+    from ddsparkle.spark.dataops import _ensure_parallelism
+
     ska, skb, dot = ams_join_size(
-        orders.select(key("o_custkey")), "k", cust.select(key("c_custkey")), "k"
+        _ensure_parallelism(orders.select("o_custkey")).select(key("o_custkey")),
+        "k",
+        _ensure_parallelism(cust.select("c_custkey")).select(key("c_custkey")),
+        "k",
     )
     ca = orders.groupBy("o_custkey").agg(F.count("*").alias("na"))
     cb = cust.groupBy("c_custkey").agg(F.count("*").alias("nb"))
-    exact = int(
-        ca.join(cb, ca["o_custkey"] == cb["c_custkey"])
-        .agg(F.sum(F.col("na") * F.col("nb")).alias("j"))
-        .collect()[0]["j"]
-        or 0
+    # r6: exact join size and both F2s in ONE full-outer join job (was
+    # three collect jobs re-evaluating ca/cb; SUM skips the NULL side of
+    # non-matching rows, so each aggregate equals its old per-frame value)
+    srow = (
+        ca.join(cb, ca["o_custkey"] == cb["c_custkey"], "full_outer")
+        .agg(
+            F.sum(F.col("na") * F.col("nb")).alias("j"),
+            F.sum(F.col("na") * F.col("na")).alias("f2a"),
+            F.sum(F.col("nb") * F.col("nb")).alias("f2b"),
+        )
+        .collect()[0]
     )
-    f2a = int(ca.agg(F.sum(F.col("na") * F.col("na"))).collect()[0][0] or 0)
-    f2b = int(cb.agg(F.sum(F.col("nb") * F.col("nb"))).collect()[0][0] or 0)
+    exact = int(srow["j"] or 0)
+    f2a = int(srow["f2a"] or 0)
+    f2b = int(srow["f2b"] or 0)
     err = dot - 256 * exact
     within = err * err <= 32 * 256 * f2a * f2b
     return spark.createDataFrame(

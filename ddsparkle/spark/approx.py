@@ -449,9 +449,15 @@ def ams_f2_sketch(df, key_col: str, n_counters: int = 256, seed: int = 0):
     Returns the merged :class:`~ddsparkle.sketches.ams.AMSSketch`.
     """
     from ..sketches.ams import AMSSketch
+    from .dataops import _ensure_parallelism
 
+    # r6 (guide §2.5/§4): a single-split scan funnels the whole Horner
+    # sign pass onto ONE task (measured 2.7 s for the orders side at
+    # sf0.1); AMS counters are additive, so per-task partial boundaries
+    # cannot change the merged sketch — repartitioning is result-invariant
+    # and a structural no-op at scale.
     partials = _build_payload_partials(
-        df.select(key_col),
+        _ensure_parallelism(df.select(key_col)),
         key_col,
         [],
         make=lambda: AMSSketch(n_counters=n_counters, seed=seed),

@@ -2557,39 +2557,104 @@ def semdedup(
         .limit(n_clusters)
         .collect()
     )
-    # sorted by seed id so the argmax struct's tie-break (max of -id)
-    # picks the SMALLEST seed id among bit-equal cosines
+    # sorted by seed id so the argmax tie-break picks the SMALLEST seed id
+    # among bit-equal cosines
     seeds = sorted((r[0], list(r[1])) for r in seeds)
-    scored = df.select(
-        id_col,
-        emb_col,
-        F.array(
-            *[
-                F.struct(
-                    _cosine_fold(
-                        F.col(emb_col),
-                        F.array(*[F.lit(float(v)) for v in vec]),
-                    ).alias("s"),
-                    F.lit(-int(sid)).alias("negid"),
-                )
-                for sid, vec in seeds
-            ]
-        ).alias("__sc"),
+
+    # r6 (guide §4.2): assignment and the within-cluster verify moved from
+    # interpreted Catalyst HOF folds (aggregate/zip_with evaluate per
+    # element with no codegen — 5.4 s on 2 tasks at sf0.1, and the 16 x 64
+    # literal seed arrays made an 827 KB plan) to Arrow-batched numpy that
+    # replays the SAME left-to-right IEEE fold: acc starts at 0.0 and adds
+    # one a_j*b_j product per dimension, every op correctly rounded, so
+    # each cosine double is BIT-IDENTICAL to the _cosine_fold tree the
+    # DuckDB twins replay. NaN caveat: numpy comparisons order NaN below
+    # the threshold while Spark/DuckDB order NaN above everything — a
+    # zero-norm or NaN vector would diverge; no such vector exists in any
+    # fixture and the operator's contract assumes finite nonzero
+    # embeddings.
+    from pyspark.sql import types as T
+
+    seed_ids = [int(s) for s, _ in seeds]
+    seed_mat = np.asarray([v for _, v in seeds], np.float64)  # (K, d)
+    k_n, dim = seed_mat.shape
+
+    def _fold_sq_rows(V):
+        # sum_j V[:,j]^2 with the fold's exact add order
+        acc = np.zeros(len(V))
+        for j in range(V.shape[1]):
+            acc = acc + V[:, j] * V[:, j]
+        return acc
+
+    seed_norm = np.sqrt(_fold_sq_rows(seed_mat))
+
+    id_field = df.schema[id_col]
+    emb_field = df.schema[emb_col]
+    asg_schema = T.StructType(
+        [id_field, emb_field, T.StructField("cluster", T.LongType())]
     )
-    asg = scored.select(
-        id_col, emb_col, (-F.array_max("__sc")["negid"]).cast("long").alias("cluster")
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array([np.asarray(v, np.float64) for v in pdf[emb_col]])
+            vnorm = np.sqrt(_fold_sq_rows(V))
+            cos = np.empty((len(V), k_n))
+            for s in range(k_n):
+                acc = np.zeros(len(V))
+                sv = seed_mat[s]
+                for j in range(dim):
+                    acc = acc + V[:, j] * sv[j]
+                cos[:, s] = acc / (vnorm * seed_norm[s])
+            # argmax returns the FIRST max: seeds are sorted by id, so ties
+            # resolve to the smallest seed id — the struct-max rule
+            best = cos.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    emb_col: pdf[emb_col],
+                    "cluster": [seed_ids[b] for b in best],
+                }
+            )
+
+    asg = _ensure_parallelism(df.select(id_col, emb_col)).mapInPandas(
+        assign, schema=asg_schema
     )
-    a = asg.select(
-        F.col(id_col).alias("__ia"), F.col(emb_col).alias("__ea"), "cluster"
-    )
-    b = asg.select(
-        F.col(id_col).alias("__ib"), F.col(emb_col).alias("__eb"), "cluster"
-    )
-    pairs = a.join(b, "cluster").filter(F.col("__ia") < F.col("__ib"))
+
+    # within-cluster dominated rule: each vector ships ONCE to its
+    # cluster's group (the old self-join shipped both embeddings of every
+    # candidate pair); the n_c x n_c pairwise cosines accumulate per
+    # dimension with the same fold order (outer-product adds — each
+    # C[i,j] sees exactly the fold's op sequence), so pair cosines stay
+    # bit-identical. Per-cluster cost is the paper's own (n/K)^2 model.
+    drop_schema = T.StructType([id_field])
+
+    def drop_ids(pdf):
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="mergesort")
+        ids = ids[order]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({id_col: ids[:0]})
+        V = np.array(
+            [np.asarray(v, np.float64) for v in pdf[emb_col].iloc[order]]
+        )
+        acc = np.zeros((n, n))
+        for j in range(dim):
+            col = V[:, j]
+            acc = acc + col[:, None] * col[None, :]
+        nrm = np.sqrt(acc.diagonal())
+        cosm = acc / (nrm[:, None] * nrm[None, :])
+        # b (column) is dropped iff some a with id_a < id_b (row above the
+        # diagonal) has cosine >= threshold
+        dominated = np.triu(cosm >= threshold, 1).any(axis=0)
+        return pd.DataFrame({id_col: ids[dominated]})
+
     dropped = (
-        pairs.filter(_cosine_fold(F.col("__ea"), F.col("__eb")) >= threshold)
-        .select(F.col("__ib").alias(id_col))
-        .distinct()
+        asg.select(id_col, emb_col, "cluster")
+        .groupBy("cluster")
+        .applyInPandas(drop_ids, schema=drop_schema)
     )
     flagged = asg.join(
         dropped.withColumn("__drop", F.lit(True)), id_col, "left"
@@ -4450,19 +4515,27 @@ def tfidf_top_terms(
     grams = F.when(
         F.size(toks) < ngram, F.array().cast("array<string>")
     ).otherwise(F.transform(F.sequence(F.lit(1), F.size(toks) - F.lit(ngram - 1)), gram))
+    # r6: single-evaluation shape — df as a window count over the tf stream
+    # instead of a groupBy+self-join (the old form evaluated the
+    # scan+explode+partial-agg subtree twice: per-branch pruning defeats
+    # ReuseExchange; plans/r06/doc_tfidf_terms_before.txt nodes 1-7 vs
+    # 9-15, 2 x 2.3 s single-task stages), plus _ensure_parallelism to
+    # spread the explode off a single parquet split (structural no-op at
+    # scale, CLAUDE.md single-split rule).
     tf = (
-        df.filter(F.col(text_col).isNotNull())
+        _ensure_parallelism(
+            df.filter(F.col(text_col).isNotNull()).select(id_col, text_col)
+        )
         .select(F.col(id_col), F.explode(grams).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
-    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.countDistinct(id_col).alias("__n"))
     )
     scored = (
-        tf.join(df_t, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
@@ -5315,8 +5388,19 @@ def pmi_pairs(
 
     if min_df < 1 or max_df_den < 1 or k < 1:
         raise ValueError("min_df, max_df_den, k must be >= 1")
+    # r6: single-evaluation shape. The old groupBy(term)+broadcast-join
+    # formulation evaluated the scan+explode+distinct subtree TWICE (the
+    # per-branch column pruning de-canonicalizes the exchanges, so
+    # ReuseExchange never fires — measured 2 x 2.3 s single-task stages at
+    # sf0.1, plans/r06/doc_pmi_pairs_before.txt nodes 1-8 vs 10-17).
+    # Attaching df as a window count over the SAME distinct stream keeps
+    # one subtree (guide §2.4: share the exchange), and _ensure_parallelism
+    # spreads the explode off the single parquet split (CLAUDE.md
+    # single-split rule; a structural no-op at scale).
     t = (
-        df.filter(F.col(text_col).isNotNull())
+        _ensure_parallelism(
+            df.filter(F.col(text_col).isNotNull()).select(id_col, text_col)
+        )
         .select(
             F.col(id_col).alias("__id"),
             F.explode(ngram_shingles_expr(text_col, ngram)).alias("term"),
@@ -5327,17 +5411,16 @@ def pmi_pairs(
         df.filter(F.col(text_col).isNotNull())
         .select(F.countDistinct(id_col).alias("__n"))
     )
-    band = (
-        t.groupBy("term")
-        .agg(F.count("*").alias("df"))
+    wt = Window.partitionBy("term")
+    tb = (
+        t.withColumn("df", F.count("*").over(wt))
         .crossJoin(F.broadcast(n_docs))
         .filter(
             (F.col("df") >= int(min_df))
             & (F.col("df") * int(max_df_den) <= F.col("__n"))
         )
-        .select("term", "df")
+        .select("__id", "term", "df")
     )
-    tb = t.join(F.broadcast(band), "term").select("__id", "term", "df")
     a, b = tb.alias("a"), tb.alias("b")
     pairs = (
         a.join(b, (F.col("a.__id") == F.col("b.__id")) & (F.col("a.term") < F.col("b.term")))

@@ -280,7 +280,18 @@ def build_payload_rollup(
         value_col,
     )
     cell_keys = [BUCKET_COL, *key_cols]
-    partials = _build_payload_partials(sel, value_col, cell_keys, make, update)
+    # r6 (guide §2.5): a single-split scan runs the WHOLE per-cell build on
+    # one task (measured 3.1 s inside the cms rollup write at sf0.1);
+    # spreading the scan multiplies partial rows per cell by the task
+    # count, which the counter/register-wise merges fold back exactly
+    # (CMS/HLL/KMV cells are bit-identical; t-digest cells stay inside the
+    # same rank-error budget their gates already bound). Structural no-op
+    # at scale — large inputs already scan as >= cores splits.
+    from .dataops import _ensure_parallelism
+
+    partials = _build_payload_partials(
+        _ensure_parallelism(sel), value_col, cell_keys, make, update
+    )
     return _merge_payload_cells(partials, cell_keys, from_payload)
 
 
