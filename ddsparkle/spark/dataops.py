@@ -6035,58 +6035,61 @@ def edit_distance_pairs(
 
     if max_edits not in (1, 2):
         raise ValueError(f"max_edits must be 1 or 2, got {max_edits}")
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
-    )
-    t = F.col("__text")
-    L = F.length(t)
-
-    def _del1(col, length):
-        # all single-position deletions of col (1-based positions)
-        return F.transform(
-            F.sequence(F.lit(1), length),
-            lambda i: F.concat(
-                col.substr(F.lit(1), i - F.lit(1)),
-                col.substr(i + F.lit(1), length),
-            ),
+    # r6 (guide §2.4/§4): the candidate join used to be a SELF-JOIN of the
+    # variant-key frame — planned as a BroadcastHashJoin whose build side
+    # RE-EVALUATED the whole scan + variant generation (no exchange to
+    # reuse), and the narrow customer scan ran it all on its 2 parquet
+    # splits. Now: spread the scan first, generate variant keys ONCE as a
+    # single SQL expression string (one py4j round trip instead of a deep
+    # Column lambda tree), and expand candidate pairs INSIDE each key
+    # bucket after ONE groupBy — same candidate set, one evaluation, one
+    # exchange of 8-byte keys. Bucket pair expansion is a higher-order
+    # transform over per-bucket id arrays (bucket sizes are true
+    # near-match neighborhoods, small by construction — the HOF-on-small-
+    # arrays regime).
+    base = _ensure_parallelism(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
         )
-
-    variants = F.when(L < 1, F.array(t)).otherwise(
-        F.concat(F.array(t), _del1(t, L))
+    )
+    # all single-position deletions of s (1-based positions)
+    d1 = (
+        "transform(sequence(1, length({s})), i -> "
+        "concat(substr({s}, 1, i-1), substr({s}, i+1, length({s}))))"
+    )
+    del1 = d1.format(s="__text")
+    variants = (
+        "case when length(__text) < 1 then array(__text) "
+        f"else array(__text) || {del1} end"
     )
     if max_edits == 2:
         # delete positions i < j in one pass: drop i, then (j-1) in the
         # shortened string == dropping {i, j} from the original
-        two = F.flatten(
-            F.transform(
-                _del1(t, L),
-                lambda s: F.transform(
-                    F.sequence(F.lit(1), F.length(s)),
-                    lambda j: F.concat(
-                        s.substr(F.lit(1), j - F.lit(1)),
-                        s.substr(j + F.lit(1), F.length(s)),
-                    ),
-                ),
-            )
+        two = f"flatten(transform({del1}, s -> {d1.format(s='s')}))"
+        variants = (
+            f"case when length(__text) < 2 then {variants} "
+            f"else ({variants}) || {two} end"
         )
-        variants = F.when(L < 2, variants).otherwise(F.concat(variants, two))
-
     keys = base.select(
         "__id",
         F.explode(
-            F.array_distinct(F.transform(variants, lambda v: F.xxhash64(v)))
+            F.expr(f"array_distinct(transform({variants}, v -> xxhash64(v)))")
         ).alias("__k"),
     )
     cand = (
-        keys.alias("ka")
-        .join(
-            keys.alias("kb"),
-            (F.col("ka.__k") == F.col("kb.__k"))
-            & (F.col("ka.__id") < F.col("kb.__id")),
-        )
+        keys.groupBy("__k")
+        .agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
+        .filter(F.size("__ids") > 1)
         .select(
-            F.col("ka.__id").alias("id_a"), F.col("kb.__id").alias("id_b")
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ids, (x, i) -> "
+                    "transform(slice(__ids, i + 2, size(__ids) - i - 1), "
+                    "y -> struct(x as id_a, y as id_b))))"
+                )
+            ).alias("__p")
         )
+        .select("__p.id_a", "__p.id_b")
         .distinct()
     )
     return (

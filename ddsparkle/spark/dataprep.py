@@ -82,6 +82,7 @@ def curate(
     from pyspark.sql import functions as F
 
     from .dataops import (
+        _ensure_parallelism,
         cross_corpus_contamination,
         exact_dedup,
         exact_dedup_normalized,
@@ -91,6 +92,20 @@ def curate(
     )
 
     n_input = df.count()
+
+    # r6 (guide §2.5/§4, CLAUDE.md single-file-parquet footgun): a corpus
+    # read as ONE split keeps that single partition through every
+    # broadcast-join stage below, so the cached fuzzy-survivor frame — and
+    # with it every downstream quality/language gate count and Arrow scorer
+    # pass (repetition / LM / model) — ran on ONE task (measured 4.2 s
+    # single-task LM count at sf0.1). ONLY fuzzy_kept is spread: its 3+
+    # consumers are the per-row-expensive ones, while the earlier cached
+    # stages feed operators that parallelize internally (near_duplicates /
+    # the scorers carry their own _ensure_parallelism) — spreading those
+    # too was measured a net LOSS (0.93x on the stats-only pipelines, the
+    # extra text shuffles outweighing the single-task counts they saved).
+    # Row-local gates/scorers make the spread result-invariant; structural
+    # no-op at 100 TB (wide inputs already scan as >= cores splits).
 
     # 0. (optional) benchmark decontamination FIRST — contaminated docs
     # must not survive as dedup representatives of clean ones
@@ -160,8 +175,8 @@ def curate(
         jaccard_threshold=jaccard_threshold,
         max_bucket_size=max_bucket_size,
     )
-    fuzzy_kept = exact_kept.join(
-        clusters.filter(F.col("keep")).select(id_col), id_col
+    fuzzy_kept = _ensure_parallelism(
+        exact_kept.join(clusters.filter(F.col("keep")).select(id_col), id_col)
     ).persist()
     n_fuzzy = fuzzy_kept.count()
     # fuzzy_kept's cache shields downstream lineage (when the span stage

@@ -102,13 +102,15 @@ def pagerank(
     ).localCheckpoint(eager=True)
     for _ in range(iters):
         # one scalar per round: total rank parked on out-degree-0 nodes,
-        # redistributed uniformly (floor) — a post-reduce driver collect
-        dangling = (
-            ranks.filter(F.col("deg") == 0)
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("s"))
-            .collect()[0]["s"]
+        # redistributed uniformly (floor). r6 (guide §2.4): computed as a
+        # broadcast single-row aggregate INSIDE the round's plan instead of
+        # a separate driver collect — one job per round instead of two (the
+        # dangling scan reads the same checkpointed rank leaf either way,
+        # and `s DIV n_nodes` is the identical int64 floor division, so
+        # every rank integer is unchanged).
+        dang = ranks.filter(F.col("deg") == 0).agg(
+            F.expr(f"coalesce(sum(r), 0L) DIV {n_nodes}L").alias("__ds")
         )
-        ds = int(dangling) // n_nodes
         contrib = (
             e.join(
                 ranks.filter(F.col("deg") > 0).select(
@@ -122,24 +124,28 @@ def pagerank(
         )
         ranks = (
             degn.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 "deg",
                 (
                     F.lit(base).cast("long")
                     + F.expr(
-                        f"({damping_num}L * (coalesce(contrib, 0L) + {ds}L)) "
+                        f"({damping_num}L * (coalesce(contrib, 0L) + __ds)) "
                         f"DIV {damping_den}L"
                     )
                 ).alias("r"),
             )
             .localCheckpoint(eager=True)
         )
+    # no final checkpoint needed: `out` is a pure projection of the last
+    # round's checkpointed ranks, so the unpersists below cannot force a
+    # recompute (r6: one fewer job)
     out = ranks.select(
         "node",
         F.col("r").alias("rank_scaled"),
         (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"),
-    ).localCheckpoint(eager=True)
+    )
     e.unpersist()
     nodes.unpersist()
     degn.unpersist()

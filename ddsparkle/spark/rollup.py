@@ -280,18 +280,28 @@ def build_payload_rollup(
         value_col,
     )
     cell_keys = [BUCKET_COL, *key_cols]
-    # r6 (guide §2.5): a single-split scan runs the WHOLE per-cell build on
-    # one task (measured 3.1 s inside the cms rollup write at sf0.1);
-    # spreading the scan multiplies partial rows per cell by the task
-    # count, which the counter/register-wise merges fold back exactly
-    # (CMS/HLL/KMV cells are bit-identical; t-digest cells stay inside the
-    # same rank-error budget their gates already bound). Structural no-op
-    # at scale — large inputs already scan as >= cores splits.
-    from .dataops import _ensure_parallelism
-
-    partials = _build_payload_partials(
-        _ensure_parallelism(sel), value_col, cell_keys, make, update
-    )
+    # r6 (guide §2.3/§2.5): a single-split scan runs the WHOLE per-cell
+    # build on one task (measured 3.1 s inside the cms rollup write at
+    # sf0.1) — but round-robin spreading is the WRONG parallelism here:
+    # every task then sees every cell, so partial payload rows multiply by
+    # the task count (a 5x8192 CMS cell is 320 KB; 28 tasks x ~720 hourly
+    # cells measured ~6 GB of partials, 29.5 s in the write job). Instead
+    # repartition the narrow raw rows BY CELL KEY: each cell is built by
+    # exactly one task, partials per cell stay 1 regardless of task count,
+    # and the per-cell frame needs no second exchange or merge fold at all
+    # (cells are task-disjoint, so the partial rows ARE the final cells —
+    # counter/register-exact for CMS/HLL/KMV; t-digest/KLL cells see a
+    # different intra-cell row order, inside the same rank budget their
+    # gates bound). Parallelism = min(cells, cores); a pathological single
+    # hot cell degrades to the one task the pre-r6 build used for ALL
+    # cells, never worse. At 100 TB the input already scans as >= cores
+    # splits and the original shape (per-task partials + cell-keyed merge,
+    # raw rows never shuffled) is kept unchanged.
+    target = sel.sparkSession.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < target:
+        sel = sel.repartition(target, *[F.col(c) for c in cell_keys])
+        return _build_payload_partials(sel, value_col, cell_keys, make, update)
+    partials = _build_payload_partials(sel, value_col, cell_keys, make, update)
     return _merge_payload_cells(partials, cell_keys, from_payload)
 
 
