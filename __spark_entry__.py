@@ -3180,14 +3180,24 @@ def q_transcripts_turn_model_quality(spark: SparkSession, sf_dir: str) -> DataFr
     integer parts upstream if a conversation-level score is needed."""
     from ddsparkle.spark.transcript_ops import turn_model_quality
 
-    df = _transcripts(spark, sf_dir)
+    # r6 (guide §4/§2.4): project to the three needed columns BEFORE the
+    # opaque Arrow scorer pass (mapInPandas defeats column pruning — the
+    # full transcript width was crossing the Python boundary both ways and
+    # riding the sort exchange), and checkpoint the scored rows so the
+    # orderBy's range-partition sampling job does not run the scorer a
+    # second time. Same rows, same order.
+    df = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
     res = turn_model_quality(df)
-    return res.select(
-        "conv_id",
-        "turn_idx",
-        "n_grams",
-        F.round("model_score", 4).alias("model_score"),
-    ).orderBy("conv_id", "turn_idx")
+    return (
+        res.select(
+            "conv_id",
+            "turn_idx",
+            "n_grams",
+            F.round("model_score", 4).alias("model_score"),
+        )
+        .localCheckpoint(eager=True)
+        .orderBy("conv_id", "turn_idx")
+    )
 
 
 def q_transcripts_conv_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3199,7 +3209,9 @@ def q_transcripts_conv_model_quality(spark: SparkSession, sf_dir: str) -> DataFr
     threshold signal an SFT curation gate consumes."""
     from ddsparkle.spark.transcript_ops import conversation_model_quality
 
-    df = _transcripts(spark, sf_dir)
+    # r6 (guide §4): only (conv_id, text) feed the scorer + groupBy —
+    # project before the opaque Arrow pass (see turn_model_quality above)
+    df = _transcripts(spark, sf_dir).select("conv_id", "text")
     res = conversation_model_quality(df)
     return res.select(
         "conv_id", "n_grams", F.round("conv_score", 4).alias("conv_score")
@@ -3664,8 +3676,12 @@ def q_doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     lm = train_bigram_lm(docs, top_unigrams=20, top_bigrams=500)
+    # r6 (guide §4): only (doc_id, text) feed the Arrow scorer — project
+    # before the opaque pass so the unused columns skip the Python boundary
     return (
-        lm_quality_score(docs.filter(F.col("text").isNotNull()), lm)
+        lm_quality_score(
+            docs.select("doc_id", "text").filter(F.col("text").isNotNull()), lm
+        )
         .select(
             "doc_id",
             "n_transitions",

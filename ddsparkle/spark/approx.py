@@ -625,9 +625,21 @@ def dgim_window_counts(
         as_of_micros = df.select(
             F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("m")
         ).collect()[0]["m"]  # post-reduce scalar, not a data collect
+        if as_of_micros is None:
+            # r6 (ADVICE r5 #4): all-NULL/empty input used to surface as
+            # int(None) TypeError; fail with the actual contract instead
+            raise ValueError(
+                "dgim_window_counts: no non-null timestamps to anchor "
+                "as_of_micros — pass as_of_micros explicitly or filter "
+                "the input"
+            )
     as_of = int(as_of_micros)
 
-    slim = df.select(
+    # r6 (ADVICE r5 #4): a NULL ts previously reached the pandas kernel as
+    # NaN and DgimSketch.update raised inside the executor; a timestamp-less
+    # row carries no window information, so drop it in the slim projection
+    # (fixture rows all carry ts — results unchanged, gates re-verified)
+    slim = df.filter(F.col(ts_col).isNotNull()).select(
         F.col(by).cast("string").alias("__k"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
         F.col(id_col).cast("long").alias("__id"),

@@ -1077,19 +1077,22 @@ def ann_ivf_topk(
     )
 
 
-def _local_components(sym, nodes, id_col: str):
-    """Driver-local union-find leg of ``connected_components``: collect the
-    (small, persisted) symmetrized edge list, restrict it to edges whose
-    endpoints are BOTH real nodes (matching the distributed loop, whose
-    label join silently ignores edges referencing absent or NULL ids), run
-    an O(edges) union-by-min-root, and broadcast-join the labels back."""
+def _local_components(rows, nodes, id_col: str):
+    """Driver-local union-find leg of ``connected_components``: takes the
+    already-collected (threshold-bounded) ``(src, dst)`` edge rows,
+    restricts them to edges whose endpoints are BOTH real nodes (matching
+    the distributed loop, whose label join silently ignores edges
+    referencing absent or NULL ids), runs an O(edges) union-by-min-root,
+    and broadcast-joins the labels back. Union-find is direction-free, so
+    the caller passes the raw pair rows un-symmetrized (r6: the old
+    symmetrize -> persist -> count -> collect sequence cost three extra
+    jobs per call for identical labels)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     spark = nodes.sparkSession
     id_field = nodes.schema[id_col]
-    rows = sym.collect()  # bounded by the caller's threshold
-    endpoints = {v for r in rows for v in (r["src"], r["dst"]) if v is not None}
+    endpoints = {v for r in rows for v in (r[0], r[1]) if v is not None}
     ep_schema = T.StructType([T.StructField("id", id_field.dataType)])
     node_eps = set()
     if endpoints:
@@ -1111,7 +1114,7 @@ def _local_components(sym, nodes, id_col: str):
         return root
 
     for r in rows:
-        a, b = r["src"], r["dst"]
+        a, b = r[0], r[1]
         if a not in node_eps or b not in node_eps:
             continue
         for v in (a, b):
@@ -1123,7 +1126,6 @@ def _local_components(sym, nodes, id_col: str):
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     mapping = [(x, find(x)) for x in parent]
-    sym.unpersist()
     map_schema = T.StructType(
         [
             T.StructField("id", id_field.dataType),
@@ -1190,6 +1192,21 @@ def connected_components(
     """
     from pyspark.sql import functions as F
 
+    # local_threshold=0 must force the distributed loop even on an empty
+    # edge list (the oracle gates rely on that pin), hence the > 0 guard.
+    # r6 (guide §2.4): the local-leg decision used to symmetrize + persist
+    # + count + collect (4 jobs); one LIMIT-probe collect both DECIDES and,
+    # when within threshold, already holds the full edge list (getting
+    # <= local_threshold rows back from a local_threshold+1 limit proves
+    # there are no more) — union-find is direction-free, so no
+    # symmetrization is needed either. Labels are identical; an
+    # over-threshold probe wastes at most local_threshold+1 collected rows
+    # before the distributed loop rebuilds from the plan.
+    if local_threshold > 0:
+        probe = edges.select("id_a", "id_b").limit(local_threshold + 1).collect()
+        if len(probe) <= local_threshold:
+            return _local_components(probe, nodes, id_col)
+
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -1198,10 +1215,6 @@ def connected_components(
     # round would dominate the component search)
     sym = sym.persist()
     n_edges = sym.count()  # symmetrized: 2x the input pairs
-    # local_threshold=0 must force the distributed loop even on an empty
-    # edge list (the oracle gates rely on that pin), hence the > 0 guard
-    if local_threshold > 0 and n_edges <= 2 * local_threshold:
-        return _local_components(sym, nodes, id_col)
     node_ids = nodes.select(F.col(id_col).alias("id"))
     # the loop operates ONLY on edge-touching nodes: sym is symmetrized so
     # its src column covers every endpoint; the semi-join keeps just the

@@ -395,7 +395,9 @@ def streaming_dgim_counts(
 
     from ..sketches.dgim import DgimSketch
 
-    src = df.select(
+    # r6 (ADVICE r5 #4): drop timestamp-less rows before the kernel — a
+    # NULL ts arrives as NaN and DgimSketch.update raises in the executor
+    src = df.filter(F.col(ts_col).isNotNull()).select(
         F.col(by).cast("string").alias("__k"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
         F.col(id_col).cast("long").alias("__id"),
