@@ -1338,22 +1338,46 @@ def q_simhash_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH harness SFs — data-dependent, validated per the repo's gate
     policy). The oracle recomputes the exact pair count via the shingle-set
     CTE and asserts TRUE."""
-    from ddsparkle.spark.dataops import ngram_jaccard_pairs, simhash_candidates
+    from ddsparkle.spark.dataops import ngram_jaccard_pairs, simhash64
 
     df = _t(spark, sf_dir, "documents")
     hj = ngram_jaccard_pairs(
         df, threshold=0.8, num_perm=32, bands=32, max_bucket_size=None
     ).select("id_a", "id_b")
-    sc = simhash_candidates(df, bands=8, shingle_n=1, max_bucket_size=None).select(
-        "id_a", "id_b", F.lit(1).alias("__hit")
-    )
-    # one action: left join + conditional count evaluates the (expensive)
-    # exact-Jaccard pipeline once instead of once per count
+    # r6 (guide §1.2 "don't compute things you throw away"): with
+    # max_bucket_size=None, membership in the banded candidate set is BY
+    # DEFINITION "the two 64-bit SimHashes agree on >= 1 of the 8 bit-bands"
+    # — so instead of materializing the full candidate-pair join (measured
+    # 6.4M pairs at sf0.1, ~3 s of join+distinct, just to probe ~256 pairs)
+    # the gate attaches each verified pair's two hashes and evaluates the
+    # identical band-share predicate row-locally. Same boolean per pair,
+    # same output row. (With a bucket-size cap this equivalence would NOT
+    # hold — the cap drops pairs — which is why the general operator keeps
+    # the bucket join; this gate pins cap=None.)
+    sh = simhash64(df, "text", "doc_id", 1)
+    width = 64 // 8
+    band_eq = None
+    for i in range(8):
+        ba = F.shiftrightunsigned(F.col("__ha"), i * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        bb = F.shiftrightunsigned(F.col("__hb"), i * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        eq = ba == bb
+        band_eq = eq if band_eq is None else (band_eq | eq)
     row = (
-        hj.join(sc, ["id_a", "id_b"], "left")
+        hj.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("__ha")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("__hb")),
+            "id_b",
+        )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("miss"),
+            F.sum(F.when(band_eq, 0).otherwise(1)).alias("miss"),
         )
         .collect()[0]
     )

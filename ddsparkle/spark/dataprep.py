@@ -143,12 +143,17 @@ def curate(
     if strip_spans_k is not None:
         from .dataops import strip_duplicated_spans
 
-        stripped_cached = strip_duplicated_spans(
-            exact_kept,
-            text_col=text_col,
-            id_col=id_col,
-            k=strip_spans_k,
-            min_occurrences=strip_spans_min_occurrences,
+        # r6: spread the stripped frame like fuzzy_kept below — its cache
+        # feeds the (otherwise single-task, measured 1.7 s) span-stats
+        # aggregate plus the whole downstream fuzzy chain and final plan
+        stripped_cached = _ensure_parallelism(
+            strip_duplicated_spans(
+                exact_kept,
+                text_col=text_col,
+                id_col=id_col,
+                k=strip_spans_k,
+                min_occurrences=strip_spans_min_occurrences,
+            )
         ).persist()
         srow = stripped_cached.agg(
             F.sum("n_dropped_tokens").alias("t"),
@@ -201,14 +206,21 @@ def curate(
         # 64 KB limit the old fused form hit — see language_pred_expr)
         gated = gated.filter(language_pred_expr(text_col).isin(list(languages)))
     curated = gated.select(*df.columns)  # exactly the input schema
-    n_final = curated.count()
 
-    # 3b. (optional) Gopher repetition gates: numpy mapInPandas over the
-    # CATALYST-gate survivors only (cheap row-local expressions shrink the
-    # corpus before the costlier Arrow pass — the same cheap-to-expensive
-    # ordering as the model stage); only the n values the thresholds name
-    # are computed. Filter-shaped, no join, backed by the fuzzy_kept cache.
-    n_rep = n_final
+    # 3b-4. Optional statistical stages (Gopher repetition gates -> bigram-
+    # LM gate -> hashed-n-gram classifier, cheap-to-expensive, classifier
+    # LAST). The RETURNED ``curated`` frame keeps the staged lazy chain
+    # (each scorer sees only the previous stage's survivors — the
+    # classifier-last contract, and at scale the cheapest row count for a
+    # caller consuming the rows). The per-stage COUNTS, however, are
+    # cumulative-conjunction counts and therefore computable in ONE
+    # aggregation job over a single enriched observer frame (r6, guide
+    # §2.4: the old one-count-action-per-stage shape re-evaluated the
+    # catalyst gates for every stage count and the LM scorer once per
+    # LATER stage — three jobs and double Arrow passes for identical
+    # integers).
+    rep_cond = lm_cond = model_cond = None
+    obs = curated
     if repetition_thresholds:
         import re
 
@@ -220,23 +232,15 @@ def curate(
             if not m:
                 raise ValueError(f"unknown repetition signal {k!r}")
             (top_ns if m.group(1) == "top" else dup_ns).append(int(m.group(2)))
-        sig = repetition_signals(
-            curated, text_col=text_col, top_ns=sorted(top_ns), dup_ns=sorted(dup_ns)
-        )
-        cond = None
         for k, v in repetition_thresholds.items():
             c = F.col(k) <= float(v)
-            cond = c if cond is None else (cond & c)
-        curated = sig.filter(cond).select(*df.columns)
-        n_rep = curated.count()
-
-    # 3c. (optional) statistical LM gate: integer-bits bigram surprisal
-    # under a PRE-TRAINED model (``lm_model``, ngram_lm.train_bigram_lm —
-    # trained outside the pipeline so the reference corpus is the caller's
-    # explicit choice, e.g. the train split or a trusted seed corpus).
-    # Row-local pass-through scoring, filter-shaped; runs after the cheap
-    # gates and before the classifier (cheap-to-expensive ordering).
-    n_lm = n_rep
+            rep_cond = c if rep_cond is None else (rep_cond & c)
+        obs = repetition_signals(
+            obs, text_col=text_col, top_ns=sorted(top_ns), dup_ns=sorted(dup_ns)
+        )
+        curated = repetition_signals(
+            curated, text_col=text_col, top_ns=sorted(top_ns), dup_ns=sorted(dup_ns)
+        ).filter(rep_cond).select(*df.columns)
     if lm_bits_threshold is not None:
         if lm_model is None:
             raise ValueError(
@@ -244,27 +248,51 @@ def curate(
             )
         from .ngram_lm import lm_quality_score
 
-        lscored = lm_quality_score(curated, lm_model, text_col=text_col)
-        curated = lscored.filter(
-            F.col("bits_per_token") <= float(lm_bits_threshold)
-        ).select(*df.columns)
-        n_lm = curated.count()
-
-    # 4. (optional) model-based quality: hashed-n-gram linear scorer over
-    # the heuristic survivors only — row-local mapInPandas appends the
-    # score, so the stage is filter-shaped (no join); backed by the same
-    # fuzzy_kept cache, so the count action does not re-run the dedup
-    n_model = n_lm
+        lm_cond = F.col("bits_per_token") <= float(lm_bits_threshold)
+        obs = lm_quality_score(obs, lm_model, text_col=text_col)
+        curated = (
+            lm_quality_score(curated, lm_model, text_col=text_col)
+            .filter(lm_cond)
+            .select(*df.columns)
+        )
     if model_score_threshold is not None:
-        from pyspark.sql import functions as F  # noqa: F811 (local alias)
-
         from .quality_model import model_quality_score
 
-        scored = model_quality_score(curated, text_col=text_col)
-        curated = scored.filter(
-            F.col("model_score") >= float(model_score_threshold)
-        ).select(*df.columns)
-        n_model = curated.count()
+        model_cond = F.col("model_score") >= float(model_score_threshold)
+        obs = model_quality_score(obs, text_col=text_col)
+        curated = (
+            model_quality_score(curated, text_col=text_col)
+            .filter(model_cond)
+            .select(*df.columns)
+        )
+
+    if rep_cond is None and lm_cond is None and model_cond is None:
+        n_final = curated.count()
+        n_rep = n_lm = n_model = n_final
+    else:
+        # one job: count(*) = catalyst survivors; each enabled stage adds
+        # a SUM over the cumulative conjunction (NULL conditions count 0,
+        # exactly like the filter they replace); a disabled stage inherits
+        # the previous count, as before
+        aggs = [F.count(F.lit(1)).alias("n_final")]
+        acc = None
+        stage_alias = {}
+        for name, c in (("n_rep", rep_cond), ("n_lm", lm_cond), ("n_model", model_cond)):
+            if c is None:
+                stage_alias[name] = None
+                continue
+            acc = c if acc is None else (acc & c)
+            aggs.append(F.sum(acc.cast("long")).alias(name))
+            stage_alias[name] = name
+        row = obs.agg(*aggs).collect()[0]
+        n_final = int(row["n_final"])
+        prev = n_final
+        vals = {}
+        for name in ("n_rep", "n_lm", "n_model"):
+            if stage_alias[name] is not None:
+                prev = int(row[name] or 0)
+            vals[name] = prev
+        n_rep, n_lm, n_model = vals["n_rep"], vals["n_lm"], vals["n_model"]
     if release_cache:
         fuzzy_kept.unpersist()
 
