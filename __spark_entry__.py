@@ -4197,21 +4197,38 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
+    # r6 (guide §2.3 "narrower types"): the loop's per-round join/groupBy
+    # keys used to be the rendered strings ("c:123"), so every distinct,
+    # degree join and rank exchange hashed/compared strings. PageRank's
+    # integer ranks depend only on the graph STRUCTURE (degrees + edge
+    # incidence — no id ordering or min-id tie-break anywhere in the
+    # arithmetic), so any bijective relabeling yields the identical
+    # rank_scaled per node: encode the three disjoint id spaces as
+    # key*4+tag int64s, run the whole iteration on 8-byte keys, and render
+    # the same display strings once at the end. Output rows identical
+    # (A/B hash-asserted).
     cs = (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey") * 4).alias("src"),
+            (F.col("l_suppkey") * 4 + 1).alias("dst"),
         )
         .distinct()
     )
     sp = lineitem.select(
-        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("src"),
-        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+        (F.col("l_suppkey") * 4 + 1).alias("src"),
+        (F.col("l_partkey") * 4 + 2).alias("dst"),
     ).distinct()
     ranks = pagerank(cs.unionByName(sp), iters=5)
+    tag = F.col("node") % 4
+    node_str = F.concat(
+        F.when(tag == 0, F.lit("c:")).when(tag == 1, F.lit("s:")).otherwise(
+            F.lit("p:")
+        ),
+        F.expr("node DIV 4"),
+    )
     return ranks.select(
-        "node", "rank_scaled", F.round("rank", 4).alias("rank")
+        node_str.alias("node"), "rank_scaled", F.round("rank", 4).alias("rank")
     ).orderBy(F.desc("rank_scaled"), "node")
 
 
